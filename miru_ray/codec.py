@@ -1,0 +1,428 @@
+"""Posting-list codec: delta + varbyte compression with block-max metadata.
+
+The reference stores one Roaring bitmap per (field, term) with a ``lastId``
+header, optionally atomized into per-64Ki-docId chunks (reference:
+miru-service/.../lab/LabInvertedIndex.java:268-292,335-399) and a cardinality
+(tf) store per (field, docId, term) plus a global Σtf row
+(LabFieldIndex.java:187-189,422-476).  We re-express the same information in
+a Ray-Data-friendly immutable layout (per BASELINE.json north star):
+
+* a posting = sorted docIds, **delta + varbyte** encoded in blocks of
+  ``BLOCK_SIZE`` docs, with per-block metadata ``(first_doc, count, max_tf,
+  min_dl)`` enabling block-max WAND pruning and skip-decoding;
+* tf values varbyte-encoded alongside (the per-doc cardinality store);
+* per-posting ``df`` / ``ttf`` / ``max_tf`` (df = Roaring cardinality,
+  ttf = the reference's global Σtf row — the TF-IDF denominator).
+
+Everything here is numpy-vectorized over whole Arrow batches: a batch of
+(part, term, doc, tf) triples becomes a batch of encoded *runs* in O(cols)
+numpy passes, with no per-term Python loop.  Runs produced from different
+input batches cover disjoint docId ranges (each batch is a contiguous slice
+of a partition's docId order), so the merge stage can concatenate encoded
+runs per term by *offset subsampling* — no decode, no per-term loop — the
+Ray-native analogue of the reference's LSM append+compact
+(MiruLocalHostedPartition.java:1083-1101).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BLOCK_SIZE = 128
+
+# Pseudo-term holding the document-length table: one "posting" whose docIds
+# are all docs of the partition and whose tf is the doc's token count.  The
+# analogue of the reference's per-partition activity/time bookkeeping; sorts
+# before every real term ("\x01" < any printable byte).
+DOCLEN_TERM = "\x01dl"
+
+RUNS_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("term", pa.large_string()),
+        ("first_doc", pa.int32()),
+        ("last_doc", pa.int32()),
+        ("df", pa.int32()),
+        ("ttf", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("n_blocks", pa.int32()),
+        ("doc_bytes", pa.large_binary()),
+        ("tf_bytes", pa.large_binary()),
+        ("blk_first", pa.large_list(pa.int32())),
+        ("blk_count", pa.large_list(pa.int32())),
+        ("blk_max_tf", pa.large_list(pa.int32())),
+        ("blk_min_dl", pa.large_list(pa.int32())),
+    ]
+)
+
+
+def varbyte_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 encode of non-negative ints.
+
+    Returns ``(bytes:uint8[total], ends:int64[n])`` where ``ends`` is the
+    cumulative byte length after each value.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    nb = np.ones(n, dtype=np.int64)
+    k = 1
+    thresh = np.uint64(1) << np.uint64(7)
+    while True:
+        sel = v >= thresh
+        if not sel.any():
+            break
+        nb += sel
+        k += 1
+        if k >= 10:
+            break
+        thresh = np.uint64(1) << np.uint64(7 * k)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    maxnb = int(nb.max())
+    for j in range(maxnb):
+        sel = nb > j
+        idx = starts[sel] + j
+        byte = ((v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    return out, ends
+
+
+def varbyte_decode(buf: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 decode; returns uint64 values."""
+    b = np.asarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, np.uint64)
+    terminal = (b & 0x80) == 0
+    group_starts = np.flatnonzero(terminal)
+    # start of group i is end of group i-1 + 1
+    starts = np.empty(len(group_starts), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = group_starts[:-1] + 1
+    gid = np.zeros(len(b), dtype=np.int64)
+    np.add.at(gid, starts[1:], 1)
+    gid = np.cumsum(gid)
+    shift = ((np.arange(len(b), dtype=np.int64) - starts[gid]) * 7).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << shift
+    return np.add.reduceat(contrib, starts)
+
+
+def _reduceat(op, values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    if len(starts) == 0:
+        return np.empty(0, values.dtype)
+    return op.reduceat(values, starts)
+
+
+def _offsets_and_data(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
+    """(offsets:int64[n+1] absolute, data/values buffer view, value_offset)."""
+    typ = arr.type
+    if pa.types.is_large_binary(typ) or pa.types.is_large_string(typ):
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    elif pa.types.is_binary(typ) or pa.types.is_string(typ):
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    elif pa.types.is_large_list(typ):
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    elif pa.types.is_list(typ):
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    else:
+        raise TypeError(str(typ))
+    off = off[arr.offset : arr.offset + len(arr) + 1].astype(np.int64, copy=False)
+    return off
+
+
+def encode_triples_to_runs(
+    part: np.ndarray,
+    term: pa.Array,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+) -> pa.Table:
+    """Encode a batch of (part, term, doc, tf, dl) triples — ALREADY sorted by
+    (part, term, doc), doc strictly increasing within each (part, term) — into
+    one posting *run* per (part, term) with block-max metadata.
+
+    ``dl`` is the document length of ``doc`` (needed for the BM25 block upper
+    bound ``min_dl``).  Fully vectorized; no per-term loop.
+    """
+    n = len(doc)
+    if n == 0:
+        return RUNS_SCHEMA.empty_table()
+    if isinstance(term, pa.ChunkedArray):
+        term = term.combine_chunks()
+    doc = np.asarray(doc, dtype=np.int64)
+    tf = np.asarray(tf, dtype=np.int64)
+    dl = np.asarray(dl, dtype=np.int64)
+    part = np.asarray(part, dtype=np.int64)
+
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    if n > 1:
+        same_term = pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        new_run[1:] = (part[1:] != part[:-1]) | ~same_term
+    run_starts = np.flatnonzero(new_run)
+    n_runs = len(run_starts)
+    run_id = np.cumsum(new_run) - 1
+    within = np.arange(n, dtype=np.int64) - run_starts[run_id]
+
+    new_block = within % BLOCK_SIZE == 0
+    block_starts = np.flatnonzero(new_block)
+    blk_first = doc[block_starts].astype(np.int32)
+    blk_ends = np.empty(len(block_starts), dtype=np.int64)
+    blk_ends[:-1] = block_starts[1:]
+    blk_ends[-1] = n
+    blk_count = (blk_ends - block_starts).astype(np.int32)
+    blk_max_tf = _reduceat(np.maximum, tf, block_starts).astype(np.int32)
+    blk_min_dl = _reduceat(np.minimum, dl, block_starts).astype(np.int32)
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = doc[1:] - doc[:-1]
+    deltas[block_starts] = 0  # block-relative: first doc of a block == blk_first
+    if n > 1:
+        inner = deltas[~new_block]
+        if len(inner) and inner.min() <= 0:
+            raise ValueError("doc ids must be strictly increasing within (part, term)")
+
+    doc_buf, doc_ends = varbyte_encode(deltas)
+    tf_buf, tf_ends = varbyte_encode(tf)
+
+    # per-run byte offsets
+    doc_off = np.zeros(n + 1, dtype=np.int64)
+    doc_off[1:] = doc_ends
+    tf_off = np.zeros(n + 1, dtype=np.int64)
+    tf_off[1:] = tf_ends
+    run_bounds = np.empty(n_runs + 1, dtype=np.int64)
+    run_bounds[:-1] = run_starts
+    run_bounds[-1] = n
+
+    doc_bytes = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_runs, [None, pa.py_buffer(doc_off[run_bounds]), pa.py_buffer(doc_buf)]
+    )
+    tf_bytes = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_runs, [None, pa.py_buffer(tf_off[run_bounds]), pa.py_buffer(tf_buf)]
+    )
+
+    # per-run block-list offsets
+    block_run = run_id[block_starts]
+    blocks_per_run = np.bincount(block_run, minlength=n_runs)
+    blk_offsets = np.zeros(n_runs + 1, dtype=np.int64)
+    np.cumsum(blocks_per_run, out=blk_offsets[1:])
+
+    def _list(arr32: np.ndarray) -> pa.Array:
+        return pa.LargeListArray.from_arrays(blk_offsets, pa.array(arr32, type=pa.int32()))
+
+    run_ends = run_bounds[1:] - 1
+    df = (run_bounds[1:] - run_bounds[:-1]).astype(np.int32)
+    ttf = _reduceat(np.add, tf, run_starts).astype(np.int64)
+    max_tf = _reduceat(np.maximum, tf, run_starts).astype(np.int32)
+
+    return pa.table(
+        {
+            "part": pa.array(part[run_starts].astype(np.int32), type=pa.int32()),
+            "term": term.take(pa.array(run_starts)).cast(pa.large_string()),
+            "first_doc": pa.array(doc[run_starts].astype(np.int32), type=pa.int32()),
+            "last_doc": pa.array(doc[run_ends].astype(np.int32), type=pa.int32()),
+            "df": pa.array(df, type=pa.int32()),
+            "ttf": pa.array(ttf, type=pa.int64()),
+            "max_tf": pa.array(max_tf, type=pa.int32()),
+            "n_blocks": pa.array(blocks_per_run.astype(np.int32), type=pa.int32()),
+            "doc_bytes": doc_bytes,
+            "tf_bytes": tf_bytes,
+            "blk_first": _list(blk_first),
+            "blk_count": _list(blk_count),
+            "blk_max_tf": _list(blk_max_tf),
+            "blk_min_dl": _list(blk_min_dl),
+        },
+        schema=RUNS_SCHEMA,
+    )
+
+
+def decode_posting(
+    doc_bytes: bytes | np.ndarray,
+    tf_bytes: bytes | np.ndarray | None,
+    blk_first: np.ndarray,
+    blk_count: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Decode one posting (or run) back to (docIds:int64, tfs:int64|None)."""
+    deltas = varbyte_decode(np.frombuffer(doc_bytes, dtype=np.uint8)).astype(np.int64)
+    blk_count = np.asarray(blk_count, dtype=np.int64)
+    blk_first = np.asarray(blk_first, dtype=np.int64)
+    starts = np.zeros(len(blk_count), dtype=np.int64)
+    np.cumsum(blk_count[:-1], out=starts[1:])
+    v = deltas
+    v[starts] = blk_first
+    c = np.cumsum(v)
+    base = c[starts] - blk_first
+    docs = c - np.repeat(base, blk_count)
+    tfs = None
+    if tf_bytes is not None:
+        tfs = varbyte_decode(np.frombuffer(tf_bytes, dtype=np.uint8)).astype(np.int64)
+    return docs, tfs
+
+
+def merge_runs(runs: pa.Table) -> pa.Table:
+    """Merge encoded runs into one posting row per (part, term).
+
+    Runs from different batches cover disjoint, ordered docId ranges, so the
+    merge is a sort by (part, term, first_doc) followed by **offset
+    subsampling**: the concatenated encoded bytes of a term's runs are already
+    contiguous in the sorted table's buffers, so the merged posting's binary
+    value is just a wider offset window.  Zero decode, zero per-term Python.
+
+    Falls back to decode→re-encode for any group whose run ranges overlap
+    (cannot happen in the standard pipeline; kept for robustness — mirrors
+    the reference's read-modify-write path LabInvertedIndex.java:423-434).
+    """
+    if runs.num_rows == 0:
+        return RUNS_SCHEMA.empty_table()
+    runs = runs.combine_chunks()
+    idx = pc.sort_indices(
+        runs,
+        sort_keys=[("part", "ascending"), ("term", "ascending"), ("first_doc", "ascending")],
+    )
+    t = runs.take(idx).combine_chunks()
+    n = t.num_rows
+    part = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+    first_doc = t["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    last_doc = t["last_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    term = t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    if n > 1:
+        same_term = pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        new_group[1:] = (part[1:] != part[:-1]) | ~same_term
+
+    overlap = (~new_group) & (first_doc <= np.concatenate([[np.int64(-1)], last_doc[:-1]]))
+    if overlap.any():
+        # slow path: rebuild offending groups from decoded triples
+        bad_gid = np.unique((np.cumsum(new_group) - 1)[overlap])
+        gid = np.cumsum(new_group) - 1
+        bad_mask = np.isin(gid, bad_gid)
+        good = _merge_sorted_runs(t.filter(pa.array(~bad_mask)))
+        bad = _reencode_overlapping(t.filter(pa.array(bad_mask)))
+        merged = pa.concat_tables([good, bad]).combine_chunks()
+        return merged.take(
+            pc.sort_indices(merged, sort_keys=[("part", "ascending"), ("term", "ascending")])
+        )
+    return _merge_sorted_runs(t, new_group)
+
+
+def _merge_sorted_runs(t: pa.Table, new_group: np.ndarray | None = None) -> pa.Table:
+    if t.num_rows == 0:
+        return RUNS_SCHEMA.empty_table()
+    t = t.combine_chunks()
+    n = t.num_rows
+    if new_group is None:
+        part = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        term = t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        if n > 1:
+            same_term = pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+            new_group[1:] = (part[1:] != part[:-1]) | ~same_term
+    go = np.flatnonzero(new_group)
+    n_groups = len(go)
+    bounds = np.empty(n_groups + 1, dtype=np.int64)
+    bounds[:-1] = go
+    bounds[-1] = n
+
+    def col(name):
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def np_col(name, dtype):
+        return col(name).to_numpy(zero_copy_only=False).astype(dtype)
+
+    def subsample_binary(name):
+        arr = col(name)
+        off = _offsets_and_data(arr)
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n_groups, [None, pa.py_buffer(off[bounds]), arr.buffers()[2]]
+        )
+
+    def subsample_list(name):
+        arr = col(name)
+        off = _offsets_and_data(arr)
+        values = arr.values
+        return pa.LargeListArray.from_arrays(pa.array(off[bounds], type=pa.int64()), values)
+
+    df = np.add.reduceat(np_col("df", np.int64), go).astype(np.int32)
+    ttf = np.add.reduceat(np_col("ttf", np.int64), go)
+    max_tf = np.maximum.reduceat(np_col("max_tf", np.int64), go).astype(np.int32)
+    n_blocks = np.add.reduceat(np_col("n_blocks", np.int64), go).astype(np.int32)
+    first_doc = np_col("first_doc", np.int32)[go]
+    last_doc = np_col("last_doc", np.int32)[bounds[1:] - 1]
+
+    return pa.table(
+        {
+            "part": col("part").take(pa.array(go)),
+            "term": col("term").take(pa.array(go)),
+            "first_doc": pa.array(first_doc, type=pa.int32()),
+            "last_doc": pa.array(last_doc, type=pa.int32()),
+            "df": pa.array(df, type=pa.int32()),
+            "ttf": pa.array(ttf, type=pa.int64()),
+            "max_tf": pa.array(max_tf, type=pa.int32()),
+            "n_blocks": pa.array(n_blocks, type=pa.int32()),
+            "doc_bytes": subsample_binary("doc_bytes"),
+            "tf_bytes": subsample_binary("tf_bytes"),
+            "blk_first": subsample_list("blk_first"),
+            "blk_count": subsample_list("blk_count"),
+            "blk_max_tf": subsample_list("blk_max_tf"),
+            "blk_min_dl": subsample_list("blk_min_dl"),
+        },
+        schema=RUNS_SCHEMA,
+    )
+
+
+def _reencode_overlapping(t: pa.Table) -> pa.Table:
+    """Decode overlapping runs to triples and re-encode (robustness path)."""
+    parts_out = []
+    t = t.combine_chunks()
+    part = t["part"].to_numpy(zero_copy_only=False)
+    terms = t["term"].to_pylist()
+    for key in sorted(set(zip(part.tolist(), terms))):
+        p, term = key
+        docs_all, tfs_all, dls_all = [], [], []
+        for i in range(t.num_rows):
+            if part[i] != p or terms[i] != term:
+                continue
+            row = t.slice(i, 1)
+            docs, tfs = decode_posting(
+                row["doc_bytes"][0].as_py(),
+                row["tf_bytes"][0].as_py(),
+                np.asarray(row["blk_first"][0].as_py()),
+                np.asarray(row["blk_count"][0].as_py()),
+            )
+            dls = np.repeat(
+                np.asarray(row["blk_min_dl"][0].as_py(), dtype=np.int64),
+                np.asarray(row["blk_count"][0].as_py(), dtype=np.int64),
+            )
+            docs_all.append(docs)
+            tfs_all.append(tfs)
+            dls_all.append(dls)
+        docs = np.concatenate(docs_all)
+        tfs = np.concatenate(tfs_all)
+        dls = np.concatenate(dls_all)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        # collapse duplicate docIds (keep max tf — upsert semantics)
+        keep = np.empty(len(docs), dtype=bool)
+        keep[:-1] = docs[:-1] != docs[1:]
+        keep[-1] = True
+        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        parts_out.append(
+            encode_triples_to_runs(
+                np.full(len(docs), p, dtype=np.int64),
+                pa.array([term] * len(docs), type=pa.large_string()),
+                docs,
+                tfs,
+                dls,
+            )
+        )
+    return pa.concat_tables(parts_out) if parts_out else RUNS_SCHEMA.empty_table()

@@ -1,0 +1,203 @@
+"""Filter AST + query-string parser (the reference's boolean contract).
+
+The reference models every query as a recursive boolean filter tree
+``MiruFilter{operation ∈ {and, or, pButNotQ}, inclusiveFilter,
+fieldFilters, subFilters}`` (reference:
+miru-api/.../filter/MiruFilter.java:9-33) evaluated by
+``MiruAggregateUtil.filterInOut`` (miru-plugin/.../solution/
+MiruAggregateUtil.java:1123-1202) with a signed *term collector*
+(collectTerm, :1204-1220) whose counts become the TF-IDF query-side
+multipliers (FullText.java:118-127).
+
+The query-string parser mirrors ``LuceneBackedQueryParser``
+(miru-plugin/.../query/LuceneBackedQueryParser.java:48-53,76-144):
+default operator AND, term → primary-field term filter, ``foo*`` →
+prefix value, boolean MUST/SHOULD/MUST_NOT combined by the exact
+``wrap()`` rules (:113-144):
+
+* musts (+ optional shoulds) and mustNots → ``pButNotQ[wrap(musts,
+  shoulds), *mustNots]``;
+* musts + shoulds → ``and[*musts, or[*shoulds]]``;
+* only shoulds → ``or[*shoulds]``;
+* only mustNots → ``pButNotQ`` with ``inclusiveFilter=True`` (index mask
+  as the positive side).
+
+Grammar (documented contract; reproduces Lucene for the fixture query
+families — single terms, AND chains, OR chains, AND NOT, pure NOT,
+repeated terms, prefix):
+
+    expr   := and_exp ('OR' and_exp)*          # ≥2 → shoulds
+    and_exp := unary+                          # 'AND' optional between
+    unary  := 'NOT' atom | atom
+    atom   := TERM | TERM '*' | '(' expr ')' | field ':' TERM
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+
+DEFAULT_FIELD = "text"
+# reference default: FullTextQuery.maxWildcardExpansion is query-supplied;
+# expansion loop continues while maxWildcardExpansion <= 0 or count < max
+# (MiruAggregateUtil.java:1160-1168).
+DEFAULT_MAX_WILDCARD_EXPANSION = 500
+
+
+@dataclass
+class FieldFilter:
+    """MiruFieldFilter (miru-api/.../filter/MiruFieldFilter.java:14-27).
+
+    ``values`` entries ending in ``*`` denote a prefix range scan."""
+
+    field: str
+    values: list[str]
+
+
+@dataclass
+class Filter:
+    """MiruFilter (miru-api/.../filter/MiruFilter.java:9-33)."""
+
+    op: str  # 'and' | 'or' | 'pButNotQ'
+    inclusive: bool = False
+    field_filters: list[FieldFilter] = dfield(default_factory=list)
+    sub_filters: list["Filter"] = dfield(default_factory=list)
+
+
+def term_filter(field: str, *values: str) -> Filter:
+    return Filter("and", False, [FieldFilter(field, list(values))], [])
+
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def parse_query(query: str, default_field: str = DEFAULT_FIELD,
+                use_stopwords: bool = False) -> Filter:
+    """Parse a query string into a Filter tree (LuceneBackedQueryParser
+    contract; default operator AND — :51)."""
+    from .tokenize import py_tokenize
+
+    raw = _TOKEN_RE.findall(query)
+    if not raw:
+        raise QueryParseError("empty query")
+    pos = [0]
+
+    def peek():
+        return raw[pos[0]] if pos[0] < len(raw) else None
+
+    def take():
+        t = raw[pos[0]]
+        pos[0] += 1
+        return t
+
+    def analyze(tok: str, field: str) -> Filter | None:
+        """Term atom → filter, running the ANALYZER on the term text the way
+        Lucene's QueryParser does (terms must normalize identically on the
+        build and query sides — TermTokenizer.java:34-54)."""
+        prefix = tok.endswith("*")
+        body = tok[:-1] if prefix else tok
+        toks = py_tokenize(body, use_stopwords=use_stopwords)
+        if not toks:
+            return None  # analyzer dropped it (stopword / punctuation)
+        if prefix:
+            # PrefixQuery → value ("<prefix>", "*") (LuceneBackedQueryParser.java:104-110)
+            return Filter("and", False, [FieldFilter(field, [toks[-1] + "*"])], [])
+        if len(toks) == 1:
+            return Filter("and", False, [FieldFilter(field, [toks[0]])], [])
+        # multi-token term text (e.g. "foo-bar") → AND of the parts
+        return Filter("and", False, [], [term_filter(field, t) for t in toks])
+
+    def parse_atom() -> Filter | None:
+        t = peek()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t == "(":
+            take()
+            f = parse_expr()
+            if peek() != ")":
+                raise QueryParseError("missing )")
+            take()
+            return f
+        if t == ")":
+            raise QueryParseError("unexpected )")
+        take()
+        field = default_field
+        if ":" in t and not t.startswith(":"):
+            fld, rest = t.split(":", 1)
+            if rest:
+                field, t = fld, rest
+        return analyze(t, field)
+
+    def parse_and() -> Filter:
+        musts: list[Filter] = []
+        must_nots: list[Filter] = []
+        while True:
+            t = peek()
+            if t is None or t == ")" or t.upper() == "OR":
+                break
+            if t.upper() == "AND":
+                take()
+                continue
+            if t.upper() == "NOT" or t == "!":
+                take()
+                a = parse_atom()
+                if a is not None:
+                    must_nots.append(a)
+                continue
+            if t.startswith("-") and len(t) > 1:
+                take()
+                a = analyze(t[1:], default_field)
+                if a is not None:
+                    must_nots.append(a)
+                continue
+            if t.startswith("+") and len(t) > 1:
+                take()
+                a = analyze(t[1:], default_field)
+                if a is not None:
+                    musts.append(a)
+                continue
+            a = parse_atom()
+            if a is not None:
+                musts.append(a)
+        if not musts and not must_nots:
+            raise QueryParseError("nothing to filter")
+        if len(musts) == 1 and not must_nots:
+            return musts[0]  # single clause → the query itself (Lucene)
+        return _wrap(musts, [], must_nots)
+
+    def parse_expr() -> Filter:
+        shoulds = [parse_and()]
+        while peek() is not None and peek().upper() == "OR":
+            take()
+            shoulds.append(parse_and())
+        if len(shoulds) == 1:
+            return shoulds[0]
+        return _wrap([], shoulds, [])
+
+    f = parse_expr()
+    if peek() is not None:
+        raise QueryParseError(f"trailing tokens at {pos[0]}")
+    return f
+
+
+def _wrap(musts: list[Filter], shoulds: list[Filter], must_nots: list[Filter]) -> Filter:
+    """Exact LuceneBackedQueryParser.wrap() (:113-144)."""
+    if musts:
+        if must_nots:
+            return Filter("pButNotQ", False, [], [_wrap(musts, shoulds, [])] + must_nots)
+        if shoulds:
+            return Filter("and", False, [], musts + [_wrap([], shoulds, [])])
+        if len(musts) == 1:
+            return musts[0]
+        return Filter("and", False, [], musts)
+    if shoulds:
+        if must_nots:
+            return Filter("pButNotQ", False, [], [_wrap([], shoulds, [])] + must_nots)
+        return Filter("or", False, [], shoulds)
+    if must_nots:
+        return Filter("pButNotQ", True, [], must_nots)
+    raise QueryParseError("nothing to filter")

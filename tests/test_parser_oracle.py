@@ -1,0 +1,173 @@
+"""Query parser structure tests + oracle self-consistency invariants
+(mirrors the reference's own e2e assertions: MiruFullTextNGTest.java:169-183 —
+results non-empty for dictionary AND queries, TF_IDF scores in (0, 1),
+TIME scores all 0)."""
+
+import numpy as np
+
+from miru_ray.filters import Filter, parse_query
+from miru_ray.oracle import eval_filter, oracle_search, score_partition
+
+
+def q(s):
+    return parse_query(s)
+
+
+def test_single_term():
+    f = q("t3")
+    assert f.op == "and" and len(f.field_filters) == 1
+    assert f.field_filters[0].values == ["t3"]
+    assert f.field_filters[0].field == "text"
+
+
+def test_default_and():
+    f = q("t1 t7 w00042")
+    assert f.op == "and" and len(f.sub_filters) == 3
+    assert f.sub_filters[0].field_filters[0].values == ["t1"]
+
+
+def test_explicit_and_same_as_juxtaposition():
+    assert q("t1 AND t7") == q("t1 t7")
+
+
+def test_or():
+    f = q("t1 OR w00999")
+    assert f.op == "or" and len(f.sub_filters) == 2
+
+
+def test_and_not():
+    f = q("t1 AND NOT t9")
+    assert f.op == "pButNotQ" and not f.inclusive
+    assert f.sub_filters[0].field_filters[0].values == ["t1"]
+    assert f.sub_filters[1].field_filters[0].values == ["t9"]
+
+
+def test_pure_not_inclusive():
+    f = q("NOT t2")
+    assert f.op == "pButNotQ" and f.inclusive
+    assert f.sub_filters[0].field_filters[0].values == ["t2"]
+
+
+def test_mixed_and_or_not():
+    f = q("t1 t2 OR t3")
+    # OR at top: shoulds = [and(t1,t2), t3]
+    assert f.op == "or"
+    assert f.sub_filters[0].op == "and"
+
+
+def test_field_prefix_and_wildcard():
+    f = q("role:user")
+    assert f.field_filters[0].field == "role"
+    f = q("w004*")
+    assert f.field_filters[0].values == ["w004*"]
+
+
+def test_analyzer_applied_to_query_terms():
+    assert q("HeLLo") == q("hello")
+
+
+def test_parens():
+    f = q("t1 AND (t2 OR t3)")
+    assert f.op == "and"
+    assert f.sub_filters[1].op == "or"
+
+
+# ----------------------------------------------------------- oracle invariants
+
+
+def test_oracle_and_query_nonempty_scores_in_01(tiny_oracle):
+    hits, found = oracle_search(tiny_oracle, "t1 t7", k=10)
+    assert found > 0 and len(hits) == 10
+    for h in hits:
+        assert 0.0 < h.score < 1.0  # MiruFullTextNGTest.java:169-183
+    # sorted by score desc then ts desc
+    keys = [(-np.float32(h.score), -h.ts) for h in hits]
+    assert keys == sorted(keys)
+
+
+def test_oracle_time_strategy_scores_zero(tiny_oracle):
+    hits, found = oracle_search(tiny_oracle, "t1", k=5, scoring="time")
+    assert len(hits) == 5 and all(h.score == 0.0 for h in hits)
+    # newest first globally
+    ts = [h.ts for h in hits]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_oracle_not_excludes(tiny_oracle):
+    hits, _ = oracle_search(tiny_oracle, "t1 AND NOT t2", k=50)
+    for h in hits:
+        p = tiny_oracle[h.part]
+        assert "t1" in p.tokens[h.doc_id]
+        assert "t2" not in p.tokens[h.doc_id]
+
+
+def test_oracle_pure_not(tiny_oracle):
+    hits, found = oracle_search(tiny_oracle, "NOT t1", k=20)
+    for h in hits:
+        assert "t1" not in tiny_oracle[h.part].tokens[h.doc_id]
+    total = sum(p.n_docs for p in tiny_oracle.values())
+    with_t1 = sum(
+        sum(1 for toks in p.tokens if "t1" in toks) for p in tiny_oracle.values()
+    )
+    assert found == total - with_t1
+
+
+def test_oracle_or_superset_of_and(tiny_oracle):
+    _, f_and = oracle_search(tiny_oracle, "t1 t2", k=5)
+    _, f_or = oracle_search(tiny_oracle, "t1 OR t2", k=5)
+    _, f_t1 = oracle_search(tiny_oracle, "t1", k=5)
+    assert f_or >= f_t1 >= f_and
+
+
+def test_oracle_repeated_term_doubles_multiplier(tiny_oracle):
+    p = tiny_oracle[max(tiny_oracle)]
+    h1, _ = score_partition(p, "t1", k=5)
+    h2, _ = score_partition(p, "t1 t1", k=5)
+    assert [h.doc_id for h in h1] == [h.doc_id for h in h2]
+    for a, b in zip(h1, h2):
+        np.testing.assert_allclose(b.score, 2 * a.score, rtol=1e-6)
+
+
+def test_oracle_rare_term_df1(tiny_oracle):
+    # per-conv unique terms: df small, appear only in that conv
+    some_part = next(iter(tiny_oracle.values()))
+    uniq = [t for t in some_part.sorted_terms["text"] if t.startswith("u")]
+    assert uniq, "fixture should produce per-conv unique terms"
+    t = uniq[0]
+    hits, found = oracle_search(tiny_oracle, t, k=100)
+    assert 0 < found
+    convs = {h.conv_id for h in hits}
+    assert len(convs) == 1
+
+
+def test_oracle_time_range_mask(tiny_oracle):
+    all_hits, all_found = oracle_search(tiny_oracle, "t1", k=10)
+    ts_values = sorted(
+        ts for p in tiny_oracle.values() for ts in p.ts
+    )
+    lo, hi = ts_values[len(ts_values) // 4], ts_values[3 * len(ts_values) // 4]
+    hits, found = oracle_search(tiny_oracle, "t1", k=10, time_range=(lo, hi))
+    assert found <= all_found
+    for h in hits:
+        assert lo <= h.ts <= hi
+
+
+def test_oracle_wildcard_expansion(tiny_oracle):
+    hits, found = oracle_search(tiny_oracle, "w000*", k=10)
+    assert found > 0
+    # every hit contains some w000xx term
+    for h in hits:
+        assert any(t.startswith("w000") for t in tiny_oracle[h.part].tokens[h.doc_id])
+
+
+def test_oracle_filter_eval_and_shortcircuit(tiny_oracle):
+    p = next(iter(tiny_oracle.values()))
+    f = parse_query("zzzznotaterm")
+    assert eval_filter(p, f, None) == set()
+
+
+def test_oracle_bm25_rank_reasonable(tiny_oracle):
+    hits, found = oracle_search(tiny_oracle, "t1 w00042", k=10, scoring="bm25")
+    assert found > 0 and all(h.score > 0 for h in hits)
+    keys = [(-np.float32(h.score), -h.ts) for h in hits]
+    assert keys == sorted(keys)
