@@ -1,0 +1,406 @@
+"""Top-k query engine over immutable index segments.
+
+Re-implements the reference's query path (SURVEY.md §3.3;
+FullTextCustomQuestion.askLocal → MiruAggregateUtil.filter →
+FullText.collectTfIdf → FullTextAnswerMerger.merge) over our segment
+layout, Ray-Data-style: the query plan (parsed filter AST + scoring config)
+is broadcast to one task per partition; each task does posting reads with
+parquet term-pushdown, sorted-array set algebra, fp32 scoring and a local
+top-k; the driver does the exact two-pointer ordered merge.
+
+Rank-identity contract (tested against the pure-python oracle):
+* signed term collector (±1 per collected term occurrence, sign flips for
+  the negated operands of pButNotQ — MiruAggregateUtil.java:1149-1151,
+  1204-1220);
+* TF_IDF: multiplier_t = float32(count_t) / float32(Σtf_t^partition)
+  (terms with Σtf ≤ 0 dropped — FullText.java:118-127); score accumulated
+  in float32 over terms in sorted order; per-partition top-k by (score
+  desc, docId desc) (RawBitScore.compareTo), answer sorted (score desc,
+  ts desc) (ActivityScore.compareTo); every partition queried with an
+  ABSENT report (fulltext always uses the parallel solver, which creates
+  solvables with Optional.absent() — MiruService.java:410-414);
+* TIME: descending docId, first k, score 0 (FullText.java:222-251);
+* merge: partitions newest→oldest (descending part id), two-pointer
+  truncated to k, taking from the running merge iff strictly less — ties
+  go to the current partition (FullTextAnswerMerger.java:56-63);
+  ``found`` sums the per-partition answer cardinalities.
+
+BM25 mode (the north star's scoring engine) uses the same machinery with
+idf = ln(1 + (N - df + ½)/(df + ½)) and the k1/b length normalization over
+the per-partition doc-length table; block-max metadata enables skip
+pruning for conjunctive all-positive queries (see codec.BLOCK_SIZE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codec import decode_posting
+from .filters import DEFAULT_MAX_WILDCARD_EXPANSION, Filter, parse_query
+from .segments import (
+    FIELD_SEP,
+    forward_columns,
+    read_global_manifest,
+    read_manifest,
+    read_postings_for_terms,
+    read_term_range,
+    completed_parts,
+)
+
+F32 = np.float32
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+@dataclass
+class Hit:
+    score: float
+    ts: int
+    doc_id: int
+    part: int
+    conv_id: str
+    turn_idx: int
+    role: str = ""
+
+
+def _sort_key(h: Hit):
+    return (-F32(h.score), -h.ts)
+
+
+# --------------------------------------------------------------- AST walking
+
+
+def _collect_term_specs(filt: Filter, out: list[tuple[str, str]]):
+    for ff in filt.field_filters:
+        for v in ff.values:
+            out.append((ff.field, v))
+    for sub in filt.sub_filters:
+        _collect_term_specs(sub, out)
+
+
+class PostingSource:
+    """Per-partition posting reader: one pushdown parquet read for all terms
+    a query needs, decoded into sorted docId arrays."""
+
+    def __init__(self, index_dir: str, part: int, specs: list[tuple[str, str]],
+                 max_wild: int):
+        self.expansions: dict[tuple[str, str], list[str]] = {}
+        keys = set()
+        for field, v in specs:
+            if v.endswith("*"):
+                terms = read_term_range(index_dir, part, field, v[:-1])
+                if max_wild > 0:
+                    terms = terms[:max_wild]
+                self.expansions[(field, v)] = terms
+                keys.update(field + FIELD_SEP + t for t in terms)
+            else:
+                keys.add(field + FIELD_SEP + v)
+        t = read_postings_for_terms(index_dir, part, sorted(keys))
+        self.post: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+        self.ttf: dict[tuple[str, str], int] = {}
+        self.df: dict[tuple[str, str], int] = {}
+        for i in range(t.num_rows):
+            key_str = t["term"][i].as_py()
+            field, term = key_str.split(FIELD_SEP, 1)
+            docs, tfs = decode_posting(
+                t["doc_bytes"][i].as_py(),
+                t["tf_bytes"][i].as_py(),
+                np.asarray(t["blk_first"][i].as_py()),
+                np.asarray(t["blk_count"][i].as_py()),
+            )
+            self.post[(field, term)] = (docs, tfs)
+            self.ttf[(field, term)] = int(t["ttf"][i].as_py())
+            self.df[(field, term)] = int(t["df"][i].as_py())
+
+    def expand(self, field: str, value: str) -> list[str]:
+        if value.endswith("*"):
+            return self.expansions.get((field, value), [])
+        return [value]
+
+    def docs(self, field: str, term: str) -> np.ndarray:
+        p = self.post.get((field, term))
+        return p[0] if p is not None else _EMPTY
+
+    def tfs(self, field: str, term: str) -> np.ndarray:
+        p = self.post.get((field, term))
+        return p[1] if p is not None else _EMPTY
+
+
+def eval_filter_np(
+    filt: Filter,
+    src: PostingSource,
+    n_docs: int,
+    collector: dict[tuple[str, str], int] | None,
+    term_in: bool = True,
+) -> np.ndarray:
+    """filterInOut over sorted int64 docId arrays
+    (MiruAggregateUtil.java:1123-1202)."""
+    operands: list[np.ndarray] = []
+    if filt.inclusive:
+        operands.append(np.arange(n_docs, dtype=np.int64))
+    for ff in filt.field_filters:
+        field_term_in = (not term_in) if (filt.op == "pButNotQ" and operands) else term_in
+        terms = []
+        for v in ff.values:
+            terms.extend(src.expand(ff.field, v))
+        if collector is not None:
+            inc = 1 if field_term_in else -1
+            for t in terms:
+                key = (ff.field, t)
+                collector[key] = collector.get(key, 0) + inc
+        if filt.op == "and" and not terms:
+            return _EMPTY
+        if terms:
+            arrs = [src.docs(ff.field, t) for t in terms]
+            arrs = [a for a in arrs if len(a)]
+            if len(arrs) == 0:
+                operands.append(_EMPTY)
+            elif len(arrs) == 1:
+                operands.append(arrs[0])
+            else:
+                operands.append(np.unique(np.concatenate(arrs)))
+    for sub in filt.sub_filters:
+        sub_term_in = (not term_in) if (filt.op == "pButNotQ" and operands) else term_in
+        operands.append(eval_filter_np(sub, src, n_docs, collector, sub_term_in))
+    if not operands:
+        return _EMPTY
+    if filt.op == "and":
+        r = operands[0]
+        for o in operands[1:]:
+            if len(r) == 0:
+                return _EMPTY
+            r = np.intersect1d(r, o, assume_unique=True)
+        return r
+    if filt.op == "or":
+        nonempty = [o for o in operands if len(o)]
+        if not nonempty:
+            return _EMPTY
+        if len(nonempty) == 1:
+            return nonempty[0]
+        return np.unique(np.concatenate(nonempty))
+    if filt.op == "pButNotQ":
+        r = operands[0]
+        for o in operands[1:]:
+            if len(r) == 0:
+                return _EMPTY
+            if len(o):
+                r = np.setdiff1d(r, o, assume_unique=True)
+        return r
+    raise ValueError(filt.op)
+
+
+# ------------------------------------------------------------ partition task
+
+
+def search_partition(
+    index_dir: str,
+    part: int,
+    query: str,
+    k: int,
+    scoring: str = "ref_tfidf",
+    time_range: tuple[int, int] | None = None,
+    constraint: Filter | None = None,
+    max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
+    use_stopwords: bool = False,
+) -> dict:
+    """One partition's answer with absent report. Returns plain arrays (ray
+    task friendly)."""
+    manifest = read_manifest(index_dir, part)
+    n_docs = manifest["metrics"]["n_docs"]
+    avg_dl = manifest["metrics"].get("avg_dl") or (
+        manifest["metrics"]["total_tokens"] / max(1, n_docs)
+    )
+    filt = parse_query(query, use_stopwords=use_stopwords)
+    specs: list[tuple[str, str]] = []
+    _collect_term_specs(filt, specs)
+    if constraint is not None:
+        _collect_term_specs(constraint, specs)
+    src = PostingSource(index_dir, part, specs, max_wild)
+
+    collector: dict[tuple[str, str], int] = {}
+    answer = eval_filter_np(filt, src, n_docs, collector)
+    if constraint is not None:
+        answer = np.intersect1d(
+            answer, eval_filter_np(constraint, src, n_docs, None), assume_unique=True
+        )
+    fwd = forward_columns(index_dir, part)
+    if time_range is not None and len(answer):
+        lo, hi = time_range
+        ts_a = fwd["ts"][answer]
+        answer = answer[(ts_a >= lo) & (ts_a <= hi)]
+    found = int(len(answer))
+
+    if scoring == "time":
+        top = answer[-k:][::-1] if k > 0 else answer[:0]
+        scores = np.zeros(len(top), dtype=np.float32)
+        return _gather(fwd, part, top, scores, found)
+
+    # multipliers in sorted term order (deterministic fp32 accumulation)
+    scores = np.zeros(len(answer), dtype=np.float32)
+    dl_answer = None
+    for (field, term), c in sorted(collector.items()):
+        if scoring == "ref_tfidf":
+            g = src.ttf.get((field, term), 0)
+            if g <= 0:
+                continue
+            m = F32(F32(c) / F32(g))
+        elif scoring == "bm25":
+            df = src.df.get((field, term), 0)
+            if df <= 0 or c <= 0:
+                continue
+            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            m = F32(F32(c) * F32(idf))
+        else:
+            raise ValueError(scoring)
+        docs, tfs = src.post[(field, term)]
+        pos = np.searchsorted(answer, docs)
+        valid = (pos < len(answer)) & (answer[np.minimum(pos, len(answer) - 1)] == docs) if len(answer) else np.zeros(0, bool)
+        pos = pos[valid]
+        tf_v = tfs[valid].astype(np.float32)
+        if scoring == "ref_tfidf":
+            scores[pos] += F32(m) * tf_v
+        else:
+            if dl_answer is None:
+                dl_answer = fwd["dl"][answer].astype(np.float64)
+            denom = (tfs[valid] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_answer[pos] / avg_dl)).astype(np.float32)
+            scores[pos] += F32(m) * (tf_v / denom)
+
+    if k <= 0 or len(answer) == 0:
+        return _gather(fwd, part, answer[:0], scores[:0], found)
+    # top-k by (score desc, docId desc); answer is doc-ascending so lexsort
+    # with -answer secondary gives the heap's tie-break (RawBitScore)
+    if len(answer) > k:
+        part_idx = np.argpartition(scores, len(scores) - k)[len(scores) - k :]
+        # argpartition boundary can split equal scores arbitrarily — widen to
+        # all docs with score >= kth value, then exact-sort
+        kth = scores[part_idx].min()
+        cand = np.flatnonzero(scores >= kth)
+    else:
+        cand = np.arange(len(answer))
+    order = np.lexsort((-answer[cand], -scores[cand]))[:k]
+    sel = cand[order]
+    # answer ordering: (score desc, ts desc) — ActivityScore.compareTo
+    top_docs = answer[sel]
+    top_scores = scores[sel]
+    ts_top = fwd["ts"][top_docs]
+    final = np.lexsort((-ts_top, -top_scores))
+    return _gather(fwd, part, top_docs[final], top_scores[final], found)
+
+
+def _gather(fwd: dict, part: int, docs: np.ndarray, scores: np.ndarray, found: int) -> dict:
+    docs = np.asarray(docs, dtype=np.int64)
+    take = docs if len(docs) else np.empty(0, np.int64)
+    import pyarrow as pa
+
+    idx = pa.array(take)
+    return {
+        "part": part,
+        "found": found,
+        "doc_id": docs.astype(np.int64),
+        "score": np.asarray(scores, dtype=np.float32),
+        "ts": fwd["ts"][take] if len(take) else np.empty(0, np.int64),
+        "conv_id": fwd["conv_id"].take(idx).to_pylist() if len(take) else [],
+        "turn_idx": fwd["turn_idx"][take] if len(take) else np.empty(0, np.int32),
+        "role": fwd["role"].take(idx).to_pylist() if len(take) else [],
+    }
+
+
+# ----------------------------------------------------------------- the engine
+
+
+def _merge_two(merged: list[Hit], cur: list[Hit], k: int) -> list[Hit]:
+    """FullTextAnswerMerger.merge two-pointer (ties → current)."""
+    out: list[Hit] = []
+    i = j = 0
+    while (i < len(merged) or j < len(cur)) and len(out) < k:
+        if i >= len(merged):
+            out.append(cur[j]); j += 1
+        elif j >= len(cur):
+            out.append(merged[i]); i += 1
+        elif _sort_key(merged[i]) < _sort_key(cur[j]):
+            out.append(merged[i]); i += 1
+        else:
+            out.append(cur[j]); j += 1
+    return out
+
+
+class SearchEngine:
+    """Query API over a built index. The scatter-gather driver: one task per
+    partition (Ray tasks when Ray is up, serial otherwise), ordered merge.
+    The reference analogue is Miru.askAndMerge (MiruService.java:101-194)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.meta = read_global_manifest(index_dir)
+        self.parts = sorted(completed_parts(index_dir), reverse=True)  # newest→oldest
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        scoring: str = "ref_tfidf",
+        time_range: tuple[int, int] | None = None,
+        constraint: Filter | None = None,
+        max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
+        parallel: bool | None = None,
+    ) -> tuple[list[Hit], int]:
+        use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        kwargs = dict(
+            query=query, k=k, scoring=scoring, time_range=time_range,
+            constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
+        )
+        results = self._fan_out(kwargs, parallel)
+        merged: list[Hit] = []
+        found = 0
+        first = True
+        for r in results:  # already in partition walk order
+            hits = [
+                Hit(
+                    score=float(r["score"][i]),
+                    ts=int(r["ts"][i]),
+                    doc_id=int(r["doc_id"][i]),
+                    part=r["part"],
+                    conv_id=r["conv_id"][i],
+                    turn_idx=int(r["turn_idx"][i]),
+                    role=r["role"][i],
+                )
+                for i in range(len(r["doc_id"]))
+            ]
+            found += r["found"]
+            if first:
+                merged = hits[:k]
+                first = False
+            else:
+                merged = _merge_two(merged, hits, k)
+        return merged, found
+
+    def _fan_out(self, kwargs: dict, parallel: bool | None) -> list[dict]:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized() if parallel is None else parallel
+        except ImportError:
+            use_ray = False
+        if use_ray and len(self.parts) > 1:
+            import ray
+
+            fn = _remote_search_partition()
+            futs = [fn.remote(self.index_dir, p, **kwargs) for p in self.parts]
+            return ray.get(futs)
+        return [search_partition(self.index_dir, p, **kwargs) for p in self.parts]
+
+
+_REMOTE = None
+
+
+def _remote_search_partition():
+    global _REMOTE
+    if _REMOTE is None:
+        import ray
+
+        _REMOTE = ray.remote(num_cpus=1)(search_partition)
+    return _REMOTE

@@ -1,0 +1,207 @@
+"""Immutable index segment layout + manifest checkpointing.
+
+The reference persists per-partition index state in LAB LSM trees on local
+disk with key layouts ``(prefix, fieldId, term, ...)`` and publishes a
+readiness watermark only after all index futures complete
+(reference: miru-service/.../lab/LabFieldIndex.java:163-189,
+MiruIndexer.java:121-123 ``activityIndex.ready(lastId)``). We re-express the
+same information as write-once Parquet files per partition — no LSM needed
+because segments are immutable (SURVEY.md §1.3):
+
+    <index_dir>/
+      index.json                   # global config: n_parts, tokenizer, fields, version
+      part=00042/
+        postings.parquet           # one row per term_key: RUNS_SCHEMA (delta+varbyte
+                                   #   blocks + block-max metadata + df/ttf/max_tf),
+                                   #   sorted by term_key, small row groups so parquet
+                                   #   min/max stats give term-level pushdown
+        forward.parquet            # doc_id, conv_id, turn_idx, role, tool, ts(us), dl
+                                   #   (the activity/forward index + time index +
+                                   #   doc-length table, MiruActivityIndex.java:16-135)
+        _MANIFEST.json             # written LAST (atomicity: segments → fsync →
+                                   #   manifest, mirroring ready(lastId) ordering);
+                                   #   lineage + doc/term/byte metrics
+
+Term keys are ``"<field>\\x1f<term>"`` — the analogue of the reference's
+``(fieldId, term)`` composite index key (LabFieldIndex.java:82-92).
+A build that finds a complete ``_MANIFEST.json`` for a partition skips it
+(resumable restarts with per-partition lineage, BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIELD_SEP = "\x1f"
+INDEX_VERSION = 1
+
+# fields beside tokenized `text` indexed as single-term (tf=1) postings —
+# reference schema analogue: role/tool/conv_id are singleTerm fields
+# (MiruFullTextNGTest.java:52-60 user/doc singleTerm; FIXTURES.md F3)
+META_FIELDS = ("role", "tool", "conv_id")
+TEXT_FIELD = "text"
+
+FORWARD_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int32()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.int64()),  # microseconds since epoch
+        ("dl", pa.int32()),  # document length (text token count)
+    ]
+)
+
+
+def term_key(field: str, term: str) -> str:
+    return field + FIELD_SEP + term
+
+
+def part_dir(index_dir: str, part: int) -> str:
+    return os.path.join(index_dir, f"part={part:05d}")
+
+
+def manifest_path(index_dir: str, part: int) -> str:
+    return os.path.join(part_dir(index_dir, part), "_MANIFEST.json")
+
+
+def read_manifest(index_dir: str, part: int) -> dict | None:
+    p = manifest_path(index_dir, part)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return m if m.get("complete") else None
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def completed_parts(index_dir: str) -> list[int]:
+    if not os.path.isdir(index_dir):
+        return []
+    out = []
+    for name in os.listdir(index_dir):
+        if name.startswith("part="):
+            p = int(name.split("=", 1)[1])
+            if read_manifest(index_dir, p) is not None:
+                out.append(p)
+    return sorted(out)
+
+
+def write_segment(
+    index_dir: str,
+    part: int,
+    postings: pa.Table,
+    forward: pa.Table,
+    lineage: dict,
+    metrics: dict,
+) -> dict:
+    """Atomically write one partition segment; manifest LAST (SURVEY.md
+    §7.4(7)). Returns the manifest dict."""
+    import shutil
+
+    final = part_dir(index_dir, part)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    # small row groups → parquet min/max term stats prune reads to the
+    # handful of row groups containing the queried terms
+    pq.write_table(postings, os.path.join(tmp, "postings.parquet"), row_group_size=1024)
+    pq.write_table(forward, os.path.join(tmp, "forward.parquet"), row_group_size=65536)
+    manifest = {
+        "complete": True,
+        "version": INDEX_VERSION,
+        "part": part,
+        "lineage": lineage,
+        "metrics": metrics,
+    }
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return manifest
+
+
+def write_global_manifest(index_dir: str, meta: dict) -> None:
+    tmp = os.path.join(index_dir, "index.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(index_dir, "index.json"))
+
+
+def read_global_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "index.json")) as f:
+        return json.load(f)
+
+
+# ------------------------------------------------------------- segment reads
+
+
+def read_postings_for_terms(index_dir: str, part: int, keys: list[str]) -> pa.Table:
+    """Read only the posting rows for ``keys`` (parquet row-group pruning via
+    the sorted term_key column's min/max stats)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    path = os.path.join(part_dir(index_dir, part), "postings.parquet")
+    if not keys:
+        return pq.read_schema(path).empty_table()
+    dset = pads.dataset(path, format="parquet")
+    return dset.to_table(filter=pc.field("term").isin(keys))
+
+
+def read_term_range(index_dir: str, part: int, field: str, prefix: str) -> list[str]:
+    """Sorted terms of ``field`` starting with ``prefix`` (wildcard expansion —
+    the reference's streamTermIdsForField range scan,
+    MiruAggregateUtil.java:1160-1168)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    lo = term_key(field, prefix)
+    hi = term_key(field, prefix) + "\U0010ffff"
+    path = os.path.join(part_dir(index_dir, part), "postings.parquet")
+    dset = pads.dataset(path, format="parquet")
+    t = dset.to_table(
+        filter=(pc.field("term") >= lo) & (pc.field("term") <= hi), columns=["term"]
+    )
+    sep_len = len(field) + 1
+    return [k[sep_len:] for k in t["term"].to_pylist()]
+
+
+_FORWARD_CACHE: dict[tuple, dict[str, np.ndarray | pa.Array]] = {}
+
+
+def forward_columns(index_dir: str, part: int) -> dict:
+    """Forward-table columns for a partition, cached per worker process (the
+    Strut-style per-worker cache pattern, StrutModelCache.java:104-140)."""
+    path = os.path.join(part_dir(index_dir, part), "forward.parquet")
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    hit = _FORWARD_CACHE.get(key)
+    if hit is None:
+        t = pq.read_table(path)
+        hit = {
+            "ts": t["ts"].to_numpy(),
+            "dl": t["dl"].to_numpy(),
+            "conv_id": t["conv_id"].combine_chunks(),
+            "turn_idx": t["turn_idx"].to_numpy(),
+            "role": t["role"].combine_chunks(),
+            "tool": t["tool"].combine_chunks(),
+            "n_docs": t.num_rows,
+        }
+        if len(_FORWARD_CACHE) > 64:
+            _FORWARD_CACHE.clear()
+        _FORWARD_CACHE[key] = hit
+    return hit

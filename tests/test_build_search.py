@@ -1,0 +1,233 @@
+"""End-to-end gates (FIXTURES.md F4): posting contents vs brute force,
+per-turn text equality, top-k rank identity vs the oracle, resume,
+parallelism/chunking invariance."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from miru_ray.build import build_index, build_segment_table
+from miru_ray.codec import decode_posting
+from miru_ray.oracle import oracle_search
+from miru_ray.search import Hit, SearchEngine, search_partition
+from miru_ray.segments import FIELD_SEP, completed_parts, read_manifest
+
+N_PARTS = 4
+
+# FIXTURES.md F2 query families
+QUERIES = [
+    "t3",
+    "t1 t7",
+    "t1 AND t7 AND w00042",
+    "t1 t2 t3 t4 t5",
+    "t1 OR w00999",
+    "t1 OR t2 OR t3",
+    "t1 AND NOT t9",
+    "NOT t2",
+    "t1 t1 w00042",
+    "w004*",
+    "role:tool t3",
+    "conv-00000007",  # tokenizes to conv + 00000007 (AND)
+    "t1 AND (t2 OR t3)",
+    "tf tf tf",
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    return d
+
+
+@pytest.fixture(scope="module")
+def engine(index_dir):
+    return SearchEngine(index_dir)
+
+
+def test_build_manifests(index_dir, tiny_rows):
+    parts = completed_parts(index_dir)
+    assert parts == list(range(N_PARTS))
+    total = sum(read_manifest(index_dir, p)["metrics"]["n_docs"] for p in parts)
+    assert total == len(tiny_rows)
+
+
+def test_posting_contents_vs_oracle(index_dir, tiny_oracle):
+    """F4.1/F4.2: decoded segment postings == brute-force postings (docIds,
+    tfs, df, Σtf) for every term of every partition."""
+    for p, opart in tiny_oracle.items():
+        t = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))
+        seen = set()
+        for i in range(t.num_rows):
+            key = t["term"][i].as_py()
+            field, term = key.split(FIELD_SEP, 1)
+            docs, tfs = decode_posting(
+                t["doc_bytes"][i].as_py(),
+                t["tf_bytes"][i].as_py(),
+                np.asarray(t["blk_first"][i].as_py()),
+                np.asarray(t["blk_count"][i].as_py()),
+            )
+            exp = opart.post[field][term]
+            exp_docs = sorted(exp)
+            assert list(docs) == exp_docs, (p, field, term)
+            assert list(tfs) == [exp[d] for d in exp_docs], (p, field, term)
+            assert t["df"][i].as_py() == len(exp)
+            assert t["ttf"][i].as_py() == sum(exp.values())
+            seen.add((field, term))
+        # completeness: every oracle term is present
+        for field, post in opart.post.items():
+            for term in post:
+                assert (field, term) in seen, (p, field, term)
+
+
+def test_per_turn_text_equality(index_dir, tiny_rows, tiny_oracle):
+    """F4.4 (the BASELINE.json per-row invariant): docId → (conv_id,
+    turn_idx) → original text row, under stable ordering."""
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in tiny_rows}
+    for p in completed_parts(index_dir):
+        f = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "forward.parquet"))
+        d = f.to_pydict()
+        assert d["doc_id"] == list(range(f.num_rows))
+        keys = list(zip(d["conv_id"], d["turn_idx"]))
+        assert keys == sorted(keys)  # stable (conv_id, turn_idx) order
+        opart = tiny_oracle[p]
+        for i in range(f.num_rows):
+            r = by_key[keys[i]]
+            assert r["role"] == d["role"][i]
+            assert r["ts"] == d["ts"][i]
+            # text equality via the oracle's tokenized copy
+            assert opart.conv_id[i] == d["conv_id"][i]
+            assert opart.turn_idx[i] == d["turn_idx"][i]
+
+
+def _assert_rank_identical(hits: list[Hit], ohits, scores_rtol=2e-5):
+    got = [(h.part, h.doc_id) for h in hits]
+    exp = [(h.part, h.doc_id) for h in ohits]
+    assert got == exp
+    np.testing.assert_allclose(
+        [h.score for h in hits], [h.score for h in ohits], rtol=scores_rtol, atol=1e-7
+    )
+    assert [(h.conv_id, h.turn_idx, h.ts) for h in hits] == [
+        (h.conv_id, h.turn_idx, h.ts) for h in ohits
+    ]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_tfidf(engine, tiny_oracle, query):
+    """F4.3: engine top-k == oracle top-k (§3.3 contract), k ∈ {1,10,100}."""
+    for k in (1, 10, 100):
+        hits, found = engine.search(query, k=k)
+        ohits, ofound = oracle_search(tiny_oracle, query, k=k)
+        assert found == ofound, (query, k)
+        _assert_rank_identical(hits, ohits)
+
+
+@pytest.mark.parametrize("query", ["t3", "t1 t7", "t1 OR w00999", "w004*"])
+def test_rank_identity_bm25(engine, tiny_oracle, query):
+    for k in (1, 10, 50):
+        hits, found = engine.search(query, k=k, scoring="bm25")
+        ohits, ofound = oracle_search(tiny_oracle, query, k=k, scoring="bm25")
+        assert found == ofound
+        _assert_rank_identical(hits, ohits)
+
+
+def test_rank_identity_time(engine, tiny_oracle):
+    hits, found = engine.search("t1 t7", k=20, scoring="time")
+    ohits, ofound = oracle_search(tiny_oracle, "t1 t7", k=20, scoring="time")
+    assert found == ofound
+    assert [(h.part, h.doc_id) for h in hits] == [(h.part, h.doc_id) for h in ohits]
+    assert all(h.score == 0.0 for h in hits)
+
+
+def test_rank_identity_time_range(engine, tiny_oracle):
+    ts_values = sorted(ts for p in tiny_oracle.values() for ts in p.ts)
+    lo, hi = ts_values[len(ts_values) // 4], ts_values[3 * len(ts_values) // 4]
+    for q in ("t1 t7", "NOT t2"):
+        hits, found = engine.search(q, k=10, time_range=(lo, hi))
+        ohits, ofound = oracle_search(tiny_oracle, q, k=10, time_range=(lo, hi))
+        assert found == ofound
+        _assert_rank_identical(hits, ohits)
+
+
+def test_serial_equals_parallel(engine):
+    a, fa = engine.search("t1 t7", k=25, parallel=True)
+    b, fb = engine.search("t1 t7", k=25, parallel=False)
+    assert fa == fb
+    assert [(h.part, h.doc_id, h.score) for h in a] == [
+        (h.part, h.doc_id, h.score) for h in b
+    ]
+
+
+def test_chunking_invariance(tiny_transcripts_dir):
+    """F4.6: segment content independent of in-task chunk size (the two-stage
+    merge must be lossless)."""
+    import miru_ray.build as B
+
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    from miru_ray.build import route_partition
+
+    t = route_partition(t, N_PARTS, frozenset())
+    g = t.filter(pa.compute.equal(t["part"], 1))
+    old = B.CHUNK_DOCS
+    try:
+        B.CHUNK_DOCS = 97
+        p1, f1, s1 = build_segment_table(g)
+        B.CHUNK_DOCS = 100_000
+        p2, f2, s2 = build_segment_table(g)
+    finally:
+        B.CHUNK_DOCS = old
+    assert s1 == s2
+    assert f1.equals(f2)
+    assert p1.num_rows == p2.num_rows
+    # decoded postings identical (encoded bytes may differ in block splits)
+    for i in range(p1.num_rows):
+        assert p1["term"][i].as_py() == p2["term"][i].as_py()
+        for tbl in ():
+            pass
+        d1, t1_ = decode_posting(
+            p1["doc_bytes"][i].as_py(), p1["tf_bytes"][i].as_py(),
+            np.asarray(p1["blk_first"][i].as_py()), np.asarray(p1["blk_count"][i].as_py()),
+        )
+        d2, t2_ = decode_posting(
+            p2["doc_bytes"][i].as_py(), p2["tf_bytes"][i].as_py(),
+            np.asarray(p2["blk_first"][i].as_py()), np.asarray(p2["blk_count"][i].as_py()),
+        )
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(t1_, t2_)
+
+
+def test_resume_skips_completed(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """F4.5: restart after partial build → remaining partitions built,
+    results identical to the uninterrupted build."""
+    d = str(tmp_path_factory.mktemp("idx_resume"))
+    # simulate a partial build: copy 2 completed partitions from the full one
+    for p in (0, 2):
+        shutil.copytree(
+            os.path.join(index_dir, f"part={p:05d}"), os.path.join(d, f"part={p:05d}")
+        )
+    meta = build_index(tiny_transcripts_dir, d, n_parts=N_PARTS, resume=True)
+    assert meta["parts_resumed"] == [0, 2]
+    assert sorted(meta["parts_built"]) == [1, 3]
+    # all four partitions' postings equal the reference build's
+    for p in range(N_PARTS):
+        a = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))
+        b = pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
+        assert a.equals(b), p
+
+
+def test_single_partition_direct_task(index_dir, tiny_oracle):
+    """search_partition as a plain function (the unit the Ray tasks wrap)."""
+    from miru_ray.oracle import score_partition
+
+    p = max(tiny_oracle)
+    r = search_partition(index_dir, p, "t1 t7", 10)
+    ohits, ofound = score_partition(tiny_oracle[p], "t1 t7", 10)
+    assert r["found"] == ofound
+    assert list(r["doc_id"]) == [h.doc_id for h in ohits]
