@@ -1,44 +1,517 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in miru_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The fulltext queries run the REAL engine end-to-end: they derive the
+mandated transcripts shape from the sf dir's ``documents`` table
+(miru_ray.transcripts — deterministic, mirrored in the SQL), build the
+inverted index with the Ray Data pipeline (cached per sf_dir under /tmp,
+resume-aware), and answer through the segment query engine. The SQL
+oracles recompute the same contract relationally in DuckDB.
+
+Column-name + value parity notes:
+* every integer column is int64 / BIGINT on both sides;
+* floats that involve accumulation are rounded to a fixed precision in
+  BOTH systems; single-division ratios of exact integers are emitted raw
+  (IEEE fp64 division is deterministic);
+* the fp32 rank-identity contract of the engine (SURVEY.md §3.3) is gated
+  by pytest against the pure-python oracle, not by these fp64 SQL checks.
 """
 
 from __future__ import annotations
 
+import math
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------- constants
+
+TOKRE = "[a-z0-9]+"
+POSTING_TERMS = ("data", "join", "scan", "the")  # fixed probe terms
+TOPK_TERMS = ("the", "scan")  # fixed 2-term AND query for fp64 scoring parity
+K_TFIDF = 20
+K_BM25 = 20
+K_TIME = 15
+ANN_NQ = 8
+ANN_K = 10
+
+_TOK = f"regexp_extract_all(lower(text), '{TOKRE}')"
+_TOKTAB = f"SELECT doc_id, unnest({_TOK}) AS t FROM documents"
+
+
+def _i64(a) -> pa.Array:
+    return pa.array(np.asarray(a, dtype=np.int64), type=pa.int64())
+
+
+def _doc_ids_from_match(results: list[dict]) -> pa.Table:
+    from miru_ray.transcripts import conv_to_doc_id
+
+    ids: list[int] = []
+    for r in results:
+        ids.extend(conv_to_doc_id(r["conv_id"]).tolist())
+    return pa.table({"doc_id": _i64(sorted(ids))})
+
+
+def _engine(sf_dir: str, n_parts: int):
+    from miru_ray.search import SearchEngine
+    from miru_ray.transcripts import ensure_index
+
+    return SearchEngine(ensure_index(sf_dir, n_parts))
+
+
+# ------------------------------------------------------- fulltext callables
+
+
+def ft_token_counts(sf_dir: str):
+    from miru_ray.textstats import token_count_ds
+
+    return token_count_ds(sf_dir)
+
+
+def ft_term_stats(sf_dir: str):
+    from miru_ray.textstats import term_stats_ds
+
+    return term_stats_ds(sf_dir)
+
+
+def ft_postings(sf_dir: str) -> pa.Table:
+    """Posting contents (term, doc_id, tf) for the probe terms, read from the
+    BUILT single-partition index (docId == doc_id by construction)."""
+    from miru_ray.codec import decode_posting
+    from miru_ray.segments import read_postings_for_terms, term_key
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    t = read_postings_for_terms(index_dir, 0, [term_key("text", w) for w in POSTING_TERMS])
+    terms, docs, tfs = [], [], []
+    for i in range(t.num_rows):
+        term = t["term"][i].as_py().split("\x1f", 1)[1]
+        d, f = decode_posting(
+            t["doc_bytes"][i].as_py(), t["tf_bytes"][i].as_py(),
+            np.asarray(t["blk_first"][i].as_py()), np.asarray(t["blk_count"][i].as_py()),
+        )
+        terms.extend([term] * len(d))
+        docs.append(d)
+        tfs.append(f)
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": _i64(np.concatenate(docs) if docs else []),
+            "tf": _i64(np.concatenate(tfs) if tfs else []),
+        }
+    )
+
+
+def ft_doclen(sf_dir: str) -> pa.Table:
+    """Doc-length table from the index's forward segment (end-to-end check of
+    the build's forward/doc-length path)."""
+    from miru_ray.segments import forward_columns
+    from miru_ray.transcripts import conv_to_doc_id, ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    fwd = forward_columns(index_dir, 0)
+    doc_ids = conv_to_doc_id(fwd["conv_id"].to_pylist())
+    return pa.table({"doc_id": _i64(doc_ids), "dl": _i64(fwd["dl"])})
+
+
+def _match(sf_dir: str, query: str) -> pa.Table:
+    return _doc_ids_from_match(_engine(sf_dir, 4).match(query))
+
+
+def ft_match_and(sf_dir: str):
+    return _match(sf_dir, "the scan")
+
+
+def ft_match_or(sf_dir: str):
+    return _match(sf_dir, "scan OR merge")
+
+
+def ft_match_not(sf_dir: str):
+    return _match(sf_dir, "scan AND NOT merge")
+
+
+def ft_match_prefix(sf_dir: str):
+    return _match(sf_dir, "sca*")
+
+
+def ft_match_field(sf_dir: str):
+    # role carries the documents `source` column in the derived transcripts
+    return _match(sf_dir, "role:src3 scan")
+
+
+def _topk_answer(sf_dir: str):
+    """AND-match the TOPK_TERMS on the 1-partition index; return
+    (src, answer docIds, n_docs, avgdl, dl array) for fp64 scoring."""
+    from miru_ray.search import PostingSource
+    from miru_ray.segments import forward_columns, read_manifest
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    man = read_manifest(index_dir, 0)
+    n_docs = man["metrics"]["n_docs"]
+    avgdl = man["metrics"]["total_tokens"] / n_docs
+    src = PostingSource(index_dir, 0, [("text", w) for w in TOPK_TERMS], 0)
+    answer = None
+    for w in TOPK_TERMS:
+        d = src.docs("text", w)
+        answer = d if answer is None else np.intersect1d(answer, d, assume_unique=True)
+    fwd = forward_columns(index_dir, 0)
+    return src, answer, n_docs, avgdl, fwd["dl"]
+
+
+def _tf_on(src, term: str, answer: np.ndarray) -> np.ndarray:
+    docs, tfs = src.post[("text", term)]
+    pos = np.searchsorted(docs, answer)
+    return tfs[pos].astype(np.float64)
+
+
+def ft_topk_tfidf(sf_dir: str) -> pa.Table:
+    """Reference TF-IDF formula (FullText.java:99-220: Σ c_t/Σtf_t · tf) in
+    fp64 with a fixed expression order, mirrored exactly in the SQL oracle.
+    (The fp32 rank-identity variant is pytest-gated.)"""
+    src, answer, *_ = _topk_answer(sf_dir)
+    t1, t2 = TOPK_TERMS
+    score = (1.0 / src.ttf[("text", t1)]) * _tf_on(src, t1, answer) + (
+        1.0 / src.ttf[("text", t2)]
+    ) * _tf_on(src, t2, answer)
+    order = np.lexsort((-answer, -score))[:K_TFIDF]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
+def ft_topk_bm25(sf_dir: str) -> pa.Table:
+    """BM25 (k1=1.2, b=0.75, idf=ln(1+(N-df+.5)/(df+.5))) in fp64, fixed
+    expression order mirrored in SQL."""
+    src, answer, n_docs, avgdl, dl = _topk_answer(sf_dir)
+    dl_a = dl[answer].astype(np.float64)
+    knorm = 1.2 * (0.25 + 0.75 * (dl_a / avgdl))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for w in TOPK_TERMS:
+        df = src.df[("text", w)]
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = _tf_on(src, w, answer)
+        score = score + idf * (tf / (tf + knorm))
+    order = np.lexsort((-answer, -score))[:K_BM25]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
+def ft_topk_time(sf_dir: str) -> pa.Table:
+    """TIME strategy (FullText.java:222-251): newest K_TIME matching docs,
+    score 0 — run through the real engine."""
+    eng = _engine(sf_dir, 1)
+    hits, _found = eng.search(" ".join(TOPK_TERMS), k=K_TIME, scoring="time")
+    from miru_ray.transcripts import conv_to_doc_id
+
+    ids = conv_to_doc_id([h.conv_id for h in hits])
+    return pa.table({"doc_id": _i64(ids)})
+
+
+# ------------------------------------------------------ analytics callables
+
+
+def ev_waveform(sf_dir: str):
+    from miru_ray.analytics import waveform_ds
+
+    return waveform_ds(sf_dir)
+
+
+def ev_distinct_users(sf_dir: str):
+    from miru_ray.analytics import distinct_users_ds
+
+    return distinct_users_ds(sf_dir)
+
+
+def ev_latest(sf_dir: str):
+    from miru_ray.analytics import latest_ds
+
+    return latest_ds(sf_dir)
+
+
+# ---------------------------------------------------------- dedup callables
+
+
+def dd_exact(sf_dir: str):
+    from miru_ray.dedup import exact_dedup_ds
+
+    return exact_dedup_ds(sf_dir)
+
+
+def dd_minhash(sf_dir: str):
+    from miru_ray.dedup import minhash_pairs_ds
+
+    return minhash_pairs_ds(sf_dir)
+
+
+def dd_simhash_groups(sf_dir: str):
+    from miru_ray.dedup import simhash_dup_groups_ds
+
+    return simhash_dup_groups_ds(sf_dir)
+
+
+# ------------------------------------------------------ text-analysis + ANN
+
+
+def txt_quality(sf_dir: str):
+    from miru_ray.textstats import quality_ds
+
+    return quality_ds(sf_dir)
+
+
+def txt_langid(sf_dir: str):
+    from miru_ray.textstats import langid_ds
+
+    return langid_ds(sf_dir)
+
+
+def txt_fingerprints(sf_dir: str):
+    from miru_ray.textstats import fingerprint_ds
+
+    return fingerprint_ds(sf_dir)
+
+
+def ann_topk(sf_dir: str) -> pa.Table:
+    from miru_ray.ann import ann_brute_topk
+
+    t = ann_brute_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K)
+    # rank on rounded cosine (tie → neighbor asc) so SQL agrees bit-for-bit
+    cs = np.round(t["cos"].to_numpy(zero_copy_only=False), 4)
+    q = t["q"].to_numpy(zero_copy_only=False)
+    nb = t["neighbor"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nb, -cs, q))
+    q, nb, cs = q[order], nb[order], cs[order]
+    starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
+    rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(q)]])))
+    keep = rank < ANN_K
+    return pa.table({"q": _i64(q[keep]), "neighbor": _i64(nb[keep]), "cos": pa.array(cs[keep])})
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    from miru_ray.ann import ann_lsh_topk
+
+    return ann_lsh_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K)
+
+
+# ------------------------------------------------------------------- driver
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive transcripts →
+    Ray Data index build → BM25 + reference-TF-IDF top-k queries."""
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = _engine(sf_dir, 2)
+    rows = []
+    for q in ("the scan", "scan OR merge", "join AND NOT window"):
+        for scoring in ("bm25", "ref_tfidf"):
+            hits, found = eng.search(q, k=10, scoring=scoring)
+            for rank, h in enumerate(hits):
+                rows.append(
+                    {
+                        "query": q,
+                        "scoring": scoring,
+                        "rank": rank,
+                        "conv_id": h.conv_id,
+                        "turn_idx": h.turn_idx,
+                        "score": h.score,
+                        "found": found,
+                    }
+                )
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_token_counts": ft_token_counts,
+        "ft_term_stats": ft_term_stats,
+        "ft_postings": ft_postings,
+        "ft_doclen": ft_doclen,
+        "ft_match_and": ft_match_and,
+        "ft_match_or": ft_match_or,
+        "ft_match_not": ft_match_not,
+        "ft_match_prefix": ft_match_prefix,
+        "ft_match_field": ft_match_field,
+        "ft_topk_tfidf": ft_topk_tfidf,
+        "ft_topk_bm25": ft_topk_bm25,
+        "ft_topk_time": ft_topk_time,
+        "ev_waveform": ev_waveform,
+        "ev_distinct_users": ev_distinct_users,
+        "ev_latest": ev_latest,
+        "dd_exact": dd_exact,
+        "dd_minhash": dd_minhash,
+        "dd_simhash_groups": dd_simhash_groups,
+        "txt_quality": txt_quality,
+        "txt_langid": txt_langid,
+        "txt_fingerprints": txt_fingerprints,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from miru_ray.textstats import LANG_MARKERS, LANG_ORDER
+    from miru_ray.tokenize import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    posting_list = ", ".join(f"'{w}'" for w in POSTING_TERMS)
+    t1, t2 = TOPK_TERMS
+
+    def lang_pred_sql() -> str:
+        # first-max-wins over LANG_ORDER == numpy argmax tie-break
+        conds = []
+        for i, lang in enumerate(LANG_ORDER):
+            others = [f"{lang}_hits >= {o}_hits" for o in LANG_ORDER[i + 1 :]]
+            cond = " AND ".join(others) if others else "TRUE"
+            conds.append(f"WHEN {cond} THEN '{lang}'")
+        return (
+            "CASE WHEN "
+            + " AND ".join(f"{x}_hits = 0" for x in LANG_ORDER)
+            + " THEN 'und' "
+            + " ".join(conds)
+            + " END"
+        )
+
+    lang_hit_cols = ", ".join(
+        "CAST(len(list_filter({tok}, x -> x IN ({mk}))) AS BIGINT) AS {lang}_hits".format(
+            tok=_TOK, mk=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in LANG_ORDER
+    )
+
+    tf_cte = f"""WITH tok AS ({_TOKTAB}),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+g AS (SELECT t, CAST(sum(tf) AS BIGINT) AS ttf, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(len({_TOK}) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents)"""
+
+    return {
+        "ft_token_counts": (
+            f"SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "ft_term_stats": (
+            f"WITH tok AS ({_TOKTAB}) "
+            "SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+            "CAST(count(*) AS BIGINT) AS ttf FROM tok GROUP BY t"
+        ),
+        "ft_postings": (
+            f"WITH tok AS ({_TOKTAB}) "
+            f"SELECT t AS term, doc_id, CAST(count(*) AS BIGINT) AS tf "
+            f"FROM tok WHERE t IN ({posting_list}) GROUP BY t, doc_id"
+        ),
+        "ft_doclen": (
+            f"SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents"
+        ),
+        "ft_match_and": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
+            f"AND list_contains({_TOK}, '{t2}')"
+        ),
+        "ft_match_or": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, 'scan') "
+            f"OR list_contains({_TOK}, 'merge')"
+        ),
+        "ft_match_not": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, 'scan') "
+            f"AND NOT list_contains({_TOK}, 'merge')"
+        ),
+        "ft_match_prefix": (
+            f"SELECT doc_id FROM documents "
+            f"WHERE len(list_filter({_TOK}, x -> x LIKE 'sca%')) > 0"
+        ),
+        "ft_match_field": (
+            f"SELECT doc_id FROM documents WHERE source = 'src3' "
+            f"AND list_contains({_TOK}, 'scan')"
+        ),
+        "ft_topk_tfidf": (
+            tf_cte
+            + f"""
+SELECT a.doc_id AS doc_id,
+       round((1.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf, 6) AS score
+FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{t1}') g1
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{t2}') g2
+WHERE a.t = '{t1}' AND b.t = '{t2}'
+ORDER BY (1.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf DESC, a.doc_id DESC
+LIMIT {K_TFIDF}"""
+        ),
+        "ft_topk_bm25": (
+            tf_cte
+            + f""",
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+ans AS (
+  SELECT a.doc_id, a.tf AS tf1, b.tf AS tf2, dl.dl,
+         1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))) AS knorm,
+         ln(1.0 + (stats.n_docs - g1.df + 0.5) / (g1.df + 0.5)) AS idf1,
+         ln(1.0 + (stats.n_docs - g2.df + 0.5) / (g2.df + 0.5)) AS idf2
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t1}') g1
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t2}') g2
+  CROSS JOIN stats
+  WHERE a.t = '{t1}' AND b.t = '{t2}')
+SELECT doc_id, round(idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)), 6) AS score
+FROM ans
+ORDER BY idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) DESC, doc_id DESC
+LIMIT {K_BM25}"""
+        ),
+        "ft_topk_time": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
+            f"AND list_contains({_TOK}, '{t2}') ORDER BY doc_id DESC LIMIT {K_TIME}"
+        ),
+        "ev_waveform": (
+            "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+        ),
+        "ev_distinct_users": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
+        ),
+        "ev_latest": (
+            "SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts, "
+            "CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id"
+        ),
+        "dd_exact": (
+            "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text"
+        ),
+        "txt_quality": (
+            f"""SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+  CASE WHEN len({_TOK}) > 0
+       THEN CAST(list_sum(list_transform({_TOK}, x -> len(x))) AS BIGINT)
+            / CAST(len({_TOK}) AS BIGINT)
+       ELSE 0.0 END AS mean_token_len,
+  CASE WHEN len({_TOK}) > 0
+       THEN CAST(len(list_filter({_TOK}, x -> x IN ({stop_list}))) AS BIGINT)
+            / CAST(len({_TOK}) AS BIGINT)
+       ELSE 0.0 END AS stopword_ratio
+FROM documents"""
+        ),
+        "txt_langid": (
+            f"WITH h AS (SELECT doc_id, {lang_hit_cols} FROM documents) "
+            f"SELECT doc_id, "
+            + ", ".join(f"{x}_hits" for x in LANG_ORDER)
+            + f", {lang_pred_sql()} AS pred_lang FROM h"
+        ),
+        "ann_topk": (
+            f"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),
+scored AS (
+  SELECT q.qid AS q, e.vec_id AS neighbor,
+         round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT q, neighbor, cos,
+         row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
+  FROM scored)
+SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
+        ),
+    }

@@ -1,0 +1,249 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Brute-force cosine top-k as the exact baseline: the (small) query matrix is
+normalized once on the driver and **broadcast via ``ray.put``** — every
+map_batches task reads the same object-store copy (never re-shipped per
+batch); each batch contributes a numpy-matmul partial top-k, and the driver
+merges the tiny partials. This is the canonical "broadcast small side +
+per-batch combine" pattern: no shuffle at all, scales linearly with corpus
+size on a cluster.
+
+The LSH-bucketed variant (`ann_lsh_topk`) is the scale path: sign-random-
+hyperplane codes gate which rows are even compared (multi-probe over the
+query codes); recall vs brute force is validated in tests.
+
+The reference has no vector operator; this extends the engine for
+training-data pipelines (embedding near-dup / retrieval).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import splitmix64
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+
+
+def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch["embedding"].combine_chunks() if isinstance(batch["embedding"], pa.ChunkedArray) else batch["embedding"]
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, len(ids))
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Query matrix = the embeddings of vec_id < n_queries (tiny driver-side
+    read with row filter pushdown)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    t = dset.to_table(filter=pc.field("vec_id") < n_queries, columns=["vec_id", "embedding"])
+    ids, m = _to_matrix(t)
+    order = np.argsort(ids)
+    return ids[order], m[order]
+
+
+class BruteTopK:
+    """Actor-pool stage: per-batch partial cosine top-k against the broadcast
+    query matrix (fetched from the object store ONCE per actor in __init__)."""
+
+    def __init__(self, queries_ref, query_ids, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(q)  # (nq, dim)
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        sims = _normalize(m) @ self.q.T  # (n, nq)
+        nq = sims.shape[1]
+        k = min(self.k + 1, sims.shape[0])  # +1 headroom for self-match removal
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        rows = []
+        for j in range(nq):
+            sel = part[:, j]
+            rows.append(
+                (
+                    np.full(len(sel), self.query_ids[j], dtype=np.int64),
+                    ids[sel],
+                    sims[sel, j],
+                )
+            )
+        q_out = np.concatenate([r[0] for r in rows])
+        n_out = np.concatenate([r[1] for r in rows])
+        s_out = np.concatenate([r[2] for r in rows])
+        return pa.table(
+            {
+                "q": pa.array(q_out),
+                "neighbor": pa.array(n_out),
+                "cos": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+
+def _final_topk(parts: pa.Table, k: int, exclude_self: bool) -> pa.Table:
+    q = parts["q"].to_numpy(zero_copy_only=False)
+    nb = parts["neighbor"].to_numpy(zero_copy_only=False)
+    cs = parts["cos"].to_numpy(zero_copy_only=False)
+    if exclude_self:
+        keep = q != nb
+        q, nb, cs = q[keep], nb[keep], cs[keep]
+    # per-query exact top-k: sort by (q asc, cos desc, neighbor asc)
+    order = np.lexsort((nb, -cs, q))
+    q, nb, cs = q[order], nb[order], cs[order]
+    starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
+    rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(q)]])))
+    keep = rank < k
+    return pa.table(
+        {
+            "q": pa.array(q[keep]),
+            "neighbor": pa.array(nb[keep]),
+            "cos": pa.array(cs[keep], type=pa.float64()),
+        }
+    )
+
+
+def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
+    """Exact cosine top-k of each query vector (vec_id < n_queries) over the
+    whole embeddings table, excluding the query row itself."""
+    import ray
+
+    qids, qm = load_queries(sf_dir, n_queries)
+    ref = ray.put(qm)
+    parts = (
+        _emb_ds(sf_dir)
+        .map_batches(
+            BruteTopK,
+            fn_constructor_kwargs={"queries_ref": ref, "query_ids": qids, "k": k},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=2,
+        )
+        .take_all()
+    )
+    t = pa.Table.from_pylist(parts) if parts and isinstance(parts[0], dict) else None
+    if t is None:
+        cols = {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+        t = pa.table(cols)
+    return _final_topk(t, k, exclude_self=True)
+
+
+# ----------------------------------------------------------------- LSH path
+
+
+def hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (counter-based gaussian via
+    Box-Muller over splitmix64 streams)."""
+    n = dim * n_planes
+    idx = np.arange(n, dtype=np.uint64)
+    u1 = (splitmix64(idx * np.uint64(2) + np.uint64(7)) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u2 = (splitmix64(idx * np.uint64(2) + np.uint64(8)) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    g = np.sqrt(-2.0 * np.log(np.maximum(u1, 1e-300))) * np.cos(2 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+class LshTopK:
+    """Bucketed variant: compare a batch row only if its code is within
+    hamming distance ``probe`` of some query code."""
+
+    def __init__(self, queries_ref, query_ids, k: int, n_planes: int, probe: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(q)
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.planes = hyperplanes(self.q.shape[1], n_planes)
+        self.qcodes = lsh_codes(self.q, self.planes)
+        self.probe = probe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        codes = lsh_codes(mn, self.planes)
+        # hamming distance of each row code to each query code
+        x = codes[:, None] ^ self.qcodes[None, :]
+        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.unpackbits(
+            x.view(np.uint8).reshape(len(ids), len(self.qcodes), 8), axis=2
+        ).sum(axis=2)
+        cand = ham <= self.probe  # (n, nq)
+        out_q, out_n, out_c = [], [], []
+        for j in range(len(self.qcodes)):
+            sel = np.flatnonzero(cand[:, j])
+            if not len(sel):
+                continue
+            sims = mn[sel] @ self.q[j]
+            k = min(self.k + 1, len(sel))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.append(np.full(k, self.query_ids[j], dtype=np.int64))
+            out_n.append(ids[sel][top])
+            out_c.append(sims[top])
+        if not out_q:
+            return pa.table(
+                {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate(out_q)),
+                "neighbor": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+
+def ann_lsh_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 10, n_planes: int = 12, probe: int = 4
+) -> pa.Table:
+    """Approximate cosine top-k via sign-LSH candidate gating."""
+    import ray
+
+    qids, qm = load_queries(sf_dir, n_queries)
+    ref = ray.put(qm)
+    parts = (
+        _emb_ds(sf_dir)
+        .map_batches(
+            LshTopK,
+            fn_constructor_kwargs={
+                "queries_ref": ref, "query_ids": qids, "k": k,
+                "n_planes": n_planes, "probe": probe,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=2,
+        )
+        .take_all()
+    )
+    if parts:
+        t = pa.Table.from_pylist(parts)
+    else:
+        t = pa.table(
+            {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+    return _final_topk(t, k, exclude_self=True)

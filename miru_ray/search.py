@@ -234,6 +234,12 @@ def search_partition(
         answer = answer[(ts_a >= lo) & (ts_a <= hi)]
     found = int(len(answer))
 
+    if scoring == "match":
+        # filter-only evaluation: ALL matching docs, doc-ascending, score 0
+        # (the reference's filter path without a scorer — the answer bitmap
+        # itself, FullTextCustomQuestion.java:89-114 before getActivityScores)
+        return _gather(fwd, part, answer, np.zeros(len(answer), np.float32), found)
+
     if scoring == "time":
         top = answer[-k:][::-1] if k > 0 else answer[:0]
         scores = np.zeros(len(top), dtype=np.float32)
@@ -377,6 +383,23 @@ class SearchEngine:
             else:
                 merged = _merge_two(merged, hits, k)
         return merged, found
+
+    def match(
+        self,
+        query: str,
+        time_range: tuple[int, int] | None = None,
+        constraint: Filter | None = None,
+        max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
+        parallel: bool | None = None,
+    ) -> list[dict]:
+        """Filter-only evaluation: every matching doc from every partition
+        (no top-k, no scores). Returns the raw per-partition result dicts."""
+        use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        kwargs = dict(
+            query=query, k=0, scoring="match", time_range=time_range,
+            constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
+        )
+        return self._fan_out(kwargs, parallel)
 
     def _fan_out(self, kwargs: dict, parallel: bool | None) -> list[dict]:
         try:

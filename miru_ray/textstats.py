@@ -1,0 +1,274 @@
+"""Text-analysis pipelines over a document corpus (Ray-Data-native).
+
+Large-scale training-data operations on the ``documents`` table
+(doc_id, text, ...): token counting, corpus term statistics, quality
+scoring, language identification and winnowing document fingerprints.
+Everything is a ``map_batches`` stage over zero-copy Arrow batches with
+vectorized pyarrow/numpy kernels; the only shuffle is the (tiny,
+pre-aggregated) term-stats groupby.
+
+These extend the reference's surface (the reference has no text-quality /
+langid / fingerprint operators — SURVEY.md §2.8 "Near-dup: none in
+reference") with the operations a 100 TB training-data pipeline needs;
+the term-stats pipeline is the same tokenize→invert→aggregate path as the
+index build (MiruIndexPrimaryFields.java:52-92 analogue) expressed as a
+standalone aggregate.
+
+Determinism contract: every number here is reproducible in ANSI SQL (see
+__ray_entry__.oracle_sql) — divisions are single fp64 ops on exact integer
+counts, so Ray and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import fnv1a64, splitmix64
+from .tokenize import STOPWORDS, token_counts, tokenize_flat
+
+# language marker token sets — the langid heuristic's contract (deterministic,
+# tiny; mirrored literally in the SQL oracle). Order = tie-break priority.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es": ("el", "los", "las", "y", "es", "no", "una", "como"),
+}
+LANG_ORDER = tuple(LANG_MARKERS)
+
+
+def _docs_ds(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _ids(batch: pa.Table) -> pa.Array:
+    c = batch["doc_id"]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+# ------------------------------------------------------------- token counts
+
+
+def _count_batch(batch: pa.Table) -> pa.Table:
+    parents, _ = tokenize_flat(batch["text"])
+    n = token_counts(parents, batch.num_rows)
+    return pa.table(
+        {"doc_id": pc.cast(_ids(batch), pa.int64()), "n_tokens": pa.array(n.astype(np.int64))}
+    )
+
+
+def token_count_ds(sf_dir: str):
+    """(doc_id, n_tokens) per document."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------- term stats
+
+
+def _term_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregate: token stream → (term, df, ttf). The
+    combiner that shrinks the shuffle from one row per TOKEN to one row per
+    distinct term per batch."""
+    parents, tokens = tokenize_flat(batch["text"])
+    t = pa.table({"term": tokens, "doc": pa.array(parents)})
+    per_doc = t.group_by(["term", "doc"], use_threads=False).aggregate([([], "count_all")])
+    agg = per_doc.group_by(["term"], use_threads=False).aggregate(
+        [("doc", "count"), ("count_all", "sum")]
+    )
+    return pa.table(
+        {
+            "term": pc.cast(agg["term"], pa.string()),
+            "df": pc.cast(agg["doc_count"], pa.int64()),
+            "ttf": pc.cast(agg["count_all_sum"], pa.int64()),
+        }
+    )
+
+
+def term_stats_ds(sf_dir: str):
+    """(term, df, ttf) over the whole corpus.
+
+    df is exact because each document lives in exactly one input batch
+    (documents are rows, batches never split a row)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _term_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("term").aggregate(Sum("df"), Sum("ttf"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["term", "df", "ttf"]),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------------- quality score
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    n_rows = batch.num_rows
+    parents, tokens = tokenize_flat(batch["text"])
+    n_tok = token_counts(parents, n_rows).astype(np.int64)
+    tok_len = pc.utf8_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    len_sum = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(len_sum, parents, tok_len)
+    stop_hit = pc.is_in(tokens, value_set=pa.array(sorted(STOPWORDS))).to_numpy(
+        zero_copy_only=False
+    )
+    stop_sum = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(stop_sum, parents, stop_hit.astype(np.int64))
+    n_chars = pc.utf8_length(pc.coalesce(batch["text"], "")).to_numpy(zero_copy_only=False).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_len = np.where(n_tok > 0, len_sum / np.maximum(n_tok, 1), 0.0)
+        stop_ratio = np.where(n_tok > 0, stop_sum / np.maximum(n_tok, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": pc.cast(_ids(batch), pa.int64()),
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tok),
+            "mean_token_len": pa.array(mean_len, type=pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, type=pa.float64()),
+        }
+    )
+
+
+def quality_ds(sf_dir: str):
+    """(doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio)."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -------------------------------------------------------------- language id
+
+
+def _langid_batch(batch: pa.Table) -> pa.Table:
+    n_rows = batch.num_rows
+    parents, tokens = tokenize_flat(batch["text"])
+    hits = np.zeros((n_rows, len(LANG_ORDER)), dtype=np.int64)
+    for j, lang in enumerate(LANG_ORDER):
+        m = pc.is_in(tokens, value_set=pa.array(list(LANG_MARKERS[lang]))).to_numpy(
+            zero_copy_only=False
+        )
+        np.add.at(hits[:, j], parents, m.astype(np.int64))
+    best = np.argmax(hits, axis=1)  # first max wins — LANG_ORDER priority
+    maxv = hits[np.arange(n_rows), best]
+    pred = np.where(maxv > 0, np.array(LANG_ORDER, dtype=object)[best], "und")
+    cols = {"doc_id": pc.cast(_ids(batch), pa.int64())}
+    for j, lang in enumerate(LANG_ORDER):
+        cols[f"{lang}_hits"] = pa.array(hits[:, j])
+    cols["pred_lang"] = pa.array(pred.tolist(), type=pa.string())
+    return pa.table(cols)
+
+
+def langid_ds(sf_dir: str):
+    """(doc_id, <lang>_hits..., pred_lang) — marker-token language ID."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _langid_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -------------------------------------------------- winnowing fingerprints
+
+
+def gram_hashes(parents: np.ndarray, tok_hash: np.ndarray, k: int):
+    """Rolling hash of token k-grams. Returns (gram_parent, gram_hash) for
+    every within-doc window of k consecutive tokens."""
+    n = len(tok_hash)
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    h = tok_hash.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            h = splitmix64(h * np.uint64(0x100000001B3))
+            h[: n - j] ^= tok_hash[j:]
+    # valid gram starts: positions whose k-th token is in the same doc
+    valid = parents[: n - k + 1] == parents[k - 1 :]
+    return parents[: n - k + 1][valid], h[: n - k + 1][valid]
+
+
+def winnow(gp: np.ndarray, gh: np.ndarray, w: int):
+    """Winnowing (Schleimer, Wilkerson, Aiken 2003): per doc, the min hash of
+    every window of ``w`` consecutive k-gram hashes, deduplicated. Returns
+    (doc:int64, fingerprint:uint64) sorted by doc."""
+    if len(gh) == 0 or w <= 1:
+        order = np.argsort(gp, kind="stable")
+        return _dedup_pairs(gp[order], gh[order])
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if len(gh) < w:
+        out_p = np.empty(0, np.int64)
+        out_h = np.empty(0, np.uint64)
+    else:
+        wins = sliding_window_view(gh, w).min(axis=1)
+        same = gp[: len(wins)] == gp[w - 1 :]
+        out_p, out_h = gp[: len(wins)][same], wins[same]
+    # short docs (fewer than w grams): every window spans a doc boundary and
+    # is masked out above — emit the doc's global min gram hash instead
+    short_docs = np.setdiff1d(np.unique(gp), np.unique(out_p))
+    if len(short_docs):
+        sel = np.isin(gp, short_docs)
+        sp, sh = gp[sel], gh[sel]
+        order = np.argsort(sp, kind="stable")
+        sp, sh = sp[order], sh[order]
+        starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+        mins = np.minimum.reduceat(sh, starts)
+        out_p = np.concatenate([out_p, sp[starts]])
+        out_h = np.concatenate([out_h, mins])
+    order = np.argsort(out_p, kind="stable")
+    return _dedup_pairs(out_p[order], out_h[order])
+
+
+def _dedup_pairs(p: np.ndarray, h: np.ndarray):
+    if len(p) == 0:
+        return p.astype(np.int64), h
+    key = np.stack([p.astype(np.int64), h.view(np.int64)], axis=1)
+    uniq = np.unique(key, axis=0)
+    return uniq[:, 0], uniq[:, 1].view(np.uint64)
+
+
+class FingerprintStage:
+    """Actor-pool map_batches stage: per-doc winnowing fingerprints summary.
+    k/w fixed per actor in __init__ (stateful-stage pattern)."""
+
+    def __init__(self, k: int = 3, w: int = 4):
+        self.k = k
+        self.w = w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        parents, tokens = tokenize_flat(batch["text"])
+        th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+        gp, gh = gram_hashes(parents, th, self.k)
+        n_grams = np.bincount(gp, minlength=n_rows).astype(np.int64) if len(gp) else np.zeros(n_rows, np.int64)
+        fp_doc, fp_hash = winnow(gp, gh, self.w)
+        n_fp = np.bincount(fp_doc, minlength=n_rows).astype(np.int64) if len(fp_doc) else np.zeros(n_rows, np.int64)
+        fp_xor = np.zeros(n_rows, dtype=np.uint64)
+        if len(fp_doc):
+            np.bitwise_xor.at(fp_xor, fp_doc, fp_hash)
+        return pa.table(
+            {
+                "doc_id": pc.cast(_ids(batch), pa.int64()),
+                "n_grams": pa.array(n_grams),
+                "n_fingerprints": pa.array(n_fp),
+                "fp_xor": pa.array(fp_xor.view(np.int64)),
+            }
+        )
+
+
+def fingerprint_ds(sf_dir: str, k: int = 3, w: int = 4):
+    """(doc_id, n_grams, n_fingerprints, fp_xor) winnowing summary."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        FingerprintStage,
+        fn_constructor_kwargs={"k": k, "w": w},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
