@@ -1,0 +1,161 @@
+"""Benchmark harness: index-build throughput (turns/sec) + BM25 top-10 query
+p50 latency over the synthetic transcripts corpus (BASELINE.json metric).
+
+Default mode: one full run at ``RAY_GRAFT_CPUS`` (default 32) over the scale
+implied by ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → the 100k-conv
+"bench" corpus, ~2.1M turns) and prints ONE JSON line.
+
+``--scaling``: the same job in two FRESH processes at 8 and 32 CPUs (the
+sandbox stand-in for N vs 4N nodes per the driver instruction) plus the
+computed scaling efficiency  thr_4N / (4 · thr_N).
+
+This file OWNS its Ray session (ray.init/shutdown); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# reference-style query set (AND'd dictionary terms + OR/NOT/prefix/field —
+# the families of MiruFullTextNGTest.java:215-224 plus parser coverage)
+QUERY_SET = {
+    "and2": "t1 t7",
+    "and3": "t3 AND t9 AND t12",
+    "or2": "w00042 OR w00123",
+    "not": "t1 AND NOT t9",
+    "prefix": "w004*",
+    "field": "role:tool t3",
+}
+QUERY_REPEATS = 5
+K = 10
+
+
+def scale_for(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "tiny", "sf0.01": "small"}.get(name, "bench")
+
+
+def run_once(num_cpus: int, sf_dir: str, n_parts: int) -> dict:
+    import ray
+
+    from miru_ray.build import build_index
+    from miru_ray.fixtures import ensure_transcripts
+    from miru_ray.search import SearchEngine
+
+    scale = scale_for(sf_dir)
+    src = ensure_transcripts(scale)  # cached corpus generation — not timed
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR"
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        index_dir = f"/tmp/miru_ray_bench_idx_{os.getpid()}"
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        manifest = build_index(src, index_dir, n_parts=n_parts, resume=False)
+        build_sec = time.monotonic() - t0
+        n_turns = manifest["totals"]["n_docs"]
+
+        eng = SearchEngine(index_dir)
+        q_p50 = {}
+        for name, q in QUERY_SET.items():
+            times = []
+            for _ in range(QUERY_REPEATS):
+                tq = time.monotonic()
+                eng.search(q, k=K, scoring="bm25")
+                times.append(time.monotonic() - tq)
+            q_p50[name] = round(statistics.median(times), 4)
+        shutil.rmtree(index_dir, ignore_errors=True)
+    finally:
+        ray.shutdown()
+
+    return {
+        "num_cpus": num_cpus,
+        "scale": scale,
+        "n_turns": n_turns,
+        "n_parts": n_parts,
+        "build_sec": round(build_sec, 2),
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "posting_bytes": manifest["totals"]["posting_bytes"],
+        "queries": q_p50,
+        "query_p50_sec": round(statistics.median(q_p50.values()), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sub", action="store_true", help="internal: single scaling run")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--parts", type=int, default=32)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.sub:
+        print(json.dumps(run_once(cpus, sf_dir, args.parts)))
+        return
+
+    if args.scaling:
+        results = {}
+        for n in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sub", "--cpus", str(n),
+                 "--parts", str(args.parts)],
+                capture_output=True, text=True, check=True,
+                env=dict(os.environ, GRAFT_SF_DIR=sf_dir),
+            )
+            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        thr8, thr32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+        eff = thr32 / (4.0 * thr8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (8→32 cpus, same input, fresh sessions)",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sf": sf_dir,
+                    "turns_per_sec_8": thr8,
+                    "turns_per_sec_32": thr32,
+                    "detail": results,
+                }
+            )
+        )
+        return
+
+    r = run_once(cpus, sf_dir, args.parts)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build wall sec (+ BM25 top-10 p50 per query)",
+                "value": r["build_sec"],
+                "unit": "sec",
+                "queries": r["queries"],
+                "sf": sf_dir,
+                "num_cpus": cpus,
+                "n_turns": r["n_turns"],
+                "turns_per_sec": r["turns_per_sec"],
+                "query_p50_sec": r["query_p50_sec"],
+                "posting_bytes": r["posting_bytes"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,20 +41,23 @@ Scale / skew notes (SURVEY.md §4, §7.3-7.4):
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codec import RUNS_SCHEMA, encode_triples_to_runs, merge_runs
+from .codec import RUNS_SCHEMA, encode_codes_to_runs, encode_triples_to_runs, merge_runs
 from .hashing import fnv1a64
 from .segments import (
     FORWARD_SCHEMA,
     META_FIELDS,
     TEXT_FIELD,
     completed_parts,
+    finalize_segment,
     term_key,
+    write_forward_fragment,
     write_global_manifest,
     write_segment,
 )
@@ -97,6 +100,85 @@ def _ts_to_us(ts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+def tokenize_chunk_to_runs(
+    texts: pa.Array | pa.ChunkedArray,
+    part: int,
+    doc_base: int,
+    dl_out: np.ndarray,
+    use_stopwords: bool = False,
+) -> pa.Table:
+    """One bounded chunk of docs → encoded posting runs for the `text` field.
+
+    The hot path of the whole build. (term, doc, tf) aggregation is done
+    WITHOUT string keys: dictionary-encode the tokens once, pack
+    ``code<<32 | row`` into one int64, a single ``np.sort`` groups the
+    composite, and run-lengths of equal values are the tf counts — the
+    vectorized posting compose (MiruIndexPrimaryFields.java:52-92). Term
+    strings materialize once per RUN via the (tiny) dictionary.
+
+    Writes per-doc token counts into ``dl_out`` (len = chunk rows); docIds
+    are ``doc_base + row``.
+    """
+    n_rows = len(dl_out)
+    parents, tokens = tokenize_flat(texts, use_stopwords=use_stopwords)
+    dl_out[:] = token_counts(parents, n_rows)
+    if len(parents) == 0:
+        return RUNS_SCHEMA.empty_table()
+    denc = (tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens).dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = (codes << np.int64(32)) | parents  # rows per chunk < 2^31
+    comp.sort()
+    change = np.empty(len(comp), dtype=bool)
+    change[0] = True
+    change[1:] = comp[1:] != comp[:-1]
+    starts = np.flatnonzero(change)
+    tf = np.diff(np.append(starts, len(comp)))
+    u = comp[starts]
+    u_code = u >> np.int64(32)
+    u_row = u & np.int64(0xFFFFFFFF)
+    dict_terms = pc.binary_join_element_wise(
+        pa.scalar(TEXT_FIELD + "\x1f"), denc.dictionary, ""
+    )
+    return encode_codes_to_runs(
+        int(part), u_code, u_row + doc_base, tf, dl_out[u_row], dict_terms
+    )
+
+
+def meta_field_runs(
+    g: pa.Table, part: int, doc_ids: np.ndarray, dl_all: np.ndarray
+) -> list[pa.Table]:
+    """Single-term postings (tf=1) for the META_FIELDS of a row slice whose
+    global docIds are ``doc_ids`` (the reference's singleTerm fields,
+    MiruFullTextNGTest.java:52-60)."""
+    out: list[pa.Table] = []
+    for field in META_FIELDS:
+        vals = g[field].combine_chunks() if isinstance(g[field], pa.ChunkedArray) else g[field]
+        nonempty = pc.fill_null(pc.not_equal(pc.coalesce(vals, ""), ""), False)
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        if not keep.any():
+            continue
+        # dictionary-encode values → int codes; sort composite (code, rank)
+        denc = vals.filter(nonempty).dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.flatnonzero(keep)
+        comp = (codes << np.int64(32)) | np.arange(len(rows), dtype=np.int64)
+        comp.sort()
+        u_code = comp >> np.int64(32)
+        u_row = rows[comp & np.int64(0xFFFFFFFF)]
+        dict_terms = pc.binary_join_element_wise(pa.scalar(field + "\x1f"), denc.dictionary, "")
+        out.append(
+            encode_codes_to_runs(
+                part,
+                u_code,
+                doc_ids[u_row],
+                np.ones(len(u_row), dtype=np.int64),
+                dl_all[u_row],
+                dict_terms,
+            )
+        )
+    return out
+
+
 def build_segment_table(group: pa.Table, use_stopwords: bool = False):
     """Pure function: one partition's rows → (postings:pa.Table(RUNS_SCHEMA),
     forward:pa.Table, stats:dict). Deterministic regardless of input row
@@ -120,59 +202,15 @@ def build_segment_table(group: pa.Table, use_stopwords: bool = False):
     for lo in range(0, n, CHUNK_DOCS):
         hi = min(n, lo + CHUNK_DOCS)
         chunk = g.slice(lo, hi - lo)
-        parents, tokens = tokenize_flat(chunk["text"], use_stopwords=use_stopwords)
-        dl = token_counts(parents, hi - lo)
-        dl_all[lo:hi] = dl
-        total_tokens += int(dl.sum())
-
-        # (term, doc, tf) via Arrow group_by (C++ hash aggregate — the
-        # posting compose step, MiruIndexPrimaryFields.java:52-92);
-        # term_key = "text\x1f" + token (vectorized concat)
-        keys = pc.binary_join_element_wise(pa.scalar(TEXT_FIELD + "\x1f"), tokens, "")
-        tt = pa.table({"term": keys, "doc": pa.array(parents + lo, type=pa.int64())})
-        agg = tt.group_by(["term", "doc"], use_threads=False).aggregate([([], "count_all")])
-        # sort by (term, doc)
-        agg = agg.take(
-            pc.sort_indices(agg, sort_keys=[("term", "ascending"), ("doc", "ascending")])
-        ).combine_chunks()
-        a_doc = agg["doc"].to_numpy(zero_copy_only=False)
-        a_tf = agg["count_all"].to_numpy(zero_copy_only=False)
-        a_dl = dl_all[a_doc]
         run_tables.append(
-            encode_triples_to_runs(
-                np.full(len(a_doc), part, dtype=np.int64),
-                agg["term"].combine_chunks().cast(pa.large_string()),
-                a_doc,
-                a_tf,
-                a_dl,
+            tokenize_chunk_to_runs(
+                chunk["text"], part, lo, dl_all[lo:hi], use_stopwords=use_stopwords
             )
         )
+        total_tokens += int(dl_all[lo:hi].sum())
 
     # meta fields (role/tool/conv_id): single-term postings, tf=1
-    for field in META_FIELDS:
-        vals = g[field].combine_chunks() if isinstance(g[field], pa.ChunkedArray) else g[field]
-        nonempty = pc.fill_null(pc.not_equal(pc.coalesce(vals, ""), ""), False)
-        keep = nonempty.to_numpy(zero_copy_only=False)
-        if not keep.any():
-            continue
-        keys = pc.binary_join_element_wise(
-            pa.scalar(field + "\x1f"), vals.filter(nonempty), ""
-        )
-        docs = doc_ids[keep]
-        t = pa.table({"term": keys, "doc": pa.array(docs)})
-        t = t.take(
-            pc.sort_indices(t, sort_keys=[("term", "ascending"), ("doc", "ascending")])
-        ).combine_chunks()
-        m_doc = t["doc"].to_numpy(zero_copy_only=False)
-        run_tables.append(
-            encode_triples_to_runs(
-                np.full(len(m_doc), part, dtype=np.int64),
-                t["term"].combine_chunks().cast(pa.large_string()),
-                m_doc,
-                np.ones(len(m_doc), dtype=np.int64),
-                dl_all[m_doc],
-            )
-        )
+    run_tables.extend(meta_field_runs(g, part, doc_ids, dl_all))
 
     postings = merge_runs(pa.concat_tables(run_tables)) if run_tables else RUNS_SCHEMA.empty_table()
     # final order: sorted by term_key for parquet min/max pruning
@@ -248,10 +286,41 @@ def build_index(
     use_stopwords: bool = False,
     resume: bool = True,
     concurrency: int | None = None,
+    strategy: str = "auto",
 ) -> dict:
     """Run the full build. Ray must already be initialised by the caller.
 
+    ``strategy``:
+    * ``"stream"`` / ``"auto"`` — the two-phase offset build (below): raw
+      text never shuffles; requires input files globally sorted by
+      (conv_id, turn_idx). ``auto`` verifies that in the metadata pass and
+      silently falls back to ``sort`` when violated.
+    * ``"sort"`` — single groupby(part) exchange of the raw rows (always
+      correct, 3-4× slower: the whole corpus moves through the sort).
+
     Returns the global manifest dict (also written to index.json)."""
+    if strategy in ("auto", "stream"):
+        meta = build_index_streaming(
+            input_path, index_dir, n_parts,
+            use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
+            strict=(strategy == "stream"),
+        )
+        if meta is not None:
+            return meta
+    return _build_index_sort(
+        input_path, index_dir, n_parts,
+        use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
+    )
+
+
+def _build_index_sort(
+    input_path: str | list[str],
+    index_dir: str,
+    n_parts: int,
+    use_stopwords: bool = False,
+    resume: bool = True,
+    concurrency: int | None = None,
+) -> dict:
     import ray.data as rd
 
     done = frozenset(completed_parts(index_dir)) if resume else frozenset()
@@ -282,6 +351,270 @@ def build_index(
     meta = {
         "version": 1,
         "n_parts": n_parts,
+        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
+        "text_field": TEXT_FIELD,
+        "meta_fields": list(META_FIELDS),
+        "parts_built": sorted(built),
+        "parts_resumed": sorted(done),
+        "totals": {
+            "n_docs": sum(int(r["n_docs"]) for r in rows),
+            "total_tokens": sum(int(r["total_tokens"]) for r in rows),
+            "posting_bytes": sum(int(r["posting_bytes"]) for r in rows),
+        },
+    }
+    write_global_manifest(index_dir, meta)
+    return meta
+
+
+# --------------------------------------------------------- streaming build
+#
+# Two-phase offset build: the scale architecture. The raw corpus (dominated
+# by `text`) NEVER moves through a shuffle:
+#
+#   phase 1  metadata scan (Ray tasks, one per input file, reading only
+#            (conv_id, turn_idx)): per-file per-partition row counts +
+#            verification that files are globally sorted by (conv_id,
+#            turn_idx). Exclusive prefix sums over files give every file its
+#            per-partition docId base offsets — docIds become computable
+#            locally, replacing the reference's serial id allocator
+#            (LabTimeIdIndex.java:96) with pure arithmetic.
+#   phase 2  one Ray Data task per file: tokenize + encode posting RUNS with
+#            global docIds, and write the file's forward-table slices
+#            directly into the partition dirs (no shuffle — fragment files
+#            are the resumable partitioned output). Only the compressed runs
+#            (≈5× smaller than the text) flow to phase 3.
+#   phase 3  groupby(part) over encoded runs → SegmentFinalizer merges by
+#            offset subsampling (codec.merge_runs — no decode), writes
+#            postings + manifest LAST.
+#
+# Scale notes: the base-offset matrix is (n_files × n_parts) int64 — fine to
+# tens of thousands of each; at 10^12-turn scale align partitions with file
+# ranges (the reference's own time-ordered partition rollover,
+# MiruPartitioner.java:106-165) so the matrix is sparse/banded. Each file
+# task only ever receives ITS row of the matrix.
+
+
+def list_input_files(input_path: str | list[str]) -> list[str]:
+    import glob as _glob
+
+    if isinstance(input_path, (list, tuple)):
+        return sorted(input_path)
+    if os.path.isdir(input_path):
+        return sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+    return [input_path]
+
+
+def scan_file_meta(path: str, n_parts: int) -> dict:
+    """Phase-1 worker: per-partition counts + sort-order validation for one
+    file (reads only the two key columns)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["conv_id", "turn_idx"])
+    n = t.num_rows
+    conv = t["conv_id"].combine_chunks()
+    turn = t["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    part = (fnv1a64(conv) % np.uint64(n_parts)).astype(np.int64)
+    counts = np.bincount(part, minlength=n_parts).astype(np.int64)
+    ok = True
+    if n > 1:
+        gt = pc.greater(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        eq = pc.equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        ok = bool(np.all(gt | (eq & (turn[1:] > turn[:-1]))))
+    return {
+        "counts": counts,
+        "ok": ok,
+        "first": (conv[0].as_py(), int(turn[0])) if n else None,
+        "last": (conv[-1].as_py(), int(turn[-1])) if n else None,
+        "rows": n,
+    }
+
+
+class FileIndexer:
+    """Phase-2 actor-pool stage: one input file per call → posting runs with
+    global docIds + forward fragments written in place."""
+
+    def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
+                 use_stopwords: bool = False):
+        self.index_dir = index_dir
+        self.n_parts = n_parts
+        self.skip = skip_parts
+        self.use_stopwords = use_stopwords
+
+    def _one_file(self, path: str, fidx: int, bases: np.ndarray) -> list[pa.Table]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=INPUT_COLUMNS)
+        conv = t["conv_id"].combine_chunks()
+        part = (fnv1a64(conv) % np.uint64(self.n_parts)).astype(np.int64)
+        runs: list[pa.Table] = []
+        for p in np.unique(part):
+            p = int(p)
+            if p in self.skip:
+                continue
+            mask = pa.array(part == p)
+            sub = t.filter(mask).combine_chunks()
+            cnt = sub.num_rows
+            base = int(bases[p])
+            doc_ids = base + np.arange(cnt, dtype=np.int64)
+            dl_all = np.zeros(cnt, dtype=np.int32)
+            for lo in range(0, cnt, CHUNK_DOCS):
+                hi = min(cnt, lo + CHUNK_DOCS)
+                runs.append(
+                    tokenize_chunk_to_runs(
+                        sub["text"].slice(lo, hi - lo), p, base + lo,
+                        dl_all[lo:hi], use_stopwords=self.use_stopwords,
+                    )
+                )
+            runs.extend(meta_field_runs(sub, p, doc_ids, dl_all))
+            forward = pa.table(
+                {
+                    "doc_id": pa.array(doc_ids.astype(np.int32), type=pa.int32()),
+                    "conv_id": sub["conv_id"],
+                    "turn_idx": pc.cast(sub["turn_idx"], pa.int32()),
+                    "role": sub["role"],
+                    "tool": sub["tool"],
+                    "ts": pa.array(_ts_to_us(sub["ts"]), type=pa.int64()),
+                    "dl": pa.array(dl_all, type=pa.int32()),
+                },
+                schema=FORWARD_SCHEMA,
+            )
+            write_forward_fragment(self.index_dir, p, fidx, forward)
+        return runs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        runs: list[pa.Table] = []
+        for i in range(batch.num_rows):
+            runs.extend(
+                self._one_file(
+                    batch["path"][i].as_py(),
+                    int(batch["fidx"][i].as_py()),
+                    np.asarray(batch["bases"][i].as_py(), dtype=np.int64),
+                )
+            )
+        runs = [r for r in runs if r.num_rows]
+        return pa.concat_tables(runs) if runs else RUNS_SCHEMA.empty_table()
+
+
+class SegmentFinalizer:
+    """Phase-3 map_groups stage: all encoded runs of one partition → merged
+    postings + manifest (written last: checkpoint atomicity)."""
+
+    def __init__(self, index_dir: str, n_docs_by_part: dict[int, int], lineage: dict):
+        self.index_dir = index_dir
+        self.n_docs_by_part = n_docs_by_part
+        self.lineage = lineage
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        if group.num_rows == 0:
+            return MANIFEST_ROW_SCHEMA.empty_table()
+        part = int(group["part"][0].as_py())
+        postings = merge_runs(group)
+        postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
+        text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
+        total_tokens = int(
+            pc.sum(pc.if_else(text_mask, postings["ttf"], pa.scalar(0, pa.int64()))).as_py() or 0
+        )
+        n_docs = int(self.n_docs_by_part.get(part, 0))
+        posting_bytes = sum(postings[c].nbytes for c in ("doc_bytes", "tf_bytes"))
+        metrics = {
+            "n_docs": n_docs,
+            "n_terms": int(postings.num_rows),
+            "total_tokens": total_tokens,
+            "avg_dl": float(total_tokens / n_docs) if n_docs else 0.0,
+            "posting_bytes": int(posting_bytes),
+        }
+        finalize_segment(self.index_dir, part, postings, dict(self.lineage), metrics)
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int32()),
+                "n_docs": pa.array([n_docs], type=pa.int64()),
+                "n_terms": pa.array([int(postings.num_rows)], type=pa.int64()),
+                "total_tokens": pa.array([total_tokens], type=pa.int64()),
+                "posting_bytes": pa.array([int(posting_bytes)], type=pa.int64()),
+                "build_sec": pa.array([time.monotonic() - t0], type=pa.float64()),
+                "skipped": pa.array([False], type=pa.bool_()),
+            },
+            schema=MANIFEST_ROW_SCHEMA,
+        )
+
+
+def build_index_streaming(
+    input_path: str | list[str],
+    index_dir: str,
+    n_parts: int,
+    use_stopwords: bool = False,
+    resume: bool = True,
+    concurrency: int | None = None,
+    strict: bool = False,
+) -> dict | None:
+    """The two-phase offset build (see module section comment). Returns None
+    when the input violates the global (conv_id, turn_idx) sort order and
+    ``strict`` is False (caller falls back to the sort-based build)."""
+    import ray
+    import ray.data as rd
+
+    files = list_input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet input under {input_path!r}")
+
+    scan = ray.remote(num_cpus=1)(scan_file_meta)
+    metas = ray.get([scan.remote(f, n_parts) for f in files])
+    ordered = all(m["ok"] for m in metas)
+    for a, b in zip(metas, metas[1:]):
+        if a["last"] is not None and b["first"] is not None and not (a["last"] < b["first"]):
+            ordered = False
+    if not ordered:
+        if strict:
+            raise ValueError("input files are not globally sorted by (conv_id, turn_idx)")
+        return None
+
+    counts = np.stack([m["counts"] for m in metas])  # (n_files, n_parts)
+    bases = np.zeros_like(counts)
+    np.cumsum(counts[:-1], axis=0, out=bases[1:])
+    n_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+
+    done = frozenset(completed_parts(index_dir)) if resume else frozenset()
+    lineage = {
+        "input_files": files,
+        "strategy": "stream",
+        "rows_per_file": [int(m["rows"]) for m in metas],
+    }
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+
+    items = [
+        {"path": f, "fidx": i, "bases": bases[i].tolist()} for i, f in enumerate(files)
+    ]
+    runs_ds = rd.from_items(items).map_batches(
+        FileIndexer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "n_parts": n_parts,
+            "skip_parts": done, "use_stopwords": use_stopwords,
+        },
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=min(concurrency, len(files)),
+        num_cpus=1,
+    )
+    manifest_ds = runs_ds.groupby("part").map_groups(
+        SegmentFinalizer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "n_docs_by_part": n_docs_by_part,
+            "lineage": lineage,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    rows = manifest_ds.take_all()  # tiny: one row per partition
+
+    built = {int(r["part"]): r for r in rows}
+    meta = {
+        "version": 1,
+        "n_parts": n_parts,
+        "strategy": "stream",
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),

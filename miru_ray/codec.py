@@ -165,6 +165,54 @@ def encode_triples_to_runs(
         same_term = pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(zero_copy_only=False)
         new_run[1:] = (part[1:] != part[:-1]) | ~same_term
     run_starts = np.flatnonzero(new_run)
+    term_per_run = term.take(pa.array(run_starts)).cast(pa.large_string())
+    return _encode_runs(part, term_per_run, doc, tf, dl, new_run, run_starts)
+
+
+def encode_codes_to_runs(
+    part: int,
+    codes: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    dict_terms: pa.Array,
+) -> pa.Table:
+    """Integer-coded fast path: triples sorted by (code, doc), one partition.
+    ``dict_terms[code]`` is the full term key string (prefix already applied).
+    Avoids all per-triple string work — term strings materialize once per RUN
+    via a dictionary take."""
+    n = len(doc)
+    if n == 0:
+        return RUNS_SCHEMA.empty_table()
+    codes = np.asarray(codes, dtype=np.int64)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    if n > 1:
+        new_run[1:] = codes[1:] != codes[:-1]
+    run_starts = np.flatnonzero(new_run)
+    term_per_run = dict_terms.take(pa.array(codes[run_starts])).cast(pa.large_string())
+    part_arr = np.full(n, part, dtype=np.int64)
+    return _encode_runs(
+        part_arr,
+        term_per_run,
+        np.asarray(doc, dtype=np.int64),
+        np.asarray(tf, dtype=np.int64),
+        np.asarray(dl, dtype=np.int64),
+        new_run,
+        run_starts,
+    )
+
+
+def _encode_runs(
+    part: np.ndarray,
+    term_per_run: pa.Array,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    new_run: np.ndarray,
+    run_starts: np.ndarray,
+) -> pa.Table:
+    n = len(doc)
     n_runs = len(run_starts)
     run_id = np.cumsum(new_run) - 1
     within = np.arange(n, dtype=np.int64) - run_starts[run_id]
@@ -224,7 +272,7 @@ def encode_triples_to_runs(
     return pa.table(
         {
             "part": pa.array(part[run_starts].astype(np.int32), type=pa.int32()),
-            "term": term.take(pa.array(run_starts)).cast(pa.large_string()),
+            "term": term_per_run,
             "first_doc": pa.array(doc[run_starts].astype(np.int32), type=pa.int32()),
             "last_doc": pa.array(doc[run_ends].astype(np.int32), type=pa.int32()),
             "df": pa.array(df, type=pa.int32()),

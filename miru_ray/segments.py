@@ -133,6 +133,66 @@ def write_segment(
     return manifest
 
 
+def write_forward_fragment(index_dir: str, part: int, frag_idx: int, forward: pa.Table) -> str:
+    """Streaming-build path: write one file's slice of a partition's forward
+    table as ``forward-<frag>.parquet`` (docId ranges of fragments are
+    disjoint and ascending in fragment order, so sorted-filename concat
+    reconstructs the docId order). Idempotent: a re-run of an incomplete
+    partition overwrites with identical bytes."""
+    d = part_dir(index_dir, part)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"forward-{frag_idx:05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(forward, tmp, row_group_size=65536)
+    os.replace(tmp, path)
+    return path
+
+
+def finalize_segment(
+    index_dir: str,
+    part: int,
+    postings: pa.Table,
+    lineage: dict,
+    metrics: dict,
+) -> dict:
+    """Streaming-build path: write postings + manifest (LAST) for a partition
+    whose forward fragments were already written by the indexer stage —
+    the same 'ready after all futures' ordering (MiruIndexer.java:121-123)."""
+    d = part_dir(index_dir, part)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "postings.parquet.tmp")
+    pq.write_table(postings, tmp, row_group_size=1024)
+    os.replace(tmp, os.path.join(d, "postings.parquet"))
+    # compact forward fragments into one file (partition-local, no shuffle):
+    # queries then pay one read instead of one per input file
+    frags = sorted(f for f in os.listdir(d) if f.startswith("forward-"))
+    if frags:
+        fwd = pa.concat_tables(
+            [pq.read_table(os.path.join(d, f)) for f in frags]
+        ).combine_chunks()
+        ftmp = os.path.join(d, "forward.parquet.tmp")
+        pq.write_table(fwd, ftmp, row_group_size=65536)
+        os.replace(ftmp, os.path.join(d, "forward.parquet"))
+        for f in frags:
+            os.remove(os.path.join(d, f))
+        frags = []
+    manifest = {
+        "complete": True,
+        "version": INDEX_VERSION,
+        "part": part,
+        "lineage": lineage,
+        "metrics": metrics,
+        "forward_fragments": frags,
+    }
+    mp = manifest_path(index_dir, part)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mp + ".tmp", mp)
+    return manifest
+
+
 def write_global_manifest(index_dir: str, meta: dict) -> None:
     tmp = os.path.join(index_dir, "index.json.tmp")
     with open(tmp, "w") as f:
@@ -181,17 +241,31 @@ def read_term_range(index_dir: str, part: int, field: str, prefix: str) -> list[
     return [k[sep_len:] for k in t["term"].to_pylist()]
 
 
+def read_forward_table(index_dir: str, part: int) -> pa.Table:
+    """The full forward table of a partition in docId order, either layout
+    (single ``forward.parquet`` or streaming-build fragments)."""
+    d = part_dir(index_dir, part)
+    single = os.path.join(d, "forward.parquet")
+    if os.path.exists(single):
+        return pq.read_table(single)
+    frags = sorted(f for f in os.listdir(d) if f.startswith("forward-"))
+    return pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in frags]).combine_chunks()
+
+
 _FORWARD_CACHE: dict[tuple, dict[str, np.ndarray | pa.Array]] = {}
 
 
 def forward_columns(index_dir: str, part: int) -> dict:
     """Forward-table columns for a partition, cached per worker process (the
-    Strut-style per-worker cache pattern, StrutModelCache.java:104-140)."""
-    path = os.path.join(part_dir(index_dir, part), "forward.parquet")
-    key = (os.path.abspath(path), os.path.getmtime(path))
+    Strut-style per-worker cache pattern, StrutModelCache.java:104-140).
+
+    Supports both layouts: a single ``forward.parquet`` (sort-based build)
+    or ``forward-<frag>.parquet`` fragments in docId order (streaming build)."""
+    d = part_dir(index_dir, part)
+    key = (os.path.abspath(d), os.path.getmtime(manifest_path(index_dir, part)))
     hit = _FORWARD_CACHE.get(key)
     if hit is None:
-        t = pq.read_table(path)
+        t = read_forward_table(index_dir, part)
         hit = {
             "ts": t["ts"].to_numpy(),
             "dl": t["dl"].to_numpy(),

@@ -15,7 +15,7 @@ from miru_ray.build import build_index, build_segment_table
 from miru_ray.codec import decode_posting
 from miru_ray.oracle import oracle_search
 from miru_ray.search import Hit, SearchEngine, search_partition
-from miru_ray.segments import FIELD_SEP, completed_parts, read_manifest
+from miru_ray.segments import FIELD_SEP, completed_parts, read_forward_table, read_manifest
 
 N_PARTS = 4
 
@@ -90,7 +90,7 @@ def test_per_turn_text_equality(index_dir, tiny_rows, tiny_oracle):
     turn_idx) → original text row, under stable ordering."""
     by_key = {(r["conv_id"], r["turn_idx"]): r for r in tiny_rows}
     for p in completed_parts(index_dir):
-        f = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "forward.parquet"))
+        f = read_forward_table(index_dir, p)
         d = f.to_pydict()
         assert d["doc_id"] == list(range(f.num_rows))
         keys = list(zip(d["conv_id"], d["turn_idx"]))
@@ -231,3 +231,37 @@ def test_single_partition_direct_task(index_dir, tiny_oracle):
     ohits, ofound = score_partition(tiny_oracle[p], "t1 t7", 10)
     assert r["found"] == ofound
     assert list(r["doc_id"]) == [h.doc_id for h in ohits]
+
+
+def test_sort_strategy_equals_stream(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """The sort-based (groupby raw rows) and streaming (offset) builds must
+    produce byte-identical postings and forward contents."""
+    d = str(tmp_path_factory.mktemp("idx_sortstrat"))
+    meta = build_index(tiny_transcripts_dir, d, n_parts=N_PARTS, strategy="sort")
+    assert "strategy" not in meta or meta.get("strategy") != "stream"
+    for p in range(N_PARTS):
+        a = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))
+        b = pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
+        assert a.equals(b), p
+        assert read_forward_table(index_dir, p).equals(read_forward_table(d, p)), p
+
+
+def test_auto_falls_back_on_unsorted_input(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """Files renamed out of conv order violate the streaming precondition;
+    strategy='auto' must detect it in the metadata pass and fall back to the
+    sort-based build with identical results."""
+    src = str(tmp_path_factory.mktemp("shuffled_input"))
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    half = t.num_rows // 2
+    # second half first → file-boundary order violated
+    pq.write_table(t.slice(half), os.path.join(src, "shard-00000.parquet"))
+    pq.write_table(t.slice(0, half), os.path.join(src, "shard-00001.parquet"))
+    d = str(tmp_path_factory.mktemp("idx_fallback"))
+    meta = build_index(src, d, n_parts=N_PARTS, strategy="auto")
+    assert meta.get("strategy") != "stream"
+    for p in range(N_PARTS):
+        a = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))
+        b = pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
+        assert a.equals(b), p
