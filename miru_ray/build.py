@@ -5,8 +5,15 @@ WAL-paged batches → dedupe → dense id allocation → per-field posting
 compose → per-(field,term) bitmap set → LSM merge → ready watermark;
 reference: miru-service/.../partition/MiruPartitionAccessor.java:398-474,
 miru-service/.../stream/MiruIndexer.java:47-126,
-MiruIndexPrimaryFields.java:52-92) as ONE Ray Data pipeline with a single
-all-to-all exchange:
+MiruIndexPrimaryFields.java:52-92) as Ray Data pipelines. Two strategies,
+byte-identical output (tested):
+
+* **stream** (default when the input files are globally sorted by
+  (conv_id, turn_idx)): the two-phase offset build — see the
+  "streaming build" section below. Raw text never shuffles; only
+  compressed posting runs cross the one groupby exchange.
+* **sort** (fallback for arbitrarily-ordered input): one all-to-all
+  exchange of the raw rows —
 
     read_parquet(transcripts, pruned columns)
       → map_batches(route_partition)          # part = fnv1a64(conv_id) % P
@@ -48,7 +55,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codec import RUNS_SCHEMA, encode_codes_to_runs, encode_triples_to_runs, merge_runs
+from .codec import (
+    FWD_TERM,
+    RUNS_SCHEMA,
+    encode_codes_to_runs,
+    encode_multi_part_runs,
+    encode_triples_to_runs,
+    merge_runs,
+)
 from .hashing import fnv1a64
 from .segments import (
     FORWARD_SCHEMA,
@@ -57,7 +71,6 @@ from .segments import (
     completed_parts,
     finalize_segment,
     term_key,
-    write_forward_fragment,
     write_global_manifest,
     write_segment,
 )
@@ -177,6 +190,81 @@ def meta_field_runs(
             )
         )
     return out
+
+
+def meta_field_runs_multi(
+    t: pa.Table, part: np.ndarray, docid_of_row: np.ndarray, dl_all: np.ndarray
+) -> list[pa.Table]:
+    """meta_field_runs across all partitions of a file at once (one lexsort
+    per field instead of one per (field, part))."""
+    out: list[pa.Table] = []
+    for field in META_FIELDS:
+        vals = t[field].combine_chunks() if isinstance(t[field], pa.ChunkedArray) else t[field]
+        nonempty = pc.fill_null(pc.not_equal(pc.coalesce(vals, ""), ""), False)
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        if not keep.any():
+            continue
+        denc = vals.filter(nonempty).dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.flatnonzero(keep)
+        p = part[rows]
+        d = docid_of_row[rows]
+        o = np.lexsort((d, codes, p))
+        dict_terms = pc.binary_join_element_wise(pa.scalar(field + "\x1f"), denc.dictionary, "")
+        out.append(
+            encode_multi_part_runs(
+                p[o], codes[o], d[o], np.ones(len(o), dtype=np.int64),
+                dl_all[rows[o]], dict_terms,
+            )
+        )
+    return out
+
+
+def forward_to_run_row(part: int, first_doc: int, last_doc: int, forward: pa.Table) -> pa.Table:
+    """Wrap a forward-table slice as one FWD_TERM run row (Arrow IPC bytes)."""
+    import io
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, forward.schema) as w:
+        w.write_table(forward)
+    payload = sink.getvalue()
+    empty_i32 = pa.array([[]], type=pa.large_list(pa.int32()))
+    return pa.table(
+        {
+            "part": pa.array([part], type=pa.int32()),
+            "term": pa.array([FWD_TERM], type=pa.large_string()),
+            "first_doc": pa.array([first_doc], type=pa.int32()),
+            "last_doc": pa.array([last_doc], type=pa.int32()),
+            "df": pa.array([forward.num_rows], type=pa.int32()),
+            "ttf": pa.array([0], type=pa.int64()),
+            "max_tf": pa.array([0], type=pa.int32()),
+            "n_blocks": pa.array([0], type=pa.int32()),
+            "doc_bytes": pa.array([payload], type=pa.large_binary()),
+            "tf_bytes": pa.array([b""], type=pa.large_binary()),
+            "blk_first": empty_i32,
+            "blk_count": empty_i32,
+            "blk_max_tf": empty_i32,
+            "blk_min_dl": empty_i32,
+        },
+        schema=RUNS_SCHEMA,
+    )
+
+
+def runs_split_forward(group: pa.Table) -> tuple[pa.Table, pa.Table | None]:
+    """Split a partition's shuffled runs into (posting runs, forward table).
+    Forward slices concatenate in first_doc order."""
+    is_fwd = pc.equal(group["term"], FWD_TERM)
+    if not pc.any(is_fwd).as_py():
+        return group, None
+    fwd_rows = group.filter(is_fwd)
+    rest = group.filter(pc.invert(is_fwd))
+    idx = pc.sort_indices(fwd_rows, sort_keys=[("first_doc", "ascending")])
+    fwd_rows = fwd_rows.take(idx)
+    tables = []
+    for i in range(fwd_rows.num_rows):
+        buf = fwd_rows["doc_bytes"][i].as_py()
+        tables.append(pa.ipc.open_stream(buf).read_all())
+    return rest, pa.concat_tables(tables).combine_chunks()
 
 
 def build_segment_table(group: pa.Table, use_stopwords: bool = False):
@@ -342,7 +430,7 @@ def _build_index_sort(
         SegmentBuilder,
         fn_constructor_kwargs=builder_kwargs,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
     rows = manifest_ds.take_all()  # tiny: one row per partition
@@ -431,7 +519,10 @@ def scan_file_meta(path: str, n_parts: int) -> dict:
 
 class FileIndexer:
     """Phase-2 actor-pool stage: one input file per call → posting runs with
-    global docIds + forward fragments written in place."""
+    global docIds, plus the file's forward-table slices serialized as Arrow
+    IPC inside special ``FWD_TERM`` run rows. Everything — postings AND
+    forward rows — travels through the ONE groupby(part) exchange; no side
+    files, so there is nothing to compact and nothing partial on disk."""
 
     def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
                  use_stopwords: bool = False):
@@ -444,28 +535,92 @@ class FileIndexer:
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=INPUT_COLUMNS)
+        n = t.num_rows
+        if n == 0:
+            return []
         conv = t["conv_id"].combine_chunks()
         part = (fnv1a64(conv) % np.uint64(self.n_parts)).astype(np.int64)
+
+        # vectorized per-row docId: rank within part (row order == stable
+        # (conv_id, turn_idx) order, validated in phase 1) + the file's base
+        order = np.argsort(part, kind="stable")
+        sp = part[order]
+        grp_starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+        grp_counts = np.diff(np.append(grp_starts, n))
+        within = np.arange(n, dtype=np.int64) - np.repeat(grp_starts, grp_counts)
+        docid_of_row = np.empty(n, dtype=np.int64)
+        docid_of_row[order] = bases[sp] + within
+
+        if self.skip:
+            keep = ~np.isin(part, np.fromiter(self.skip, dtype=np.int64))
+            if not keep.any():
+                return []
+            if not keep.all():
+                t = t.filter(pa.array(keep)).combine_chunks()
+                part = part[keep]
+                docid_of_row = docid_of_row[keep]
+                n = t.num_rows
+                order = np.argsort(part, kind="stable")
+                sp = part[order]
+                grp_starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+                grp_counts = np.diff(np.append(grp_starts, n))
+
         runs: list[pa.Table] = []
-        for p in np.unique(part):
-            p = int(p)
-            if p in self.skip:
+        dl_all = np.zeros(n, dtype=np.int32)
+        # tokenize the WHOLE file chunk-wise (vectorization over all parts at
+        # once), then one lexsort groups triples by (part, term, doc)
+        for lo in range(0, n, CHUNK_DOCS):
+            hi = min(n, lo + CHUNK_DOCS)
+            parents, tokens = tokenize_flat(
+                t["text"].slice(lo, hi - lo), use_stopwords=self.use_stopwords
+            )
+            dl_all[lo:hi] = token_counts(parents, hi - lo)
+            if len(parents) == 0:
                 continue
-            mask = pa.array(part == p)
-            sub = t.filter(mask).combine_chunks()
-            cnt = sub.num_rows
-            base = int(bases[p])
-            doc_ids = base + np.arange(cnt, dtype=np.int64)
-            dl_all = np.zeros(cnt, dtype=np.int32)
-            for lo in range(0, cnt, CHUNK_DOCS):
-                hi = min(cnt, lo + CHUNK_DOCS)
-                runs.append(
-                    tokenize_chunk_to_runs(
-                        sub["text"].slice(lo, hi - lo), p, base + lo,
-                        dl_all[lo:hi], use_stopwords=self.use_stopwords,
-                    )
+            denc = (
+                tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+            ).dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            rows = parents + lo
+            # ONE int64 sort over packed (part, code, in-file row) — row order
+            # equals docId order within a partition, so the pack preserves the
+            # (part, term, doc) grouping the encoder needs at ~1/4 the memory
+            # traffic of a 3-key lexsort
+            if n < (1 << 21) and len(denc.dictionary) < (1 << 23) and self.n_parts < (1 << 20):
+                comp = (part[rows] << np.int64(44)) | (codes << np.int64(21)) | rows
+                comp.sort()
+                r2 = comp & np.int64((1 << 21) - 1)
+                c2 = (comp >> np.int64(21)) & np.int64((1 << 23) - 1)
+                p2 = comp >> np.int64(44)
+                same = np.zeros(len(comp), dtype=bool)
+                same[1:] = comp[1:] == comp[:-1]
+            else:  # huge-file fallback
+                p_tok = part[rows]
+                d_tok = docid_of_row[rows]
+                o2 = np.lexsort((d_tok, codes, p_tok))
+                p2, c2, r2 = p_tok[o2], codes[o2], rows[o2]
+                same = np.zeros(len(o2), dtype=bool)
+                same[1:] = (p2[1:] == p2[:-1]) & (c2[1:] == c2[:-1]) & (r2[1:] == r2[:-1])
+            starts = np.flatnonzero(~same)
+            tf = np.diff(np.append(starts, len(same)))
+            rs = r2[starts]
+            dict_terms = pc.binary_join_element_wise(
+                pa.scalar(TEXT_FIELD + "\x1f"), denc.dictionary, ""
+            )
+            runs.append(
+                encode_multi_part_runs(
+                    p2[starts], c2[starts], docid_of_row[rs], tf,
+                    dl_all[rs], dict_terms,
                 )
-            runs.extend(meta_field_runs(sub, p, doc_ids, dl_all))
+            )
+        # meta fields across all parts at once
+        runs.extend(meta_field_runs_multi(t, part, docid_of_row, dl_all))
+        # forward slices per part, shipped as IPC pseudo-runs
+        for gi, gs in enumerate(grp_starts):
+            rows_p = order[gs : gs + grp_counts[gi]]
+            p = int(sp[gs])
+            sub = t.take(pa.array(rows_p))
+            doc_ids = docid_of_row[rows_p]
             forward = pa.table(
                 {
                     "doc_id": pa.array(doc_ids.astype(np.int32), type=pa.int32()),
@@ -474,11 +629,11 @@ class FileIndexer:
                     "role": sub["role"],
                     "tool": sub["tool"],
                     "ts": pa.array(_ts_to_us(sub["ts"]), type=pa.int64()),
-                    "dl": pa.array(dl_all, type=pa.int32()),
+                    "dl": pa.array(dl_all[rows_p], type=pa.int32()),
                 },
                 schema=FORWARD_SCHEMA,
             )
-            write_forward_fragment(self.index_dir, p, fidx, forward)
+            runs.append(forward_to_run_row(p, int(doc_ids[0]), int(doc_ids[-1]), forward))
         return runs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -492,7 +647,19 @@ class FileIndexer:
                 )
             )
         runs = [r for r in runs if r.num_rows]
-        return pa.concat_tables(runs) if runs else RUNS_SCHEMA.empty_table()
+        if not runs:
+            return RUNS_SCHEMA.empty_table()
+        t = pa.concat_tables(runs)
+        if batch.num_rows <= 1:
+            return t
+        # in-task combiner: merge the files' runs per (part, term) BEFORE the
+        # shuffle (offset subsampling, no decode) — shrinks the exchange by
+        # ~the files-per-task factor. FWD rows must stay un-merged (each is a
+        # self-contained IPC stream).
+        is_fwd = pc.equal(t["term"], FWD_TERM)
+        fwd_rows = t.filter(is_fwd)
+        merged = merge_runs(t.filter(pc.invert(is_fwd)))
+        return pa.concat_tables([merged, fwd_rows]) if fwd_rows.num_rows else merged
 
 
 class SegmentFinalizer:
@@ -509,13 +676,18 @@ class SegmentFinalizer:
         if group.num_rows == 0:
             return MANIFEST_ROW_SCHEMA.empty_table()
         part = int(group["part"][0].as_py())
-        postings = merge_runs(group)
+        run_rows, forward = runs_split_forward(group)
+        postings = merge_runs(run_rows)
         postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
         text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
         total_tokens = int(
             pc.sum(pc.if_else(text_mask, postings["ttf"], pa.scalar(0, pa.int64()))).as_py() or 0
         )
         n_docs = int(self.n_docs_by_part.get(part, 0))
+        if forward is not None and forward.num_rows != n_docs:
+            raise AssertionError(
+                f"part {part}: forward rows {forward.num_rows} != expected {n_docs}"
+            )
         posting_bytes = sum(postings[c].nbytes for c in ("doc_bytes", "tf_bytes"))
         metrics = {
             "n_docs": n_docs,
@@ -524,7 +696,7 @@ class SegmentFinalizer:
             "avg_dl": float(total_tokens / n_docs) if n_docs else 0.0,
             "posting_bytes": int(posting_bytes),
         }
-        finalize_segment(self.index_dir, part, postings, dict(self.lineage), metrics)
+        finalize_segment(self.index_dir, part, postings, dict(self.lineage), metrics, forward)
         return pa.table(
             {
                 "part": pa.array([part], type=pa.int32()),
@@ -586,15 +758,26 @@ def build_index_streaming(
     items = [
         {"path": f, "fidx": i, "bases": bases[i].tolist()} for i, f in enumerate(files)
     ]
+    # files per task: enough tasks for load balance (~1.5 waves), capped so a
+    # task's resident set stays bounded at real file sizes
+    group = int(min(8, max(1, -(-len(files) // max(1, int(1.5 * concurrency))))))
     runs_ds = rd.from_items(items).map_batches(
         FileIndexer,
         fn_constructor_kwargs={
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
         },
-        batch_size=1,
+        batch_size=group,
         batch_format="pyarrow",
-        concurrency=min(concurrency, len(files)),
+        # (min, max) pools: a healthy min so the pool ramps immediately, but
+        # min_phase2 + min_phase3 must stay below the CPU count — two fixed
+        # pools that together demand more CPUs than exist deadlock the
+        # all-or-nothing pool start (observed); autoscaling from a floor
+        # always makes progress
+        concurrency=(
+            min(max(1, concurrency // 2), min(concurrency, len(files))),
+            min(concurrency, len(files)),
+        ),
         num_cpus=1,
     )
     manifest_ds = runs_ds.groupby("part").map_groups(
@@ -605,7 +788,7 @@ def build_index_streaming(
             "lineage": lineage,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
     rows = manifest_ds.take_all()  # tiny: one row per partition

@@ -38,6 +38,12 @@ BLOCK_SIZE = 128
 # before every real term ("\x01" < any printable byte).
 DOCLEN_TERM = "\x01dl"
 
+# Pseudo-term carrying a forward-table slice through the posting shuffle:
+# ``doc_bytes`` holds the Arrow-IPC-serialized slice, ``first_doc/last_doc``
+# its docId range (fragments concatenate in first_doc order). Never collides
+# with real term keys ("<field>\x1f<term>") and sorts before them.
+FWD_TERM = "\x00fwd"
+
 RUNS_SCHEMA = pa.schema(
     [
         ("part", pa.int32()),
@@ -194,6 +200,39 @@ def encode_codes_to_runs(
     part_arr = np.full(n, part, dtype=np.int64)
     return _encode_runs(
         part_arr,
+        term_per_run,
+        np.asarray(doc, dtype=np.int64),
+        np.asarray(tf, dtype=np.int64),
+        np.asarray(dl, dtype=np.int64),
+        new_run,
+        run_starts,
+    )
+
+
+def encode_multi_part_runs(
+    part: np.ndarray,
+    codes: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    dict_terms: pa.Array,
+) -> pa.Table:
+    """Multi-partition fast path: triples sorted by (part, code, doc), doc
+    strictly increasing within each (part, code). One call encodes a whole
+    file's token stream across all its partitions."""
+    n = len(doc)
+    if n == 0:
+        return RUNS_SCHEMA.empty_table()
+    part = np.asarray(part, dtype=np.int64)
+    codes = np.asarray(codes, dtype=np.int64)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    if n > 1:
+        new_run[1:] = (part[1:] != part[:-1]) | (codes[1:] != codes[:-1])
+    run_starts = np.flatnonzero(new_run)
+    term_per_run = dict_terms.take(pa.array(codes[run_starts])).cast(pa.large_string())
+    return _encode_runs(
+        part,
         term_per_run,
         np.asarray(doc, dtype=np.int64),
         np.asarray(tf, dtype=np.int64),

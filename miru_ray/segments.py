@@ -133,56 +133,32 @@ def write_segment(
     return manifest
 
 
-def write_forward_fragment(index_dir: str, part: int, frag_idx: int, forward: pa.Table) -> str:
-    """Streaming-build path: write one file's slice of a partition's forward
-    table as ``forward-<frag>.parquet`` (docId ranges of fragments are
-    disjoint and ascending in fragment order, so sorted-filename concat
-    reconstructs the docId order). Idempotent: a re-run of an incomplete
-    partition overwrites with identical bytes."""
-    d = part_dir(index_dir, part)
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"forward-{frag_idx:05d}.parquet")
-    tmp = path + ".tmp"
-    pq.write_table(forward, tmp, row_group_size=65536)
-    os.replace(tmp, path)
-    return path
-
-
 def finalize_segment(
     index_dir: str,
     part: int,
     postings: pa.Table,
     lineage: dict,
     metrics: dict,
+    forward: pa.Table | None = None,
 ) -> dict:
-    """Streaming-build path: write postings + manifest (LAST) for a partition
-    whose forward fragments were already written by the indexer stage —
-    the same 'ready after all futures' ordering (MiruIndexer.java:121-123)."""
+    """Streaming-build path: write postings + forward, then the manifest
+    LAST — the same 'ready after all futures' ordering
+    (MiruIndexer.java:121-123)."""
     d = part_dir(index_dir, part)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, "postings.parquet.tmp")
     pq.write_table(postings, tmp, row_group_size=1024)
     os.replace(tmp, os.path.join(d, "postings.parquet"))
-    # compact forward fragments into one file (partition-local, no shuffle):
-    # queries then pay one read instead of one per input file
-    frags = sorted(f for f in os.listdir(d) if f.startswith("forward-"))
-    if frags:
-        fwd = pa.concat_tables(
-            [pq.read_table(os.path.join(d, f)) for f in frags]
-        ).combine_chunks()
+    if forward is not None:
         ftmp = os.path.join(d, "forward.parquet.tmp")
-        pq.write_table(fwd, ftmp, row_group_size=65536)
+        pq.write_table(forward, ftmp, row_group_size=65536)
         os.replace(ftmp, os.path.join(d, "forward.parquet"))
-        for f in frags:
-            os.remove(os.path.join(d, f))
-        frags = []
     manifest = {
         "complete": True,
         "version": INDEX_VERSION,
         "part": part,
         "lineage": lineage,
         "metrics": metrics,
-        "forward_fragments": frags,
     }
     mp = manifest_path(index_dir, part)
     with open(mp + ".tmp", "w") as f:

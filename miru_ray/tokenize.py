@@ -8,28 +8,43 @@ terms only, so the tokenizer must be byte-identical between the build side
 and the query side.  We fix a deterministic, locale-free rule that is also
 expressible in ANSI SQL (for the DuckDB oracles):
 
-    tokens(text) = regexp_extract_all(lower(text), '[a-z0-9]+')
+    tokens(text) = maximal runs of [a-z0-9] after ASCII-lowercasing
+                 ≡ regexp_extract_all(lower(text), '[a-z0-9]+') on ASCII text
 
-i.e. lowercase, then maximal runs of ASCII ``[a-z0-9]``.  An optional English
+Lowercasing is ASCII-only (bytes A-Z → a-z): non-ASCII bytes are separators,
+so the rule operates on raw UTF-8 bytes with no Unicode tables. (The only
+divergence from Unicode ``lower()`` is exotic codepoints that case-fold INTO
+ascii, e.g. the Kelvin sign — they never produce tokens here. The SQL
+oracles use ``lower()``, identical on ASCII corpora.)  An optional English
 stopword set mirrors the reference's ``useStopWords`` flag
 (LuceneBackedQueryParser.java:48-53); default off.
 
-The Arrow path (`tokenize_flat`) is fully vectorized: ``utf8_lower`` →
-``split_pattern_regex`` → ``list_flatten`` + ``list_parent_indices`` →
-empty-token mask.  No Python per-row loop.
+The Arrow path (`tokenize_flat`) is byte-level numpy: one 256-entry LUT
+lowercase pass, one token-class mask, boundary detection by shifted masks
+(row-boundary breaks forced), and a single gather building the token string
+array in place. No regex, no list arrays, no per-row loop — ~5 linear
+passes over the byte buffer, which keeps 30-way-parallel build workers off
+the memory-allocator wall.
 """
 
 from __future__ import annotations
 
 import re
+import string
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 TOKEN_PATTERN = "[a-z0-9]+"
-_SPLIT_PATTERN = "[^a-z0-9]+"
 _PY_TOKEN_RE = re.compile(TOKEN_PATTERN)
+_ASCII_LOWER = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32  # A-Z → a-z
+_ISTOK_LUT = np.zeros(256, dtype=bool)
+_ISTOK_LUT[ord("a") : ord("z") + 1] = True
+_ISTOK_LUT[ord("0") : ord("9") + 1] = True
 
 # Small fixed English stopword list (deterministic contract; mirrors the
 # spirit of Lucene's EnglishAnalyzer default set, reference
@@ -42,8 +57,8 @@ STOPWORDS = frozenset(
 
 def py_tokenize(text: str, use_stopwords: bool = False) -> list[str]:
     """Scalar tokenizer (oracle / query-parse side). Contract-identical to
-    ``tokenize_flat``."""
-    toks = _PY_TOKEN_RE.findall(text.lower()) if text else []
+    ``tokenize_flat`` (ASCII-only lowercasing)."""
+    toks = _PY_TOKEN_RE.findall(text.translate(_ASCII_LOWER)) if text else []
     if use_stopwords:
         toks = [t for t in toks if t not in STOPWORDS]
     return toks
@@ -52,24 +67,57 @@ def py_tokenize(text: str, use_stopwords: bool = False) -> list[str]:
 def tokenize_flat(
     texts: pa.Array | pa.ChunkedArray, use_stopwords: bool = False
 ) -> tuple[np.ndarray, pa.Array]:
-    """Vectorized tokenize of a string column.
+    """Vectorized byte-level tokenize of a string column.
 
     Returns ``(parent_indices:int64[nTokens], tokens:StringArray[nTokens])``
     where ``parent_indices[i]`` is the row of ``texts`` that produced token
     ``i``; tokens appear in within-row order.
     """
+    from .hashing import _string_buffers
+
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    low = pc.utf8_lower(pc.coalesce(texts, pa.scalar("", type=texts.type)))
-    lists = pc.split_pattern_regex(low, _SPLIT_PATTERN)
-    flat = pc.list_flatten(lists)
-    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    mask = pc.not_equal(flat, "")
+    offsets, data = _string_buffers(texts)
+    n_rows = len(offsets) - 1
+    if len(data) == 0:
+        return np.empty(0, np.int64), pa.array([], type=pa.string())
+    low = _LOWER_LUT[data]
+    mask = _ISTOK_LUT[low]
+    # token starts: in-class byte whose predecessor is out-of-class or a row
+    # boundary; ends symmetric. Row boundaries force breaks so adjacent rows
+    # never merge into one token.
+    prev = np.empty(len(mask), dtype=bool)
+    prev[0] = False
+    prev[1:] = mask[:-1]
+    row_bounds = offsets[(offsets > 0) & (offsets < len(mask))]
+    prev[row_bounds] = False
+    starts = np.flatnonzero(mask & ~prev)
+    nxt = np.empty(len(mask), dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = mask[1:]
+    nxt[row_bounds - 1] = False
+    ends = np.flatnonzero(mask & ~nxt) + 1
+    if len(starts) == 0:
+        return np.empty(0, np.int64), pa.array([], type=pa.string())
+    lengths = ends - starts
+    parents = np.searchsorted(offsets, starts, side="right") - 1
+    # single gather building the packed token bytes
+    out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out_off[1:])
+    idx = np.arange(out_off[-1], dtype=np.int64) + np.repeat(starts - out_off[:-1], lengths)
+    tok_bytes = low[idx]
+    tokens = pa.StringArray.from_buffers(
+        len(starts),
+        pa.py_buffer(out_off.astype(np.int32)),
+        pa.py_buffer(tok_bytes),
+    )
+    parents = parents.astype(np.int64, copy=False)
     if use_stopwords:
-        mask = pc.and_(mask, pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))))
-    keep = mask.to_numpy(zero_copy_only=False)
-    tokens = flat.filter(mask)
-    return parents[keep].astype(np.int64, copy=False), tokens
+        keep_a = pc.invert(pc.is_in(tokens, value_set=pa.array(sorted(STOPWORDS))))
+        keep = keep_a.to_numpy(zero_copy_only=False)
+        tokens = tokens.filter(keep_a)
+        parents = parents[keep]
+    return parents, tokens
 
 
 def token_counts(parents: np.ndarray, n_rows: int) -> np.ndarray:

@@ -265,3 +265,18 @@ def test_auto_falls_back_on_unsorted_input(ray_session, tiny_transcripts_dir, tm
         a = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))
         b = pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
         assert a.equals(b), p
+
+
+def test_actor_engine_equals_tasks(index_dir):
+    """Partition-pinned actor pool returns identical answers (and caches
+    across repeated queries)."""
+    plain = SearchEngine(index_dir)
+    actor = SearchEngine(index_dir, use_actors=True, n_actors=2)
+    for q in ("t1 t7", "t1 OR w00042", "NOT t2", "w004*"):
+        a, fa = plain.search(q, k=15)
+        for _ in range(2):  # second round exercises the warm cache
+            b, fb = actor.search(q, k=15)
+            assert fa == fb
+            assert [(h.part, h.doc_id, h.score) for h in a] == [
+                (h.part, h.doc_id, h.score) for h in b
+            ]

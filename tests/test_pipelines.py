@@ -1,0 +1,244 @@
+"""Tests for the training-data pipelines (dedup, ANN, text stats,
+multimodal plumbing) against scalar pure-python oracles and numpy brute
+force. The sf0.001 testdata tables are the corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(SF + "/documents.parquet")
+    return t.to_pydict()
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(docs):
+    from miru_ray.tokenize import py_tokenize
+
+    return {i: py_tokenize(t) for i, t in zip(docs["doc_id"], docs["text"])}
+
+
+# ----------------------------------------------------------- scalar oracles
+
+
+def scalar_token_hash(tok: str) -> int:
+    from miru_ray.hashing import fnv1a64_str
+
+    return fnv1a64_str(tok)
+
+
+def scalar_splitmix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def scalar_gram_hashes(tokens: list[str], k: int) -> list[int]:
+    """Independent scalar replica of textstats.gram_hashes."""
+    th = [scalar_token_hash(t) for t in tokens]
+    n = len(th)
+    if n < k:
+        return []
+    h = list(th)
+    for j in range(1, k):
+        h = [scalar_splitmix((x * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF) for x in h]
+        for i in range(n - j):
+            h[i] ^= th[i + j]
+    return h[: n - k + 1]
+
+
+def scalar_winnow(grams: list[int], w: int) -> set[int]:
+    if not grams:
+        return set()
+    if len(grams) < w:
+        return {min(grams)}
+    return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+
+
+def scalar_simhash(tokens: list[str]) -> int:
+    acc = [0] * 64
+    for t in tokens:
+        h = scalar_token_hash(t)
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_vs_python(ray_session, docs):
+    from miru_ray.dedup import exact_dedup_ds
+
+    got = exact_dedup_ds(SF).to_pandas().sort_values("keep_id").reset_index(drop=True)
+    groups: dict[str, list[int]] = {}
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        groups.setdefault(t, []).append(i)
+    exp = sorted((min(v), len(v)) for v in groups.values())
+    assert list(zip(got["keep_id"], got["n_dups"])) == exp
+
+
+def test_simhash_vs_scalar(ray_session, doc_tokens):
+    from miru_ray.dedup import simhash_ds
+
+    got = dict(
+        zip(*(lambda d: (d["doc_id"], d["simhash"]))(simhash_ds(SF).to_pandas().to_dict("list")))
+    )
+    for i in list(doc_tokens)[:40]:
+        exp = scalar_simhash(doc_tokens[i])
+        assert got[i] == np.int64(np.uint64(exp).astype(np.int64)), i
+
+
+def test_minhash_pairs_recall_and_estimates(ray_session, doc_tokens):
+    """Every returned candidate's estimated Jaccard must be close to the true
+    token-3-gram Jaccard, and every true near-dup pair (J≥0.9) must be found
+    (16 bands × 4 rows → recall at 0.9 is ~1-3e-8)."""
+    from miru_ray.dedup import exact_jaccard, minhash_pairs_ds
+
+    got = minhash_pairs_ds(SF, threshold=0.5).to_pandas()
+    pairs = {(int(a), int(b)): float(e) for a, b, e in zip(got["a"], got["b"], got["est_jaccard"])}
+    for (a, b), est in pairs.items():
+        truth = exact_jaccard(doc_tokens[a], doc_tokens[b], k=3)
+        assert abs(truth - est) < 0.35, (a, b, truth, est)
+    # brute-force the true near-dups for recall (precomputed gram sets)
+    ids = sorted(doc_tokens)
+    gsets = {
+        i: frozenset(
+            tuple(doc_tokens[i][j : j + 3]) for j in range(len(doc_tokens[i]) - 2)
+        )
+        for i in ids
+    }
+    true_dups = set()
+    for x in range(len(ids)):
+        gx = gsets[ids[x]]
+        for y in range(x + 1, len(ids)):
+            gy = gsets[ids[y]]
+            u = len(gx | gy)
+            if (len(gx & gy) / u if u else 1.0) >= 0.9:
+                true_dups.add((ids[x], ids[y]))
+    missed = true_dups - set(pairs)
+    assert not missed, f"missed near-dups: {missed}"
+
+
+def test_fingerprints_vs_scalar(ray_session, doc_tokens):
+    from miru_ray.textstats import fingerprint_ds
+
+    df = fingerprint_ds(SF, k=3, w=4).to_pandas().set_index("doc_id")
+    for i in list(doc_tokens)[:40]:
+        grams = scalar_gram_hashes(doc_tokens[i], 3)
+        fps = scalar_winnow(grams, 4)
+        assert df.loc[i, "n_grams"] == len(grams), i
+        assert df.loc[i, "n_fingerprints"] == len(fps), i
+        x = 0
+        for f in fps:
+            x ^= f
+        assert np.int64(df.loc[i, "fp_xor"]) == np.uint64(x).astype(np.int64), i
+
+
+# --------------------------------------------------------------------- ANN
+
+
+@pytest.fixture(scope="module")
+def emb():
+    t = pq.read_table(SF + "/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    return ids, m
+
+
+def test_ann_brute_vs_numpy(ray_session, emb):
+    from miru_ray.ann import ann_brute_topk
+
+    ids, m = emb
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    got = ann_brute_topk(SF, n_queries=4, k=5).to_pandas()
+    for q in range(4):
+        sims = mn @ mn[q]
+        sims[q] = -np.inf  # exclude self
+        exp = set(np.argsort(-sims)[:5].tolist())
+        mine = set(got[got["q"] == q]["neighbor"].tolist())
+        assert mine == exp, q
+
+
+def test_ann_lsh_recall(ray_session, emb):
+    from miru_ray.ann import ann_brute_topk, ann_lsh_topk
+
+    brute = ann_brute_topk(SF, n_queries=6, k=10).to_pandas()
+    lsh = ann_lsh_topk(SF, n_queries=6, k=10, n_planes=12, probe=6).to_pandas()
+    hits = 0
+    total = 0
+    for q in range(6):
+        b = set(brute[brute["q"] == q]["neighbor"])
+        l = set(lsh[lsh["q"] == q]["neighbor"])
+        hits += len(b & l)
+        total += len(b)
+    assert hits / total >= 0.5, hits / total
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(ray_session):
+    from miru_ray.multimodal import DecodeStage, FEATURE_DIM, feature_extract_ds, synth_media_table
+
+    media = synth_media_table(100)
+    out = feature_extract_ds(media, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 100
+    assert set(out.columns) == {"media_id", "media_type", "n_bytes", "features"}
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # deterministic across a second run
+    out2 = feature_extract_ds(media, concurrency=2, batch_size=7).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(NotImplementedError):
+        DecodeStage(backend="real")
+
+
+# -------------------------------------------------- scalar batch unit tests
+
+
+def test_langid_tiebreak_and_und():
+    from miru_ray.textstats import _langid_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat und der hund",   # en 1, de 2 → de
+                    "zzz qqq",                 # no hits → und
+                    "le la the and",           # en 2, fr 2 → en (order priority)
+                    "",                        # empty → und
+                ]
+            ),
+        }
+    )
+    out = _langid_batch(t).to_pydict()
+    assert out["pred_lang"] == ["de", "und", "en", "und"]
+
+
+def test_quality_empty_and_ratios():
+    from miru_ray.textstats import _quality_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["the quick fox", ""]),
+        }
+    )
+    out = _quality_batch(t).to_pydict()
+    assert out["n_tokens"] == [3, 0]
+    assert out["stopword_ratio"][0] == 1 / 3
+    assert out["stopword_ratio"][1] == 0.0
+    assert out["mean_token_len"][0] == (3 + 5 + 3) / 3
