@@ -126,6 +126,7 @@ class PostingSource:
         self.post: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self.ttf: dict[tuple[str, str], int] = {}
         self.df: dict[tuple[str, str], int] = {}
+        self.blocks: dict[tuple[str, str], dict[str, np.ndarray]] = {}
         misses = []
         for k in sorted(keys):
             hit = _POSTING_CACHE.get((index_dir, part, k))
@@ -136,6 +137,7 @@ class PostingSource:
                 self.post[(field, term)] = (hit[0], hit[1])
                 self.ttf[(field, term)] = hit[2]
                 self.df[(field, term)] = hit[3]
+                self.blocks[(field, term)] = hit[4]
         if misses:
             if len(_POSTING_CACHE) > _POSTING_CACHE_CAP:
                 _POSTING_CACHE.clear()
@@ -144,18 +146,27 @@ class PostingSource:
             for i in range(t.num_rows):
                 key_str = t["term"][i].as_py()
                 field, term = key_str.split(FIELD_SEP, 1)
+                blk_first = np.asarray(t["blk_first"][i].as_py())
+                blk_count = np.asarray(t["blk_count"][i].as_py())
                 docs, tfs = decode_posting(
                     t["doc_bytes"][i].as_py(),
                     t["tf_bytes"][i].as_py(),
-                    np.asarray(t["blk_first"][i].as_py()),
-                    np.asarray(t["blk_count"][i].as_py()),
+                    blk_first,
+                    blk_count,
                 )
                 ttf = int(t["ttf"][i].as_py())
                 df = int(t["df"][i].as_py())
+                blocks = {
+                    "first": blk_first,
+                    "count": blk_count,
+                    "max_tf": np.asarray(t["blk_max_tf"][i].as_py()),
+                    "min_dl": np.asarray(t["blk_min_dl"][i].as_py()),
+                }
                 self.post[(field, term)] = (docs, tfs)
                 self.ttf[(field, term)] = ttf
                 self.df[(field, term)] = df
-                _POSTING_CACHE[(index_dir, part, key_str)] = (docs, tfs, ttf, df)
+                self.blocks[(field, term)] = blocks
+                _POSTING_CACHE[(index_dir, part, key_str)] = (docs, tfs, ttf, df, blocks)
                 found.add(key_str)
             for k in misses:
                 if k not in found:
@@ -251,9 +262,11 @@ def search_partition(
     constraint: Filter | None = None,
     max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
     use_stopwords: bool = False,
+    prune: bool = True,
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
-    task friendly)."""
+    task friendly). ``prune=False`` forces the full-evaluation path (used by
+    tests to cross-check the block-max pruned path)."""
     manifest = _cached_manifest(index_dir, part)
     n_docs = manifest["metrics"]["n_docs"]
     avg_dl = manifest["metrics"].get("avg_dl") or (
@@ -265,6 +278,31 @@ def search_partition(
     if constraint is not None:
         _collect_term_specs(constraint, specs)
     src = PostingSource(index_dir, part, specs, max_wild)
+
+    if (
+        prune
+        and scoring in ("ref_tfidf", "bm25")
+        and constraint is None
+        and time_range is None
+        and k > 0
+    ):
+        from .wand import disjunctive_terms, wand_topk
+
+        occ = disjunctive_terms(filt)
+        if occ is not None:
+            # block-max pruned path (exact; rank-identical by construction)
+            counts: dict[tuple[str, str], int] = {}
+            for key in occ:
+                counts[key] = counts.get(key, 0) + 1
+            fwd = forward_columns(index_dir, part)
+            docs_w, scores_w, found, _pruned = wand_topk(
+                src, counts, k, scoring, n_docs, avg_dl, fwd["dl"]
+            )
+            order = np.lexsort((-docs_w, -scores_w))[:k]
+            sel_docs, sel_scores = docs_w[order], scores_w[order]
+            ts_top = fwd["ts"][sel_docs]
+            final = np.lexsort((-ts_top, -sel_scores))
+            return _gather(fwd, part, sel_docs[final], sel_scores[final], found)
 
     collector: dict[tuple[str, str], int] = {}
     answer = eval_filter_np(filt, src, n_docs, collector)
@@ -439,11 +477,13 @@ class SearchEngine:
         constraint: Filter | None = None,
         max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
         parallel: bool | None = None,
+        prune: bool = True,
     ) -> tuple[list[Hit], int]:
         use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
         kwargs = dict(
             query=query, k=k, scoring=scoring, time_range=time_range,
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
+            prune=prune,
         )
         results = self._fan_out(kwargs, parallel)
         merged: list[Hit] = []

@@ -1,0 +1,204 @@
+"""Block-max pruned top-k for disjunctive queries (exact, rank-identical).
+
+The north-star query engine prunes with block-max metadata (the per-block
+``(first_doc, count, max_tf, min_dl)`` recorded by the codec — the same
+role as the reference's per-posting ``lastId`` header and the block-max
+WAND family, Ding & Suel 2011). This implementation is a *block-max
+sweep*, vectorized instead of pointer-chasing:
+
+1. per term, an upper bound for each posting block (max_tf, and for BM25
+   min_dl — tf/(tf+K) is increasing in tf and decreasing in dl);
+2. a boundary sweep over all blocks of all query terms yields docId
+   segments with a total upper bound Σ_t ub_t(segment);
+3. segments are visited in descending upper-bound order; docs inside are
+   scored EXACTLY (same fp32 term-sorted accumulation as the full scorer —
+   identical float results, hence identical ranks); the sweep stops when
+   the running k-th score (tie-break: docId desc) is ≥ every remaining
+   segment's bound.
+
+Exactness: any unscored doc lies in a segment with bound < kth score, so
+it cannot displace the top k; segments with bound == kth score are still
+visited (docId-desc tie-break can admit equal scores).
+
+The posting bytes are still decoded whole-posting (our varbyte decode is
+one vectorized pass; per-block byte offsets are a format extension left
+for a later round), so the saving is the scoring work — the right
+trade-off while postings fit comfortably in memory per partition.
+
+``found`` (the reference's answer cardinality) still requires the union
+size; it is computed with one concat+unique, not with scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .filters import Filter
+
+F32 = np.float32
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def disjunctive_terms(filt: Filter) -> list[tuple[str, str]] | None:
+    """If ``filt`` is a pure positive disjunction (OR of plain terms, a
+    single term, or one multi-value field filter — no NOT, no nesting
+    beyond OR, no inclusive mask, no wildcards), return its (field, value)
+    occurrence list (duplicates preserved: the signed collector counts
+    them). Otherwise None."""
+    out: list[tuple[str, str]] = []
+
+    def leaf(f: Filter) -> bool:
+        if f.inclusive or f.sub_filters or len(f.field_filters) != 1:
+            return False
+        ff = f.field_filters[0]
+        if any(v.endswith("*") for v in ff.values):
+            return False
+        out.extend((ff.field, v) for v in ff.values)
+        return True
+
+    if filt.op == "and" and not filt.sub_filters and not filt.inclusive:
+        return out if len(filt.field_filters) == 1 and leaf(filt) else None
+    if filt.op == "or" and not filt.inclusive and not filt.field_filters:
+        for sub in filt.sub_filters:
+            if sub.op != "and" or not leaf(sub):
+                return None
+        return out
+    return None
+
+
+def wand_topk(
+    src,
+    term_counts: dict[tuple[str, str], int],
+    k: int,
+    scoring: str,
+    n_docs: int,
+    avg_dl: float,
+    dl_arr: np.ndarray,
+):
+    """Exact pruned top-k over the union of the terms' postings.
+
+    Returns (answer_docs_scored: int64[], scores: float32[], found: int,
+    pruned_frac: float). Scores/tie-breaks are bit-identical to the full
+    scorer's (same fp32 ops in the same sorted-term order).
+    """
+    terms = []
+    for (field, term), c in sorted(term_counts.items()):
+        p = src.post.get((field, term))
+        if p is None:
+            continue
+        docs, tfs = p
+        if scoring == "ref_tfidf":
+            g = src.ttf.get((field, term), 0)
+            if g <= 0:
+                continue
+            m = F32(F32(c) / F32(g))
+        else:
+            df = src.df.get((field, term), 0)
+            if df <= 0 or c <= 0:
+                continue
+            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            m = F32(F32(c) * F32(idf))
+        blocks = src.blocks.get((field, term))
+        terms.append(((field, term), m, docs, tfs, blocks))
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.float32), 0, 0.0
+
+    union = np.unique(np.concatenate([t[2] for t in terms]))
+    found = int(len(union))
+    if found <= max(k, 256) * 4:
+        # tiny unions: pruning overhead exceeds the scoring it saves
+        scores = _score_exact(terms, union, scoring, avg_dl, dl_arr)
+        return union, scores, found, 0.0
+
+    # per-block upper bounds and [start, end) intervals
+    starts_all, ends_all, ubs_all = [], [], []
+    for _key, m, docs, tfs, blk in terms:
+        first = blk["first"].astype(np.int64)
+        ends = np.empty(len(first), dtype=np.int64)
+        ends[:-1] = first[1:]
+        ends[-1] = docs[-1] + 1
+        max_tf = blk["max_tf"].astype(np.float64)
+        if scoring == "ref_tfidf":
+            ub = np.float64(m) * max_tf
+        else:
+            knorm = BM25_K1 * (1.0 - BM25_B + BM25_B * blk["min_dl"].astype(np.float64) / avg_dl)
+            ub = np.float64(m) * (max_tf / (max_tf + knorm))
+        starts_all.append(first)
+        ends_all.append(ends)
+        ubs_all.append(ub)
+    starts = np.concatenate(starts_all)
+    ends = np.concatenate(ends_all)
+    ubs = np.concatenate(ubs_all)
+
+    # sweep: boundary points; segment bound = Σ of covering blocks' ubs
+    bounds = np.unique(np.concatenate([starts, ends]))
+    seg_ub = np.zeros(len(bounds), dtype=np.float64)
+    np.add.at(seg_ub, np.searchsorted(bounds, starts), ubs)
+    np.add.at(seg_ub, np.searchsorted(bounds, ends), -ubs)
+    seg_ub = np.cumsum(seg_ub)[:-1]  # bound over [bounds[i], bounds[i+1])
+    seg_lo = bounds[:-1]
+    seg_hi = bounds[1:]
+    live = seg_ub > 0
+    seg_lo, seg_hi, seg_ub = seg_lo[live], seg_hi[live], seg_ub[live]
+
+    order = np.argsort(-seg_ub, kind="stable")
+    seg_lo, seg_hi, seg_ub = seg_lo[order], seg_hi[order], seg_ub[order]
+
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float32)
+    threshold = -np.inf
+    scored = 0
+    i = 0
+    batch = max(64, k)
+    while i < len(seg_ub):
+        if seg_ub[i] < threshold:
+            break
+        j = min(len(seg_ub), i + batch)
+        # keep only segments still above threshold in this batch
+        sel = slice(i, j)
+        lo_b, hi_b = seg_lo[sel], seg_hi[sel]
+        cand_parts = []
+        for _key, _m, docs, _tfs, _blk in terms:
+            a = np.searchsorted(docs, lo_b)
+            b = np.searchsorted(docs, hi_b)
+            for s, e in zip(a, b):
+                if e > s:
+                    cand_parts.append(docs[s:e])
+        if cand_parts:
+            cand = np.unique(np.concatenate(cand_parts))
+            scored += len(cand)
+            sc = _score_exact(terms, cand, scoring, avg_dl, dl_arr)
+            top_docs = np.concatenate([top_docs, cand])
+            top_scores = np.concatenate([top_scores, sc])
+            if len(top_docs) > k:
+                keep = np.lexsort((-top_docs, -top_scores))[:k]
+                top_docs, top_scores = top_docs[keep], top_scores[keep]
+            if len(top_docs) == k:
+                threshold = float(top_scores.min())
+        i = j
+        batch = min(4096, batch * 2)
+    pruned = 1.0 - scored / max(1, found)
+    return top_docs, top_scores, found, pruned
+
+
+def _score_exact(terms, answer: np.ndarray, scoring: str, avg_dl: float, dl_arr: np.ndarray) -> np.ndarray:
+    """The full scorer's exact fp32 arithmetic restricted to ``answer``
+    (sorted). Mirrors search.search_partition's accumulation bit-for-bit."""
+    scores = np.zeros(len(answer), dtype=np.float32)
+    dl_answer = None
+    for (_field, _term), m, docs, tfs, _blk in terms:
+        pos = np.searchsorted(answer, docs)
+        valid = (pos < len(answer)) & (answer[np.minimum(pos, len(answer) - 1)] == docs) if len(answer) else np.zeros(0, bool)
+        pos = pos[valid]
+        tf_v = tfs[valid].astype(np.float32)
+        if scoring == "ref_tfidf":
+            scores[pos] += F32(m) * tf_v
+        else:
+            if dl_answer is None:
+                dl_answer = dl_arr[answer].astype(np.float64)
+            denom = (
+                tfs[valid] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_answer[pos] / avg_dl)
+            ).astype(np.float32)
+            scores[pos] += F32(m) * (tf_v / denom)
+    return scores

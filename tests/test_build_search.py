@@ -280,3 +280,17 @@ def test_actor_engine_equals_tasks(index_dir):
             assert [(h.part, h.doc_id, h.score) for h in a] == [
                 (h.part, h.doc_id, h.score) for h in b
             ]
+
+
+@pytest.mark.parametrize("query", ["t1 OR t2 OR t3", "t3", "t1 OR w00999", "w00042 OR w00123 OR t5"])
+@pytest.mark.parametrize("scoring", ["ref_tfidf", "bm25"])
+def test_wand_pruned_equals_full(engine, query, scoring):
+    """Block-max pruned disjunctive top-k must be bit-identical to the full
+    evaluation path (scores, docs, order, found)."""
+    for k in (1, 5, 40):
+        a, fa = engine.search(query, k=k, scoring=scoring, prune=True, parallel=False)
+        b, fb = engine.search(query, k=k, scoring=scoring, prune=False, parallel=False)
+        assert fa == fb
+        assert [(h.part, h.doc_id, h.score) for h in a] == [
+            (h.part, h.doc_id, h.score) for h in b
+        ], (query, scoring, k)
