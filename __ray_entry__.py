@@ -214,6 +214,64 @@ def ft_topk_time(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": _i64(ids)})
 
 
+# ----------------------------------------------- plugin-operator callables
+
+
+def ft_distinct_roles(sf_dir: str) -> pa.Table:
+    """Distincts plugin analogue: distinct role (=source) values among docs
+    matching 'scan', via the index's forward gather."""
+    from miru_ray import plugins
+
+    vals = plugins.distincts(_engine(sf_dir, 4), "role", query="scan")
+    return pa.table({"role": pa.array(vals, type=pa.string())})
+
+
+def ft_agg_counts(sf_dir: str) -> pa.Table:
+    """AggregateCounts plugin analogue over the 1-partition index: per role,
+    matching-doc count + newest matching docId."""
+    from miru_ray import plugins
+
+    rows = plugins.aggregate_counts(_engine(sf_dir, 1), "role", query="scan")
+    return pa.table(
+        {
+            "role": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": _i64([r[1] for r in rows]),
+            "last_doc": _i64([r[3] for r in rows]),
+        }
+    )
+
+
+def ft_waveform(sf_dir: str) -> pa.Table:
+    """Analytics waveform analogue: hourly matching-doc counts ('the')."""
+    from miru_ray import plugins
+
+    wf = plugins.waveform(_engine(sf_dir, 4), 3_600_000_000, query="the")
+    buckets = sorted(wf)
+    return pa.table(
+        {
+            "bucket_ts": _i64([b // 1_000_000 for b in buckets]),
+            "n": _i64([wf[b] for b in buckets]),
+        }
+    )
+
+
+def ft_latest_terms(sf_dir: str) -> pa.Table:
+    """IndexFirst/IndexLatest analogue: first/last docId + df per probe term,
+    straight from the posting metadata columns."""
+    from miru_ray import plugins
+
+    rows = plugins.latest_first(_engine(sf_dir, 1), "text")[0]
+    sel = [r for r in rows if r[0] in POSTING_TERMS]
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in sel], type=pa.string()),
+            "first_doc": _i64([r[1] for r in sel]),
+            "last_doc": _i64([r[2] for r in sel]),
+            "df": _i64([r[3] for r in sel]),
+        }
+    )
+
+
 # ------------------------------------------------------ analytics callables
 
 
@@ -342,6 +400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
         "ft_topk_time": ft_topk_time,
+        "ft_distinct_roles": ft_distinct_roles,
+        "ft_agg_counts": ft_agg_counts,
+        "ft_waveform": ft_waveform,
+        "ft_latest_terms": ft_latest_terms,
         "ev_waveform": ev_waveform,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
@@ -464,6 +526,28 @@ LIMIT {K_BM25}"""
         "ft_topk_time": (
             f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
             f"AND list_contains({_TOK}, '{t2}') ORDER BY doc_id DESC LIMIT {K_TIME}"
+        ),
+        "ft_distinct_roles": (
+            f"SELECT DISTINCT source AS role FROM documents "
+            f"WHERE list_contains({_TOK}, 'scan')"
+        ),
+        "ft_agg_counts": (
+            f"SELECT source AS role, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(max(doc_id) AS BIGINT) AS last_doc FROM documents "
+            f"WHERE list_contains({_TOK}, 'scan') GROUP BY source"
+        ),
+        "ft_waveform": (
+            # the derived transcripts' ts is epoch 1 700 000 000 s + doc_id s
+            f"SELECT CAST(((1700000000 + doc_id) // 3600) * 3600 AS BIGINT) AS bucket_ts, "
+            f"CAST(count(*) AS BIGINT) AS n FROM documents "
+            f"WHERE list_contains({_TOK}, 'the') GROUP BY 1"
+        ),
+        "ft_latest_terms": (
+            f"WITH tok AS ({_TOKTAB}) "
+            f"SELECT t AS term, CAST(min(doc_id) AS BIGINT) AS first_doc, "
+            f"CAST(max(doc_id) AS BIGINT) AS last_doc, "
+            f"CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            f"FROM tok WHERE t IN ({posting_list}) GROUP BY t"
         ),
         "ev_waveform": (
             "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts, "

@@ -1,0 +1,108 @@
+"""CLI entry points — the `ray job submit` surface.
+
+On a cluster:
+
+    ray job submit --working-dir . -- python -m miru_ray build \
+        --input /data/transcripts --index /data/index --parts 4096
+    ray job submit --working-dir . -- python -m miru_ray search \
+        --index /data/index --query "error AND NOT timeout" -k 10 --scoring bm25
+
+Locally the same commands work against `ray.init(address="local")`
+(auto-detected). This owns the Ray session (init guarded, shutdown at
+exit); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _ray_up()
+    from .build import build_index
+
+    meta = build_index(
+        args.input,
+        args.index,
+        n_parts=args.parts,
+        use_stopwords=args.stopwords,
+        resume=not args.no_resume,
+        strategy=args.strategy,
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ray_up()
+    from .search import SearchEngine
+
+    eng = SearchEngine(args.index, use_actors=args.actors)
+    hits, found = eng.search(args.query, k=args.k, scoring=args.scoring)
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "found": found,
+                "hits": [
+                    {
+                        "conv_id": h.conv_id,
+                        "turn_idx": h.turn_idx,
+                        "part": h.part,
+                        "doc_id": h.doc_id,
+                        "score": h.score,
+                        "ts": h.ts,
+                    }
+                    for h in hits
+                ],
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="miru_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="parquet file/dir of transcripts")
+    b.add_argument("--index", required=True, help="output index dir")
+    b.add_argument("--parts", type=int, required=True)
+    b.add_argument("--stopwords", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--strategy", choices=["auto", "stream", "sort"], default="auto")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="query a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--scoring", choices=["ref_tfidf", "bm25", "time"], default="bm25")
+    s.add_argument("--actors", action="store_true", help="partition-pinned actor pool")
+    s.set_defaults(fn=cmd_search)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,247 @@
+"""The reference's non-fulltext plugin operators over our index segments.
+
+Re-implements the query-side plugin family (SURVEY.md §2.6-2.8) as
+per-partition kernels + driver merges, the same scatter-gather shape as
+the fulltext engine:
+
+* **distincts** — distinct terms of a field, optional prefix, optionally
+  restricted to docs matching a query
+  (miru-reco-plugins/.../distincts/Distincts.java:41-100);
+* **distinct_count** — count of those
+  (miru-stream-plugins/.../count/DistinctCount.java:30-113);
+* **aggregate_counts** — per distinct pivot term among matching docs,
+  newest-first with counts
+  (miru-stream-plugins/.../filter/AggregateCounts.java:93-300);
+* **waveform** — time-bucketed counts of matching docs
+  (miru-analytics-plugins/.../Analytics.java:142-196);
+* **trending** — waveforms + a deterministic slope score (recent-half
+  minus previous-half; the reference's PeakDet is a richer detector —
+  miru-reco-plugins/.../trending/TrendingQuestion.java:99-148);
+* **latest / first per term** — straight from the posting rows'
+  first_doc/last_doc columns, which the build maintains at index time
+  exactly like the reference's IndexLatest/IndexFirst partial aggregates
+  (miru-service/.../stream/MiruIndexLatest.java, MiruIndexFirst.java).
+
+Meta fields (role/tool/conv_id) gather from the forward table; the text
+field walks the (sorted) term dictionary with posting∩answer checks —
+that is the reference's own gather loop (MiruAggregateUtil.java:953-1096)
+and is O(field vocabulary), so use prefixes to bound it at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from .filters import DEFAULT_MAX_WILDCARD_EXPANSION
+from .search import PostingSource, _collect_term_specs, eval_filter_np
+from .segments import FIELD_SEP, META_FIELDS, forward_columns, part_dir
+from .search import _cached_manifest
+
+
+def _answer(index_dir: str, part: int, query: str | None, use_stopwords: bool):
+    """(answer docIds | None-for-all, n_docs, fwd) for one partition."""
+    man = _cached_manifest(index_dir, part)
+    n_docs = man["metrics"]["n_docs"]
+    fwd = forward_columns(index_dir, part)
+    if query is None:
+        return None, n_docs, fwd
+    from .filters import parse_query
+
+    filt = parse_query(query, use_stopwords=use_stopwords)
+    specs: list[tuple[str, str]] = []
+    _collect_term_specs(filt, specs)
+    src = PostingSource(index_dir, part, specs, DEFAULT_MAX_WILDCARD_EXPANSION)
+    return eval_filter_np(filt, src, n_docs, None), n_docs, fwd
+
+
+def _postings_meta(index_dir: str, part: int, field: str, prefix: str = ""):
+    """(terms, first_doc, last_doc) of a field's postings (metadata columns
+    only — parquet row-group pruned by the sorted term key)."""
+    lo = field + FIELD_SEP + prefix
+    hi = field + FIELD_SEP + prefix + "\U0010ffff"
+    dset = pads.dataset(
+        part_dir(index_dir, part) + "/postings.parquet", format="parquet"
+    )
+    t = dset.to_table(
+        filter=(pc.field("term") >= lo) & (pc.field("term") <= hi),
+        columns=["term", "first_doc", "last_doc", "df"],
+    )
+    sep = len(field) + 1
+    terms = [k[sep:] for k in t["term"].to_pylist()]
+    return (
+        terms,
+        t["first_doc"].to_numpy(zero_copy_only=False),
+        t["last_doc"].to_numpy(zero_copy_only=False),
+        t["df"].to_numpy(zero_copy_only=False),
+    )
+
+
+def distincts_partition(
+    index_dir: str, part: int, field: str, prefix: str = "",
+    query: str | None = None, use_stopwords: bool = False,
+) -> list[str]:
+    """Distinct terms of ``field`` (with prefix) present among matching docs."""
+    answer, n_docs, fwd = _answer(index_dir, part, query, use_stopwords)
+    if field in META_FIELDS and prefix == "":
+        vals = fwd[field] if field != "conv_id" else fwd["conv_id"]
+        if answer is None:
+            return sorted(set(vals.to_pylist()) - {""})
+        import pyarrow as pa
+
+        sel = vals.take(pa.array(answer))
+        return sorted(set(sel.to_pylist()) - {""})
+    terms, first, last, _df = _postings_meta(index_dir, part, field, prefix)
+    if answer is None:
+        return terms  # already sorted
+    # gather loop: term survives iff posting ∩ answer ≠ ∅. Cheap range
+    # reject via the [first_doc, last_doc] metadata first, then ONE batched
+    # pushdown read for the surviving candidates.
+    cand = []
+    for i, term in enumerate(terms):
+        lo = np.searchsorted(answer, first[i])
+        if lo < len(answer) and answer[lo] <= last[i]:
+            cand.append(term)
+    if not cand:
+        return []
+    src = PostingSource(index_dir, part, [(field, t) for t in cand], 0)
+    return [
+        t for t in cand
+        if np.intersect1d(src.docs(field, t), answer, assume_unique=True).size
+    ]
+
+
+def distincts(engine, field: str, prefix: str = "", query: str | None = None) -> list[str]:
+    use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
+    res = _fan(engine, distincts_partition,
+               dict(field=field, prefix=prefix, query=query, use_stopwords=use_stop))
+    out: set[str] = set()
+    for r in res:
+        out.update(r)
+    return sorted(out)
+
+
+def distinct_count(engine, field: str, prefix: str = "", query: str | None = None) -> int:
+    return len(distincts(engine, field, prefix, query))
+
+
+def aggregate_counts_partition(
+    index_dir: str, part: int, pivot_field: str, query: str | None = None,
+    use_stopwords: bool = False,
+) -> list[tuple[str, int, int]]:
+    """(pivot term, matching-doc count, newest matching docId) per distinct
+    pivot value among matching docs, newest-first."""
+    answer, n_docs, fwd = _answer(index_dir, part, query, use_stopwords)
+    import pyarrow as pa
+
+    vals = fwd[pivot_field]
+    if answer is None:
+        answer = np.arange(n_docs, dtype=np.int64)
+    sel = vals.take(pa.array(answer))
+    arr = np.asarray(sel.to_pylist(), dtype=object)
+    keep = arr != ""
+    arr, docs = arr[keep], answer[keep]
+    order = np.argsort(arr, kind="stable")
+    arr, docs = arr[order], docs[order]
+    if len(arr) == 0:
+        return []
+    starts = np.flatnonzero(np.concatenate([[True], arr[1:] != arr[:-1]]))
+    counts = np.diff(np.append(starts, len(arr)))
+    last = np.maximum.reduceat(docs, starts)
+    rows = [(str(arr[s]), int(c), int(l)) for s, c, l in zip(starts, counts, last)]
+    rows.sort(key=lambda r: -r[2])  # newest-first (reverse time order)
+    return rows
+
+
+def aggregate_counts(engine, pivot_field: str, query: str | None = None, k: int = 0):
+    use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
+    res = _fan(engine, aggregate_counts_partition,
+               dict(pivot_field=pivot_field, query=query, use_stopwords=use_stop))
+    agg: dict[str, list[int]] = {}
+    for part_rows, part in zip(res, engine.parts):
+        for term, c, last in part_rows:
+            cur = agg.get(term)
+            if cur is None:
+                agg[term] = [c, part, last]
+            else:
+                cur[0] += c
+                if (part, last) > (cur[1], cur[2]):
+                    cur[1], cur[2] = part, last
+    rows = [(t, v[0], v[1], v[2]) for t, v in agg.items()]
+    rows.sort(key=lambda r: (-r[2], -r[3]))  # newest partition, then docId
+    return rows[:k] if k else rows
+
+
+def waveform_partition(
+    index_dir: str, part: int, bucket_us: int, query: str | None = None,
+    use_stopwords: bool = False,
+) -> dict[int, int]:
+    """bucket (epoch-us floor) → matching-doc count."""
+    answer, n_docs, fwd = _answer(index_dir, part, query, use_stopwords)
+    ts = fwd["ts"] if answer is None else fwd["ts"][answer]
+    buckets = (ts // bucket_us) * bucket_us
+    uniq, counts = np.unique(buckets, return_counts=True)
+    return {int(b): int(c) for b, c in zip(uniq, counts)}
+
+
+def waveform(engine, bucket_us: int, query: str | None = None) -> dict[int, int]:
+    use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
+    res = _fan(engine, waveform_partition,
+               dict(bucket_us=bucket_us, query=query, use_stopwords=use_stop))
+    out: dict[int, int] = {}
+    for r in res:
+        for b, c in r.items():
+            out[b] = out.get(b, 0) + c
+    return out
+
+
+def trending(engine, queries: list[str], bucket_us: int) -> list[tuple[str, float]]:
+    """Deterministic slope score per query: (count in the most recent half
+    of the observed range) − (count in the previous half), descending."""
+    scored = []
+    for q in queries:
+        wf = waveform(engine, bucket_us, q)
+        if not wf:
+            scored.append((q, 0.0))
+            continue
+        lo, hi = min(wf), max(wf)
+        mid = lo + (hi - lo) // 2
+        recent = sum(c for b, c in wf.items() if b > mid)
+        older = sum(c for b, c in wf.items() if b <= mid)
+        scored.append((q, float(recent - older)))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored
+
+
+def latest_first_partition(index_dir: str, part: int, field: str, prefix: str = ""):
+    """(term, first_docId, last_docId, df) — the IndexFirst/IndexLatest
+    aggregates, free from the posting metadata columns."""
+    terms, first, last, df = _postings_meta(index_dir, part, field, prefix)
+    return [(t, int(f), int(l), int(d)) for t, f, l, d in zip(terms, first, last, df)]
+
+
+def latest_first(engine, field: str, prefix: str = ""):
+    res = _fan(engine, latest_first_partition, dict(field=field, prefix=prefix))
+    return {part: rows for part, rows in zip(engine.parts, res)}
+
+
+# ----------------------------------------------------------------- fan-out
+
+
+def _fan(engine, fn, kwargs: dict) -> list:
+    """One task per partition (Ray when available), results in engine.parts
+    order — the same scatter pattern as SearchEngine._fan_out."""
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(engine.parts) > 1
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        rfn = ray.remote(num_cpus=1)(fn)
+        futs = [rfn.remote(engine.index_dir, p, **kwargs) for p in engine.parts]
+        return ray.get(futs)
+    return [fn(engine.index_dir, p, **kwargs) for p in engine.parts]
