@@ -811,3 +811,189 @@ def build_index_streaming(
     }
     write_global_manifest(index_dir, meta)
     return meta
+
+
+# ------------------------------------------------------ incremental extend
+#
+# The reference catches up continuously: a background "sip" applies WAL
+# deltas from a persisted cursor (MiruLocalHostedPartition.java:1172-1239,
+# MiruSipIndex.java:22-24). Our durable log is the input Parquet itself, so
+# catch-up = ``extend_index(new_files)``: the new files' rows get docIds
+# APPENDED per partition (arrival order — exactly miru's stream-order id
+# allocation, LabTimeIdIndex.java:96), their posting runs are merged into
+# the existing immutable segments by offset subsampling (the existing
+# postings rows ARE runs with a strictly lower docId range), and the
+# forward table is extended. Per-partition manifests record each applied
+# epoch (a fingerprint of the new file list), so a crashed or repeated
+# extend skips partitions that already contain the epoch — the sip-cursor
+# analogue.
+
+
+def _epoch_id(files: list[str], metas: list[dict]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for f, m in zip(files, metas):
+        h.update(f.encode())
+        h.update(str(m["rows"]).encode())
+    return h.hexdigest()[:16]
+
+
+class SegmentExtender:
+    """map_groups stage of extend_index: existing segment + new runs →
+    rewritten segment (manifest last, epoch appended)."""
+
+    def __init__(self, index_dir: str, new_docs_by_part: dict[int, int], epoch: str,
+                 lineage: dict):
+        self.index_dir = index_dir
+        self.new_docs_by_part = new_docs_by_part
+        self.epoch = epoch
+        self.lineage = lineage
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from .segments import read_forward_table, read_manifest
+
+        t0 = time.monotonic()
+        if group.num_rows == 0:
+            return MANIFEST_ROW_SCHEMA.empty_table()
+        part = int(group["part"][0].as_py())
+        new_runs, new_fwd = runs_split_forward(group)
+        old_manifest = read_manifest(self.index_dir, part)
+        if old_manifest is not None:
+            old_post = pq.read_table(
+                os.path.join(self.index_dir, f"part={part:05d}", "postings.parquet")
+            )
+            old_fwd = read_forward_table(self.index_dir, part)
+            all_runs = pa.concat_tables([old_post, new_runs]) if new_runs.num_rows else old_post
+            forward = (
+                pa.concat_tables([old_fwd, new_fwd]).combine_chunks()
+                if new_fwd is not None
+                else old_fwd
+            )
+            epochs = list(old_manifest["lineage"].get("epochs", []))
+            old_n = old_manifest["metrics"]["n_docs"]
+        else:
+            all_runs, forward, epochs, old_n = new_runs, new_fwd, [], 0
+        postings = merge_runs(all_runs)
+        postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
+        text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
+        total_tokens = int(
+            pc.sum(pc.if_else(text_mask, postings["ttf"], pa.scalar(0, pa.int64()))).as_py() or 0
+        )
+        n_docs = old_n + int(self.new_docs_by_part.get(part, 0))
+        if forward is not None and forward.num_rows != n_docs:
+            raise AssertionError(
+                f"part {part}: forward rows {forward.num_rows} != expected {n_docs}"
+            )
+        posting_bytes = sum(postings[c].nbytes for c in ("doc_bytes", "tf_bytes"))
+        metrics = {
+            "n_docs": n_docs,
+            "n_terms": int(postings.num_rows),
+            "total_tokens": total_tokens,
+            "avg_dl": float(total_tokens / n_docs) if n_docs else 0.0,
+            "posting_bytes": int(posting_bytes),
+        }
+        lineage = dict(self.lineage, epochs=epochs + [self.epoch])
+        finalize_segment(self.index_dir, part, postings, lineage, metrics, forward)
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int32()),
+                "n_docs": pa.array([n_docs], type=pa.int64()),
+                "n_terms": pa.array([int(postings.num_rows)], type=pa.int64()),
+                "total_tokens": pa.array([total_tokens], type=pa.int64()),
+                "posting_bytes": pa.array([int(posting_bytes)], type=pa.int64()),
+                "build_sec": pa.array([time.monotonic() - t0], type=pa.float64()),
+                "skipped": pa.array([False], type=pa.bool_()),
+            },
+            schema=MANIFEST_ROW_SCHEMA,
+        )
+
+
+def extend_index(
+    new_input: str | list[str],
+    index_dir: str,
+    use_stopwords: bool | None = None,
+    concurrency: int | None = None,
+) -> dict:
+    """Apply a new batch of transcript files to an existing index (the sip
+    analogue). New docs get appended docIds per partition; repeated calls
+    with the same files are no-ops (epoch markers in the manifests)."""
+    import ray
+    import ray.data as rd
+
+    from .segments import read_global_manifest, read_manifest
+
+    gmeta = read_global_manifest(index_dir)
+    n_parts = gmeta["n_parts"]
+    if use_stopwords is None:
+        use_stopwords = bool(gmeta.get("tokenizer", {}).get("stopwords"))
+
+    files = list_input_files(new_input)
+    if not files:
+        raise FileNotFoundError(f"no parquet input under {new_input!r}")
+    scan = ray.remote(num_cpus=1)(scan_file_meta)
+    metas = ray.get([scan.remote(f, n_parts) for f in files])
+    ordered = all(m["ok"] for m in metas)
+    for a, b in zip(metas, metas[1:]):
+        if a["last"] is not None and b["first"] is not None and not (a["last"] < b["first"]):
+            ordered = False
+    if not ordered:
+        raise ValueError("extend_index requires the NEW files to be sorted by (conv_id, turn_idx)")
+    epoch = _epoch_id(files, metas)
+
+    # docId bases: existing per-part doc count + prefix sums over new files
+    existing = {p: (read_manifest(index_dir, p) or {"metrics": {"n_docs": 0}})["metrics"]["n_docs"]
+                for p in range(n_parts)}
+    done = frozenset(
+        p for p in range(n_parts)
+        if (m := read_manifest(index_dir, p)) is not None
+        and epoch in m["lineage"].get("epochs", [])
+    )
+    counts = np.stack([m["counts"] for m in metas])
+    bases = np.zeros_like(counts)
+    np.cumsum(counts[:-1], axis=0, out=bases[1:])
+    base_off = np.array([existing[p] for p in range(n_parts)], dtype=counts.dtype)
+    bases = bases + base_off[None, :]
+    new_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    items = [{"path": f, "fidx": i, "bases": bases[i].tolist()} for i, f in enumerate(files)]
+    group = int(min(8, max(1, -(-len(files) // max(1, int(1.5 * concurrency))))))
+    runs_ds = rd.from_items(items).map_batches(
+        FileIndexer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "n_parts": n_parts,
+            "skip_parts": done, "use_stopwords": use_stopwords,
+        },
+        batch_size=group,
+        batch_format="pyarrow",
+        concurrency=(1, min(concurrency, len(files))),
+        num_cpus=1,
+    )
+    lineage = {"extend_input": files, "strategy": "stream"}
+    rows = (
+        runs_ds.groupby("part")
+        .map_groups(
+            SegmentExtender,
+            fn_constructor_kwargs={
+                "index_dir": index_dir,
+                "new_docs_by_part": new_docs_by_part,
+                "epoch": epoch,
+                "lineage": lineage,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    built = {int(r["part"]): r for r in rows}
+    gmeta = dict(gmeta)
+    gmeta.setdefault("epochs", []).append(
+        {"epoch": epoch, "files": files, "parts_updated": sorted(built), "parts_skipped": sorted(done)}
+    )
+    write_global_manifest(index_dir, gmeta)
+    return gmeta

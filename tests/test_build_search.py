@@ -294,3 +294,53 @@ def test_wand_pruned_equals_full(engine, query, scoring):
         assert [(h.part, h.doc_id, h.score) for h in a] == [
             (h.part, h.doc_id, h.score) for h in b
         ], (query, scoring, k)
+
+
+def test_extend_index_append_epoch(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """Sip analogue: build on the first half of the conv range, extend with
+    the second half (convs sort strictly after → append order == lex order),
+    and the result must be byte-identical to the one-shot build. A repeated
+    extend with the same files is a no-op (epoch markers)."""
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    convs = t["conv_id"].to_pylist()
+    cut_conv = sorted(set(convs))[len(set(convs)) // 2]
+    first = t.filter(pa.compute.less(t["conv_id"], cut_conv))
+    second = t.filter(pa.compute.greater_equal(t["conv_id"], cut_conv))
+    src = str(tmp_path_factory.mktemp("epoch_src"))
+    pq.write_table(first, os.path.join(src, "epoch1.parquet"))
+    second_dir = str(tmp_path_factory.mktemp("epoch_src2"))
+    pq.write_table(second, os.path.join(second_dir, "epoch2.parquet"))
+
+    from miru_ray.build import extend_index
+
+    d = str(tmp_path_factory.mktemp("idx_extend"))
+    build_index(src, d, n_parts=N_PARTS)
+    meta = extend_index(second_dir, d)
+    assert meta["epochs"][-1]["parts_updated"]
+
+    def decoded(path):
+        t = pq.read_table(path)
+        out = {}
+        for i in range(t.num_rows):
+            docs, tfs = decode_posting(
+                t["doc_bytes"][i].as_py(), t["tf_bytes"][i].as_py(),
+                np.asarray(t["blk_first"][i].as_py()), np.asarray(t["blk_count"][i].as_py()),
+            )
+            out[t["term"][i].as_py()] = (
+                list(docs), list(tfs), t["df"][i].as_py(), t["ttf"][i].as_py(),
+            )
+        return out
+
+    for p in range(N_PARTS):
+        # encoded bytes may differ (block boundaries follow epoch runs);
+        # decoded content must be identical to the one-shot build
+        a = decoded(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))
+        b = decoded(os.path.join(d, f"part={p:05d}", "postings.parquet"))
+        assert a == b, p
+        assert read_forward_table(index_dir, p).equals(read_forward_table(d, p)), p
+    # idempotent re-extend: all partitions skip
+    meta2 = extend_index(second_dir, d)
+    assert meta2["epochs"][-1]["parts_updated"] == []
+    assert meta2["epochs"][-1]["parts_skipped"] == sorted(range(N_PARTS))
