@@ -213,13 +213,17 @@ def score_partition(
     time_range: tuple[int, int] | None = None,
     constraint: Filter | None = None,
     max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
+    removed: set[int] | None = None,
 ) -> tuple[list[Hit], int]:
     """One partition's answer (FullTextCustomQuestion.askLocal +
     FullText.collectTfIdf), with absent report. Returns (hits, found)."""
     filt = parse_query(query)
     collector: dict[tuple[str, str], int] = {}
     answer = eval_filter(part, filt, collector, True, max_wild)
-    # index mask is the full universe (no removals in the batch corpus)
+    if removed:
+        # index mask = universe minus the removal index (buildIndexMask);
+        # term stats are NOT decremented by REMOVE (reference behavior)
+        answer -= removed
     if constraint is not None:
         answer &= eval_filter(part, constraint, None, True, max_wild)
     if time_range is not None:
@@ -312,10 +316,12 @@ def oracle_search(
     scoring: str = "ref_tfidf",
     time_range: tuple[int, int] | None = None,
     constraint: Filter | None = None,
+    removed: dict[int, set[int]] | None = None,
 ) -> tuple[list[Hit], int]:
     """Full query: all partitions newest→oldest (descending part id), merge."""
     per = [
-        score_partition(parts[p], query, k, scoring, time_range, constraint)
+        score_partition(parts[p], query, k, scoring, time_range, constraint,
+                        removed=(removed or {}).get(p))
         for p in sorted(parts, reverse=True)
     ]
     return merge_partitions(per, k)

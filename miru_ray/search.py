@@ -279,11 +279,15 @@ def search_partition(
         _collect_term_specs(constraint, specs)
     src = PostingSource(index_dir, part, specs, max_wild)
 
+    from .segments import read_tombstones
+
+    removed = read_tombstones(index_dir, part)
     if (
         prune
         and scoring in ("ref_tfidf", "bm25")
         and constraint is None
         and time_range is None
+        and len(removed) == 0
         and k > 0
     ):
         from .wand import disjunctive_terms, wand_topk
@@ -306,6 +310,10 @@ def search_partition(
 
     collector: dict[tuple[str, str], int] = {}
     answer = eval_filter_np(filt, src, n_docs, collector)
+    if len(removed) and len(answer):
+        # index mask: universe minus the removal index (buildIndexMask,
+        # MiruBitmapsRoaring.java:492-503)
+        answer = np.setdiff1d(answer, removed, assume_unique=True)
     if constraint is not None:
         answer = np.intersect1d(
             answer, eval_filter_np(constraint, src, n_docs, None), assume_unique=True

@@ -217,6 +217,64 @@ def read_term_range(index_dir: str, part: int, field: str, prefix: str) -> list[
     return [k[sep_len:] for k in t["term"].to_pylist()]
 
 
+def remove_docs(index_dir: str, keys: list[tuple[str, int]]) -> dict[int, int]:
+    """Tombstone documents by (conv_id, turn_idx) — the reference's REMOVE
+    activity type (MiruPartitionedActivity.java:14-16, removal index
+    MiruRemovalIndex.java). DocIds are never reassigned; queries AND-NOT the
+    tombstone set out of every answer (buildIndexMask,
+    MiruBitmapsRoaring.java:492-503). Idempotent; returns per-partition
+    removal counts. Global term stats stay untouched until a rebuild —
+    exactly the reference's behavior (the cardinality store is not
+    decremented on REMOVE)."""
+    from .hashing import fnv1a64_str
+
+    meta = read_global_manifest(index_dir)
+    n_parts = meta["n_parts"]
+    by_part: dict[int, list[tuple[str, int]]] = {}
+    for conv, turn in keys:
+        by_part.setdefault(fnv1a64_str(conv) % n_parts, []).append((conv, int(turn)))
+    out: dict[int, int] = {}
+    for part, part_keys in sorted(by_part.items()):
+        if read_manifest(index_dir, part) is None:
+            continue
+        f = read_forward_table(index_dir, part)
+        want = set(part_keys)
+        conv_col = f["conv_id"].to_pylist()
+        turn_col = f["turn_idx"].to_pylist()
+        hits = [i for i, (c, t) in enumerate(zip(conv_col, turn_col)) if (c, t) in want]
+        if not hits:
+            continue
+        existing = read_tombstones(index_dir, part)
+        merged = np.union1d(existing, np.asarray(hits, dtype=np.int64))
+        path = os.path.join(part_dir(index_dir, part), "tombstones.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(merged.astype(np.int32), type=pa.int32())}), tmp
+        )
+        os.replace(tmp, path)
+        out[part] = int(len(merged))
+    return out
+
+
+_TOMBSTONE_CACHE: dict[tuple, np.ndarray] = {}
+_NO_TOMBSTONES = np.empty(0, dtype=np.int64)
+
+
+def read_tombstones(index_dir: str, part: int) -> np.ndarray:
+    """Sorted tombstoned docIds of a partition (empty array if none)."""
+    path = os.path.join(part_dir(index_dir, part), "tombstones.parquet")
+    if not os.path.exists(path):
+        return _NO_TOMBSTONES
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    hit = _TOMBSTONE_CACHE.get(key)
+    if hit is None:
+        hit = pq.read_table(path)["doc_id"].to_numpy().astype(np.int64)
+        if len(_TOMBSTONE_CACHE) > 4096:
+            _TOMBSTONE_CACHE.clear()
+        _TOMBSTONE_CACHE[key] = hit
+    return hit
+
+
 def read_forward_table(index_dir: str, part: int) -> pa.Table:
     """The full forward table of a partition in docId order, either layout
     (single ``forward.parquet`` or streaming-build fragments)."""

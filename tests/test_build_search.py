@@ -344,3 +344,32 @@ def test_extend_index_append_epoch(ray_session, tiny_transcripts_dir, tmp_path_f
     meta2 = extend_index(second_dir, d)
     assert meta2["epochs"][-1]["parts_updated"] == []
     assert meta2["epochs"][-1]["parts_skipped"] == sorted(range(N_PARTS))
+
+
+def test_remove_docs_masks_answers(ray_session, tiny_transcripts_dir, tiny_rows, tiny_oracle, tmp_path_factory):
+    """REMOVE parity: tombstoned docs vanish from every answer (match, top-k,
+    TIME) while docIds and term stats stay untouched; rank-identity holds vs
+    the oracle with the same removal mask; re-removal is idempotent."""
+    from miru_ray.segments import read_tombstones, remove_docs
+
+    d = str(tmp_path_factory.mktemp("idx_remove"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    # remove every 7th row of the corpus
+    victims = [(r["conv_id"], r["turn_idx"]) for r in tiny_rows[::7]]
+    counts = remove_docs(d, victims)
+    assert sum(counts.values()) == len(victims)
+    counts2 = remove_docs(d, victims)  # idempotent
+    assert counts2 == counts
+
+    removed = {p: set(read_tombstones(d, p).tolist()) for p in range(N_PARTS)}
+    eng = SearchEngine(d)
+    for q in ("t1 t7", "t1 OR w00999", "NOT t2", "w004*"):
+        for scoring in ("ref_tfidf", "bm25", "time"):
+            hits, found = eng.search(q, k=25, scoring=scoring)
+            ohits, ofound = oracle_search(tiny_oracle, q, k=25, scoring=scoring, removed=removed)
+            assert found == ofound, (q, scoring)
+            assert [(h.part, h.doc_id) for h in hits] == [(h.part, h.doc_id) for h in ohits], (q, scoring)
+    # match path excludes tombstones
+    m = eng.match("t1")
+    got = {(r["part"], int(doc)) for r in m for doc in r["doc_id"]}
+    assert not any((p, doc) in got for p, s in removed.items() for doc in s)
