@@ -314,6 +314,12 @@ def dd_simhash_groups(sf_dir: str):
     return simhash_dup_groups_ds(sf_dir)
 
 
+def dd_clusters(sf_dir: str):
+    from miru_ray.dedup import minhash_clusters
+
+    return minhash_clusters(sf_dir, threshold=0.9)
+
+
 # ------------------------------------------------------ text-analysis + ANN
 
 
@@ -410,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
         "dd_simhash_groups": dd_simhash_groups,
+        "dd_clusters": dd_clusters,
         "txt_quality": txt_quality,
         "txt_langid": txt_langid,
         "txt_fingerprints": txt_fingerprints,

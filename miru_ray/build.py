@@ -997,3 +997,27 @@ def extend_index(
     )
     write_global_manifest(index_dir, gmeta)
     return gmeta
+
+
+def repair_partitions(
+    index_dir: str,
+    input_path: str | list[str],
+    parts: list[int],
+    **build_kwargs,
+) -> dict:
+    """Late-data / REPAIR analogue: the reference re-indexes affected ids
+    version-gated (MiruPartitionAccessor.java:426-427,534-540); with
+    immutable segments the deterministic equivalent is to drop the affected
+    partitions' manifests and rebuild them from the (corrected) input —
+    resume leaves every other partition untouched, and docId assignment is
+    deterministic so unaffected queries see identical results."""
+    import shutil
+
+    from .segments import part_dir, read_global_manifest
+
+    n_parts = read_global_manifest(index_dir)["n_parts"]
+    for p in parts:
+        d = part_dir(index_dir, p)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return build_index(input_path, index_dir, n_parts=n_parts, resume=True, **build_kwargs)

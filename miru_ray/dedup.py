@@ -278,3 +278,47 @@ def simhash_dup_groups_ds(sf_dir: str):
         lambda b: b.rename_columns(["simhash", "keep_id", "n_dups"]).drop_columns(["simhash"]),
         batch_format="pyarrow",
     )
+
+
+def minhash_clusters(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> "pa.Table":
+    """Near-duplicate clusters: connected components over the MinHash
+    candidate pairs (union-find on the driver — the pair set is tiny
+    relative to the corpus; at extreme scale run iterative label
+    propagation as repeated groupby-min instead). Returns (doc_id,
+    cluster_id) for every doc in a multi-doc cluster; cluster_id = the
+    smallest doc_id of the component."""
+    pairs = minhash_pairs_ds(
+        sf_dir, num_perm=num_perm, bands=bands, shingle_k=shingle_k, threshold=threshold
+    ).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(int(r["a"])), find(int(r["b"]))
+        if a != b:
+            if a > b:
+                a, b = b, a
+            parent[b] = a
+    members: dict[int, list[int]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    rows = sorted(
+        (doc, root) for root, docs in members.items() if len(docs) > 1 for doc in docs
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )

@@ -373,3 +373,22 @@ def test_remove_docs_masks_answers(ray_session, tiny_transcripts_dir, tiny_rows,
     m = eng.match("t1")
     got = {(r["part"], int(doc)) for r in m for doc in r["doc_id"]}
     assert not any((p, doc) in got for p, s in removed.items() for doc in s)
+
+
+def test_repair_partitions(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """REPAIR analogue: dropping + rebuilding chosen partitions restores them
+    byte-identically while other partitions are untouched (resume)."""
+    from miru_ray.build import repair_partitions
+
+    d = str(tmp_path_factory.mktemp("idx_repair"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    before = {
+        p: pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
+        for p in range(N_PARTS)
+    }
+    meta = repair_partitions(d, tiny_transcripts_dir, [1, 3])
+    assert sorted(meta["parts_built"]) == [1, 3]
+    assert meta["parts_resumed"] == [0, 2]
+    for p in range(N_PARTS):
+        after = pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
+        assert before[p].equals(after), p

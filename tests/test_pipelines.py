@@ -242,3 +242,19 @@ def test_quality_empty_and_ratios():
     assert out["stopword_ratio"][0] == 1 / 3
     assert out["stopword_ratio"][1] == 0.0
     assert out["mean_token_len"][0] == (3 + 5 + 3) / 3
+
+
+def test_minhash_clusters_transitive(ray_session, doc_tokens):
+    from miru_ray.dedup import exact_jaccard, minhash_clusters
+
+    t = minhash_clusters(SF, threshold=0.9).to_pandas()
+    # cluster ids are component minima and clusters have ≥2 members
+    for cid, grp in t.groupby("cluster_id"):
+        assert len(grp) >= 2
+        assert cid == grp["doc_id"].min()
+    # every doc pair inside one cluster is connected via ≥0.9-estimate pairs;
+    # spot-check true Jaccard of members against their cluster root is high
+    for cid, grp in list(t.groupby("cluster_id"))[:10]:
+        for doc in grp["doc_id"]:
+            if doc != cid:
+                assert exact_jaccard(doc_tokens[int(cid)], doc_tokens[int(doc)], 3) > 0.5, (cid, doc)
