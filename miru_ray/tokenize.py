@@ -101,10 +101,17 @@ def tokenize_flat(
         return np.empty(0, np.int64), pa.array([], type=pa.string())
     lengths = ends - starts
     parents = np.searchsorted(offsets, starts, side="right") - 1
-    # single gather building the packed token bytes
+    # single gather building the packed token bytes; the index vector is a
+    # cumsum of +1 steps with boundary jumps (no np.repeat — it is the
+    # slowest op in this path for short tokens)
     out_off = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(lengths, out=out_off[1:])
-    idx = np.arange(out_off[-1], dtype=np.int64) + np.repeat(starts - out_off[:-1], lengths)
+    total = int(out_off[-1])
+    idx = np.ones(total, dtype=np.int64)
+    idx[0] = starts[0]
+    if len(starts) > 1:
+        idx[out_off[1:-1]] = starts[1:] - ends[:-1] + 1
+    np.cumsum(idx, out=idx)
     tok_bytes = low[idx]
     tokens = pa.StringArray.from_buffers(
         len(starts),
