@@ -293,6 +293,12 @@ def ev_latest(sf_dir: str):
     return latest_ds(sf_dir)
 
 
+def ev_trending(sf_dir: str):
+    from miru_ray.analytics import trending_ds
+
+    return trending_ds(sf_dir)
+
+
 # ---------------------------------------------------------- dedup callables
 
 
@@ -413,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_waveform": ev_waveform,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
+        "ev_trending": ev_trending,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
         "dd_simhash_groups": dd_simhash_groups,
@@ -568,6 +575,16 @@ LIMIT {K_BM25}"""
             "SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts, "
             "CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts, "
             "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id"
+        ),
+        "ev_trending": (
+            """WITH mm AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                       CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+m AS (SELECT lo + (hi - lo) // 2 AS mid FROM mm)
+SELECT event_type,
+       CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+       CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 0 ELSE 1 END) AS BIGINT) AS n_older,
+       CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE -1 END) AS BIGINT) AS delta
+FROM events CROSS JOIN m GROUP BY event_type"""
         ),
         "dd_exact": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "

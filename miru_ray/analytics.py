@@ -131,3 +131,58 @@ def latest_ds(sf_dir: str):
         lambda b: b.rename_columns(["user_id", "last_ts", "first_ts", "n_events"]),
         batch_format="pyarrow",
     )
+
+
+def _minmax_partial(batch: pa.Table) -> pa.Table:
+    us = _ts_us(batch)
+    return pa.table({"lo": pa.array([int(us.min())]), "hi": pa.array([int(us.max())])})
+
+
+def trending_ds(sf_dir: str):
+    """(event_type, n_older, n_recent, delta): counts in the two halves of
+    the observed time range (mid = lo + (hi-lo)//2, recent = ts > mid) —
+    the Trending plugin's slope signal as a deterministic relational op."""
+    from ray.data.aggregate import Sum
+
+    mm = (
+        _events_ds(sf_dir, ["ts"])
+        .map_batches(_minmax_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    mid = lo + (hi - lo) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        recent = (us > mid).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": pc.cast(batch["event_type"], pa.string()),
+                "n_recent": pa.array(recent),
+                "n_older": pa.array(1 - recent),
+            }
+        )
+        agg = t.group_by(["event_type"], use_threads=False).aggregate(
+            [("n_recent", "sum"), ("n_older", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "n_recent": pc.cast(agg["n_recent_sum"], pa.int64()),
+                "n_older": pc.cast(agg["n_older_sum"], pa.int64()),
+            }
+        )
+
+    ds = _events_ds(sf_dir, ["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("event_type").aggregate(Sum("n_recent"), Sum("n_older"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["event_type", "n_recent", "n_older"])
+        return b.append_column(
+            "delta", pc.subtract(pc.cast(b["n_recent"], pa.int64()), pc.cast(b["n_older"], pa.int64()))
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

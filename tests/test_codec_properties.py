@@ -1,0 +1,106 @@
+"""Property-based codec tests (hypothesis): varbyte round-trips, posting
+encode/decode identity, and merge invariance under arbitrary run splits."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from miru_ray.codec import (
+    RUNS_SCHEMA,
+    decode_posting,
+    encode_triples_to_runs,
+    merge_runs,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    v = np.asarray(values, dtype=np.uint64)
+    buf, ends = varbyte_encode(v)
+    out = varbyte_decode(buf)
+    np.testing.assert_array_equal(out, v)
+    if len(v):
+        assert ends[-1] == len(buf)
+
+
+@st.composite
+def posting(draw):
+    n = draw(st.integers(min_value=1, max_value=300))
+    gaps = draw(
+        st.lists(st.integers(min_value=1, max_value=10_000), min_size=n, max_size=n)
+    )
+    docs = np.cumsum(np.asarray(gaps, dtype=np.int64)) - 1
+    tfs = np.asarray(
+        draw(st.lists(st.integers(min_value=1, max_value=500), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    dls = np.asarray(
+        draw(st.lists(st.integers(min_value=1, max_value=400), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    return docs, tfs, dls
+
+
+@given(posting())
+@settings(max_examples=100, deadline=None)
+def test_posting_encode_decode_identity(p):
+    docs, tfs, dls = p
+    t = encode_triples_to_runs(
+        np.zeros(len(docs), dtype=np.int64),
+        pa.array(["x"] * len(docs), type=pa.large_string()),
+        docs,
+        tfs,
+        dls,
+    )
+    assert t.num_rows == 1
+    d, f = decode_posting(
+        t["doc_bytes"][0].as_py(), t["tf_bytes"][0].as_py(),
+        np.asarray(t["blk_first"][0].as_py()), np.asarray(t["blk_count"][0].as_py()),
+    )
+    np.testing.assert_array_equal(d, docs)
+    np.testing.assert_array_equal(f, tfs)
+    assert t["df"][0].as_py() == len(docs)
+    assert t["ttf"][0].as_py() == int(tfs.sum())
+    assert t["max_tf"][0].as_py() == int(tfs.max())
+    # block-max metadata is consistent with content
+    counts = np.asarray(t["blk_count"][0].as_py())
+    assert counts.sum() == len(docs)
+    bmax = np.asarray(t["blk_max_tf"][0].as_py())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for i, (s, c) in enumerate(zip(starts, counts)):
+        assert bmax[i] == tfs[s : s + c].max()
+
+
+@given(posting(), st.lists(st.integers(min_value=1, max_value=299), max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_merge_runs_split_invariance(p, cut_points):
+    """Splitting a posting into arbitrary consecutive runs and merging must
+    reproduce the single-run decode exactly."""
+    docs, tfs, dls = p
+    cuts = sorted({c for c in cut_points if c < len(docs)})
+    bounds = [0] + cuts + [len(docs)]
+    parts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi > lo:
+            parts.append(
+                encode_triples_to_runs(
+                    np.zeros(hi - lo, dtype=np.int64),
+                    pa.array(["x"] * (hi - lo), type=pa.large_string()),
+                    docs[lo:hi],
+                    tfs[lo:hi],
+                    dls[lo:hi],
+                )
+            )
+    merged = merge_runs(pa.concat_tables(parts)) if parts else RUNS_SCHEMA.empty_table()
+    assert merged.num_rows == 1
+    d, f = decode_posting(
+        merged["doc_bytes"][0].as_py(), merged["tf_bytes"][0].as_py(),
+        np.asarray(merged["blk_first"][0].as_py()), np.asarray(merged["blk_count"][0].as_py()),
+    )
+    np.testing.assert_array_equal(d, docs)
+    np.testing.assert_array_equal(f, tfs)
+    assert merged["df"][0].as_py() == len(docs)
+    assert merged["ttf"][0].as_py() == int(tfs.sum())
