@@ -497,7 +497,7 @@ def scan_file_meta(path: str, n_parts: int) -> dict:
     file (reads only the two key columns)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["conv_id", "turn_idx"])
+    t = pq.read_table(path, columns=["conv_id", "turn_idx"], use_threads=False)
     n = t.num_rows
     conv = t["conv_id"].combine_chunks()
     turn = t["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -530,11 +530,16 @@ class FileIndexer:
         self.n_parts = n_parts
         self.skip = skip_parts
         self.use_stopwords = use_stopwords
+        # each actor is scheduled as ONE cpu — keep Arrow's internal pool at
+        # one thread too, or 30 actors × ncpu-thread parquet/compute pools
+        # thrash the box (massive oversubscription at high concurrency)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
 
     def _one_file(self, path: str, fidx: int, bases: np.ndarray) -> list[pa.Table]:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=INPUT_COLUMNS)
+        t = pq.read_table(path, columns=INPUT_COLUMNS, use_threads=False)
         n = t.num_rows
         if n == 0:
             return []
