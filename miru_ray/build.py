@@ -229,6 +229,7 @@ def forward_to_run_row(part: int, first_doc: int, last_doc: int, forward: pa.Tab
         w.write_table(forward)
     payload = sink.getvalue()
     empty_i32 = pa.array([[]], type=pa.large_list(pa.int32()))
+    empty_i64 = pa.array([[]], type=pa.large_list(pa.int64()))
     return pa.table(
         {
             "part": pa.array([part], type=pa.int32()),
@@ -245,6 +246,8 @@ def forward_to_run_row(part: int, first_doc: int, last_doc: int, forward: pa.Tab
             "blk_count": empty_i32,
             "blk_max_tf": empty_i32,
             "blk_min_dl": empty_i32,
+            "blk_doc_end": empty_i64,
+            "blk_tf_end": empty_i64,
         },
         schema=RUNS_SCHEMA,
     )

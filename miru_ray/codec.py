@@ -60,6 +60,12 @@ RUNS_SCHEMA = pa.schema(
         ("blk_count", pa.large_list(pa.int32())),
         ("blk_max_tf", pa.large_list(pa.int32())),
         ("blk_min_dl", pa.large_list(pa.int32())),
+        # per-block END byte offsets into doc_bytes / tf_bytes (run-relative):
+        # block i's bytes are [end[i-1], end[i]) — enables partial decode of a
+        # block range without touching the rest of a (multi-GB at 10^12-turn
+        # scale) posting
+        ("blk_doc_end", pa.large_list(pa.int64())),
+        ("blk_tf_end", pa.large_list(pa.int64())),
     ]
 )
 
@@ -308,6 +314,15 @@ def _encode_runs(
     ttf = _reduceat(np.add, tf, run_starts).astype(np.int64)
     max_tf = _reduceat(np.maximum, tf, run_starts).astype(np.int32)
 
+    # per-block byte END offsets, relative to the block's run start
+    run_doc_base = doc_off[run_starts][block_run]
+    run_tf_base = tf_off[run_starts][block_run]
+    blk_doc_end = doc_off[blk_ends] - run_doc_base
+    blk_tf_end = tf_off[blk_ends] - run_tf_base
+
+    def _list64(arr: np.ndarray) -> pa.Array:
+        return pa.LargeListArray.from_arrays(blk_offsets, pa.array(arr, type=pa.int64()))
+
     return pa.table(
         {
             "part": pa.array(part[run_starts].astype(np.int32), type=pa.int32()),
@@ -324,6 +339,8 @@ def _encode_runs(
             "blk_count": _list(blk_count),
             "blk_max_tf": _list(blk_max_tf),
             "blk_min_dl": _list(blk_min_dl),
+            "blk_doc_end": _list64(blk_doc_end),
+            "blk_tf_end": _list64(blk_tf_end),
         },
         schema=RUNS_SCHEMA,
     )
@@ -349,6 +366,42 @@ def decode_posting(
     tfs = None
     if tf_bytes is not None:
         tfs = varbyte_decode(np.frombuffer(tf_bytes, dtype=np.uint8)).astype(np.int64)
+    return docs, tfs
+
+
+def decode_posting_range(
+    doc_bytes: bytes | np.ndarray,
+    tf_bytes: bytes | np.ndarray | None,
+    blk_first: np.ndarray,
+    blk_count: np.ndarray,
+    blk_doc_end: np.ndarray,
+    blk_tf_end: np.ndarray,
+    b_lo: int,
+    b_hi: int,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Partial decode of blocks [b_lo, b_hi) using the per-block byte
+    offsets — the scale path for multi-GB hot-term postings: only the
+    touched blocks' bytes are read and decoded."""
+    blk_doc_end = np.asarray(blk_doc_end, dtype=np.int64)
+    blk_tf_end = np.asarray(blk_tf_end, dtype=np.int64)
+    d_lo = 0 if b_lo == 0 else int(blk_doc_end[b_lo - 1])
+    d_hi = int(blk_doc_end[b_hi - 1])
+    buf = np.frombuffer(doc_bytes, dtype=np.uint8)[d_lo:d_hi]
+    deltas = varbyte_decode(buf).astype(np.int64)
+    counts = np.asarray(blk_count[b_lo:b_hi], dtype=np.int64)
+    firsts = np.asarray(blk_first[b_lo:b_hi], dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    v = deltas
+    v[starts] = firsts
+    c = np.cumsum(v)
+    base = c[starts] - firsts
+    docs = c - np.repeat(base, counts)
+    tfs = None
+    if tf_bytes is not None:
+        t_lo = 0 if b_lo == 0 else int(blk_tf_end[b_lo - 1])
+        t_hi = int(blk_tf_end[b_hi - 1])
+        tfs = varbyte_decode(np.frombuffer(tf_bytes, dtype=np.uint8)[t_lo:t_hi]).astype(np.int64)
     return docs, tfs
 
 
@@ -439,6 +492,22 @@ def _merge_sorted_runs(t: pa.Table, new_group: np.ndarray | None = None) -> pa.T
         values = arr.values
         return pa.LargeListArray.from_arrays(pa.array(off[bounds], type=pa.int64()), values)
 
+    def subsample_shifted_list(name, bytes_name):
+        """Like subsample_list, but the values are byte offsets relative to
+        their ORIGINAL run's bytes — shift each run's entries by where that
+        run's bytes land inside the merged run's concatenated bytes."""
+        arr = col(name)
+        off = _offsets_and_data(arr)
+        byte_off = _offsets_and_data(col(bytes_name))
+        gid = np.cumsum(new_group) - 1
+        shift_per_row = byte_off[:-1] - byte_off[go[gid]]
+        blocks_per_row = (off[1:] - off[:-1]).astype(np.int64)
+        values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        shifted = values + np.repeat(shift_per_row, blocks_per_row)
+        return pa.LargeListArray.from_arrays(
+            pa.array(off[bounds], type=pa.int64()), pa.array(shifted, type=pa.int64())
+        )
+
     df = np.add.reduceat(np_col("df", np.int64), go).astype(np.int32)
     ttf = np.add.reduceat(np_col("ttf", np.int64), go)
     max_tf = np.maximum.reduceat(np_col("max_tf", np.int64), go).astype(np.int32)
@@ -462,6 +531,8 @@ def _merge_sorted_runs(t: pa.Table, new_group: np.ndarray | None = None) -> pa.T
             "blk_count": subsample_list("blk_count"),
             "blk_max_tf": subsample_list("blk_max_tf"),
             "blk_min_dl": subsample_list("blk_min_dl"),
+            "blk_doc_end": subsample_shifted_list("blk_doc_end", "doc_bytes"),
+            "blk_tf_end": subsample_shifted_list("blk_tf_end", "tf_bytes"),
         },
         schema=RUNS_SCHEMA,
     )

@@ -104,3 +104,50 @@ def test_merge_runs_split_invariance(p, cut_points):
     np.testing.assert_array_equal(f, tfs)
     assert merged["df"][0].as_py() == len(docs)
     assert merged["ttf"][0].as_py() == int(tfs.sum())
+
+
+@given(posting(), st.data())
+@settings(max_examples=100, deadline=None)
+def test_block_range_decode(p, data):
+    """decode_posting_range over any block window == the corresponding slice
+    of the full decode — including after a multi-run merge."""
+    from miru_ray.codec import decode_posting_range
+
+    docs, tfs, dls = p
+    cuts = sorted(
+        set(
+            data.draw(
+                st.lists(st.integers(min_value=1, max_value=max(1, len(docs) - 1)), max_size=3)
+            )
+        )
+        - {0, len(docs)}
+    )
+    bounds = [0] + [c for c in cuts if c < len(docs)] + [len(docs)]
+    parts = [
+        encode_triples_to_runs(
+            np.zeros(hi - lo, dtype=np.int64),
+            pa.array(["x"] * (hi - lo), type=pa.large_string()),
+            docs[lo:hi], tfs[lo:hi], dls[lo:hi],
+        )
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    t = merge_runs(pa.concat_tables(parts))
+    assert t.num_rows == 1
+    blk_first = np.asarray(t["blk_first"][0].as_py())
+    blk_count = np.asarray(t["blk_count"][0].as_py())
+    blk_doc_end = np.asarray(t["blk_doc_end"][0].as_py())
+    blk_tf_end = np.asarray(t["blk_tf_end"][0].as_py())
+    n_blocks = len(blk_first)
+    assert blk_doc_end[-1] == len(t["doc_bytes"][0].as_py())
+    assert blk_tf_end[-1] == len(t["tf_bytes"][0].as_py())
+    b_lo = data.draw(st.integers(min_value=0, max_value=n_blocks - 1))
+    b_hi = data.draw(st.integers(min_value=b_lo + 1, max_value=n_blocks))
+    d, f = decode_posting_range(
+        t["doc_bytes"][0].as_py(), t["tf_bytes"][0].as_py(),
+        blk_first, blk_count, blk_doc_end, blk_tf_end, b_lo, b_hi,
+    )
+    starts = np.concatenate([[0], np.cumsum(blk_count)])
+    lo_v, hi_v = int(starts[b_lo]), int(starts[b_hi])
+    np.testing.assert_array_equal(d, docs[lo_v:hi_v])
+    np.testing.assert_array_equal(f, tfs[lo_v:hi_v])
