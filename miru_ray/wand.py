@@ -20,10 +20,11 @@ Exactness: any unscored doc lies in a segment with bound < kth score, so
 it cannot displace the top k; segments with bound == kth score are still
 visited (docId-desc tie-break can admit equal scores).
 
-The posting bytes are still decoded whole-posting (our varbyte decode is
-one vectorized pass; per-block byte offsets are a format extension left
-for a later round), so the saving is the scoring work — the right
-trade-off while postings fit comfortably in memory per partition.
+The posting bytes are decoded whole-posting here (one vectorized pass,
+cached per process); the format already carries per-block byte offsets
+(codec.decode_posting_range) so a later round can lift the sweep to
+partial decode for postings that dwarf memory — today the saving is the
+scoring work, the right trade-off while postings fit per partition.
 
 ``found`` (the reference's answer cardinality) still requires the union
 size; it is computed with one concat+unique, not with scoring.
