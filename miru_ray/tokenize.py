@@ -79,6 +79,15 @@ def tokenize_flat(
         texts = texts.combine_chunks()
     offsets, data = _string_buffers(texts)
     n_rows = len(offsets) - 1
+    # Rebase sliced inputs: offsets index the FULL data buffer, but the
+    # mask/boundary passes below assume data[0] is row 0's first byte.
+    # Without this, a pa.Array with offset>0 tokenizes bytes outside the
+    # window (parents of -1 / n_rows, tokens merged across sliced-away rows).
+    if n_rows <= 0:
+        return np.empty(0, np.int64), pa.array([], type=pa.string())
+    if offsets[0] != 0 or int(offsets[-1]) != len(data):
+        data = data[int(offsets[0]) : int(offsets[-1])]
+        offsets = offsets - offsets[0]
     if len(data) == 0:
         return np.empty(0, np.int64), pa.array([], type=pa.string())
     low = _LOWER_LUT[data]

@@ -29,6 +29,23 @@ def test_py_vs_arrow_tokenizer_contract():
         assert got[len(texts)] == []
 
 
+def test_sliced_array_tokenizes_window_only():
+    # A pa.Array slice keeps the full data buffer with offset>0; tokenize_flat
+    # must rebase to the window instead of scanning bytes outside it
+    # (regression: parents of -1 and tokens merged across sliced-away rows).
+    texts = ["alpha beta", "gamma delta", "EPSILON zeta", "eta theta", "iota"]
+    arr = pa.array(texts, type=pa.string())
+    for lo, hi in [(1, 4), (0, 2), (2, 5), (3, 3)]:
+        sl = arr.slice(lo, hi - lo)
+        parents, toks = tokenize_flat(sl)
+        got = {i: [] for i in range(len(sl))}
+        for p, t in zip(parents, toks.to_pylist()):
+            assert 0 <= int(p) < len(sl)
+            got[int(p)].append(t)
+        for i in range(len(sl)):
+            assert got[i] == py_tokenize(texts[lo + i]), (lo, hi, i)
+
+
 def test_token_counts():
     arr = pa.array(["a b c", "", "x y"])
     parents, toks = tokenize_flat(arr)
