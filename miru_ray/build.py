@@ -370,6 +370,21 @@ class SegmentBuilder:
         )
 
 
+def _totals_from_manifests(index_dir: str) -> dict:
+    """Global corpus totals recomputed from ALL complete per-partition
+    manifests (built + resumed + extended) — the single source of truth, so
+    resume/extend cannot undercount index.json."""
+    from .segments import read_manifest
+
+    tot = {"n_docs": 0, "total_tokens": 0, "posting_bytes": 0}
+    for p in completed_parts(index_dir):
+        mt = read_manifest(index_dir, p)["metrics"]
+        tot["n_docs"] += int(mt.get("n_docs", 0))
+        tot["total_tokens"] += int(mt.get("total_tokens", 0))
+        tot["posting_bytes"] += int(mt.get("posting_bytes", 0))
+    return tot
+
+
 def build_index(
     input_path: str | list[str],
     index_dir: str,
@@ -447,11 +462,7 @@ def _build_index_sort(
         "meta_fields": list(META_FIELDS),
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
-        "totals": {
-            "n_docs": sum(int(r["n_docs"]) for r in rows),
-            "total_tokens": sum(int(r["total_tokens"]) for r in rows),
-            "posting_bytes": sum(int(r["posting_bytes"]) for r in rows),
-        },
+        "totals": _totals_from_manifests(index_dir),
     }
     write_global_manifest(index_dir, meta)
     return meta
@@ -811,11 +822,7 @@ def build_index_streaming(
         "meta_fields": list(META_FIELDS),
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
-        "totals": {
-            "n_docs": sum(int(r["n_docs"]) for r in rows),
-            "total_tokens": sum(int(r["total_tokens"]) for r in rows),
-            "posting_bytes": sum(int(r["posting_bytes"]) for r in rows),
-        },
+        "totals": _totals_from_manifests(index_dir),
     }
     write_global_manifest(index_dir, meta)
     return meta
@@ -1003,6 +1010,7 @@ def extend_index(
     gmeta.setdefault("epochs", []).append(
         {"epoch": epoch, "files": files, "parts_updated": sorted(built), "parts_skipped": sorted(done)}
     )
+    gmeta["totals"] = _totals_from_manifests(index_dir)
     write_global_manifest(index_dir, gmeta)
     return gmeta
 

@@ -41,19 +41,32 @@ from .search import _cached_manifest
 
 
 def _answer(index_dir: str, part: int, query: str | None, use_stopwords: bool):
-    """(answer docIds | None-for-all, n_docs, fwd) for one partition."""
+    """(answer docIds | None-for-all, n_docs, fwd) for one partition.
+
+    Every plugin path ANDs the removal index out, exactly like the fulltext
+    question (buildIndexMask, MiruBitmapsRoaring.java:492-503) — REMOVEd docs
+    must not surface in distincts/counts/waveforms either."""
+    from .segments import read_tombstones
+
     man = _cached_manifest(index_dir, part)
     n_docs = man["metrics"]["n_docs"]
     fwd = forward_columns(index_dir, part)
+    removed = read_tombstones(index_dir, part)
     if query is None:
-        return None, n_docs, fwd
+        if len(removed) == 0:
+            return None, n_docs, fwd
+        universe = np.setdiff1d(np.arange(n_docs, dtype=np.int64), removed, assume_unique=True)
+        return universe, n_docs, fwd
     from .filters import parse_query
 
     filt = parse_query(query, use_stopwords=use_stopwords)
     specs: list[tuple[str, str]] = []
     _collect_term_specs(filt, specs)
     src = PostingSource(index_dir, part, specs, DEFAULT_MAX_WILDCARD_EXPANSION)
-    return eval_filter_np(filt, src, n_docs, None), n_docs, fwd
+    answer = eval_filter_np(filt, src, n_docs, None)
+    if len(removed) and len(answer):
+        answer = np.setdiff1d(answer, removed, assume_unique=True)
+    return answer, n_docs, fwd
 
 
 def _postings_meta(index_dir: str, part: int, field: str, prefix: str = ""):
@@ -138,18 +151,29 @@ def aggregate_counts_partition(
     vals = fwd[pivot_field]
     if answer is None:
         answer = np.arange(n_docs, dtype=np.int64)
-    sel = vals.take(pa.array(answer))
-    arr = np.asarray(sel.to_pylist(), dtype=object)
-    keep = arr != ""
-    arr, docs = arr[keep], answer[keep]
-    order = np.argsort(arr, kind="stable")
-    arr, docs = arr[order], docs[order]
-    if len(arr) == 0:
+    if len(answer) == 0:
         return []
-    starts = np.flatnonzero(np.concatenate([[True], arr[1:] != arr[:-1]]))
-    counts = np.diff(np.append(starts, len(arr)))
-    last = np.maximum.reduceat(docs, starts)
-    rows = [(str(arr[s]), int(c), int(l)) for s, c, l in zip(starts, counts, last)]
+    # dictionary-encode the taken column and group on the int codes (the
+    # packed-sort trick the build uses) — no Python materialization of the
+    # matching docs' pivot values
+    sel = vals.take(pa.array(answer))
+    enc = sel.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dictionary = enc.dictionary
+    # answer is doc-ascending, so per-code last doc = max reduceat after a
+    # stable int sort on codes
+    order = np.argsort(codes, kind="stable")
+    codes_s, docs_s = codes[order], answer[order]
+    starts = np.flatnonzero(np.concatenate([[True], codes_s[1:] != codes_s[:-1]]))
+    counts = np.diff(np.append(starts, len(codes_s)))
+    last = np.maximum.reduceat(docs_s, starts)
+    uniq_codes = codes_s[starts]
+    terms = dictionary.take(pa.array(uniq_codes)).to_pylist()
+    rows = [
+        (t, int(c), int(l))
+        for t, c, l in zip(terms, counts, last)
+        if t != ""
+    ]
     rows.sort(key=lambda r: -r[2])  # newest-first (reverse time order)
     return rows
 
@@ -216,8 +240,34 @@ def trending(engine, queries: list[str], bucket_us: int) -> list[tuple[str, floa
 
 def latest_first_partition(index_dir: str, part: int, field: str, prefix: str = ""):
     """(term, first_docId, last_docId, df) — the IndexFirst/IndexLatest
-    aggregates, free from the posting metadata columns."""
+    aggregates, free from the posting metadata columns. When tombstones
+    exist, any term whose first/last doc was REMOVEd re-derives its
+    endpoints from the (masked) posting; fully-removed terms are dropped."""
+    from .segments import read_tombstones
+
     terms, first, last, df = _postings_meta(index_dir, part, field, prefix)
+    removed = read_tombstones(index_dir, part)
+    if len(removed):
+        hit_f = np.isin(first, removed)
+        hit_l = np.isin(last, removed)
+        redo = [t for t, hf, hl in zip(terms, hit_f, hit_l) if hf or hl]
+        if redo:
+            src = PostingSource(index_dir, part, [(field, t) for t in redo], 0)
+            dfs = dict(zip(terms, df))
+            fixed: dict[str, tuple[int, int, int] | None] = {}
+            for t in redo:
+                docs = np.setdiff1d(src.docs(field, t), removed, assume_unique=True)
+                # df stays the indexed count — the reference never decrements
+                # the cardinality store on REMOVE (see segments.remove_docs)
+                fixed[t] = (int(docs[0]), int(docs[-1]), int(dfs[t])) if len(docs) else None
+            out = []
+            for t, f, l, d in zip(terms, first, last, df):
+                if t in fixed:
+                    if fixed[t] is not None:
+                        out.append((t, *fixed[t]))
+                else:
+                    out.append((t, int(f), int(l), int(d)))
+            return out
     return [(t, int(f), int(l), int(d)) for t, f, l, d in zip(terms, first, last, df)]
 
 
@@ -229,9 +279,14 @@ def latest_first(engine, field: str, prefix: str = ""):
 # ----------------------------------------------------------------- fan-out
 
 
+_REMOTE_FNS: dict = {}
+
+
 def _fan(engine, fn, kwargs: dict) -> list:
     """One task per partition (Ray when available), results in engine.parts
-    order — the same scatter pattern as SearchEngine._fan_out."""
+    order — the same scatter pattern as SearchEngine._fan_out. Remote
+    handles are cached per function so the function is exported once per
+    session, not once per query."""
     try:
         import ray
 
@@ -241,7 +296,10 @@ def _fan(engine, fn, kwargs: dict) -> list:
     if use_ray:
         import ray
 
-        rfn = ray.remote(num_cpus=1)(fn)
+        rfn = _REMOTE_FNS.get(fn)
+        if rfn is None:
+            rfn = ray.remote(num_cpus=1)(fn)
+            _REMOTE_FNS[fn] = rfn
         futs = [rfn.remote(engine.index_dir, p, **kwargs) for p in engine.parts]
         return ray.get(futs)
     return [fn(engine.index_dir, p, **kwargs) for p in engine.parts]

@@ -82,20 +82,34 @@ def _collect_term_specs(filt: Filter, out: list[tuple[str, str]]):
         _collect_term_specs(sub, out)
 
 
-# per-process decoded-posting cache: (index_dir, part, "field\x1fterm") →
-# (docs, tfs, ttf, df) | None-for-absent. The analogue of the reference's
+# per-process decoded-posting cache: (index_dir, part, epoch, "field\x1fterm")
+# → (docs, tfs, ttf, df) | None-for-absent. The analogue of the reference's
 # per-partition bitmap caches held by reader nodes (LAB leap cache /
 # StrutModelCache.java pattern). Worker processes are reused across Ray
-# tasks, and partition-pinned query actors make hits deterministic.
+# tasks, and partition-pinned query actors make hits deterministic. The
+# epoch component is the partition manifest's mtime: extend_index / repair
+# rewrite postings.parquet + manifest, so warm workers must not serve the
+# pre-extend postings or n_docs (mirrors _FORWARD_CACHE/_TOMBSTONE_CACHE).
 _POSTING_CACHE: dict[tuple, tuple | None] = {}
 _POSTING_CACHE_CAP = 200_000
 _MANIFEST_CACHE: dict[tuple, dict] = {}
 
 
+def _manifest_epoch(index_dir: str, part: int) -> float:
+    import os
+
+    from .segments import manifest_path
+
+    try:
+        return os.path.getmtime(manifest_path(index_dir, part))
+    except OSError:
+        return -1.0
+
+
 def _cached_manifest(index_dir: str, part: int) -> dict:
     from .segments import read_manifest
 
-    key = (index_dir, part)
+    key = (index_dir, part, _manifest_epoch(index_dir, part))
     m = _MANIFEST_CACHE.get(key)
     if m is None:
         m = read_manifest(index_dir, part)
@@ -127,10 +141,11 @@ class PostingSource:
         self.ttf: dict[tuple[str, str], int] = {}
         self.df: dict[tuple[str, str], int] = {}
         self.blocks: dict[tuple[str, str], dict[str, np.ndarray]] = {}
+        epoch = _manifest_epoch(index_dir, part)
         misses = []
         for k in sorted(keys):
-            hit = _POSTING_CACHE.get((index_dir, part, k))
-            if hit is None and (index_dir, part, k) not in _POSTING_CACHE:
+            hit = _POSTING_CACHE.get((index_dir, part, epoch, k))
+            if hit is None and (index_dir, part, epoch, k) not in _POSTING_CACHE:
                 misses.append(k)
             elif hit is not None:
                 field, term = k.split(FIELD_SEP, 1)
@@ -166,11 +181,11 @@ class PostingSource:
                 self.ttf[(field, term)] = ttf
                 self.df[(field, term)] = df
                 self.blocks[(field, term)] = blocks
-                _POSTING_CACHE[(index_dir, part, key_str)] = (docs, tfs, ttf, df, blocks)
+                _POSTING_CACHE[(index_dir, part, epoch, key_str)] = (docs, tfs, ttf, df, blocks)
                 found.add(key_str)
             for k in misses:
                 if k not in found:
-                    _POSTING_CACHE[(index_dir, part, k)] = None  # negative entry
+                    _POSTING_CACHE[(index_dir, part, epoch, k)] = None  # negative entry
 
     def expand(self, field: str, value: str) -> list[str]:
         if value.endswith("*"):

@@ -142,6 +142,12 @@ def wand_topk(
     seg_hi = bounds[1:]
     live = seg_ub > 0
     seg_lo, seg_hi, seg_ub = seg_lo[live], seg_hi[live], seg_ub[live]
+    # The exact scorer accumulates in fp32 while bounds are fp64: fp32
+    # round-up can exceed the fp64 bound by a few ulps per term, letting a
+    # "pruned" doc tie the kth score and win the docId-desc tie-break. Add
+    # relative headroom scaled by term count (+ denormal floor) so pruning
+    # stays strictly conservative.
+    seg_ub = seg_ub * (1.0 + 4.0 * len(terms) * np.finfo(np.float32).eps) + 1e-30
 
     order = np.argsort(-seg_ub, kind="stable")
     seg_lo, seg_hi, seg_ub = seg_lo[order], seg_hi[order], seg_ub[order]

@@ -94,3 +94,98 @@ def test_trending_deterministic(engine):
     b = plugins.trending(engine, ["t1", "t2", "w00042"], 3_600_000_000)
     assert a == b
     assert len(a) == 3 and all(isinstance(s, float) for _q, s in a)
+
+
+def test_plugins_mask_tombstones(ray_session, tiny_transcripts_dir, tiny_rows, tiny_oracle, tmp_path_factory):
+    """REMOVEd docs must vanish from plugin results too (distincts,
+    aggregate_counts, waveform, latest_first) — the removal index is ANDed
+    out of every query path, reference MiruRemovalIndex semantics."""
+    from miru_ray.build import build_index
+    from miru_ray.segments import read_tombstones, remove_docs
+
+    d = str(tmp_path_factory.mktemp("idx_plugins_rm"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    victims = [(r["conv_id"], r["turn_idx"]) for r in tiny_rows[::5]]
+    remove_docs(d, victims)
+    removed = {p: set(read_tombstones(d, p).tolist()) for p in range(N_PARTS)}
+    eng = SearchEngine(d)
+
+    def alive(p, ans):
+        return [i for i in ans if i not in removed[p]]
+
+    # aggregate_counts with and without a query
+    for q in (None, "t3"):
+        got = plugins.aggregate_counts(eng, "role", query=q)
+        exp_tot: dict[str, int] = {}
+        for pid, p in tiny_oracle.items():
+            ans = sorted(oracle_answer(p, q)) if q else range(len(p.ts))
+            for i in alive(pid, ans):
+                v = p.fields["role"][i]
+                if v:
+                    exp_tot[v] = exp_tot.get(v, 0) + 1
+        assert {t: c for t, c, _p, _l in got} == exp_tot, q
+
+    # waveform counts exclude tombstones
+    bucket = 3_600_000_000
+    got_wf = plugins.waveform(eng, bucket, query="t1")
+    exp_wf: dict[int, int] = {}
+    for pid, p in tiny_oracle.items():
+        for i in alive(pid, sorted(oracle_answer(p, "t1"))):
+            b = (p.ts[i] // bucket) * bucket
+            exp_wf[b] = exp_wf.get(b, 0) + 1
+    assert got_wf == exp_wf
+
+    # distincts with no query: a term alive only in removed docs must drop
+    got_d = plugins.distincts(eng, "text", prefix="w00")
+    exp_d = set()
+    for pid, p in tiny_oracle.items():
+        for term, posting in p.post["text"].items():
+            if term.startswith("w00") and any(i not in removed[pid] for i in posting):
+                exp_d.add(term)
+    assert got_d == sorted(exp_d)
+
+    # latest_first endpoints skip tombstoned first/last docs
+    got_lf = plugins.latest_first(eng, "text", prefix="t1")
+    for part, lf_rows in got_lf.items():
+        opart = tiny_oracle[part]
+        for term, first, last, df in lf_rows:
+            docs = [i for i in sorted(opart.post["text"][term]) if i not in removed[part]]
+            assert docs, (part, term)  # fully-removed terms must be absent
+            assert first == docs[0] and last == docs[-1], (part, term)
+
+
+def test_caches_refresh_after_extend(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    """Warm per-process posting/manifest caches must not serve pre-extend
+    state: query → extend_index → same-process query sees the new docs."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from miru_ray.build import build_index, extend_index
+
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    convs = sorted(set(t["conv_id"].to_pylist()))
+    cut = convs[len(convs) // 2]
+    src1 = str(tmp_path_factory.mktemp("cache_src1"))
+    src2 = str(tmp_path_factory.mktemp("cache_src2"))
+    pq.write_table(t.filter(pc.less(t["conv_id"], cut)), os.path.join(src1, "a.parquet"))
+    pq.write_table(t.filter(pc.greater_equal(t["conv_id"], cut)), os.path.join(src2, "b.parquet"))
+
+    d = str(tmp_path_factory.mktemp("idx_cache"))
+    build_index(src1, d, n_parts=N_PARTS)
+    eng = SearchEngine(d)
+    # warm the driver-process caches via the serial path
+    hits1, found1 = eng.search("t1", k=5, parallel=False)
+    n1 = plugins.distinct_count(eng, "conv_id")
+    extend_index(src2, d)
+    eng2 = SearchEngine(d)
+    hits2, found2 = eng2.search("t1", k=5, parallel=False)
+    n2 = plugins.distinct_count(eng2, "conv_id")
+    assert found2 > found1
+    assert n2 > n1
+    assert n2 == len(convs)
