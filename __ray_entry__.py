@@ -144,6 +144,12 @@ def ft_match_field(sf_dir: str):
     return _match(sf_dir, "role:src3 scan")
 
 
+def ft_match_range(sf_dir: str):
+    # numeric range terms: turn_idx = doc_id % 41 in the derived transcripts
+    # (Prefix.NUMERIC lex-encoded postings + [lo TO hi] term-range scan)
+    return _match(sf_dir, "turn_idx:[5 TO 12] scan")
+
+
 def _topk_answer(sf_dir: str):
     """AND-match the TOPK_TERMS on the 1-partition index; return
     (src, answer docIds, n_docs, avgdl, dl array) for fp64 scoring."""
@@ -409,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_not": ft_match_not,
         "ft_match_prefix": ft_match_prefix,
         "ft_match_field": ft_match_field,
+        "ft_match_range": ft_match_range,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
         "ft_topk_time": ft_topk_time,
@@ -503,6 +510,10 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         ),
         "ft_match_field": (
             f"SELECT doc_id FROM documents WHERE source = 'src3' "
+            f"AND list_contains({_TOK}, 'scan')"
+        ),
+        "ft_match_range": (
+            f"SELECT doc_id FROM documents WHERE (doc_id % 41) BETWEEN 5 AND 12 "
             f"AND list_contains({_TOK}, 'scan')"
         ),
         "ft_topk_tfidf": (

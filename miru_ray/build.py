@@ -67,9 +67,11 @@ from .hashing import fnv1a64
 from .segments import (
     FORWARD_SCHEMA,
     META_FIELDS,
+    NUM_FIELDS,
     TEXT_FIELD,
     completed_parts,
     finalize_segment,
+    numeric_lex_array,
     term_key,
     write_global_manifest,
     write_segment,
@@ -157,15 +159,25 @@ def tokenize_chunk_to_runs(
     )
 
 
+def _single_term_columns(t: pa.Table):
+    """(field, string-values) pairs for every single-term indexed field:
+    the META_FIELDS verbatim, plus NUM_FIELDS lex-encoded for range scans
+    (numeric prefix composition, MiruTermComposer.java:130-145)."""
+    for field in META_FIELDS:
+        vals = t[field]
+        yield field, (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
+    for field in NUM_FIELDS:
+        yield field, numeric_lex_array(t[field])
+
+
 def meta_field_runs(
     g: pa.Table, part: int, doc_ids: np.ndarray, dl_all: np.ndarray
 ) -> list[pa.Table]:
-    """Single-term postings (tf=1) for the META_FIELDS of a row slice whose
-    global docIds are ``doc_ids`` (the reference's singleTerm fields,
-    MiruFullTextNGTest.java:52-60)."""
+    """Single-term postings (tf=1) for the META_FIELDS + NUM_FIELDS of a row
+    slice whose global docIds are ``doc_ids`` (the reference's singleTerm
+    fields, MiruFullTextNGTest.java:52-60)."""
     out: list[pa.Table] = []
-    for field in META_FIELDS:
-        vals = g[field].combine_chunks() if isinstance(g[field], pa.ChunkedArray) else g[field]
+    for field, vals in _single_term_columns(g):
         nonempty = pc.fill_null(pc.not_equal(pc.coalesce(vals, ""), ""), False)
         keep = nonempty.to_numpy(zero_copy_only=False)
         if not keep.any():
@@ -198,8 +210,7 @@ def meta_field_runs_multi(
     """meta_field_runs across all partitions of a file at once (one lexsort
     per field instead of one per (field, part))."""
     out: list[pa.Table] = []
-    for field in META_FIELDS:
-        vals = t[field].combine_chunks() if isinstance(t[field], pa.ChunkedArray) else t[field]
+    for field, vals in _single_term_columns(t):
         nonempty = pc.fill_null(pc.not_equal(pc.coalesce(vals, ""), ""), False)
         keep = nonempty.to_numpy(zero_copy_only=False)
         if not keep.any():
@@ -460,6 +471,7 @@ def _build_index_sort(
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
+        "num_fields": list(NUM_FIELDS),
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
         "totals": _totals_from_manifests(index_dir),
@@ -820,6 +832,7 @@ def build_index_streaming(
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
+        "num_fields": list(NUM_FIELDS),
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
         "totals": _totals_from_manifests(index_dir),

@@ -43,6 +43,50 @@ DEFAULT_FIELD = "text"
 # (MiruAggregateUtil.java:1160-1168).
 DEFAULT_MAX_WILDCARD_EXPANSION = 500
 
+# Range values: ``field:[lo TO hi]`` (Lucene TermRangeQuery syntax; `{`/`}`
+# exclusive, `*` open). Stored verbatim as a FieldFilter value; expansion
+# happens per-partition as a term-dictionary range scan — integer bounds are
+# lex-encoded to match NUM_FIELDS' numeric term composition (the reference's
+# Prefix.NUMERIC ranges, MiruTermComposer.java:130-145, makeUpperExclusive
+# :265-280).
+RANGE_RE = re.compile(r"^([\[\{])(\S+) TO (\S+)([\]\}])$")
+_INT_RE = re.compile(r"^-?\d+$")
+
+
+def parse_range_value(v: str) -> tuple[str, str, bool, bool] | None:
+    """``"[3 TO 7]"`` → (lo_tok, hi_tok, lo_inclusive, hi_inclusive); None
+    if ``v`` is not a range value."""
+    m = RANGE_RE.match(v)
+    if m is None:
+        return None
+    return m.group(2), m.group(3), m.group(1) == "[", m.group(4) == "]"
+
+
+def range_term_bounds(v: str) -> tuple[str | None, str | None, bool, bool] | None:
+    """Resolve a range value to term-dictionary bounds.
+
+    Integer bounds are numeric-lex encoded (NUM_FIELDS store encoded
+    terms); other bounds are ASCII-lowercased raw strings. ``*`` → open
+    (None). Returns (lo, hi, lo_inc, hi_inc) or None if not a range."""
+    parsed = parse_range_value(v)
+    if parsed is None:
+        return None
+    lo_tok, hi_tok, lo_inc, hi_inc = parsed
+    numeric = all(t == "*" or _INT_RE.match(t) for t in (lo_tok, hi_tok)) and not (
+        lo_tok == "*" and hi_tok == "*"
+    )
+
+    def enc(tok: str) -> str | None:
+        if tok == "*":
+            return None
+        if numeric:
+            from .segments import numeric_lex
+
+            return numeric_lex(int(tok))
+        return tok.lower()
+
+    return enc(lo_tok), enc(hi_tok), lo_inc, hi_inc
+
 
 @dataclass
 class FieldFilter:
@@ -130,6 +174,31 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
             fld, rest = t.split(":", 1)
             if rest:
                 field, t = fld, rest
+        if t and t[0] in "[{":
+            # range atom: 'f:[lo TO hi]' tokenizes as 'f:[lo', 'TO', 'hi]'
+            open_br, lo_tok = t[0], t[1:]
+            if not lo_tok:
+                lo_tok = take() if peek() is not None else None
+            if lo_tok is None:
+                raise QueryParseError("malformed range: missing lower bound")
+            kw = take() if peek() is not None else None
+            if kw is None or kw.upper() != "TO":
+                raise QueryParseError("malformed range: expected TO")
+            hi_full = take() if peek() is not None else None
+            if hi_full is None:
+                raise QueryParseError("malformed range: missing upper bound")
+            if hi_full in ("]", "}"):
+                raise QueryParseError("malformed range: missing upper bound")
+            if hi_full[-1] in "]}":
+                close, hi_tok = hi_full[-1], hi_full[:-1]
+            elif peek() in ("]", "}"):
+                close, hi_tok = take(), hi_full
+            else:
+                raise QueryParseError("malformed range: missing ] or }")
+            value = f"{open_br}{lo_tok} TO {hi_tok}{close}"
+            if parse_range_value(value) is None:
+                raise QueryParseError(f"malformed range: {value!r}")
+            return Filter("and", False, [FieldFilter(field, [value])], [])
         return analyze(t, field)
 
     def parse_and() -> Filter:

@@ -42,6 +42,7 @@ import numpy as np
 
 from .filters import DEFAULT_MAX_WILDCARD_EXPANSION, FieldFilter, Filter, parse_query
 from .hashing import fnv1a64_str
+from .segments import numeric_lex
 from .tokenize import py_tokenize
 
 F32 = np.float32
@@ -107,6 +108,8 @@ def build_oracle_partitions(rows: list[dict], n_parts: int) -> dict[int, OracleP
                 "role": [r["role"] for r in rs],
                 "tool": [r.get("tool", "") for r in rs],
                 "conv_id": [r["conv_id"] for r in rs],
+                # numeric field: lex-encoded terms (range-scannable)
+                "turn_idx": [numeric_lex(int(r["turn_idx"])) for r in rs],
             },
         )
     return out
@@ -116,9 +119,19 @@ def build_oracle_partitions(rows: list[dict], n_parts: int) -> dict[int, OracleP
 
 
 def _expand_values(part: OraclePartition, ff: FieldFilter, max_wild: int) -> list[str]:
+    from .filters import range_term_bounds
+
     terms: list[str] = []
     for v in ff.values:
-        if v.endswith("*"):
+        bounds = range_term_bounds(v)
+        if bounds is not None:
+            b_lo, b_hi, lo_inc, hi_inc = bounds
+            st = part.sorted_terms.get(ff.field, [])
+            lo = 0 if b_lo is None else (bisect_left if lo_inc else bisect_right)(st, b_lo)
+            hi = len(st) if b_hi is None else (bisect_right if hi_inc else bisect_left)(st, b_hi)
+            sel = st[lo:hi]
+            terms.extend(sel[:max_wild] if max_wild > 0 else sel)
+        elif v.endswith("*"):
             prefix = v[:-1]
             st = part.sorted_terms.get(ff.field, [])
             lo = bisect_left(st, prefix)

@@ -126,10 +126,21 @@ class PostingSource:
 
     def __init__(self, index_dir: str, part: int, specs: list[tuple[str, str]],
                  max_wild: int):
+        from .filters import range_term_bounds
+        from .segments import read_term_between
+
         self.expansions: dict[tuple[str, str], list[str]] = {}
         keys = set()
         for field, v in specs:
-            if v.endswith("*"):
+            bounds = range_term_bounds(v)
+            if bounds is not None:
+                lo, hi, lo_inc, hi_inc = bounds
+                terms = read_term_between(index_dir, part, field, lo, hi, lo_inc, hi_inc)
+                if max_wild > 0:
+                    terms = terms[:max_wild]
+                self.expansions[(field, v)] = terms
+                keys.update(field + FIELD_SEP + t for t in terms)
+            elif v.endswith("*"):
                 terms = read_term_range(index_dir, part, field, v[:-1])
                 if max_wild > 0:
                     terms = terms[:max_wild]
@@ -188,8 +199,10 @@ class PostingSource:
                     _POSTING_CACHE[(index_dir, part, epoch, k)] = None  # negative entry
 
     def expand(self, field: str, value: str) -> list[str]:
+        if (field, value) in self.expansions:
+            return self.expansions[(field, value)]
         if value.endswith("*"):
-            return self.expansions.get((field, value), [])
+            return []
         return [value]
 
     def docs(self, field: str, term: str) -> np.ndarray:

@@ -38,13 +38,48 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIELD_SEP = "\x1f"
-INDEX_VERSION = 1
+INDEX_VERSION = 2  # v2: NUM_FIELDS numeric-lex postings added
 
 # fields beside tokenized `text` indexed as single-term (tf=1) postings —
 # reference schema analogue: role/tool/conv_id are singleTerm fields
 # (MiruFullTextNGTest.java:52-60 user/doc singleTerm; FIXTURES.md F3)
 META_FIELDS = ("role", "tool", "conv_id")
+# numeric fields: int values lex-encoded into order-preserving fixed-width
+# terms so the term dictionary supports range scans — the reference's
+# Prefix.NUMERIC term composition (MiruTermComposer.java:130-145,
+# MiruFieldDefinition.java:139-198 numeric prefix)
+NUM_FIELDS = ("turn_idx",)
 TEXT_FIELD = "text"
+
+NUM_LEX_WIDTH = 20  # digits of 2^64-1: covers the full biased int64 range
+_NUM_BIAS = np.uint64(1 << 63)
+
+
+def numeric_lex(v: int) -> str:
+    """Order-preserving fixed-width encoding of an int64: bias by 2^63
+    (two's-complement sign flip) then zero-pad decimal — lexicographic
+    order over the encodings == numeric order over the values. The
+    decimal analogue of the reference's UtilLexMarshaller byte encoding
+    (MiruTermComposer.java:130-145), chosen so terms stay printable and
+    ANSI-SQL-checkable."""
+    return format(int(np.uint64(np.int64(v)) + _NUM_BIAS), f"0{NUM_LEX_WIDTH}d")
+
+
+def numeric_lex_array(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Vectorized numeric_lex over an integer Arrow column."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    a = arr.cast(pa.int64())
+    v = pc.fill_null(a, 0).to_numpy(zero_copy_only=False)
+    with np.errstate(over="ignore"):
+        u = v.astype(np.uint64) + _NUM_BIAS
+    s = pc.utf8_lpad(pc.cast(pa.array(u, type=pa.uint64()), pa.string()),
+                     NUM_LEX_WIDTH, "0")
+    if a.null_count:
+        s = pc.if_else(pc.is_null(a), pa.scalar(None, pa.string()), s)
+    return s
 
 FORWARD_SCHEMA = pa.schema(
     [
@@ -78,7 +113,10 @@ def read_manifest(index_dir: str, part: int) -> dict | None:
     try:
         with open(p) as f:
             m = json.load(f)
-        return m if m.get("complete") else None
+        # stale-format segments are treated as absent → resume rebuilds them
+        if not m.get("complete") or m.get("version") != INDEX_VERSION:
+            return None
+        return m
     except (json.JSONDecodeError, OSError):
         return None
 
@@ -213,6 +251,33 @@ def read_term_range(index_dir: str, part: int, field: str, prefix: str) -> list[
     t = dset.to_table(
         filter=(pc.field("term") >= lo) & (pc.field("term") <= hi), columns=["term"]
     )
+    sep_len = len(field) + 1
+    return [k[sep_len:] for k in t["term"].to_pylist()]
+
+
+def read_term_between(
+    index_dir: str,
+    part: int,
+    field: str,
+    lo: str | None,
+    hi: str | None,
+    lo_inc: bool = True,
+    hi_inc: bool = True,
+) -> list[str]:
+    """Sorted terms of ``field`` in the [lo, hi] range (open bounds with
+    None) — the term-range scan behind ``field:[lo TO hi]`` queries
+    (reference: MiruTermComposer numeric ranges + makeUpperExclusive,
+    MiruTermComposer.java:130-145,265-280)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    lo_key = term_key(field, lo if lo is not None else "")
+    hi_key = term_key(field, hi) if hi is not None else term_key(field, "") + "\U0010ffff"
+    expr = (pc.field("term") >= lo_key) if lo_inc else (pc.field("term") > lo_key)
+    expr = expr & ((pc.field("term") <= hi_key) if hi_inc else (pc.field("term") < hi_key))
+    path = os.path.join(part_dir(index_dir, part), "postings.parquet")
+    dset = pads.dataset(path, format="parquet")
+    t = dset.to_table(filter=expr, columns=["term"])
     sep_len = len(field) + 1
     return [k[sep_len:] for k in t["term"].to_pylist()]
 

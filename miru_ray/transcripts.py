@@ -9,7 +9,10 @@ column a pure function of the document row), so the same derivation is
 expressible in the DuckDB oracle SQL:
 
     conv_id  = 'doc-' || lpad(doc_id, 8, '0')   (one doc = one single-turn conv)
-    turn_idx = 0
+    turn_idx = doc_id % 41     (deterministic non-trivial numeric field so the
+                                numeric-range term path has a real oracle;
+                                conv_id is unique per doc, so (conv_id,
+                                turn_idx) order is still doc_id order)
     role     = source          (single-term field analogue of the reference's
                                 user/doc singleTerm fields, MiruFullTextNGTest.java:52-60)
     tool     = lang
@@ -39,12 +42,16 @@ def docs_to_transcripts(batch: pa.Table) -> pa.Table:
     """documents batch → transcripts-shaped batch (vectorized, deterministic)."""
     doc_id = batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
     ids = doc_id.to_numpy(zero_copy_only=False).astype(np.int64)
-    conv = pa.array([f"doc-{i:08d}" for i in ids.tolist()], type=pa.string())
-    n = len(ids)
+    # vectorized 'doc-' || lpad(doc_id, 8, '0') — no per-row Python formatting
+    conv = pc.binary_join_element_wise(
+        pa.scalar("doc-"),
+        pc.utf8_lpad(pc.cast(pa.array(ids, type=pa.int64()), pa.string()), 8, "0"),
+        "",
+    )
     return pa.table(
         {
             "conv_id": conv,
-            "turn_idx": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+            "turn_idx": pa.array((ids % 41).astype(np.int32), type=pa.int32()),
             "role": pc.cast(batch["source"], pa.string()),
             "text": pc.cast(batch["text"], pa.string()),
             "tool": pc.cast(batch["lang"], pa.string()),
@@ -77,14 +84,15 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
     transcripts view of ``sf_dir``; returns the index dir. Ray must be up."""
     from .build import SegmentBuilder, route_partition
     from .segments import completed_parts, write_global_manifest
-    from .segments import META_FIELDS, TEXT_FIELD
+    from .segments import INDEX_VERSION, META_FIELDS, NUM_FIELDS, TEXT_FIELD
 
     key = (os.path.abspath(sf_dir), n_parts)
     hit = _INDEX_CACHE.get(key)
     if hit:
         return hit
     tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
-    index_dir = os.path.join(base, f"{tag}_p{n_parts}")
+    # version in the dir name: a format bump invalidates stale /tmp caches
+    index_dir = os.path.join(base, f"{tag}_p{n_parts}_v{INDEX_VERSION}")
     done = frozenset(completed_parts(index_dir))
     ds = transcripts_dataset(sf_dir)
     ds = ds.map_batches(
@@ -113,6 +121,7 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": False},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
+        "num_fields": list(NUM_FIELDS),
         "parts_built": sorted({int(r["part"]) for r in rows} | set(done)),
         "parts_resumed": sorted(done),
     }

@@ -50,10 +50,12 @@ def disjunctive_terms(filt: Filter) -> list[tuple[str, str]] | None:
     out: list[tuple[str, str]] = []
 
     def leaf(f: Filter) -> bool:
+        from .filters import RANGE_RE
+
         if f.inclusive or f.sub_filters or len(f.field_filters) != 1:
             return False
         ff = f.field_filters[0]
-        if any(v.endswith("*") for v in ff.values):
+        if any(v.endswith("*") or RANGE_RE.match(v) for v in ff.values):
             return False
         out.extend((ff.field, v) for v in ff.values)
         return True

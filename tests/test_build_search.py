@@ -35,6 +35,11 @@ QUERIES = [
     "conv-00000007",  # tokenizes to conv + 00000007 (AND)
     "t1 AND (t2 OR t3)",
     "tf tf tf",
+    # numeric range terms (Prefix.NUMERIC composition)
+    "turn_idx:[3 TO 7] t1",
+    "turn_idx:{0 TO 5} t3",
+    "turn_idx:[30 TO *]",
+    "t1 AND NOT turn_idx:[0 TO 10]",
 ]
 
 

@@ -171,3 +171,52 @@ def test_oracle_bm25_rank_reasonable(tiny_oracle):
     assert found > 0 and all(h.score > 0 for h in hits)
     keys = [(-np.float32(h.score), -h.ts) for h in hits]
     assert keys == sorted(keys)
+
+
+def test_range_atom_parses():
+    f = q("turn_idx:[3 TO 7]")
+    assert f.field_filters[0].field == "turn_idx"
+    assert f.field_filters[0].values == ["[3 TO 7]"]
+    f2 = q("turn_idx:{0 TO 5]")
+    assert f2.field_filters[0].values == ["{0 TO 5]"]
+    f3 = q("turn_idx:[* TO 9}")
+    assert f3.field_filters[0].values == ["[* TO 9}"]
+    # range composes with other clauses
+    f4 = q("turn_idx:[3 TO 7] t1")
+    assert f4.op == "and" and len(f4.sub_filters) == 2
+
+
+def test_range_bounds_encoding():
+    from miru_ray.filters import range_term_bounds
+    from miru_ray.segments import numeric_lex
+
+    lo, hi, li, hi_inc = range_term_bounds("[3 TO 7]")
+    assert lo == numeric_lex(3) and hi == numeric_lex(7) and li and hi_inc
+    lo, hi, li, hi_inc = range_term_bounds("{-2 TO *]")
+    assert lo == numeric_lex(-2) and hi is None and not li
+    # non-integer bounds stay raw (lowercased)
+    lo, hi, *_ = range_term_bounds("[Alpha TO beta]")
+    assert lo == "alpha" and hi == "beta"
+    assert range_term_bounds("t1") is None
+    assert range_term_bounds("w004*") is None
+
+
+def test_numeric_lex_order_preserving():
+    import random
+
+    from miru_ray.segments import numeric_lex
+
+    rng = random.Random(7)
+    vals = [rng.randint(-(2**62), 2**62) for _ in range(200)] + [0, -1, 1, 2**63 - 1, -(2**63)]
+    enc = [(numeric_lex(v), v) for v in vals]
+    assert [v for _e, v in sorted(enc)] == sorted(vals)
+
+
+def test_malformed_ranges_raise():
+    import pytest
+
+    from miru_ray.filters import QueryParseError
+
+    for bad in ("turn_idx:[3 TO", "turn_idx:[3 7]", "turn_idx:[TO 7]", "turn_idx:[3 TO ]"):
+        with pytest.raises(QueryParseError):
+            q(bad)
