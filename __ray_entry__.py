@@ -332,6 +332,21 @@ def dd_clusters(sf_dir: str):
     return minhash_clusters(sf_dir, threshold=0.9)
 
 
+# ------------------------------------------------------------ reco callables
+
+RECO_USER = 3
+RECO_K = 10
+
+
+def reco_cf(sf_dir: str) -> pa.Table:
+    """Collaborative-filtering 3-hop reco over events
+    (CollaborativeFiltering.java:58-213): items user RECO_USER hasn't
+    touched, scored by top-contributor counts."""
+    from miru_ray.reco import reco_cf_ds
+
+    return reco_cf_ds(sf_dir, user_id=RECO_USER, k=RECO_K)
+
+
 # ------------------------------------------------------ text-analysis + ANN
 
 
@@ -427,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
+        "reco_cf": reco_cf,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
         "dd_simhash_groups": dd_simhash_groups,
@@ -596,6 +612,20 @@ SELECT event_type,
        CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 0 ELSE 1 END) AS BIGINT) AS n_older,
        CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE -1 END) AS BIGINT) AS delta
 FROM events CROSS JOIN m GROUP BY event_type"""
+        ),
+        "reco_cf": (
+            f"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+            CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS item
+     FROM events WHERE event_type <> 'error'),
+mine AS (SELECT DISTINCT item FROM ev WHERE user_id = {RECO_USER}),
+contrib AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM ev WHERE user_id <> {RECO_USER} AND item IN (SELECT item FROM mine)
+            GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT {RECO_K}),
+cand AS (SELECT DISTINCT e.item, c.user_id, c.n
+         FROM ev e JOIN contrib c USING (user_id)
+         WHERE e.item NOT IN (SELECT item FROM mine))
+SELECT item, CAST(sum(n) AS BIGINT) AS score FROM cand GROUP BY item
+ORDER BY score DESC, item ASC LIMIT {RECO_K}"""
         ),
         "dd_exact": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "

@@ -1,0 +1,266 @@
+"""Collaborative-filtering recommendation (the reference's reco plugin).
+
+Re-expresses ``CollaborativeFiltering.collaborativeFiltering``
+(miru-reco-plugins/.../reco/CollaborativeFiltering.java:58-213; exercised by
+miru-reco-plugins-test/.../MiruRecoCollaborativeFilteringTest) — "I have
+viewed these things; among others who have also viewed these things, what
+have they viewed that I have not?" — as two Ray-native operators:
+
+1. ``reco_cf_ds`` — the corpus-scale Ray Data pipeline over the ``events``
+   table (user = user_id, item = the numeric payload in ``props``):
+
+     hop 1  my distinct items          (tiny: one user's history → broadcast)
+     hop 2  contributors = top-N other users by # of ok events on my items
+            (per-batch partial counts → one small groupby(user) → heap)
+     hop 3  contributors' distinct items, minus mine, each scored by the
+            contributor's hop-2 count; groupby(item).sum → top-N
+
+   The only shuffles carry (user, partial-count) and deduped (item, user,
+   cnt) triples — never raw events. My-item set and the contributor table
+   are driver-small by construction (one user's history / N contributors)
+   and travel to tasks as broadcast constants, the Ray analogue of the
+   reference's in-process term sets (distinctParents /
+   contributorTermIds).
+
+2. ``reco_cf_index`` — the bitmap-algebra variant over the built index,
+   the same and/andNot/orMultiTx + gather chain the reference runs per
+   partition (CollaborativeFiltering.java:88-213), merged across
+   partitions by summing counts per item and truncating to N
+   (RecoAnswerMerger.java:34-87).
+
+Determinism note: the reference's MinMaxPriorityQueue breaks count ties
+arbitrarily; we fix (count desc, term asc) so results are reproducible and
+SQL-checkable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+OK_EXCLUDE_TYPE = "error"  # events ok-filter: everything but errors
+
+
+def _items_from_props(props: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """The numeric payload of ``props`` ('{"k": 87}' → 87) — the item id.
+    Mirrored in SQL as CAST(regexp_replace(props, '[^0-9]', '', 'g') AS
+    BIGINT)."""
+    if isinstance(props, pa.ChunkedArray):
+        props = props.combine_chunks()
+    digits = pc.replace_substring_regex(props, "[^0-9]", "")
+    return pc.cast(pc.if_else(pc.equal(digits, ""), None, digits), pa.int64())
+
+
+def _ok_events(batch: pa.Table) -> pa.Table:
+    keep = pc.not_equal(batch["event_type"], OK_EXCLUDE_TYPE)
+    t = batch.filter(keep)
+    return pa.table(
+        {
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "item": _items_from_props(t["props"]),
+        }
+    )
+
+
+def reco_cf_ds(sf_dir: str, user_id: int, k: int = 10):
+    """Collaborative filtering for ``user_id`` over sf_dir/events.
+
+    Returns a pa.Table (item:int64, score:int64) of the top-k recommended
+    items: items the user has NOT touched, scored by Σ over the top-k
+    contributor users (ranked by # of their ok events on the user's items)
+    of that contributor's hop-2 count. Ties broken (score desc, item asc)
+    — the deterministic version of the reference's heap order."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cols = ["user_id", "event_type", "props"]
+
+    ev = rd.read_parquet(path, columns=cols).map_batches(
+        _ok_events, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # hop 1: my distinct items (one user's history — bounded, driver-small;
+    # the reference's distinctParents set, CollaborativeFiltering.java:92-108)
+    my_rows = ev.filter(expr=f"user_id == {int(user_id)}").take_all()
+    my_items = sorted({int(r["item"]) for r in my_rows if r["item"] is not None})
+    if not my_items:
+        return pa.table({"item": pa.array([], pa.int64()), "score": pa.array([], pa.int64())})
+    my_items_ref = ray.put(np.asarray(my_items, dtype=np.int64))
+
+    # hop 2: contributors — other users' ok events on my items, counted.
+    # Per-batch partial count per user before the (tiny) groupby exchange.
+    def contrib_partial(batch: pa.Table) -> pa.Table:
+        mine = ray.get(my_items_ref)
+        items = batch["item"].to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        valid = ~pa.compute.is_null(batch["item"]).to_numpy(zero_copy_only=False)
+        hit = valid & np.isin(items, mine) & (users != int(user_id))
+        u = users[hit]
+        uniq, counts = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uniq, pa.int64()), "n": pa.array(counts.astype(np.int64))})
+
+    contrib = (
+        ev.map_batches(contrib_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n"))
+        .take_all()
+    )  # ≤ #users rows — the contributor heap input
+    contrib.sort(key=lambda r: (-int(r["sum(n)"]), int(r["user_id"])))
+    top_contrib = {int(r["user_id"]): int(r["sum(n)"]) for r in contrib[:k]}
+    if not top_contrib:
+        return pa.table({"item": pa.array([], pa.int64()), "score": pa.array([], pa.int64())})
+    contrib_ref = ray.put(top_contrib)
+
+    # hop 3: contributors' distinct items minus mine, scored by contributor
+    # count (set semantics per (contributor, item) — scoredParents,
+    # CollaborativeFiltering.java:180-213). Batches emit deduped (item,
+    # user, cnt); a groupby max dedupes globally, then groupby(item).sum.
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(contrib_ref)
+        mine = ray.get(my_items_ref)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        items = batch["item"].to_numpy(zero_copy_only=False)
+        valid = ~pa.compute.is_null(batch["item"]).to_numpy(zero_copy_only=False)
+        cu = np.asarray(sorted(cmap), dtype=np.int64)
+        hit = valid & np.isin(users, cu) & ~np.isin(items, mine)
+        if not hit.any():
+            return pa.table(
+                {"item": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        pairs = np.unique(np.stack([items[hit], users[hit]], axis=1), axis=0)
+        cnts = np.asarray([cmap[int(u)] for u in pairs[:, 1]], dtype=np.int64)
+        return pa.table(
+            {"item": pa.array(pairs[:, 0], pa.int64()),
+             "user_id": pa.array(pairs[:, 1], pa.int64()),
+             "cnt": pa.array(cnts)}
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ev.map_batches(cand_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["item", "user_id"])
+        .aggregate(Max("cnt"))
+    )
+    scored = (
+        pairs.map_batches(
+            lambda b: pa.table({"item": b["item"], "cnt": pc.cast(b[b.schema.names[-1]], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("item")
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )  # ≤ #items rows
+    scored.sort(key=lambda r: (-int(r["sum(cnt)"]), int(r["item"])))
+    top = scored[:k]
+    return pa.table(
+        {
+            "item": pa.array([int(r["item"]) for r in top], pa.int64()),
+            "score": pa.array([int(r["sum(cnt)"]) for r in top], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------- index-backed variant
+
+
+def reco_cf_partition(
+    index_dir: str,
+    part: int,
+    user_conv: str,
+    k: int,
+    item_prefix: str = "",
+) -> list[tuple[str, int]]:
+    """One partition's reco answer over the built index: f1 = f3 = ``text``
+    terms (bounded by ``item_prefix``), f2 = ``conv_id`` — "which text
+    terms do conversations that share my vocabulary use that I don't?".
+
+    The same bitmap chain as the reference (and/andNot/orMultiTx + gather,
+    CollaborativeFiltering.java:88-213), vectorized over sorted docId
+    arrays."""
+    from .search import PostingSource, _cached_manifest
+    from .segments import forward_columns, read_term_between, read_tombstones
+
+    man = _cached_manifest(index_dir, part)
+    if man is None:
+        return []
+    removed = read_tombstones(index_dir, part)
+
+    # myOkActivity: my docs (conv posting) minus tombstones
+    src_me = PostingSource(index_dir, part, [("conv_id", user_conv)], 0)
+    mine = src_me.docs("conv_id", user_conv)
+    if len(removed):
+        mine = np.setdiff1d(mine, removed, assume_unique=True)
+    if len(mine) == 0:
+        return []
+
+    # distinctParents: my distinct item terms (prefix-bounded gather)
+    terms = read_term_between(index_dir, part, "text",
+                              item_prefix or None, (item_prefix + "\U0010ffff") if item_prefix else None)
+    if not terms:
+        return []
+    src_items = PostingSource(index_dir, part, [("text", t) for t in terms], 0)
+    my_terms: list[str] = []
+    other_docs_parts: list[np.ndarray] = []
+    postings: dict[str, np.ndarray] = {}
+    for t in terms:
+        d = src_items.docs("text", t)
+        if len(removed):
+            d = np.setdiff1d(d, removed, assume_unique=True)
+        postings[t] = d
+        if np.intersect1d(d, mine, assume_unique=True).size:
+            my_terms.append(t)
+    if not my_terms:
+        return []
+    # otherOkField1Activity: union of my terms' postings, minus my docs
+    other = np.unique(np.concatenate([postings[t] for t in my_terms]))
+    other = np.setdiff1d(other, mine, assume_unique=True)
+    if len(other) == 0:
+        return []
+
+    # contributors: conv_id counts over `other` (f2 gather via the forward
+    # table — conv_id is a stored single-term field). One dictionary
+    # encode of the whole column serves hop 2 AND hop 3.
+    fwd = forward_columns(index_dir, part)
+    enc_all = fwd["conv_id"].dictionary_encode()
+    all_codes = enc_all.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_names = enc_all.dictionary.to_pylist()
+    uniq, counts = np.unique(all_codes[other], return_counts=True)
+    order = sorted(range(len(uniq)), key=lambda i: (-int(counts[i]), dict_names[uniq[i]]))[:k]
+    contrib_count = {int(uniq[i]): int(counts[i]) for i in order}
+
+    # hop 3: contributors' distinct items minus mine, each scored by the
+    # contributor's hop-2 count (set semantics — scoredParents,
+    # CollaborativeFiltering.java:180-213)
+    my_set = set(my_terms)
+    score: dict[str, int] = {}
+    for t, d in postings.items():
+        if t in my_set or len(d) == 0:
+            continue
+        s = sum(contrib_count.get(int(c), 0) for c in np.unique(all_codes[d]))
+        if s:
+            score[t] = s
+    rows = sorted(score.items(), key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def reco_cf_index(engine, user_conv: str, k: int = 10, item_prefix: str = "") -> list[tuple[str, int]]:
+    """Cross-partition reco: per-partition answers merged by summing counts
+    per item, final (count desc, term asc) truncate to k — the
+    RecoAnswerMerger contract (RecoAnswerMerger.java:34-87)."""
+    from .plugins import _fan
+
+    res = _fan(engine, reco_cf_partition,
+               dict(user_conv=user_conv, k=k, item_prefix=item_prefix))
+    merged: dict[str, int] = {}
+    for rows in res:
+        for t, c in rows:
+            merged[t] = merged.get(t, 0) + c
+    out = sorted(merged.items(), key=lambda r: (-r[1], r[0]))
+    return out[:k]
