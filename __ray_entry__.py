@@ -247,6 +247,46 @@ def ft_agg_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_agg_counts_inbox(sf_dir: str) -> pa.Table:
+    """Inbox/unread AggregateCounts variant (AggregateCounts.java:93-300):
+    deterministic stream state — inbox = docs with doc_id%3==0, of which
+    doc_id%6==0 are marked read — then per-role newest-first counts with
+    endpoints and unread flags among docs matching 'scan'."""
+    import pyarrow.parquet as pq
+
+    from miru_ray import plugins
+    from miru_ray.segments import add_to_inbox, mark_read
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def key(i: int) -> tuple[str, int]:
+        return (f"doc-{i:08d}", int(i % 41))
+
+    stream = "inbox-oracle"
+    inbox_ids = ids[ids % 3 == 0]
+    add_to_inbox(index_dir, stream, [key(i) for i in inbox_ids.tolist()])
+    mark_read(index_dir, stream, [key(i) for i in ids[ids % 6 == 0].tolist()])
+
+    rows = plugins.aggregate_counts_inbox(
+        _engine(sf_dir, 1), stream, "role", query="scan"
+    )
+    return pa.table(
+        {
+            "role": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": _i64([r[1] for r in rows]),
+            "latest_doc": _i64([r[3] for r in rows]),
+            "oldest_doc": _i64([r[5] for r in rows]),
+            "any_unread": _i64([int(r[6]) for r in rows]),
+            "latest_unread": _i64([int(r[7]) for r in rows]),
+            "oldest_unread": _i64([int(r[8]) for r in rows]),
+        }
+    )
+
+
 def ft_waveform(sf_dir: str) -> pa.Table:
     """Analytics waveform analogue: hourly matching-doc counts ('the')."""
     from miru_ray import plugins
@@ -436,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_time": ft_topk_time,
         "ft_distinct_roles": ft_distinct_roles,
         "ft_agg_counts": ft_agg_counts,
+        "ft_agg_counts_inbox": ft_agg_counts_inbox,
         "ft_waveform": ft_waveform,
         "ft_latest_terms": ft_latest_terms,
         "ev_waveform": ev_waveform,
@@ -576,6 +617,16 @@ LIMIT {K_BM25}"""
             f"SELECT source AS role, CAST(count(*) AS BIGINT) AS n, "
             f"CAST(max(doc_id) AS BIGINT) AS last_doc FROM documents "
             f"WHERE list_contains({_TOK}, 'scan') GROUP BY source"
+        ),
+        "ft_agg_counts_inbox": (
+            f"""SELECT source AS role, CAST(count(*) AS BIGINT) AS n,
+  CAST(max(doc_id) AS BIGINT) AS latest_doc,
+  CAST(min(doc_id) AS BIGINT) AS oldest_doc,
+  CAST(max(CASE WHEN doc_id % 6 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_unread,
+  CAST(arg_max(CASE WHEN doc_id % 6 <> 0 THEN 1 ELSE 0 END, doc_id) AS BIGINT) AS latest_unread,
+  CAST(arg_min(CASE WHEN doc_id % 6 <> 0 THEN 1 ELSE 0 END, doc_id) AS BIGINT) AS oldest_unread
+FROM documents WHERE doc_id % 3 = 0 AND list_contains({_TOK}, 'scan')
+GROUP BY source"""
         ),
         "ft_waveform": (
             # the derived transcripts' ts is epoch 1 700 000 000 s + doc_id s

@@ -197,6 +197,107 @@ def aggregate_counts(engine, pivot_field: str, query: str | None = None, k: int 
     return rows[:k] if k else rows
 
 
+def aggregate_counts_inbox_partition(
+    index_dir: str, part: int, stream_id: str, pivot_field: str,
+    query: str | None = None, use_stopwords: bool = False,
+    include_unread: bool = True,
+) -> list[tuple]:
+    """The inbox/unread AggregateCounts variant
+    (miru-stream-plugins/.../filter/AggregateCounts.java:93-300 +
+    AggregateCountsInjectable.filterInboxStream): the answer set is the
+    stream's INBOX (∩ optional filter, minus tombstones); per distinct
+    pivot term, newest-first: count, latest/oldest matching docId, and the
+    unread flags (anyUnread / latestUnread / oldestUnread) against the
+    stream's unread set.
+
+    Returns (term, count, latest_doc, oldest_doc, any_unread,
+    latest_unread, oldest_unread) rows, newest-first."""
+    from .segments import read_stream_set
+
+    answer, n_docs, fwd = _answer(index_dir, part, query, use_stopwords)
+    inbox = read_stream_set(index_dir, part, "inbox", stream_id)
+    if len(inbox) == 0:
+        return []
+    answer = inbox if answer is None else np.intersect1d(answer, inbox, assume_unique=True)
+    if len(answer) == 0:
+        return []
+    unread = (
+        read_stream_set(index_dir, part, "unread", stream_id)
+        if include_unread
+        else np.empty(0, dtype=np.int64)
+    )
+    import pyarrow as pa
+
+    # sorted-array membership: unread flag per answer doc
+    if len(unread):
+        pos = np.searchsorted(unread, answer)
+        flags = (pos < len(unread)) & (unread[np.minimum(pos, len(unread) - 1)] == answer)
+    else:
+        flags = np.zeros(len(answer), dtype=bool)
+
+    sel = fwd[pivot_field].take(pa.array(answer))
+    enc = sel.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    order = np.argsort(codes, kind="stable")
+    codes_s, docs_s, flags_s = codes[order], answer[order], flags[order]
+    starts = np.flatnonzero(np.concatenate([[True], codes_s[1:] != codes_s[:-1]]))
+    ends = np.append(starts[1:], len(codes_s))
+    counts = ends - starts
+    any_unread = np.maximum.reduceat(flags_s, starts) if len(starts) else np.zeros(0, bool)
+    terms = dictionary.take(pa.array(codes_s[starts])).to_pylist()
+    rows = [
+        (
+            t,
+            int(c),
+            int(docs_s[e - 1]),           # latest matching doc (lastSetBit)
+            int(docs_s[s]),               # oldest (firstIntersectingBit)
+            bool(au),
+            bool(flags_s[e - 1]),         # latestUnread
+            bool(flags_s[s]),             # oldestUnread
+        )
+        for t, c, s, e, au in zip(terms, counts, starts, ends, any_unread)
+        if t != ""
+    ]
+    rows.sort(key=lambda r: -r[2])  # newest-first (reverse time order)
+    return rows
+
+
+def aggregate_counts_inbox(
+    engine, stream_id: str, pivot_field: str, query: str | None = None,
+    k: int = 0, include_unread: bool = True,
+):
+    """Cross-partition inbox aggregate counts: counts summed, latest/oldest
+    endpoints and their unread flags taken from the globally newest/oldest
+    (part, docId), anyUnread OR-ed; newest-first order. Returns rows
+    (term, count, part, latest_doc, oldest_part, oldest_doc, any_unread,
+    latest_unread, oldest_unread)."""
+    use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
+    res = _fan(engine, aggregate_counts_inbox_partition,
+               dict(stream_id=stream_id, pivot_field=pivot_field, query=query,
+                    use_stopwords=use_stop, include_unread=include_unread))
+    # per term: [count, latest_part, latest_doc, latest_unread,
+    #            oldest_part, oldest_doc, oldest_unread, any_unread]
+    agg: dict[str, list] = {}
+    for part_rows, part in zip(res, engine.parts):
+        for term, c, latest, oldest, any_u, latest_u, oldest_u in part_rows:
+            cur = agg.get(term)
+            if cur is None:
+                agg[term] = [c, part, latest, latest_u, part, oldest, oldest_u, any_u]
+            else:
+                cur[0] += c
+                cur[7] = cur[7] or any_u
+                if (part, latest) > (cur[1], cur[2]):
+                    cur[1], cur[2], cur[3] = part, latest, latest_u
+                if (part, oldest) < (cur[4], cur[5]):
+                    cur[4], cur[5], cur[6] = part, oldest, oldest_u
+    rows = sorted(
+        ((t, v[0], v[1], v[2], v[4], v[5], v[7], v[3], v[6]) for t, v in agg.items()),
+        key=lambda r: (-r[2], -r[3]),
+    )
+    return rows[:k] if k else rows
+
+
 def waveform_partition(
     index_dir: str, part: int, bucket_us: int, query: str | None = None,
     use_stopwords: bool = False,

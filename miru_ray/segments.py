@@ -321,6 +321,108 @@ def remove_docs(index_dir: str, keys: list[tuple[str, int]]) -> dict[int, int]:
     return out
 
 
+# ------------------------------------------------- per-stream inbox/unread
+#
+# The reference tracks per-user-stream state in dedicated indexes: an inbox
+# index (docs delivered to a stream, MiruInboxIndex.java) and an unread
+# tracking index mutated by READ/UNREAD/MARK_ALL_READ activities
+# (MiruUnreadTrackingIndex.java, MiruPartitionedActivity.java:14-16). We
+# store each as a sorted docId parquet per (partition, streamId), same
+# layout as tombstones — queries AND them in per partition.
+
+
+def _resolve_doc_ids(index_dir: str, keys: list[tuple[str, int]]) -> dict[int, np.ndarray]:
+    """(conv_id, turn_idx) keys → {part: sorted docIds} via the forward
+    tables (key-routing identical to remove_docs)."""
+    from .hashing import fnv1a64_str
+
+    meta = read_global_manifest(index_dir)
+    n_parts = meta["n_parts"]
+    by_part: dict[int, set[tuple[str, int]]] = {}
+    for conv, turn in keys:
+        by_part.setdefault(fnv1a64_str(conv) % n_parts, set()).add((conv, int(turn)))
+    out: dict[int, np.ndarray] = {}
+    for part, want in sorted(by_part.items()):
+        if read_manifest(index_dir, part) is None:
+            continue
+        f = read_forward_table(index_dir, part)
+        conv_col = f["conv_id"].to_pylist()
+        turn_col = f["turn_idx"].to_pylist()
+        hits = [i for i, (c, t) in enumerate(zip(conv_col, turn_col)) if (c, t) in want]
+        if hits:
+            out[part] = np.asarray(sorted(hits), dtype=np.int64)
+    return out
+
+
+def _stream_file(index_dir: str, part: int, kind: str, stream_id: str) -> str:
+    safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in stream_id)
+    return os.path.join(part_dir(index_dir, part), f"{kind}-{safe}.parquet")
+
+
+def _write_doc_set(path: str, docs: np.ndarray) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.asarray(docs, dtype=np.int32), type=pa.int32())}), tmp
+    )
+    os.replace(tmp, path)
+
+
+_STREAM_CACHE: dict[tuple, np.ndarray] = {}
+_EMPTY_SET = np.empty(0, dtype=np.int64)
+
+
+def read_stream_set(index_dir: str, part: int, kind: str, stream_id: str) -> np.ndarray:
+    """Sorted docIds of a stream's inbox/unread set (empty if none)."""
+    path = _stream_file(index_dir, part, kind, stream_id)
+    if not os.path.exists(path):
+        return _EMPTY_SET
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    hit = _STREAM_CACHE.get(key)
+    if hit is None:
+        hit = pq.read_table(path)["doc_id"].to_numpy().astype(np.int64)
+        if len(_STREAM_CACHE) > 4096:
+            _STREAM_CACHE.clear()
+        _STREAM_CACHE[key] = hit
+    return hit
+
+
+def _mutate_stream_set(index_dir: str, kind: str, stream_id: str,
+                       keys: list[tuple[str, int]], add: bool) -> dict[int, int]:
+    out: dict[int, int] = {}
+    for part, docs in _resolve_doc_ids(index_dir, keys).items():
+        existing = read_stream_set(index_dir, part, kind, stream_id)
+        merged = np.union1d(existing, docs) if add else np.setdiff1d(existing, docs, assume_unique=True)
+        _write_doc_set(_stream_file(index_dir, part, kind, stream_id), merged)
+        out[part] = int(len(merged))
+    return out
+
+
+def add_to_inbox(index_dir: str, stream_id: str, keys: list[tuple[str, int]]) -> dict[int, int]:
+    """Deliver docs to a stream's inbox; newly delivered docs also become
+    unread (the reference's inbox backfill marks delivery unread)."""
+    _mutate_stream_set(index_dir, "unread", stream_id, keys, add=True)
+    return _mutate_stream_set(index_dir, "inbox", stream_id, keys, add=True)
+
+
+def mark_unread(index_dir: str, stream_id: str, keys: list[tuple[str, int]]) -> dict[int, int]:
+    """UNREAD activity analogue."""
+    return _mutate_stream_set(index_dir, "unread", stream_id, keys, add=True)
+
+
+def mark_read(index_dir: str, stream_id: str, keys: list[tuple[str, int]]) -> dict[int, int]:
+    """READ activity analogue."""
+    return _mutate_stream_set(index_dir, "unread", stream_id, keys, add=False)
+
+
+def mark_all_read(index_dir: str, stream_id: str) -> None:
+    """MARK_ALL_READ activity analogue: clear the stream's unread set."""
+    meta = read_global_manifest(index_dir)
+    for part in range(meta["n_parts"]):
+        path = _stream_file(index_dir, part, "unread", stream_id)
+        if os.path.exists(path):
+            _write_doc_set(path, np.empty(0, dtype=np.int64))
+
+
 _TOMBSTONE_CACHE: dict[tuple, np.ndarray] = {}
 _NO_TOMBSTONES = np.empty(0, dtype=np.int64)
 

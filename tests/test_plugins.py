@@ -189,3 +189,69 @@ def test_caches_refresh_after_extend(ray_session, tiny_transcripts_dir, tmp_path
     assert found2 > found1
     assert n2 > n1
     assert n2 == len(convs)
+
+
+def test_aggregate_counts_inbox_unread(ray_session, tiny_transcripts_dir, tiny_rows, tiny_oracle, tmp_path_factory):
+    """Inbox/unread AggregateCounts variant (AggregateCounts.java:93-300):
+    answer = stream inbox ∩ filter; per pivot term newest-first counts with
+    latest/oldest endpoints and unread flags; READ removes from unread."""
+    from miru_ray.build import build_index
+    from miru_ray.segments import add_to_inbox, mark_read, read_stream_set
+
+    d = str(tmp_path_factory.mktemp("idx_inbox"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    stream = "user-42"
+    inbox_keys = [(r["conv_id"], r["turn_idx"]) for r in tiny_rows[::3]]
+    add_to_inbox(d, stream, inbox_keys)
+    read_keys = inbox_keys[::2]
+    mark_read(d, stream, read_keys)
+
+    eng = SearchEngine(d)
+    got = plugins.aggregate_counts_inbox(eng, stream, "role", query="t3")
+
+    # brute force from the oracle partitions
+    from miru_ray.hashing import fnv1a64_str
+
+    inbox_set = {(c, t) for c, t in inbox_keys}
+    unread_set = inbox_set - set(read_keys)
+    exp_agg = {}
+    for pid in sorted(tiny_oracle, reverse=True):
+        p = tiny_oracle[pid]
+        ans = oracle_answer(p, "t3")
+        rows = [
+            (i, (p.conv_id[i], p.turn_idx[i]) in unread_set)
+            for i in sorted(ans)
+            if (p.conv_id[i], p.turn_idx[i]) in inbox_set
+        ]
+        groups = {}
+        for i, unread in rows:
+            groups.setdefault(p.fields["role"][i], []).append((i, unread))
+        for role, g in groups.items():
+            docs = [i for i, _u in g]
+            latest, oldest = max(docs), min(docs)
+            lat_u = dict(g)[latest]
+            old_u = dict(g)[oldest]
+            any_u = any(u for _i, u in g)
+            cur = exp_agg.get(role)
+            if cur is None:
+                exp_agg[role] = [len(g), pid, latest, lat_u, pid, oldest, old_u, any_u]
+            else:
+                cur[0] += len(g)
+                cur[7] = cur[7] or any_u
+                if (pid, latest) > (cur[1], cur[2]):
+                    cur[1], cur[2], cur[3] = pid, latest, lat_u
+                if (pid, oldest) < (cur[4], cur[5]):
+                    cur[4], cur[5], cur[6] = pid, oldest, old_u
+    exp = sorted(
+        ((t, v[0], v[1], v[2], v[4], v[5], v[7], v[3], v[6]) for t, v in exp_agg.items()),
+        key=lambda r: (-r[2], -r[3]),
+    )
+    assert got == exp
+
+    # mark_all_read clears every unread flag
+    from miru_ray.segments import mark_all_read
+
+    mark_all_read(d, stream)
+    got2 = plugins.aggregate_counts_inbox(eng, stream, "role", query="t3")
+    assert [r[:6] for r in got2] == [r[:6] for r in exp]
+    assert all(r[6] is False and r[7] is False and r[8] is False for r in got2)
