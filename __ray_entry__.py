@@ -345,6 +345,16 @@ def ev_trending(sf_dir: str):
     return trending_ds(sf_dir)
 
 
+def ev_trending_peaks(sf_dir: str) -> pa.Table:
+    """Reference-strategy trending (PEAKS/LEADER/HIGHEST_PEAK/regression —
+    TrendingInjectable.java:143-190). The PeakDet loop is not reasonably
+    SQL-expressible; the algorithm is pytest-gated against golden vectors
+    (driver records a rows-only check)."""
+    from miru_ray.analytics import trending_strategies_ds
+
+    return trending_strategies_ds(sf_dir)
+
+
 # ---------------------------------------------------------- dedup callables
 
 
@@ -370,6 +380,20 @@ def dd_clusters(sf_dir: str):
     from miru_ray.dedup import minhash_clusters
 
     return minhash_clusters(sf_dir, threshold=0.9)
+
+
+# ------------------------------------------------------------ strut callable
+
+STRUT_TERMS = ("scan", "merge", "join", "window", "data")
+
+
+def strut_score(sf_dir: str):
+    """Strut model scoring (Strut.java:37-56): term-weight model trained
+    from corpus stats, broadcast to an actor pool, UNIT_WEIGHTED (mean over
+    the doc's distinct model features)."""
+    from miru_ray.strut import strut_score_ds
+
+    return strut_score_ds(sf_dir, list(STRUT_TERMS), strategy="unit_weighted")
 
 
 # ------------------------------------------------------------ reco callables
@@ -483,6 +507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
+        "ev_trending_peaks": ev_trending_peaks,
+        "strut_score": strut_score,
         "reco_cf": reco_cf,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
@@ -663,6 +689,19 @@ SELECT event_type,
        CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 0 ELSE 1 END) AS BIGINT) AS n_older,
        CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE -1 END) AS BIGINT) AS delta
 FROM events CROSS JOIN m GROUP BY event_type"""
+        ),
+        "strut_score": (
+            f"""WITH tok AS ({_TOKTAB}),
+g AS (SELECT t, CAST(count(*) AS BIGINT) AS ttf FROM tok GROUP BY t),
+stats AS (SELECT CAST(sum(CAST(len({_TOK}) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents),
+model AS (SELECT t, CAST(ttf AS DOUBLE) / stats.total_tokens AS w
+          FROM g CROSS JOIN stats WHERE t IN ({", ".join(f"'{t}'" for t in STRUT_TERMS)})),
+present AS (SELECT DISTINCT doc_id, t FROM tok WHERE t IN ({", ".join(f"'{t}'" for t in STRUT_TERMS)}))
+SELECT d.doc_id, round(coalesce(avg(m.w), 0.0), 6) AS score
+FROM documents d
+LEFT JOIN present p ON p.doc_id = d.doc_id
+LEFT JOIN model m ON m.t = p.t
+GROUP BY d.doc_id"""
         ),
         "reco_cf": (
             f"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id,

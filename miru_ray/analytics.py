@@ -133,6 +133,178 @@ def latest_ds(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------- PeakDet
+#
+# The reference's trending plugin ranks term waveforms by four strategies
+# (miru-reco-plugins/.../trending/TrendingInjectable.java:120-190):
+# LINEAR_REGRESSION (slope), LEADER (sum), HIGHEST_PEAK (max) and PEAKS —
+# the Billauer peak detector (PeakDet.java:44-80) with trigger threshold
+# highestBucket/6 + bucket95/100, where bucket95 is the 95th percentile of
+# all terms' highest buckets.
+
+
+def peakdet(vector, trigger_delta: float) -> list[tuple[float, int]]:
+    """Exact translation of PeakDet.peakdet (PeakDet.java:44-80): a point
+    is a maximum peak if it has the maximal value and is followed by a
+    value lower by DELTA. Returns (height, index) pairs — note the
+    reference stores the VALUE in mxpos (``mxpos = vector[i]``), so height
+    is the peak's bucket count, and index is where the drop was detected;
+    we replicate that behavior bit-for-bit."""
+    mn, mx = float("inf"), float("-inf")
+    mnpos = mxpos = float("nan")
+    lookformax = True
+    peaks: list[tuple[float, int]] = []
+    for i, a in enumerate(vector):
+        a = float(a)
+        if a > mx:
+            mx = a
+            mxpos = float(vector[i])
+        if a < mn:
+            mn = a
+            mnpos = float(vector[i])
+        if lookformax:
+            if a < mx - trigger_delta:
+                peaks.append((mxpos, i))
+                mn = a
+                mnpos = float(vector[i])
+                lookformax = False
+        else:
+            if a > mn + trigger_delta:
+                mx = a
+                mxpos = float(vector[i])
+                lookformax = True
+    return peaks
+
+
+def commons_percentile(values, p: float) -> float:
+    """Apache Commons Math Percentile (LEGACY estimation) — the evaluator
+    the reference uses for bucket95: pos = p*(n+1)/100 over the sorted
+    sample, linear interpolation, clamped to min/max."""
+    v = sorted(float(x) for x in values)
+    n = len(v)
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return v[0]
+    pos = p * (n + 1) / 100.0
+    if pos < 1:
+        return v[0]
+    if pos >= n:
+        return v[-1]
+    f = int(pos)
+    d = pos - f
+    return v[f - 1] + d * (v[f] - v[f - 1])
+
+
+def regression_slope(w) -> float:
+    """SimpleRegression slope over (i, w[i]) — least squares."""
+    w = np.asarray(w, dtype=np.float64)
+    n = len(w)
+    if n < 2:
+        return 0.0
+    x = np.arange(n, dtype=np.float64)
+    xm, wm = x.mean(), w.mean()
+    denom = ((x - xm) ** 2).sum()
+    return float(((x - xm) * (w - wm)).sum() / denom) if denom else 0.0
+
+
+TREND_STRATEGIES = ("linear_regression", "leader", "peaks", "highest_peak")
+
+
+def trending_ranks(
+    waveforms: dict[str, np.ndarray],
+    strategies=TREND_STRATEGIES,
+    k: int = 0,
+) -> dict[str, list[tuple[str, float]]]:
+    """Rank waveform keys by each strategy (TrendingInjectable.java:143-190).
+    All-zero waveforms are skipped (hasCounts). Ties break by key asc for
+    determinism (the reference's heap order is arbitrary)."""
+    out: dict[str, list[tuple[str, float]]] = {}
+    keys = sorted(waveforms)
+    bucket95 = 0.0
+    if "peaks" in strategies and keys:
+        bucket95 = commons_percentile(
+            [float(np.max(waveforms[key])) for key in keys], 95.0
+        )
+    for strat in strategies:
+        rows: list[tuple[str, float]] = []
+        for key in keys:
+            w = np.asarray(waveforms[key], dtype=np.float64)
+            if not (w > 0).any():
+                continue
+            if strat == "linear_regression":
+                rank = regression_slope(w)
+            elif strat == "leader":
+                rank = float(w.sum())
+            elif strat == "highest_peak":
+                rank = float(w.max())
+            elif strat == "peaks":
+                threshold = float(w.max()) / 6.0 + bucket95 / 100.0
+                rank = float(len(peakdet(w, threshold)))
+            else:
+                raise ValueError(strat)
+            rows.append((key, rank))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        out[strat] = rows[:k] if k else rows
+    return out
+
+
+def trending_strategies_ds(sf_dir: str, n_segments: int = 24) -> pa.Table:
+    """Events trending with the reference's strategy set: per event_type,
+    the time range is divided into n_segments buckets (the scoreSet's
+    divideTimeRangeIntoNSegments); ranks per strategy. The waveform build
+    is the distributed part (per-batch partial counts → tiny groupby);
+    ranking runs on the collected (types × segments) table."""
+    from ray.data.aggregate import Sum
+
+    mm = (
+        _events_ds(sf_dir, ["ts"])
+        .map_batches(_minmax_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    span = max(1, hi - lo + 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch)
+        seg = ((us - lo) * n_segments) // span
+        t = pa.table(
+            {"event_type": pc.cast(batch["event_type"], pa.string()), "seg": pa.array(seg)}
+        )
+        agg = t.group_by(["event_type", "seg"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {"event_type": agg["event_type"], "seg": agg["seg"],
+             "n": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    rows = (
+        _events_ds(sf_dir, ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "seg"])
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    waveforms: dict[str, np.ndarray] = {}
+    for r in rows:
+        w = waveforms.setdefault(r["event_type"], np.zeros(n_segments, dtype=np.int64))
+        w[int(r["seg"])] += int(r["sum(n)"])
+    ranks = trending_ranks(waveforms)
+    types, strats, vals = [], [], []
+    for strat in TREND_STRATEGIES:
+        for key, rank in ranks[strat]:
+            types.append(key)
+            strats.append(strat)
+            vals.append(round(rank, 6))
+    return pa.table(
+        {
+            "strategy": pa.array(strats, pa.string()),
+            "event_type": pa.array(types, pa.string()),
+            "rank": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 def _minmax_partial(batch: pa.Table) -> pa.Table:
     us = _ts_us(batch)
     return pa.table({"lo": pa.array([int(us.min())]), "hi": pa.array([int(us.max())])})

@@ -321,22 +321,45 @@ def waveform(engine, bucket_us: int, query: str | None = None) -> dict[int, int]
     return out
 
 
-def trending(engine, queries: list[str], bucket_us: int) -> list[tuple[str, float]]:
-    """Deterministic slope score per query: (count in the most recent half
-    of the observed range) − (count in the previous half), descending."""
-    scored = []
-    for q in queries:
-        wf = waveform(engine, bucket_us, q)
-        if not wf:
-            scored.append((q, 0.0))
-            continue
-        lo, hi = min(wf), max(wf)
-        mid = lo + (hi - lo) // 2
-        recent = sum(c for b, c in wf.items() if b > mid)
-        older = sum(c for b, c in wf.items() if b <= mid)
-        scored.append((q, float(recent - older)))
-    scored.sort(key=lambda r: (-r[1], r[0]))
-    return scored
+def trending(engine, queries: list[str], bucket_us: int,
+             strategy: str = "slope") -> list[tuple[str, float]]:
+    """Trending rank per query over its index waveform.
+
+    ``strategy``: "slope" — the deterministic recent-half minus
+    previous-half signal; or any reference strategy
+    (TrendingInjectable.java:143-190): "linear_regression", "leader",
+    "peaks" (Billauer PeakDet with the reference's threshold),
+    "highest_peak"."""
+    if strategy == "slope":
+        scored = []
+        for q in queries:
+            wf = waveform(engine, bucket_us, q)
+            if not wf:
+                scored.append((q, 0.0))
+                continue
+            lo, hi = min(wf), max(wf)
+            mid = lo + (hi - lo) // 2
+            recent = sum(c for b, c in wf.items() if b > mid)
+            older = sum(c for b, c in wf.items() if b <= mid)
+            scored.append((q, float(recent - older)))
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        return scored
+
+    from .analytics import trending_ranks
+
+    wfs = {q: waveform(engine, bucket_us, q) for q in queries}
+    buckets = sorted({b for wf in wfs.values() for b in wf})
+    if not buckets:
+        return [(q, 0.0) for q in sorted(queries)]
+    lo, hi = buckets[0], buckets[-1]
+    n = (hi - lo) // bucket_us + 1
+    vectors = {}
+    for q, wf in wfs.items():
+        v = np.zeros(n, dtype=np.int64)
+        for b, c in wf.items():
+            v[(b - lo) // bucket_us] = c
+        vectors[q] = v
+    return trending_ranks(vectors, strategies=(strategy,))[strategy]
 
 
 def latest_first_partition(index_dir: str, part: int, field: str, prefix: str = ""):
