@@ -121,6 +121,24 @@ def _final_topk(parts: pa.Table, k: int, exclude_self: bool) -> pa.Table:
     )
 
 
+def _merge_topk_ds(partials, k: int) -> pa.Table:
+    """Distributed final merge: a groupby(q) reduce folds every batch's
+    partial top-k to the exact per-query top-k BEFORE anything reaches the
+    driver — the driver only ever holds the nq×k answer (at 10^5 blocks ×
+    10^3 queries the partials would otherwise be a driver choke point)."""
+    merged = partials.groupby("q").map_groups(
+        lambda g: _final_topk(g, k, exclude_self=True), batch_format="pyarrow"
+    )
+    rows = merged.take_all()  # answer-sized: nq × k
+    if not rows:
+        return pa.table(
+            {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+    # idempotent re-sort for stable (q asc, cos desc, neighbor asc) output
+    return _final_topk(pa.Table.from_pylist(rows), k, exclude_self=False)
+
+
 def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
     """Exact cosine top-k of each query vector (vec_id < n_queries) over the
     whole embeddings table, excluding the query row itself."""
@@ -128,22 +146,14 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
 
     qids, qm = load_queries(sf_dir, n_queries)
     ref = ray.put(qm)
-    parts = (
-        _emb_ds(sf_dir)
-        .map_batches(
-            BruteTopK,
-            fn_constructor_kwargs={"queries_ref": ref, "query_ids": qids, "k": k},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=2,
-        )
-        .take_all()
+    partials = _emb_ds(sf_dir).map_batches(
+        BruteTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "query_ids": qids, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
     )
-    t = pa.Table.from_pylist(parts) if parts and isinstance(parts[0], dict) else None
-    if t is None:
-        cols = {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
-        t = pa.table(cols)
-    return _final_topk(t, k, exclude_self=True)
+    return _merge_topk_ds(partials, k)
 
 
 # ----------------------------------------------------------------- LSH path
@@ -225,25 +235,14 @@ def ann_lsh_topk(
 
     qids, qm = load_queries(sf_dir, n_queries)
     ref = ray.put(qm)
-    parts = (
-        _emb_ds(sf_dir)
-        .map_batches(
-            LshTopK,
-            fn_constructor_kwargs={
-                "queries_ref": ref, "query_ids": qids, "k": k,
-                "n_planes": n_planes, "probe": probe,
-            },
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=2,
-        )
-        .take_all()
+    partials = _emb_ds(sf_dir).map_batches(
+        LshTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "query_ids": qids, "k": k,
+            "n_planes": n_planes, "probe": probe,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
     )
-    if parts:
-        t = pa.Table.from_pylist(parts)
-    else:
-        t = pa.table(
-            {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()),
-             "cos": pa.array([], pa.float64())}
-        )
-    return _final_topk(t, k, exclude_self=True)
+    return _merge_topk_ds(partials, k)

@@ -94,10 +94,16 @@ def minhash_signatures(
     a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)) | np.uint64(1)
     b = splitmix64(np.arange(num_perm + 1, 2 * num_perm + 1, dtype=np.uint64))
     x = gh % _MERSENNE
+    # one stable sort by doc, then a reduceat per permutation — several×
+    # faster than the minimum.at ufunc path
+    order = np.argsort(gp, kind="stable")
+    gps = gp[order]
+    starts = np.flatnonzero(np.concatenate([[True], gps[1:] != gps[:-1]]))
+    docs = gps[starts]
     with np.errstate(over="ignore"):
         for j in range(num_perm):
             hv = (a[j] * x + b[j]) % _MERSENNE
-            np.minimum.at(sig[:, j], gp, hv)
+            sig[docs, j] = np.minimum.reduceat(hv[order], starts)
     return sig
 
 
@@ -286,39 +292,84 @@ def minhash_clusters(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_iter: int = 50,
 ) -> "pa.Table":
     """Near-duplicate clusters: connected components over the MinHash
-    candidate pairs (union-find on the driver — the pair set is tiny
-    relative to the corpus; at extreme scale run iterative label
-    propagation as repeated groupby-min instead). Returns (doc_id,
-    cluster_id) for every doc in a multi-doc cluster; cluster_id = the
-    smallest doc_id of the component."""
+    candidate pairs, computed DISTRIBUTED by iterative min-label
+    propagation — each round joins the (small, materialized) label table
+    to the edge list and takes groupby(node).min(label); convergence when
+    the label sum stops decreasing (labels only ever decrease). No
+    take_all of the pair set; the only driver-resident data is the final
+    (doc_id, cluster_id) answer, O(near-dup docs). Returns rows for every
+    doc in a multi-doc cluster; cluster_id = the smallest doc_id of the
+    component."""
+    from ray.data.aggregate import Min
+
     pairs = minhash_pairs_ds(
         sf_dir, num_perm=num_perm, bands=bands, shingle_k=shingle_k, threshold=threshold
-    ).take_all()
-    parent: dict[int, int] = {}
+    )
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks() if isinstance(b["a"], pa.ChunkedArray) else b["a"]
+        bb = b["b"].combine_chunks() if isinstance(b["b"], pa.ChunkedArray) else b["b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, bb]),
+                "nbr": pa.concat_arrays([bb, a]),
+            }
+        )
 
-    for r in pairs:
-        a, b = find(int(r["a"])), find(int(r["b"]))
-        if a != b:
-            if a > b:
-                a, b = b, a
-            parent[b] = a
-    members: dict[int, list[int]] = {}
-    for x in list(parent):
-        members.setdefault(find(x), []).append(x)
-    rows = sorted(
-        (doc, root) for root, docs in members.items() if len(docs) > 1 for doc in docs
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        node = b["node"]
+        mn = pc.cast(b[b.schema.names[-1]], pa.int64())
+        return pa.table({"node": node, "label": pc.min_element_wise(pc.cast(node, pa.int64()), mn)})
+
+    labels = (
+        edges.groupby("node").aggregate(Min("nbr"))
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        cand = edges.join(labels, "inner", 8, on=("node",)).map_batches(
+            lambda b: pa.table({"node": b["nbr"], "label": pc.cast(b["label"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            cand.union(labels)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "label": pc.cast(b[b.schema.names[-1]], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    # final answer: drop singleton clusters (a node whose label is itself
+    # and no other node shares it). The label table is the result — small.
+    rows = labels.take_all()
+    by_label: dict[int, list[int]] = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), []).append(int(r["node"]))
+    out = sorted(
+        (doc, root) for root, docs in by_label.items() if len(docs) > 1 for doc in docs
     )
     return pa.table(
         {
-            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "cluster_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[0] for r in out], type=pa.int64()),
+            "cluster_id": pa.array([r[1] for r in out], type=pa.int64()),
         }
     )

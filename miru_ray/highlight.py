@@ -1,0 +1,109 @@
+"""Query-term highlighter (LuceneBackedQueryParser.highlight analogue).
+
+The reference highlights query terms in content with pre/post markers,
+fragments the content (~100 chars), and returns the best 4 fragments
+joined by " ... ", analyzing at most ``preview`` chars
+(miru-plugin/.../query/LuceneBackedQueryParser.java:56-74: Highlighter +
+QueryTermScorer + SimpleFragmenter(100), getBestFragments(tokens,
+content, 4, " ... ")). This re-derivation is deterministic: fragments
+are token-aligned windows, scored by their count of matched query-term
+occurrences, the top ``max_fragments`` by (score desc, position asc)
+emitted in position order. Returns None when nothing matches (the
+reference returns null on a blank summary).
+"""
+
+from __future__ import annotations
+
+from .filters import Filter, parse_query
+from .tokenize import _ASCII_LOWER, _PY_TOKEN_RE
+
+
+def _positive_terms(filt: Filter, field: str, out: set[str], term_in: bool = True):
+    """Collect the query's positive term values for ``field`` (negated
+    operands of pButNotQ never highlight — same sign walk as the signed
+    collector, eval_filter_np)."""
+    has_operand = filt.inclusive
+    for ff in filt.field_filters:
+        fin = (not term_in) if (filt.op == "pButNotQ" and has_operand) else term_in
+        if fin and ff.field == field:
+            out.update(ff.values)
+        has_operand = True
+    for sub in filt.sub_filters:
+        sin = (not term_in) if (filt.op == "pButNotQ" and has_operand) else term_in
+        _positive_terms(sub, field, out, sin)
+        has_operand = True
+
+
+def _term_matches(token: str, values: set[str]) -> bool:
+    for v in values:
+        if v.endswith("*"):
+            if token.startswith(v[:-1]):
+                return True
+        elif token == v:
+            return True
+    return False
+
+
+def highlight(
+    query: str,
+    content: str,
+    pre: str = "<b>",
+    post: str = "</b>",
+    preview: int = 10_000,
+    fragment_size: int = 100,
+    max_fragments: int = 4,
+    use_stopwords: bool = False,
+    field: str = "text",
+) -> str | None:
+    """Highlight ``query``'s positive terms in ``content``; None if no
+    term matches (the reference's blank-summary contract)."""
+    try:
+        filt = parse_query(query, use_stopwords=use_stopwords)
+    except ValueError:
+        return None
+    values: set[str] = set()
+    _positive_terms(filt, field, values)
+    values = {v for v in values if not v.startswith("[") and not v.startswith("{")}
+    if not values:
+        return None
+
+    text = content[:preview]
+    low = text.translate(_ASCII_LOWER)
+    spans = [
+        (m.start(), m.end())
+        for m in _PY_TOKEN_RE.finditer(low)
+        if _term_matches(m.group(), values)
+    ]
+    if not spans:
+        return None
+
+    # token-aligned fragments of ~fragment_size chars
+    frags: list[tuple[int, int, int]] = []  # (start, end, n_matches)
+    start = 0
+    while start < len(text):
+        end = min(len(text), start + fragment_size)
+        if end < len(text):
+            # extend to the end of a token rather than splitting one
+            while end < len(text) and low[end].isalnum():
+                end += 1
+        n = sum(1 for s, _e in spans if start <= s < end)
+        frags.append((start, end, n))
+        start = end
+    best = [f for f in frags if f[2] > 0]
+    best.sort(key=lambda f: (-f[2], f[0]))
+    chosen = sorted(best[:max_fragments])  # emit in position order
+
+    out_parts: list[str] = []
+    for fs, fe, _n in chosen:
+        piece: list[str] = []
+        cur = fs
+        for s, e in spans:
+            if s < fs or s >= fe:
+                continue
+            piece.append(text[cur:s])
+            piece.append(pre + text[s:e] + post)
+            cur = e
+        piece.append(text[cur:fe])
+        out_parts.append("".join(piece))
+    summary = " ... ".join(out_parts)
+    return summary if summary.strip() else None
