@@ -264,6 +264,54 @@ def forward_to_run_row(part: int, first_doc: int, last_doc: int, forward: pa.Tab
     )
 
 
+# Pack rows: the groupby(part) exchange moves ONE row per (task, part) —
+# the task's runs sub-table serialized as Arrow IPC — instead of millions
+# of small run rows. Same bytes, ~1000× fewer rows: the sort machinery's
+# per-row cost (boundary partitioning, block concatenation) collapses,
+# which is what keeps the exchange off the build's critical path.
+PACK_SCHEMA = pa.schema([("part", pa.int32()), ("payload", pa.large_binary())])
+SPILL_ROW_SCHEMA = pa.schema([("part", pa.int32()), ("bytes", pa.int64())])
+
+
+def _ipc_bytes(t: pa.Table) -> bytes:
+    import io
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def pack_runs_by_part(t: pa.Table) -> pa.Table:
+    """RUNS_SCHEMA rows → PACK_SCHEMA rows (one per part present)."""
+    parts_np = t["part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(parts_np, kind="stable")
+    ts = t.take(pa.array(order)).combine_chunks()
+    sp = parts_np[order]
+    starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]])) if len(sp) else np.empty(0, np.int64)
+    out_parts, payloads = [], []
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(sp)
+        out_parts.append(int(sp[s]))
+        payloads.append(_ipc_bytes(ts.slice(s, e - s)))
+    return pa.table(
+        {
+            "part": pa.array(out_parts, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        },
+        schema=PACK_SCHEMA,
+    )
+
+
+def unpack_group(group: pa.Table) -> pa.Table:
+    """PACK_SCHEMA rows of one partition → concatenated RUNS_SCHEMA table."""
+    tables = []
+    for i in range(group.num_rows):
+        buf = group["payload"][i].as_py()
+        tables.append(pa.ipc.open_stream(buf).read_all())
+    return pa.concat_tables(tables).combine_chunks() if tables else RUNS_SCHEMA.empty_table()
+
+
 def runs_split_forward(group: pa.Table) -> tuple[pa.Table, pa.Table | None]:
     """Split a partition's shuffled runs into (posting runs, forward table).
     Forward slices concatenate in first_doc order."""
@@ -546,16 +594,26 @@ def scan_file_meta(path: str, n_parts: int) -> dict:
 class FileIndexer:
     """Phase-2 actor-pool stage: one input file per call → posting runs with
     global docIds, plus the file's forward-table slices serialized as Arrow
-    IPC inside special ``FWD_TERM`` run rows. Everything — postings AND
-    forward rows — travels through the ONE groupby(part) exchange; no side
-    files, so there is nothing to compact and nothing partial on disk."""
+    IPC inside special ``FWD_TERM`` run rows.
+
+    Two exchange modes:
+    * ``spill_dir=None`` (groupby mode): packed runs travel through the ONE
+      groupby(part) exchange.
+    * ``spill_dir`` set (default build path): each (task, part) pack is
+      written DIRECTLY into the partition's runs dir as the task finishes —
+      the exchange overlaps phase-2 compute instead of waiting on a sort
+      barrier, and the spilled packs double as a phase-2 checkpoint (the
+      reference's LSM append files, LabInvertedIndex append;
+      on a cluster the runs dirs live on the shared segment store the index
+      itself is written to)."""
 
     def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
-                 use_stopwords: bool = False):
+                 use_stopwords: bool = False, spill_dir: str | None = None):
         self.index_dir = index_dir
         self.n_parts = n_parts
         self.skip = skip_parts
         self.use_stopwords = use_stopwords
+        self.spill_dir = spill_dir
         # each actor is scheduled as ONE cpu — keep Arrow's internal pool at
         # one thread too, or 30 actors × ncpu-thread parquet/compute pools
         # thrash the box (massive oversubscription at high concurrency)
@@ -679,23 +737,102 @@ class FileIndexer:
             )
         runs = [r for r in runs if r.num_rows]
         if not runs:
-            return RUNS_SCHEMA.empty_table()
+            return PACK_SCHEMA.empty_table() if self.spill_dir is None else SPILL_ROW_SCHEMA.empty_table()
         t = pa.concat_tables(runs)
-        if batch.num_rows <= 1:
-            return t
-        # in-task combiner: merge the files' runs per (part, term) BEFORE the
-        # shuffle (offset subsampling, no decode) — shrinks the exchange by
-        # ~the files-per-task factor. FWD rows must stay un-merged (each is a
-        # self-contained IPC stream).
-        is_fwd = pc.equal(t["term"], FWD_TERM)
-        fwd_rows = t.filter(is_fwd)
-        merged = merge_runs(t.filter(pc.invert(is_fwd)))
-        return pa.concat_tables([merged, fwd_rows]) if fwd_rows.num_rows else merged
+        if batch.num_rows > 1:
+            # in-task combiner: merge the files' runs per (part, term) BEFORE
+            # the shuffle (offset subsampling, no decode) — shrinks the
+            # exchange by ~the files-per-task factor. FWD rows must stay
+            # un-merged (each is a self-contained IPC stream).
+            is_fwd = pc.equal(t["term"], FWD_TERM)
+            fwd_rows = t.filter(is_fwd)
+            merged = merge_runs(t.filter(pc.invert(is_fwd)))
+            t = pa.concat_tables([merged, fwd_rows]) if fwd_rows.num_rows else merged
+        packs = pack_runs_by_part(t)
+        if self.spill_dir is None:
+            return packs
+        # spill mode: write each part's pack into its runs dir (atomic
+        # tmp+rename; task retries rewrite identical bytes) and return one
+        # tiny marker row per pack
+        task_tag = int(batch["fidx"][0].as_py())
+        out_parts, out_bytes = [], []
+        for i in range(packs.num_rows):
+            part = int(packs["part"][i].as_py())
+            payload = packs["payload"][i].as_py()
+            d = os.path.join(self.spill_dir, f"part={part:05d}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"pack-{task_tag:06d}.arrow")
+            with open(path + ".tmp", "wb") as f:
+                f.write(payload)
+            os.replace(path + ".tmp", path)
+            out_parts.append(part)
+            out_bytes.append(len(payload))
+        return pa.table(
+            {"part": pa.array(out_parts, pa.int32()), "bytes": pa.array(out_bytes, pa.int64())},
+            schema=SPILL_ROW_SCHEMA,
+        )
+
+
+def _finalize_partition(
+    index_dir: str,
+    part: int,
+    runs_table: pa.Table,
+    n_docs: int,
+    lineage: dict,
+    t0: float,
+) -> dict:
+    """Shared phase-3 core: one partition's unpacked runs → merged postings
+    + forward + manifest (written last: checkpoint atomicity). Returns the
+    manifest row as a dict."""
+    run_rows, forward = runs_split_forward(runs_table)
+    postings = merge_runs(run_rows)
+    postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
+    text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
+    total_tokens = int(
+        pc.sum(pc.if_else(text_mask, postings["ttf"], pa.scalar(0, pa.int64()))).as_py() or 0
+    )
+    if forward is not None and forward.num_rows != n_docs:
+        raise AssertionError(
+            f"part {part}: forward rows {forward.num_rows} != expected {n_docs}"
+        )
+    posting_bytes = sum(postings[c].nbytes for c in ("doc_bytes", "tf_bytes"))
+    metrics = {
+        "n_docs": n_docs,
+        "n_terms": int(postings.num_rows),
+        "total_tokens": total_tokens,
+        "avg_dl": float(total_tokens / n_docs) if n_docs else 0.0,
+        "posting_bytes": int(posting_bytes),
+    }
+    finalize_segment(index_dir, part, postings, dict(lineage), metrics, forward)
+    return {
+        "part": part,
+        "n_docs": n_docs,
+        "n_terms": int(postings.num_rows),
+        "total_tokens": total_tokens,
+        "posting_bytes": int(posting_bytes),
+        "build_sec": time.monotonic() - t0,
+        "skipped": False,
+    }
+
+
+def _manifest_row_table(row: dict) -> pa.Table:
+    return pa.table(
+        {
+            "part": pa.array([row["part"]], type=pa.int32()),
+            "n_docs": pa.array([row["n_docs"]], type=pa.int64()),
+            "n_terms": pa.array([row["n_terms"]], type=pa.int64()),
+            "total_tokens": pa.array([row["total_tokens"]], type=pa.int64()),
+            "posting_bytes": pa.array([row["posting_bytes"]], type=pa.int64()),
+            "build_sec": pa.array([row["build_sec"]], type=pa.float64()),
+            "skipped": pa.array([row["skipped"]], type=pa.bool_()),
+        },
+        schema=MANIFEST_ROW_SCHEMA,
+    )
 
 
 class SegmentFinalizer:
-    """Phase-3 map_groups stage: all encoded runs of one partition → merged
-    postings + manifest (written last: checkpoint atomicity)."""
+    """Phase-3 map_groups stage (groupby exchange mode): all encoded run
+    packs of one partition → merged postings + manifest."""
 
     def __init__(self, index_dir: str, n_docs_by_part: dict[int, int], lineage: dict):
         self.index_dir = index_dir
@@ -707,39 +844,45 @@ class SegmentFinalizer:
         if group.num_rows == 0:
             return MANIFEST_ROW_SCHEMA.empty_table()
         part = int(group["part"][0].as_py())
-        run_rows, forward = runs_split_forward(group)
-        postings = merge_runs(run_rows)
-        postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
-        text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
-        total_tokens = int(
-            pc.sum(pc.if_else(text_mask, postings["ttf"], pa.scalar(0, pa.int64()))).as_py() or 0
+        row = _finalize_partition(
+            self.index_dir, part, unpack_group(group),
+            int(self.n_docs_by_part.get(part, 0)), self.lineage, t0,
         )
-        n_docs = int(self.n_docs_by_part.get(part, 0))
-        if forward is not None and forward.num_rows != n_docs:
-            raise AssertionError(
-                f"part {part}: forward rows {forward.num_rows} != expected {n_docs}"
-            )
-        posting_bytes = sum(postings[c].nbytes for c in ("doc_bytes", "tf_bytes"))
-        metrics = {
-            "n_docs": n_docs,
-            "n_terms": int(postings.num_rows),
-            "total_tokens": total_tokens,
-            "avg_dl": float(total_tokens / n_docs) if n_docs else 0.0,
-            "posting_bytes": int(posting_bytes),
-        }
-        finalize_segment(self.index_dir, part, postings, dict(self.lineage), metrics, forward)
-        return pa.table(
-            {
-                "part": pa.array([part], type=pa.int32()),
-                "n_docs": pa.array([n_docs], type=pa.int64()),
-                "n_terms": pa.array([int(postings.num_rows)], type=pa.int64()),
-                "total_tokens": pa.array([total_tokens], type=pa.int64()),
-                "posting_bytes": pa.array([int(posting_bytes)], type=pa.int64()),
-                "build_sec": pa.array([time.monotonic() - t0], type=pa.float64()),
-                "skipped": pa.array([False], type=pa.bool_()),
-            },
-            schema=MANIFEST_ROW_SCHEMA,
-        )
+        return _manifest_row_table(row)
+
+
+def finalize_spilled_partition(
+    index_dir: str, spill_dir: str, part: int, n_docs: int, lineage: dict
+) -> dict:
+    """Phase-3 task (spill exchange mode): read the partition's spilled
+    packs, merge, write the segment, then drop the runs dir. Runs as a
+    plain Ray task — the per-partition scatter reuses the warm default
+    worker pool instead of spawning a second actor pool."""
+    import glob as _glob
+    import shutil
+
+    t0 = time.monotonic()
+    d = os.path.join(spill_dir, f"part={part:05d}")
+    tables = []
+    for p in sorted(_glob.glob(os.path.join(d, "pack-*.arrow"))):
+        with open(p, "rb") as f:
+            tables.append(pa.ipc.open_stream(f.read()).read_all())
+    runs = pa.concat_tables(tables).combine_chunks() if tables else RUNS_SCHEMA.empty_table()
+    row = _finalize_partition(index_dir, part, runs, n_docs, lineage, t0)
+    shutil.rmtree(d, ignore_errors=True)
+    return row
+
+
+_REMOTE_FINALIZE = None
+
+
+def _remote_finalize():
+    global _REMOTE_FINALIZE
+    if _REMOTE_FINALIZE is None:
+        import ray
+
+        _REMOTE_FINALIZE = ray.remote(num_cpus=1)(finalize_spilled_partition)
+    return _REMOTE_FINALIZE
 
 
 def build_index_streaming(
@@ -750,6 +893,7 @@ def build_index_streaming(
     resume: bool = True,
     concurrency: int | None = None,
     strict: bool = False,
+    exchange: str = "spill",
 ) -> dict | None:
     """The two-phase offset build (see module section comment). Returns None
     when the input violates the global (conv_id, turn_idx) sort order and
@@ -757,12 +901,17 @@ def build_index_streaming(
     import ray
     import ray.data as rd
 
+    timing = bool(os.environ.get("MIRU_RAY_TIMING"))
+    t_start = time.monotonic()
+
     files = list_input_files(input_path)
     if not files:
         raise FileNotFoundError(f"no parquet input under {input_path!r}")
 
     scan = ray.remote(num_cpus=1)(scan_file_meta)
     metas = ray.get([scan.remote(f, n_parts) for f in files])
+    if timing:
+        print(f"[timing] phase1 scan: {time.monotonic() - t_start:.2f}s", flush=True)
     ordered = all(m["ok"] for m in metas)
     for a, b in zip(metas, metas[1:]):
         if a["last"] is not None and b["first"] is not None and not (a["last"] < b["first"]):
@@ -784,45 +933,82 @@ def build_index_streaming(
         "rows_per_file": [int(m["rows"]) for m in metas],
     }
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        # size to the full CPU count: the tokenize pool owns the box during
+        # phase 2; the finalizer pool's min-1 actor simply waits for a free
+        # CPU (phases serialize on small boxes, pipeline on big ones)
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 8)))
 
     items = [
         {"path": f, "fidx": i, "bases": bases[i].tolist()} for i, f in enumerate(files)
     ]
-    # files per task: enough tasks for load balance (~1.5 waves), capped so a
-    # task's resident set stays bounded at real file sizes
-    group = int(min(8, max(1, -(-len(files) // max(1, int(1.5 * concurrency))))))
+    # files per task: ~6 waves per actor for load balance (coarse tasks
+    # straggle: the last wave runs on a near-empty pool), floored at 3 so
+    # the in-task combiner still amortizes (1-file tasks skip combining and
+    # explode the per-partition pack count the finalizer must merge),
+    # capped at 8 so a task's resident set stays bounded at real file sizes
+    group = int(min(8, max(3, len(files) // max(1, 6 * concurrency))))
+    group = min(group, max(1, len(files)))
+    n_tasks = -(-len(files) // group)
+    # FIXED pool size (not autoscaling): all actors start + import in
+    # parallel at t0 instead of ramping from a floor. fi_conc + the
+    # finalizer pool's min (1) must stay ≤ total CPUs or the all-or-nothing
+    # pool start deadlocks (observed).
+    fi_conc = max(1, min(concurrency, n_tasks))
+    # spill target: RAM-backed by default when available (same in-memory
+    # semantics as the object-store exchange it replaces; on a cluster point
+    # MIRU_RAY_SPILL_BASE at the shared segment store for durable phase-2
+    # checkpoints instead)
+    spill_dir = None
+    if exchange == "spill":
+        base = os.environ.get("MIRU_RAY_SPILL_BASE")
+        if base is None:
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else index_dir
+        spill_dir = os.path.join(
+            base, f"miru_runs-{os.path.basename(os.path.normpath(index_dir))}-{_epoch_id(files, metas)}"
+        )
     runs_ds = rd.from_items(items).map_batches(
         FileIndexer,
         fn_constructor_kwargs={
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
+            "spill_dir": spill_dir,
         },
         batch_size=group,
         batch_format="pyarrow",
-        # (min, max) pools: a healthy min so the pool ramps immediately, but
-        # min_phase2 + min_phase3 must stay below the CPU count — two fixed
-        # pools that together demand more CPUs than exist deadlock the
-        # all-or-nothing pool start (observed); autoscaling from a floor
-        # always makes progress
-        concurrency=(
-            min(max(1, concurrency // 2), min(concurrency, len(files))),
-            min(concurrency, len(files)),
-        ),
+        concurrency=fi_conc,
         num_cpus=1,
     )
-    manifest_ds = runs_ds.groupby("part").map_groups(
-        SegmentFinalizer,
-        fn_constructor_kwargs={
-            "index_dir": index_dir,
-            "n_docs_by_part": n_docs_by_part,
-            "lineage": lineage,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        num_cpus=1,
-    )
-    rows = manifest_ds.take_all()  # tiny: one row per partition
+    if exchange == "spill":
+        # spill exchange: packs land in per-partition runs dirs DURING phase
+        # 2 (overlapping compute); the only barrier is the tiny marker
+        # collect; phase 3 is a plain-task scatter over partitions (warm
+        # workers, no second actor-pool spawn, no sort machinery)
+        runs_ds.take_all()
+        if timing:
+            print(f"[timing] phase 2 (tokenize+spill): {time.monotonic() - t_start:.2f}s", flush=True)
+        todo = [p for p in sorted(n_docs_by_part) if p not in done]
+        fin = _remote_finalize()
+        rows = ray.get([
+            fin.remote(index_dir, spill_dir, p, n_docs_by_part[p], lineage) for p in todo
+        ])
+        import shutil as _shutil
+
+        _shutil.rmtree(spill_dir, ignore_errors=True)
+    else:
+        manifest_ds = runs_ds.groupby("part").map_groups(
+            SegmentFinalizer,
+            fn_constructor_kwargs={
+                "index_dir": index_dir,
+                "n_docs_by_part": n_docs_by_part,
+                "lineage": lineage,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        )
+        rows = manifest_ds.take_all()  # tiny: one row per partition
+    if timing:
+        print(f"[timing] phases 2+3 (to manifest collect): {time.monotonic() - t_start:.2f}s total", flush=True)
 
     built = {int(r["part"]): r for r in rows}
     meta = {
@@ -887,7 +1073,7 @@ class SegmentExtender:
         if group.num_rows == 0:
             return MANIFEST_ROW_SCHEMA.empty_table()
         part = int(group["part"][0].as_py())
-        new_runs, new_fwd = runs_split_forward(group)
+        new_runs, new_fwd = runs_split_forward(unpack_group(group))
         old_manifest = read_manifest(self.index_dir, part)
         if old_manifest is not None:
             old_post = pq.read_table(
@@ -987,9 +1173,10 @@ def extend_index(
     new_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
 
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 8)) - 1)
     items = [{"path": f, "fidx": i, "bases": bases[i].tolist()} for i, f in enumerate(files)]
-    group = int(min(8, max(1, -(-len(files) // max(1, int(1.5 * concurrency))))))
+    group = int(min(8, max(1, len(files) // max(1, 6 * concurrency))))
+    n_tasks = -(-len(files) // group)
     runs_ds = rd.from_items(items).map_batches(
         FileIndexer,
         fn_constructor_kwargs={
@@ -998,7 +1185,7 @@ def extend_index(
         },
         batch_size=group,
         batch_format="pyarrow",
-        concurrency=(1, min(concurrency, len(files))),
+        concurrency=max(1, min(concurrency, n_tasks)),
         num_cpus=1,
     )
     lineage = {"extend_input": files, "strategy": "stream"}
