@@ -522,6 +522,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# -------------------------------------------- hash-chain SQL building blocks
+#
+# The dedup/fingerprint pipelines are deterministic integer pipelines over
+# FNV-1a and splitmix64; both hashes are exactly expressible in DuckDB
+# (UHUGEINT multiply mod 2^64, xor/shift on UBIGINT), which lets the
+# simhash / winnowing / minhash-LSH results be value-checked end to end
+# instead of rows-only.
+
+U64 = "18446744073709551616"
+FNV_PRIME = 1099511628211
+MERSENNE = 2305843009213693951  # minhash universal-hash modulus
+
+
+def _u64sql(e: str) -> str:
+    return f"CAST(({e}) % {U64} AS UBIGINT)"
+
+
+def _mul64(a: str, c: int) -> str:
+    return _u64sql(f"CAST({a} AS UHUGEINT) * {c}")
+
+
+def _add64(a: str, c: int) -> str:
+    return _u64sql(f"CAST({a} AS UHUGEINT) + {c}")
+
+
+def _i64view(e: str) -> str:
+    """uint64 → its int64 two's-complement view (the engine emits
+    .view(np.int64) columns)."""
+    return (
+        f"CAST(CASE WHEN {e} >= 9223372036854775808 THEN CAST({e} AS HUGEINT) - {U64} "
+        f"ELSE CAST({e} AS HUGEINT) END AS BIGINT)"
+    )
+
+
+def _fnv_sql(col: str) -> str:
+    """FNV-1a 64 over the ASCII bytes of a [a-z0-9]+ token (hashing.fnv1a64)."""
+    return (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), "
+        f"list_transform(string_split_regex({col}, ''), c -> CAST(ord(c) AS UBIGINT))), "
+        f"(h, b) -> {_mul64('xor(h, b)', FNV_PRIME)})"
+    )
+
+
+def _sm_ctes(tag: str, src: str, in_expr: str, out_col: str) -> tuple[str, str]:
+    """CTE chain computing splitmix64(in_expr) as ``out_col`` (4 linear
+    steps so the expression tree stays linear)."""
+    z0, z1, z2 = f"{tag}_z0", f"{tag}_z1", f"{tag}_z2"
+    sql = (
+        f"{tag}a AS (SELECT *, {_add64(in_expr, 11400714819323198485)} AS {z0} FROM {src}),\n"
+        f"{tag}b AS (SELECT *, {_mul64(f'xor({z0}, {z0} >> 30)', 13787848793156543929)} AS {z1} FROM {tag}a),\n"
+        f"{tag}c AS (SELECT *, {_mul64(f'xor({z1}, {z1} >> 27)', 10723151780598845931)} AS {z2} FROM {tag}b),\n"
+        f"{tag}d AS (SELECT *, xor({z2}, {z2} >> 31) AS {out_col} FROM {tag}c)"
+    )
+    return sql, f"{tag}d"
+
+
+def _gram_ctes() -> str:
+    """documents → grams(doc_id, pos, g): the rolling k=3 token-gram hash
+    (textstats.gram_hashes: h ← splitmix64(h·FNV_PRIME) ⊕ next-token-hash,
+    twice; grams spanning doc boundaries dropped)."""
+    sm1, sm1_last = _sm_ctes("sg1", "gm1", "m1", "sm1")
+    sm2, sm2_last = _sm_ctes("sg2", "gm2", "m2", "sm2")
+    return f"""tok AS (SELECT doc_id, unnest(toks) AS t, unnest(range(len(toks))) AS pos
+       FROM (SELECT doc_id, {_TOK} AS toks FROM documents)),
+th AS (SELECT doc_id, pos, {_fnv_sql('t')} AS h FROM tok),
+thl AS (SELECT doc_id, pos, h,
+          lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+          lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+        FROM th),
+gm1 AS (SELECT *, {_mul64('h', FNV_PRIME)} AS m1 FROM thl),
+{sm1},
+g1 AS (SELECT *, xor(sm1, h1) AS x1 FROM {sm1_last} WHERE h1 IS NOT NULL),
+gm2 AS (SELECT *, {_mul64('x1', FNV_PRIME)} AS m2 FROM g1),
+{sm2},
+grams AS (SELECT doc_id, pos, xor(sm2, h2) AS g FROM {sm2_last} WHERE h2 IS NOT NULL)"""
+
+
+def _perm_values() -> str:
+    """The 64 minhash permutation constants (dedup.minhash_signatures:
+    a = splitmix64(1..64)|1, b = splitmix64(65..128)) as SQL literals."""
+    from miru_ray.hashing import splitmix64
+
+    a = splitmix64(np.arange(1, 65, dtype=np.uint64)) | np.uint64(1)
+    b = splitmix64(np.arange(65, 129, dtype=np.uint64))
+    return ", ".join(
+        f"({j}, CAST({int(a[j])} AS UBIGINT), CAST({int(b[j])} AS UBIGINT))" for j in range(64)
+    )
+
+
+def _minhash_pair_ctes() -> str:
+    """documents → mh_pairs(a, b, est_jaccard): signatures (64 perms over
+    k=3 gram hashes), 16-band LSH keys (splitmix fold), per-bucket pairs
+    (doc-ascending, max_bucket 256) with signature-estimated Jaccard —
+    dedup.MinHashStage + _bucket_pairs exactly."""
+    chains = []
+    src, acc = "band0", "acc"
+    for s in range(4):
+        xo = f"bx{s}"
+        join = (
+            f"{xo} AS (SELECT b.doc_id, b.bidx, xor(b.{acc}, s.v) AS t{s} "
+            f"FROM {src} b JOIN sig s ON s.doc_id = b.doc_id AND s.j = b.bidx * 4 + {s}),"
+        )
+        sm, last = _sm_ctes(f"bs{s}", xo, f"t{s}", f"acc{s}")
+        chains.append(join + "\n" + sm)
+        src, acc = last, f"acc{s}"
+    band_chain = ",\n".join(chains)
+    return f"""{_gram_ctes()},
+xg AS (SELECT doc_id, g % {MERSENNE} AS x FROM grams),
+perms(j, a, b) AS (VALUES {_perm_values()}),
+sig0 AS (SELECT doc_id, j,
+           min(CAST((CAST((CAST(a AS UHUGEINT) * CAST(x AS UHUGEINT)) % {U64} AS UHUGEINT) + CAST(b AS UHUGEINT)) % {U64} AS UBIGINT) % {MERSENNE}) AS v
+         FROM xg CROSS JOIN perms GROUP BY doc_id, j),
+sig AS (SELECT d.doc_id, p.j, COALESCE(s0.v, CAST(18446744073709551615 AS UBIGINT)) AS v
+        FROM documents d CROSS JOIN perms p
+        LEFT JOIN sig0 s0 ON s0.doc_id = d.doc_id AND s0.j = p.j),
+band0 AS (SELECT d.doc_id, CAST(bb.bidx AS BIGINT) AS bidx, CAST(bb.bidx + 40503 AS UBIGINT) AS acc
+          FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS bidx) bb),
+{band_chain},
+bands AS (SELECT doc_id, bidx, acc3 AS key FROM {src}),
+bk AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM bands),
+mh_pairs0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bk x JOIN bk y ON x.key = y.key AND x.doc_id < y.doc_id
+              WHERE x.rn <= 256 AND y.rn <= 256),
+mh_pairs AS (SELECT p.a, p.b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+             FROM mh_pairs0 p
+             JOIN sig sa ON sa.doc_id = p.a
+             JOIN sig sb ON sb.doc_id = p.b AND sb.j = sa.j
+             GROUP BY p.a, p.b)"""
+
+
 def oracle_sql() -> dict[str, str]:
     from miru_ray.textstats import LANG_MARKERS, LANG_ORDER
     from miru_ray.tokenize import STOPWORDS
@@ -720,6 +850,56 @@ ORDER BY score DESC, item ASC LIMIT {RECO_K}"""
         "dd_exact": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text"
+        ),
+        "dd_minhash": (
+            f"""WITH {_minhash_pair_ctes()}
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, est_jaccard
+FROM mh_pairs WHERE est_jaccard >= 0.5"""
+        ),
+        "dd_simhash_groups": (
+            f"""WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+th AS (SELECT doc_id, {_fnv_sql('t')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS bit,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, b),
+sim0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id),
+sim AS (SELECT d.doc_id, COALESCE(sim0.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sim0 USING (doc_id))
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM sim GROUP BY simhash"""
+        ),
+        "dd_clusters": (
+            f"""WITH RECURSIVE {_minhash_pair_ctes()},
+sel AS (SELECT a, b FROM mh_pairs WHERE est_jaccard >= 0.9),
+edges AS (SELECT a AS s, b AS d FROM sel UNION SELECT b, a FROM sel),
+reach(s, d) AS (SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+SELECT CAST(s AS BIGINT) AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY s"""
+        ),
+        "txt_fingerprints": (
+            f"""WITH {_gram_ctes()},
+wmin AS (SELECT doc_id, pos,
+           min(g) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+           count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         FROM grams),
+longdoc AS (SELECT DISTINCT doc_id FROM wmin WHERE wn = 4),
+fps AS (SELECT DISTINCT doc_id, wm AS fp FROM wmin WHERE wn = 4
+        UNION
+        SELECT doc_id, min(g) AS fp FROM grams
+        WHERE doc_id NOT IN (SELECT doc_id FROM longdoc) GROUP BY doc_id),
+ngr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id),
+fpa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints, bit_xor(fp) AS fx FROM fps GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
+       COALESCE(fpa.n_fingerprints, 0) AS n_fingerprints,
+       {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
+FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
         ),
         "txt_quality": (
             f"""SELECT doc_id,
