@@ -171,7 +171,8 @@ def _topk_answer(sf_dir: str):
 
 
 def _tf_on(src, term: str, answer: np.ndarray) -> np.ndarray:
-    docs, tfs = src.post[("text", term)]
+    docs = src.docs("text", term)
+    tfs = src.tfs("text", term)  # forces full decode of lazy-tf postings
     pos = np.searchsorted(docs, answer)
     return tfs[pos].astype(np.float64)
 

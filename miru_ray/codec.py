@@ -405,6 +405,21 @@ def decode_posting_range(
     return docs, tfs
 
 
+def decode_tf_range(
+    tf_bytes: bytes | np.ndarray,
+    blk_tf_end: np.ndarray,
+    b_lo: int,
+    b_hi: int,
+) -> np.ndarray:
+    """Partial decode of the tf values of blocks [b_lo, b_hi) only — the
+    lazy-tf path of the query engine: docs decode once for set algebra, tf
+    bytes decode per touched block during scoring."""
+    blk_tf_end = np.asarray(blk_tf_end, dtype=np.int64)
+    t_lo = 0 if b_lo == 0 else int(blk_tf_end[b_lo - 1])
+    t_hi = int(blk_tf_end[b_hi - 1])
+    return varbyte_decode(np.frombuffer(tf_bytes, dtype=np.uint8)[t_lo:t_hi]).astype(np.int64)
+
+
 def merge_runs(runs: pa.Table) -> pa.Table:
     """Merge encoded runs into one posting row per (part, term).
 

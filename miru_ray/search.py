@@ -119,10 +119,19 @@ def _cached_manifest(index_dir: str, part: int) -> dict:
     return m
 
 
+# lazy-tf threshold: postings with at least this many blocks keep their tf
+# bytes ENCODED at read time; docs decode once (set algebra needs them),
+# tf decodes per touched block during scoring (codec.decode_tf_range) —
+# the partial-decode path for hot terms whose postings dwarf the touched
+# candidate set. DECODE_STATS tracks the realized byte savings.
+LAZY_TF_BLOCKS = 64
+DECODE_STATS = {"tf_bytes_total": 0, "tf_bytes_decoded": 0}
+
+
 class PostingSource:
     """Per-partition posting reader: one pushdown parquet read for the terms
     a query needs that are not already in the process cache, decoded into
-    sorted docId arrays."""
+    sorted docId arrays. Large postings defer tf decoding (lazy-tf)."""
 
     def __init__(self, index_dir: str, part: int, specs: list[tuple[str, str]],
                  max_wild: int):
@@ -174,12 +183,18 @@ class PostingSource:
                 field, term = key_str.split(FIELD_SEP, 1)
                 blk_first = np.asarray(t["blk_first"][i].as_py())
                 blk_count = np.asarray(t["blk_count"][i].as_py())
+                n_blocks = int(t["n_blocks"][i].as_py())
+                tf_raw = t["tf_bytes"][i].as_py()
+                DECODE_STATS["tf_bytes_total"] += len(tf_raw)
+                lazy = n_blocks >= LAZY_TF_BLOCKS
                 docs, tfs = decode_posting(
                     t["doc_bytes"][i].as_py(),
-                    t["tf_bytes"][i].as_py(),
+                    None if lazy else tf_raw,
                     blk_first,
                     blk_count,
                 )
+                if not lazy:
+                    DECODE_STATS["tf_bytes_decoded"] += len(tf_raw)
                 ttf = int(t["ttf"][i].as_py())
                 df = int(t["df"][i].as_py())
                 blocks = {
@@ -188,6 +203,10 @@ class PostingSource:
                     "max_tf": np.asarray(t["blk_max_tf"][i].as_py()),
                     "min_dl": np.asarray(t["blk_min_dl"][i].as_py()),
                 }
+                if lazy:
+                    blocks["tf_bytes"] = tf_raw
+                    blocks["tf_end"] = np.asarray(t["blk_tf_end"][i].as_py(), dtype=np.int64)
+                    blocks["count_cum"] = np.cumsum(blk_count.astype(np.int64))
                 self.post[(field, term)] = (docs, tfs)
                 self.ttf[(field, term)] = ttf
                 self.df[(field, term)] = df
@@ -197,6 +216,7 @@ class PostingSource:
             for k in misses:
                 if k not in found:
                     _POSTING_CACHE[(index_dir, part, epoch, k)] = None  # negative entry
+        self._tf_block_cache: dict[tuple, dict[int, np.ndarray]] = {}
 
     def expand(self, field: str, value: str) -> list[str]:
         if (field, value) in self.expansions:
@@ -210,8 +230,46 @@ class PostingSource:
         return p[0] if p is not None else _EMPTY
 
     def tfs(self, field: str, term: str) -> np.ndarray:
+        """Full tf array (forces a full decode of lazy-tf postings)."""
         p = self.post.get((field, term))
-        return p[1] if p is not None else _EMPTY
+        if p is None:
+            return _EMPTY
+        if p[1] is None:
+            from .codec import decode_tf_range
+
+            blk = self.blocks[(field, term)]
+            DECODE_STATS["tf_bytes_decoded"] += len(blk["tf_bytes"])
+            tfs = decode_tf_range(blk["tf_bytes"], blk["tf_end"], 0, len(blk["tf_end"]))
+            self.post[(field, term)] = (p[0], tfs)
+            return tfs
+        return p[1]
+
+    def tf_at(self, field: str, term: str, pos: np.ndarray) -> np.ndarray:
+        """tf values at positions ``pos`` (indices into the docs array),
+        decoding only the covering blocks of lazy-tf postings."""
+        p = self.post.get((field, term))
+        if p is None:
+            return _EMPTY
+        if p[1] is not None:
+            return p[1][pos]
+        from .codec import decode_tf_range
+
+        blk = self.blocks[(field, term)]
+        cum = blk["count_cum"]  # end position of each block
+        bids = np.searchsorted(cum, pos, side="right")
+        out = np.empty(len(pos), dtype=np.int64)
+        cache = self._tf_block_cache.setdefault((field, term), {})
+        for b in np.unique(bids):
+            tf_blk = cache.get(int(b))
+            if tf_blk is None:
+                tf_blk = decode_tf_range(blk["tf_bytes"], blk["tf_end"], int(b), int(b) + 1)
+                t_lo = 0 if b == 0 else int(blk["tf_end"][b - 1])
+                DECODE_STATS["tf_bytes_decoded"] += int(blk["tf_end"][b]) - t_lo
+                cache[int(b)] = tf_blk
+            sel = bids == b
+            base = 0 if b == 0 else int(cum[b - 1])
+            out[sel] = tf_blk[pos[sel] - base]
+        return out
 
 
 def eval_filter_np(
@@ -318,9 +376,13 @@ def search_partition(
         and len(removed) == 0
         and k > 0
     ):
-        from .wand import disjunctive_terms, wand_topk
+        from .wand import conjunctive_terms, disjunctive_terms, wand_topk
 
+        mode = "or"
         occ = disjunctive_terms(filt)
+        if occ is None:
+            occ = conjunctive_terms(filt)
+            mode = "and"
         if occ is not None:
             # block-max pruned path (exact; rank-identical by construction)
             counts: dict[tuple[str, str], int] = {}
@@ -328,7 +390,7 @@ def search_partition(
                 counts[key] = counts.get(key, 0) + 1
             fwd = forward_columns(index_dir, part)
             docs_w, scores_w, found, _pruned = wand_topk(
-                src, counts, k, scoring, n_docs, avg_dl, fwd["dl"]
+                src, counts, k, scoring, n_docs, avg_dl, fwd["dl"], mode=mode
             )
             order = np.lexsort((-docs_w, -scores_w))[:k]
             sel_docs, sel_scores = docs_w[order], scores_w[order]
@@ -381,17 +443,18 @@ def search_partition(
             m = F32(F32(c) * F32(idf))
         else:
             raise ValueError(scoring)
-        docs, tfs = src.post[(field, term)]
+        docs = src.docs(field, term)
         pos = np.searchsorted(answer, docs)
         valid = (pos < len(answer)) & (answer[np.minimum(pos, len(answer) - 1)] == docs) if len(answer) else np.zeros(0, bool)
         pos = pos[valid]
-        tf_v = tfs[valid].astype(np.float32)
+        tf_i = src.tf_at(field, term, np.flatnonzero(valid))
+        tf_v = tf_i.astype(np.float32)
         if scoring == "ref_tfidf":
             scores[pos] += F32(m) * tf_v
         else:
             if dl_answer is None:
                 dl_answer = fwd["dl"][answer].astype(np.float64)
-            denom = (tfs[valid] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_answer[pos] / avg_dl)).astype(np.float32)
+            denom = (tf_i + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_answer[pos] / avg_dl)).astype(np.float32)
             scores[pos] += F32(m) * (tf_v / denom)
 
     if k <= 0 or len(answer) == 0:

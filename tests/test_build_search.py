@@ -287,7 +287,14 @@ def test_actor_engine_equals_tasks(index_dir):
             ]
 
 
-@pytest.mark.parametrize("query", ["t1 OR t2 OR t3", "t3", "t1 OR w00999", "w00042 OR w00123 OR t5"])
+@pytest.mark.parametrize(
+    "query",
+    [
+        "t1 OR t2 OR t3", "t3", "t1 OR w00999", "w00042 OR w00123 OR t5",
+        # conjunctive (AND) pruning path
+        "t1 t7", "t1 AND t7 AND w00042", "t1 t2 t3 t4 t5", "t1 t1 w00042",
+    ],
+)
 @pytest.mark.parametrize("scoring", ["ref_tfidf", "bm25"])
 def test_wand_pruned_equals_full(engine, query, scoring):
     """Block-max pruned disjunctive top-k must be bit-identical to the full
@@ -397,3 +404,71 @@ def test_repair_partitions(ray_session, tiny_transcripts_dir, tmp_path_factory, 
     for p in range(N_PARTS):
         after = pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
         assert before[p].equals(after), p
+
+
+def _oracle_rows(opart):
+    """Rebuild input row dicts from an oracle partition (for re-partitioning)."""
+    return [
+        {
+            "conv_id": opart.conv_id[i],
+            "turn_idx": opart.turn_idx[i],
+            "role": opart.fields["role"][i],
+            "text": " ".join(opart.tokens[i]),
+            "tool": opart.fields["tool"][i],
+            "ts": opart.ts[i],
+        }
+        for i in range(opart.n_docs)
+    ]
+
+
+def test_lazy_tf_partial_decode(ray_session, tiny_transcripts_dir, tmp_path_factory, tiny_oracle):
+    """Lazy-tf postings: with LAZY_TF_BLOCKS lowered so core terms qualify,
+    results stay rank-identical while fewer tf bytes are decoded than
+    stored (the block-partial decode path)."""
+    import miru_ray.search as S
+
+    from miru_ray.oracle import build_oracle_partitions
+
+    d = str(tmp_path_factory.mktemp("idx_lazy"))
+    # ONE partition so per-partition domains exceed the tiny-domain cutoff
+    # and the block-max sweep actually prunes
+    build_index(tiny_transcripts_dir, d, n_parts=1)
+    oracle1 = build_oracle_partitions(
+        [r for p in sorted(tiny_oracle) for r in _oracle_rows(tiny_oracle[p])], n_parts=1
+    )
+    old = S.LAZY_TF_BLOCKS
+    S.LAZY_TF_BLOCKS = 2  # dictionary terms have >2 blocks in the tiny corpus
+    try:
+        eng = SearchEngine(d)
+        savings = []
+        for q in ("t1 t7", "t1 OR t2 OR t3", "t1 t2 t3 t4 t5"):
+            for scoring in ("ref_tfidf", "bm25"):
+                # fresh caches per query so decoded/total compare like-for-like
+                S._POSTING_CACHE.clear()
+                S.DECODE_STATS.update(tf_bytes_total=0, tf_bytes_decoded=0)
+                hits, found = eng.search(q, k=10, scoring=scoring, parallel=False)
+                ohits, ofound = oracle_search(oracle1, q, k=10, scoring=scoring)
+                assert found == ofound, (q, scoring)
+                assert [(h.doc_id,) for h in hits] == [
+                    (h.doc_id,) for h in ohits
+                ], (q, scoring)
+                assert S.DECODE_STATS["tf_bytes_total"] > 0, (q, scoring)
+                savings.append(
+                    S.DECODE_STATS["tf_bytes_decoded"] / S.DECODE_STATS["tf_bytes_total"]
+                )
+        # scored queries decode at most what they store (on this uniform
+        # fixture every block holds candidates, so block skipping only pays
+        # off on skewed/clustered corpora — the match assertion below is
+        # the deterministic saving)
+        assert all(s <= 1.0 + 1e-9 for s in savings), savings
+        # filter-only evaluation never touches tf bytes at all with lazy
+        # postings: the doc-side decode is sufficient for set algebra
+        S._POSTING_CACHE.clear()
+        S.DECODE_STATS.update(tf_bytes_total=0, tf_bytes_decoded=0)
+        res = eng.match("t1", parallel=False)
+        assert sum(len(r["doc_id"]) for r in res) > 0
+        assert S.DECODE_STATS["tf_bytes_total"] > 0
+        assert S.DECODE_STATS["tf_bytes_decoded"] == 0, S.DECODE_STATS
+    finally:
+        S.LAZY_TF_BLOCKS = old
+        S._POSTING_CACHE.clear()
