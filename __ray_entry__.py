@@ -383,6 +383,19 @@ def dd_clusters(sf_dir: str):
     return minhash_clusters(sf_dir, threshold=0.9)
 
 
+# ------------------------------------------------------------ bloom callable
+
+
+def bloom_index(sf_dir: str) -> pa.Table:
+    """Bloom co-occurrence sketch (BloomIndex.java:50-73 sizing formulas +
+    MiruIndexBloom compose): per source, the set-bit count and bit sum of
+    its bloom over the text tokens — bits are a pure function of the
+    distinct (source, token) pairs, so the summary is SQL-checkable."""
+    from miru_ray.bloom import bloom_summary_ds
+
+    return bloom_summary_ds(sf_dir, key_col="source")
+
+
 # ------------------------------------------------------------ strut callable
 
 STRUT_TERMS = ("scan", "merge", "join", "window", "data")
@@ -509,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
         "ev_trending_peaks": ev_trending_peaks,
+        "bloom_index": bloom_index,
         "strut_score": strut_score,
         "reco_cf": reco_cf,
         "dd_exact": dd_exact,
@@ -651,6 +665,32 @@ mh_pairs AS (SELECT p.a, p.b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.
              JOIN sig sa ON sa.doc_id = p.a
              JOIN sig sb ON sb.doc_id = p.b AND sb.j = sa.j
              GROUP BY p.a, p.b)"""
+
+
+def _bloom_sql() -> str:
+    """Per-source bloom sketch summary: distinct (source, token) → double
+    hashing h1 = fnv1a64, h2 = splitmix64(h1)|1, bit_i = (h1 + i·h2) mod m
+    — mirrors bloom.BloomStage bit for bit."""
+    from miru_ray.bloom import (
+        DEFAULT_EXPECTED_INSERTIONS,
+        DEFAULT_FPP,
+        optimal_num_bits,
+        optimal_num_hashes,
+    )
+
+    m = optimal_num_bits(DEFAULT_EXPECTED_INSERTIONS, DEFAULT_FPP)
+    k = optimal_num_hashes(DEFAULT_EXPECTED_INSERTIONS, m)
+    sm, sm_last = _sm_ctes("bl", "h1t", "h1", "smh")
+    return f"""WITH pairs AS (SELECT DISTINCT source AS key, t
+           FROM (SELECT source, unnest({_TOK}) AS t FROM documents)),
+h1t AS (SELECT key, t, {_fnv_sql('t')} AS h1 FROM pairs),
+{sm},
+hh AS (SELECT key, h1, smh | CAST(1 AS UBIGINT) AS h2 FROM {sm_last}),
+bits AS (SELECT DISTINCT key,
+           CAST((CAST((CAST(h1 AS UHUGEINT) + CAST(i AS UHUGEINT) * CAST(h2 AS UHUGEINT)) % {U64} AS UBIGINT)) % {m} AS BIGINT) AS bit
+         FROM hh CROSS JOIN (SELECT unnest(range({k})) AS i))
+SELECT key, CAST(count(*) AS BIGINT) AS n_bits, CAST(sum(bit) AS BIGINT) AS bits_sum
+FROM bits GROUP BY key"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -821,6 +861,7 @@ SELECT event_type,
        CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE -1 END) AS BIGINT) AS delta
 FROM events CROSS JOIN m GROUP BY event_type"""
         ),
+        "bloom_index": _bloom_sql(),
         "strut_score": (
             f"""WITH tok AS ({_TOKTAB}),
 g AS (SELECT t, CAST(count(*) AS BIGINT) AS ttf FROM tok GROUP BY t),
