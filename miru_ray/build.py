@@ -11,7 +11,8 @@ byte-identical output (tested):
 * **stream** (default when the input files are globally sorted by
   (conv_id, turn_idx)): the two-phase offset build — see the
   "streaming build" section below. Raw text never shuffles; only
-  compressed posting runs cross the one groupby exchange.
+  compressed posting-run PACKS cross the exchange (spill-to-partition
+  by default, groupby(part) as an option — see FileIndexer).
 * **sort** (fallback for arbitrarily-ordered input): one all-to-all
   exchange of the raw rows —
 
@@ -540,20 +541,26 @@ def _build_index_sort(
 #            per-partition docId base offsets — docIds become computable
 #            locally, replacing the reference's serial id allocator
 #            (LabTimeIdIndex.java:96) with pure arithmetic.
-#   phase 2  one Ray Data task per file: tokenize + encode posting RUNS with
-#            global docIds, and write the file's forward-table slices
-#            directly into the partition dirs (no shuffle — fragment files
-#            are the resumable partitioned output). Only the compressed runs
-#            (≈5× smaller than the text) flow to phase 3.
-#   phase 3  groupby(part) over encoded runs → SegmentFinalizer merges by
-#            offset subsampling (codec.merge_runs — no decode), writes
-#            postings + manifest LAST.
+#   phase 2  one Ray Data task per file group: tokenize + encode posting
+#            RUNS with global docIds (forward-table slices ride along as
+#            IPC pseudo-runs); each task's per-partition run PACK is
+#            spilled into the partition's runs dir as the task finishes
+#            (default) or shipped through a groupby(part) exchange. Only
+#            the compressed packs (≈5× smaller than the text) leave the
+#            task.
+#   phase 3  per-partition finalize (plain-task scatter in spill mode,
+#            map_groups in groupby mode): merge packs by offset
+#            subsampling (codec.merge_runs — no decode), write postings +
+#            forward, manifest LAST.
 #
-# Scale notes: the base-offset matrix is (n_files × n_parts) int64 — fine to
-# tens of thousands of each; at 10^12-turn scale align partitions with file
-# ranges (the reference's own time-ordered partition rollover,
-# MiruPartitioner.java:106-165) so the matrix is sparse/banded. Each file
-# task only ever receives ITS row of the matrix.
+# Scale notes: the base-offset matrix is (n_files × n_parts) int64, held
+# once as numpy on the driver and broadcast ONCE via ray.put (workers get
+# a zero-copy shared-memory view; the item dataset carries only paths and
+# file indexes — no per-file python base lists). Fine to tens of thousands
+# of files × parts (10k × 10k = 800 MB, one object); at 10^12-turn scale
+# align partitions with file ranges (the reference's own time-ordered
+# partition rollover, MiruPartitioner.java:106-165) so the matrix is
+# banded and each band ships separately.
 
 
 def list_input_files(input_path: str | list[str]) -> list[str]:
@@ -608,12 +615,22 @@ class FileIndexer:
       itself is written to)."""
 
     def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
-                 use_stopwords: bool = False, spill_dir: str | None = None):
+                 use_stopwords: bool = False, spill_dir: str | None = None,
+                 bases_ref=None):
         self.index_dir = index_dir
         self.n_parts = n_parts
         self.skip = skip_parts
         self.use_stopwords = use_stopwords
         self.spill_dir = spill_dir
+        # the (n_files × n_parts) docId-base matrix travels through the
+        # object store ONCE (ray.put broadcast, zero-copy numpy view per
+        # actor); each task slices only its files' rows — the driver never
+        # serializes per-file base lists into the item dataset
+        self._bases = None
+        if bases_ref is not None:
+            import ray
+
+            self._bases = ray.get(bases_ref)
         # each actor is scheduled as ONE cpu — keep Arrow's internal pool at
         # one thread too, or 30 actors × ncpu-thread parquet/compute pools
         # thrash the box (massive oversubscription at high concurrency)
@@ -728,13 +745,12 @@ class FileIndexer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         runs: list[pa.Table] = []
         for i in range(batch.num_rows):
-            runs.extend(
-                self._one_file(
-                    batch["path"][i].as_py(),
-                    int(batch["fidx"][i].as_py()),
-                    np.asarray(batch["bases"][i].as_py(), dtype=np.int64),
-                )
-            )
+            fidx = int(batch["fidx"][i].as_py())
+            if self._bases is not None:
+                bases = np.asarray(self._bases[fidx], dtype=np.int64)
+            else:
+                bases = np.asarray(batch["bases"][i].as_py(), dtype=np.int64)
+            runs.extend(self._one_file(batch["path"][i].as_py(), fidx, bases))
         runs = [r for r in runs if r.num_rows]
         if not runs:
             return PACK_SCHEMA.empty_table() if self.spill_dir is None else SPILL_ROW_SCHEMA.empty_table()
@@ -938,9 +954,8 @@ def build_index_streaming(
         # CPU (phases serialize on small boxes, pipeline on big ones)
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 8)))
 
-    items = [
-        {"path": f, "fidx": i, "bases": bases[i].tolist()} for i, f in enumerate(files)
-    ]
+    bases_ref = ray.put(bases)
+    items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
     # files per task: ~6 waves per actor for load balance (coarse tasks
     # straggle: the last wave runs on a near-empty pool), floored at 3 so
     # the in-task combiner still amortizes (1-file tasks skip combining and
@@ -971,7 +986,7 @@ def build_index_streaming(
         fn_constructor_kwargs={
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
-            "spill_dir": spill_dir,
+            "spill_dir": spill_dir, "bases_ref": bases_ref,
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1174,7 +1189,8 @@ def extend_index(
 
     if concurrency is None:
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 8)) - 1)
-    items = [{"path": f, "fidx": i, "bases": bases[i].tolist()} for i, f in enumerate(files)]
+    bases_ref = ray.put(bases)
+    items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
     group = int(min(8, max(1, len(files) // max(1, 6 * concurrency))))
     n_tasks = -(-len(files) // group)
     runs_ds = rd.from_items(items).map_batches(
@@ -1182,6 +1198,7 @@ def extend_index(
         fn_constructor_kwargs={
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
+            "bases_ref": bases_ref,
         },
         batch_size=group,
         batch_format="pyarrow",

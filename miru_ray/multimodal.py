@@ -1,20 +1,22 @@
-"""Multimodal column plumbing: opaque binary payloads + actor-pool stages.
+"""Multimodal columns: opaque binary payloads + actor-pool decode stages.
 
 The engine treats image/audio/video payloads as opaque ``binary`` columns
-with typed metadata (media_type, width/height or sample_rate, byte length).
-The Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and tested; the actual codec calls are STUBBED because
-image/audio libraries are not available in this environment:
+with typed metadata (media_type, width/height or sample_rate, byte
+length). Three decode backends:
 
-* ``DecodeStage`` — callable class for ``map_batches(DecodeStage,
-  concurrency=N, batch_size=SMALL)``: ``__init__`` is where a real build
-  would load the codec / model ONCE per actor; ``__call__`` decodes a
-  batch. With ``backend="fake"`` it produces a deterministic feature
-  vector from the payload bytes (so tests can assert end-to-end shape and
-  determinism); with ``backend="real"`` it raises ``NotImplementedError``
-  at the clearly marked point where e.g. PIL/libsndfile would be called.
-* ``feature_extract_ds`` — the pipeline: read → decode (actor pool, small
-  batches because payloads are large) → feature table.
+* ``backend="numpy"`` (default) — a REAL decoder for the formats
+  decodable without external libraries: uncompressed 24-bit BMP
+  (BITMAPINFOHEADER parse, bottom-up padded pixel rows) and 16-bit PCM
+  WAV (RIFF chunk walk, int16 samples), with real feature extraction
+  (per-channel moments for images; RMS / zero-crossing / FFT spectral
+  centroid for audio). Decode is per payload (as in every codec), the
+  per-payload work is vectorized numpy.
+* ``backend="fake"`` — deterministic hash-moment features from the raw
+  bytes (shape/determinism tests; works for any payload).
+* ``backend="real"`` — the clearly marked seam where PIL / libsndfile
+  would load in ``__init__`` (once per actor); raises
+  ``NotImplementedError`` here because compressed codecs (JPEG/PNG/MP3)
+  need libraries this environment does not ship.
 
 Batch-size note: payload batches must be sized by BYTES, not rows — a
 64-row batch of 4 MB images is 256 MB of heap per task. ``batch_size``
@@ -68,20 +70,150 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     )
 
 
+# ---------------------------------------------------- pure-numpy codecs
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows padded to 4 bytes)."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = np.zeros(54, dtype=np.uint8)
+    header[0:2] = [0x42, 0x4D]  # 'BM'
+    header[2:6] = np.array([54 + img_size], dtype="<u4").view(np.uint8)
+    header[10:14] = np.array([54], dtype="<u4").view(np.uint8)
+    header[14:18] = np.array([40], dtype="<u4").view(np.uint8)
+    header[18:22] = np.array([w], dtype="<i4").view(np.uint8)
+    header[22:26] = np.array([h], dtype="<i4").view(np.uint8)
+    header[26:28] = np.array([1], dtype="<u2").view(np.uint8)
+    header[28:30] = np.array([24], dtype="<u2").view(np.uint8)
+    header[34:38] = np.array([img_size], dtype="<u4").view(np.uint8)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up, BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header.tobytes() + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) < 54 or buf[0] != 0x42 or buf[1] != 0x4D:
+        raise ValueError("not a BMP payload")
+    off = int(buf[10:14].view("<u4")[0])
+    w = int(buf[18:22].view("<i4")[0])
+    h = int(buf[22:26].view("<i4")[0])
+    bpp = int(buf[28:30].view("<u2")[0])
+    if bpp != 24 or int(buf[30:34].view("<u4")[0]) != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compressed)")
+    row_bytes = (w * 3 + 3) & ~3
+    rows = buf[off : off + row_bytes * abs(h)].reshape(abs(h), row_bytes)
+    bgr = rows[:, : w * 3].reshape(abs(h), w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if h > 0 else rgb  # bottom-up unless height negative
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono PCM samples as a canonical RIFF/WAVE file."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = np.zeros(44, dtype=np.uint8)
+    hdr[0:4] = np.frombuffer(b"RIFF", np.uint8)
+    hdr[4:8] = np.array([36 + len(data)], dtype="<u4").view(np.uint8)
+    hdr[8:12] = np.frombuffer(b"WAVE", np.uint8)
+    hdr[12:16] = np.frombuffer(b"fmt ", np.uint8)
+    hdr[16:20] = np.array([16], dtype="<u4").view(np.uint8)
+    hdr[20:22] = np.array([1], dtype="<u2").view(np.uint8)   # PCM
+    hdr[22:24] = np.array([1], dtype="<u2").view(np.uint8)   # mono
+    hdr[24:28] = np.array([sample_rate], dtype="<u4").view(np.uint8)
+    hdr[28:32] = np.array([sample_rate * 2], dtype="<u4").view(np.uint8)
+    hdr[32:34] = np.array([2], dtype="<u2").view(np.uint8)
+    hdr[34:36] = np.array([16], dtype="<u2").view(np.uint8)
+    hdr[36:40] = np.frombuffer(b"data", np.uint8)
+    hdr[40:44] = np.array([len(data)], dtype="<u4").view(np.uint8)
+    return hdr.tobytes() + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM WAV to (samples:int16 [n, channels-interleaved],
+    sample_rate) by walking the RIFF chunks."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) < 44 or bytes(buf[0:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sr, bits = 12, None, None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos : pos + 4])
+        size = int(buf[pos + 4 : pos + 8].view("<u4")[0])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int(body[0:2].view("<u2")[0])
+            if fmt != 1:
+                raise ValueError(f"unsupported WAV format {fmt} (not PCM)")
+            sr = int(body[4:8].view("<u4")[0])
+            bits = int(body[14:16].view("<u2")[0])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None or bits != 16:
+        raise ValueError("unsupported WAV (need PCM16 fmt + data chunks)")
+    return data.view("<i2").astype(np.int16), sr
+
+
+def image_features(rgb: np.ndarray, dim: int) -> np.ndarray:
+    """Real image features: per-channel mean/std (scaled), aspect, and a
+    coarse grayscale histogram — all vectorized."""
+    out = np.zeros(dim, dtype=np.float32)
+    flat = rgb.reshape(-1, 3).astype(np.float64)
+    out[0:3] = flat.mean(axis=0) / 255.0
+    out[3:6] = flat.std(axis=0) / 255.0
+    h, w, _ = rgb.shape
+    out[6] = h / max(1, w)
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=min(8, dim - 7), range=(0, 255))
+    out[7 : 7 + len(hist)] = hist / max(1, gray.size)
+    return out
+
+
+def audio_features(samples: np.ndarray, sr: int, dim: int) -> np.ndarray:
+    """Real audio features: RMS, zero-crossing rate, spectral centroid +
+    coarse log-spectrum — numpy FFT, no libraries."""
+    out = np.zeros(dim, dtype=np.float32)
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) == 0:
+        return out
+    out[0] = np.sqrt((x**2).mean())
+    out[1] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+    denom = spec.sum()
+    out[2] = float((freqs * spec).sum() / denom / (sr / 2)) if denom > 0 else 0.0
+    nb = min(dim - 3, 8)
+    if nb > 0 and len(spec) >= nb:
+        bands = np.array_split(spec, nb)
+        e = np.array([float((b**2).sum()) for b in bands])
+        tot = e.sum()
+        out[3 : 3 + nb] = (e / tot) if tot > 0 else 0.0
+    return out
+
+
 class DecodeStage:
     """Actor-pool decode / feature-extract stage.
 
     Real deployments load the codec + model in ``__init__`` (once per
-    actor); ``__call__`` must stay vectorized over the batch."""
+    actor); ``__call__`` decodes the batch. ``backend="numpy"`` performs
+    REAL decoding of uncompressed BMP / PCM16 WAV payloads."""
 
-    def __init__(self, backend: str = "fake", feature_dim: int = FEATURE_DIM):
+    def __init__(self, backend: str = "numpy", feature_dim: int = FEATURE_DIM):
         self.backend = backend
         self.feature_dim = feature_dim
         if backend == "real":
-            # a real build would do e.g.:  self.codec = PIL.Image / soundfile
-            # and load the feature model here, once per actor.
+            # the seam where PIL / libsndfile + the feature model would
+            # load, once per actor — compressed codecs need libraries this
+            # environment does not ship.
             raise NotImplementedError(
-                "no image/audio libraries in this environment; use backend='fake'"
+                "no compressed-codec libraries in this environment; "
+                "use backend='numpy' (BMP/WAV) or backend='fake'"
             )
 
     def _fake_features(self, payload: pa.LargeBinaryArray) -> np.ndarray:
@@ -99,9 +231,28 @@ class DecodeStage:
             out[:, j] = ((sums / lens) / float(1 << 64)).astype(np.float32)
         return out
 
+    def _numpy_features(self, payload: pa.LargeBinaryArray, media_type) -> np.ndarray:
+        out = np.zeros((len(payload), self.feature_dim), dtype=np.float32)
+        types = media_type.to_pylist()
+        for i in range(len(payload)):
+            raw = payload[i].as_py()
+            mt = types[i]
+            if mt.startswith("image/bmp"):
+                out[i] = image_features(decode_bmp(raw), self.feature_dim)
+            elif mt.startswith("audio/wav"):
+                samples, sr = decode_wav(raw)
+                out[i] = audio_features(samples, sr, self.feature_dim)
+            else:
+                raise ValueError(f"backend='numpy' cannot decode {mt!r}")
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch["payload"].combine_chunks() if isinstance(batch["payload"], pa.ChunkedArray) else batch["payload"]
-        feats = self._fake_features(payload)
+        if self.backend == "numpy":
+            mt = batch["media_type"].combine_chunks() if isinstance(batch["media_type"], pa.ChunkedArray) else batch["media_type"]
+            feats = self._numpy_features(payload, mt)
+        else:
+            feats = self._fake_features(payload)
         n_bytes = pa.array(
             (np.frombuffer(payload.buffers()[1], dtype=np.int64)[payload.offset + 1 : payload.offset + len(payload) + 1]
              - np.frombuffer(payload.buffers()[1], dtype=np.int64)[payload.offset : payload.offset + len(payload)]),
@@ -119,7 +270,42 @@ class DecodeStage:
         )
 
 
-def feature_extract_ds(media_table: pa.Table, concurrency: int = 2, batch_size: int = 32):
+def synth_real_media_table(n: int, seed: int = 11) -> pa.Table:
+    """Deterministic REAL media rows: alternating uncompressed 24-bit BMP
+    images and 16-bit PCM WAV clips (decodable by the numpy backend)."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    payloads, kinds, widths, heights, srs = [], [], [], [], []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(pixels))
+            kinds.append("image/bmp")
+            widths.append(w); heights.append(h); srs.append(-1)
+        else:
+            sr = 8000
+            t = np.arange(int(rng.integers(200, 1000)))
+            freq = float(rng.integers(100, 1000))
+            samples = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype(np.int16)
+            payloads.append(encode_wav(samples, sr))
+            kinds.append("audio/wav")
+            widths.append(-1); heights.append(-1); srs.append(sr)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "width": pa.array(np.asarray(widths, dtype=np.int32)),
+            "height": pa.array(np.asarray(heights, dtype=np.int32)),
+            "sample_rate": pa.array(np.asarray(srs, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def feature_extract_ds(media_table: pa.Table, concurrency: int = 2, batch_size: int = 32,
+                       backend: str = "numpy"):
     """The multimodal pipeline over an in-memory media table (tests) — at
     scale this would be ``read_parquet`` of payload shards instead."""
     import ray.data as rd
@@ -127,7 +313,7 @@ def feature_extract_ds(media_table: pa.Table, concurrency: int = 2, batch_size: 
     ds = rd.from_arrow(media_table)
     return ds.map_batches(
         DecodeStage,
-        fn_constructor_kwargs={"backend": "fake"},
+        fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

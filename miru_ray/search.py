@@ -216,7 +216,7 @@ class PostingSource:
             for k in misses:
                 if k not in found:
                     _POSTING_CACHE[(index_dir, part, epoch, k)] = None  # negative entry
-        self._tf_block_cache: dict[tuple, dict[int, np.ndarray]] = {}
+        self._ckey = (index_dir, part, epoch)
 
     def expand(self, field: str, value: str) -> list[str]:
         if (field, value) in self.expansions:
@@ -230,7 +230,9 @@ class PostingSource:
         return p[0] if p is not None else _EMPTY
 
     def tfs(self, field: str, term: str) -> np.ndarray:
-        """Full tf array (forces a full decode of lazy-tf postings)."""
+        """Full tf array (forces a full decode of lazy-tf postings and
+        writes the eager form back to the process cache so later queries
+        skip the decode)."""
         p = self.post.get((field, term))
         if p is None:
             return _EMPTY
@@ -241,35 +243,39 @@ class PostingSource:
             DECODE_STATS["tf_bytes_decoded"] += len(blk["tf_bytes"])
             tfs = decode_tf_range(blk["tf_bytes"], blk["tf_end"], 0, len(blk["tf_end"]))
             self.post[(field, term)] = (p[0], tfs)
+            ck = self._ckey + (field + FIELD_SEP + term,)
+            hit = _POSTING_CACHE.get(ck)
+            if hit is not None:
+                _POSTING_CACHE[ck] = (hit[0], tfs, hit[2], hit[3], hit[4])
             return tfs
         return p[1]
 
     def tf_at(self, field: str, term: str, pos: np.ndarray) -> np.ndarray:
-        """tf values at positions ``pos`` (indices into the docs array),
-        decoding only the covering blocks of lazy-tf postings."""
+        """tf values at positions ``pos`` (indices into the docs array).
+        Lazy-tf postings decode ONE contiguous block range covering the
+        touched positions (vectorized — never a per-block python loop);
+        when more than a quarter of the blocks are touched, fall through
+        to a full decode that is cached for the rest of the process."""
         p = self.post.get((field, term))
         if p is None:
             return _EMPTY
         if p[1] is not None:
             return p[1][pos]
+        if len(pos) == 0:
+            return np.empty(0, dtype=np.int64)
         from .codec import decode_tf_range
 
         blk = self.blocks[(field, term)]
         cum = blk["count_cum"]  # end position of each block
         bids = np.searchsorted(cum, pos, side="right")
-        out = np.empty(len(pos), dtype=np.int64)
-        cache = self._tf_block_cache.setdefault((field, term), {})
-        for b in np.unique(bids):
-            tf_blk = cache.get(int(b))
-            if tf_blk is None:
-                tf_blk = decode_tf_range(blk["tf_bytes"], blk["tf_end"], int(b), int(b) + 1)
-                t_lo = 0 if b == 0 else int(blk["tf_end"][b - 1])
-                DECODE_STATS["tf_bytes_decoded"] += int(blk["tf_end"][b]) - t_lo
-                cache[int(b)] = tf_blk
-            sel = bids == b
-            base = 0 if b == 0 else int(cum[b - 1])
-            out[sel] = tf_blk[pos[sel] - base]
-        return out
+        b_lo, b_hi = int(bids.min()), int(bids.max()) + 1
+        if (b_hi - b_lo) * 4 >= len(cum):
+            return self.tfs(field, term)[pos]
+        t_lo = 0 if b_lo == 0 else int(blk["tf_end"][b_lo - 1])
+        DECODE_STATS["tf_bytes_decoded"] += int(blk["tf_end"][b_hi - 1]) - t_lo
+        tf_span = decode_tf_range(blk["tf_bytes"], blk["tf_end"], b_lo, b_hi)
+        base = 0 if b_lo == 0 else int(cum[b_lo - 1])
+        return tf_span[pos - base]
 
 
 def eval_filter_np(
@@ -392,7 +398,16 @@ def search_partition(
             docs_w, scores_w, found, _pruned = wand_topk(
                 src, counts, k, scoring, n_docs, avg_dl, fwd["dl"], mode=mode
             )
-            order = np.lexsort((-docs_w, -scores_w))[:k]
+            if len(docs_w) > k:
+                # selection before the exact sort (argpartition + widen to
+                # ties) — the flat-gated path returns the whole scored
+                # domain, and lexsorting it all costs more than selection
+                part_idx = np.argpartition(scores_w, len(scores_w) - k)[len(scores_w) - k:]
+                kth = scores_w[part_idx].min()
+                cand = np.flatnonzero(scores_w >= kth)
+            else:
+                cand = np.arange(len(docs_w))
+            order = cand[np.lexsort((-docs_w[cand], -scores_w[cand]))[:k]]
             sel_docs, sel_scores = docs_w[order], scores_w[order]
             ts_top = fwd["ts"][sel_docs]
             final = np.lexsort((-ts_top, -sel_scores))

@@ -184,6 +184,16 @@ def wand_topk(
         starts_all.append(first)
         ends_all.append(ends)
         ubs_all.append(ub)
+    # flatness gate: block-max pruning only pays when the bound landscape
+    # has skew (some blocks promise much more than typical ones). On flat
+    # corpora the sweep visits everything anyway and its machinery is pure
+    # overhead — score the whole domain in one vectorized pass instead.
+    tot_max = sum(float(u.max()) for u in ubs_all)
+    tot_med = sum(float(np.median(u)) for u in ubs_all)
+    if tot_max <= 2.0 * tot_med:
+        scores = _score_exact(src, terms, domain, scoring, avg_dl, dl_arr)
+        return domain, scores, found, 0.0
+
     starts = np.concatenate(starts_all)
     ends = np.concatenate(ends_all)
     ubs = np.concatenate(ubs_all)
