@@ -883,7 +883,9 @@ def finalize_spilled_partition(
     for p in sorted(_glob.glob(os.path.join(d, "pack-*.arrow"))):
         with open(p, "rb") as f:
             tables.append(pa.ipc.open_stream(f.read()).read_all())
-    runs = pa.concat_tables(tables).combine_chunks() if tables else RUNS_SCHEMA.empty_table()
+    # no combine_chunks here: merge_runs consolidates once internally —
+    # combining twice would copy every posting byte an extra time
+    runs = pa.concat_tables(tables) if tables else RUNS_SCHEMA.empty_table()
     row = _finalize_partition(index_dir, part, runs, n_docs, lineage, t0)
     shutil.rmtree(d, ignore_errors=True)
     return row

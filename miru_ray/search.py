@@ -574,7 +574,11 @@ class SearchEngine:
             return
         import ray
 
-        n = self.n_actors or min(len(self.parts), max(2, int(ray.cluster_resources().get("CPU", 8)) - 2))
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # leave headroom for the driver on big boxes; never request more
+        # actors than CPUs (pending actors on a saturated box would hang
+        # the all-actor fan-out)
+        n = self.n_actors or min(len(self.parts), max(1, cpus - 2) if cpus > 2 else cpus)
         cls = ray.remote(num_cpus=1)(PartitionSearcher)
         self._actor_parts = [self.parts[i::n] for i in range(n)]
         self._actor_parts = [p for p in self._actor_parts if p]
