@@ -227,6 +227,7 @@ def score_partition(
     constraint: Filter | None = None,
     max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
     removed: set[int] | None = None,
+    authz: tuple[str, tuple[str, ...]] | None = None,
 ) -> tuple[list[Hit], int]:
     """One partition's answer (FullTextCustomQuestion.askLocal +
     FullText.collectTfIdf), with absent report. Returns (hits, found)."""
@@ -239,6 +240,11 @@ def score_partition(
         answer -= removed
     if constraint is not None:
         answer &= eval_filter(part, constraint, None, True, max_wild)
+    if authz is not None:
+        allowed: set[int] = set()
+        for v in authz[1]:
+            allowed |= set(part.post.get(authz[0], {}).get(v, {}))
+        answer &= allowed
     if time_range is not None:
         lo, hi = time_range
         # buildTimeRangeMask: inclusive [smallest, largest] over the time index
@@ -330,11 +336,12 @@ def oracle_search(
     time_range: tuple[int, int] | None = None,
     constraint: Filter | None = None,
     removed: dict[int, set[int]] | None = None,
+    authz: tuple[str, tuple[str, ...]] | None = None,
 ) -> tuple[list[Hit], int]:
     """Full query: all partitions newest→oldest (descending part id), merge."""
     per = [
         score_partition(parts[p], query, k, scoring, time_range, constraint,
-                        removed=(removed or {}).get(p))
+                        removed=(removed or {}).get(p), authz=authz)
         for p in sorted(parts, reverse=True)
     ]
     return merge_partitions(per, k)

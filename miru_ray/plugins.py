@@ -400,6 +400,39 @@ def latest_first(engine, field: str, prefix: str = ""):
     return {part: rows for part, rows in zip(engine.parts, res)}
 
 
+# ------------------------------------------------------------- plugin SPI
+#
+# The reference registers query plugins through an SPI (MiruPlugin →
+# endpoint + injectable, miru-plugin/.../plugin/MiruPlugin.java;
+# FullTextPlugin.java). The rebuild's equivalent: a name → callable
+# registry over the engine. Built-ins self-register below; user plugins
+# call register_plugin at import time.
+
+_PLUGIN_REGISTRY: dict[str, "object"] = {}
+
+
+def register_plugin(name: str, fn) -> None:
+    """Register a plugin callable ``fn(engine, **kwargs)`` under ``name``
+    (the MiruPlugin registration analogue). Re-registering replaces."""
+    _PLUGIN_REGISTRY[name] = fn
+
+
+def get_plugin(name: str):
+    if name not in _PLUGIN_REGISTRY:
+        raise KeyError(f"no plugin {name!r}; registered: {sorted(_PLUGIN_REGISTRY)}")
+    return _PLUGIN_REGISTRY[name]
+
+
+def run_plugin(engine, name: str, **kwargs):
+    """Dispatch a registered plugin against an engine — the
+    injectable-endpoint call path."""
+    return get_plugin(name)(engine, **kwargs)
+
+
+def registered_plugins() -> list[str]:
+    return sorted(_PLUGIN_REGISTRY)
+
+
 # ----------------------------------------------------------------- fan-out
 
 
@@ -427,3 +460,22 @@ def _fan(engine, fn, kwargs: dict) -> list:
         futs = [rfn.remote(engine.index_dir, p, **kwargs) for p in engine.parts]
         return ray.get(futs)
     return [fn(engine.index_dir, p, **kwargs) for p in engine.parts]
+
+
+# built-in plugin registrations (the shipped-plugin set)
+register_plugin("distincts", distincts)
+register_plugin("distinct_count", distinct_count)
+register_plugin("aggregate_counts", aggregate_counts)
+register_plugin("aggregate_counts_inbox", aggregate_counts_inbox)
+register_plugin("waveform", waveform)
+register_plugin("trending", trending)
+register_plugin("latest_first", latest_first)
+
+
+def _register_reco():
+    from .reco import reco_cf_index
+
+    register_plugin("reco_cf", reco_cf_index)
+
+
+_register_reco()

@@ -344,6 +344,33 @@ def eval_filter_np(
 # ------------------------------------------------------------ partition task
 
 
+# per-process authz mask cache: composed allowed-docs set per
+# (partition, epoch, expression) — the MiruAuthzCache analogue
+# (miru-service/.../auth/MiruAuthzCache.java): an authz expression's mask
+# is reused across queries until the partition changes.
+_AUTHZ_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def authz_mask(index_dir: str, part: int, authz: tuple[str, tuple[str, ...]],
+               n_docs: int) -> np.ndarray:
+    """Allowed docIds for an authz expression ``(field, allowed_values)``:
+    the union of the values' postings (a doc is visible iff it carries at
+    least one allowed label — the reference's composite authz bitmap,
+    MiruAuthzIndex.java / MiruAuthzCache.java), cached per process."""
+    field, values = authz
+    key = (index_dir, part, _manifest_epoch(index_dir, part), field, tuple(sorted(values)))
+    hit = _AUTHZ_CACHE.get(key)
+    if hit is None:
+        src = PostingSource(index_dir, part, [(field, v) for v in values], 0)
+        arrs = [src.docs(field, v) for v in values]
+        arrs = [a for a in arrs if len(a)]
+        hit = np.unique(np.concatenate(arrs)) if arrs else _EMPTY
+        if len(_AUTHZ_CACHE) > 1024:
+            _AUTHZ_CACHE.clear()
+        _AUTHZ_CACHE[key] = hit
+    return hit
+
+
 def search_partition(
     index_dir: str,
     part: int,
@@ -355,6 +382,7 @@ def search_partition(
     max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
     use_stopwords: bool = False,
     prune: bool = True,
+    authz: tuple[str, tuple[str, ...]] | None = None,
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
     task friendly). ``prune=False`` forces the full-evaluation path (used by
@@ -379,6 +407,7 @@ def search_partition(
         and scoring in ("ref_tfidf", "bm25")
         and constraint is None
         and time_range is None
+        and authz is None
         and len(removed) == 0
         and k > 0
     ):
@@ -422,6 +451,12 @@ def search_partition(
     if constraint is not None:
         answer = np.intersect1d(
             answer, eval_filter_np(constraint, src, n_docs, None), assume_unique=True
+        )
+    if authz is not None and len(answer):
+        # authz mask ANDed in after constraints, before the time range —
+        # the askLocal mask order (FullTextCustomQuestion.java:105-111)
+        answer = np.intersect1d(
+            answer, authz_mask(index_dir, part, authz, n_docs), assume_unique=True
         )
     fwd = forward_columns(index_dir, part)
     if time_range is not None and len(answer):
@@ -561,6 +596,8 @@ class SearchEngine:
     latency ~10×. Actors are created lazily on the first query."""
 
     def __init__(self, index_dir: str, use_actors: bool = False, n_actors: int | None = None):
+        from .segments import _fire_lifecycle
+
         self.index_dir = index_dir
         self.meta = read_global_manifest(index_dir)
         self.parts = sorted(completed_parts(index_dir), reverse=True)  # newest→oldest
@@ -568,6 +605,20 @@ class SearchEngine:
         self.n_actors = n_actors
         self._actors: list | None = None
         self._actor_parts: list[list[int]] = []
+        _fire_lifecycle("open", index_dir)  # IndexOpenCallback analogue
+
+    def close(self) -> None:
+        """Release query actors and fire the close lifecycle callbacks
+        (IndexCloseCallback analogue)."""
+        from .segments import _fire_lifecycle
+
+        if self._actors:
+            import ray
+
+            for a in self._actors:
+                ray.kill(a)
+            self._actors = None
+        _fire_lifecycle("close", self.index_dir)
 
     def _ensure_actors(self):
         if self._actors is not None:
@@ -596,12 +647,15 @@ class SearchEngine:
         max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
         parallel: bool | None = None,
         prune: bool = True,
+        authz: tuple[str, list[str]] | None = None,
     ) -> tuple[list[Hit], int]:
         use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        if authz is not None:
+            authz = (authz[0], tuple(authz[1]))
         kwargs = dict(
             query=query, k=k, scoring=scoring, time_range=time_range,
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
-            prune=prune,
+            prune=prune, authz=authz,
         )
         results = self._fan_out(kwargs, parallel)
         merged: list[Hit] = []
@@ -635,13 +689,17 @@ class SearchEngine:
         constraint: Filter | None = None,
         max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
         parallel: bool | None = None,
+        authz: tuple[str, list[str]] | None = None,
     ) -> list[dict]:
         """Filter-only evaluation: every matching doc from every partition
         (no top-k, no scores). Returns the raw per-partition result dicts."""
         use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        if authz is not None:
+            authz = (authz[0], tuple(authz[1]))
         kwargs = dict(
             query=query, k=0, scoring="match", time_range=time_range,
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
+            authz=authz,
         )
         return self._fan_out(kwargs, parallel)
 

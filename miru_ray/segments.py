@@ -94,6 +94,35 @@ FORWARD_SCHEMA = pa.schema(
 )
 
 
+# ------------------------------------------------- lifecycle callbacks
+#
+# The reference exposes index lifecycle hooks (miru-plugin/.../plugin/
+# IndexOpenCallback.java, IndexCommitCallback.java,
+# IndexCloseCallback.java): plugins observe partition open / commit /
+# close. The rebuild's equivalent: module-level callback lists fired when
+# a segment manifest is committed (write_segment / finalize_segment) and
+# when an engine opens / closes an index.
+
+_LIFECYCLE_CALLBACKS: dict[str, list] = {"open": [], "commit": [], "close": []}
+
+
+def register_lifecycle_callback(event: str, fn) -> None:
+    """Register ``fn`` for ``event`` ∈ {"open", "commit", "close"}.
+    open/close fire with (index_dir); commit fires with (index_dir, part)."""
+    if event not in _LIFECYCLE_CALLBACKS:
+        raise ValueError(f"unknown lifecycle event {event!r}")
+    _LIFECYCLE_CALLBACKS[event].append(fn)
+
+
+def unregister_lifecycle_callback(event: str, fn) -> None:
+    _LIFECYCLE_CALLBACKS[event].remove(fn)
+
+
+def _fire_lifecycle(event: str, *args) -> None:
+    for fn in _LIFECYCLE_CALLBACKS[event]:
+        fn(*args)
+
+
 def term_key(field: str, term: str) -> str:
     return field + FIELD_SEP + term
 
@@ -168,6 +197,7 @@ def write_segment(
     if os.path.exists(final):
         shutil.rmtree(final)
     os.rename(tmp, final)
+    _fire_lifecycle("commit", index_dir, part)
     return manifest
 
 
@@ -204,6 +234,7 @@ def finalize_segment(
         f.flush()
         os.fsync(f.fileno())
     os.replace(mp + ".tmp", mp)
+    _fire_lifecycle("commit", index_dir, part)
     return manifest
 
 

@@ -472,3 +472,33 @@ def test_lazy_tf_partial_decode(ray_session, tiny_transcripts_dir, tmp_path_fact
     finally:
         S.LAZY_TF_BLOCKS = old
         S._POSTING_CACHE.clear()
+
+
+def test_authz_mask_rank_identity(engine, tiny_oracle):
+    """Authz mask (MiruAuthzIndex/MiruAuthzCache analogue): only docs
+    carrying an allowed label are visible; rank identity vs the oracle
+    with the same expression; repeated queries hit the cached mask."""
+    for allowed in (["user"], ["user", "tool"], ["assistant", "tool"]):
+        authz = ("role", allowed)
+        for q in ("t1 t7", "NOT t2", "w004*"):
+            hits, found = engine.search(q, k=15, authz=authz)
+            ohits, ofound = oracle_search(
+                tiny_oracle, q, k=15, authz=("role", tuple(allowed))
+            )
+            assert found == ofound, (q, allowed)
+            _assert_rank_identical(hits, ohits)
+    # match path also masks
+    m = engine.match("t1", authz=("role", ["user"]))
+    import miru_ray.search as S
+
+    fwd_roles = {}
+    for r in m:
+        p = r["part"]
+        from miru_ray.segments import forward_columns
+
+        roles = forward_columns(engine.index_dir, p)["role"]
+        for doc in r["doc_id"]:
+            assert roles[int(doc)].as_py() == "user"
+    # the cache holds composed masks (serial path → driver-process cache)
+    engine.search("t1", k=5, authz=("role", ["user"]), parallel=False)
+    assert any(k[3] == "role" for k in S._AUTHZ_CACHE)
