@@ -401,6 +401,21 @@ def bloom_index(sf_dir: str) -> pa.Table:
 STRUT_TERMS = ("scan", "merge", "join", "window", "data")
 
 
+def strut_model(sf_dir: str) -> pa.Table:
+    """Catwalk training semantics (StrutModelScore.java:9-13): per feature
+    term, weight = (# docs with feature AND the positive term 'the') /
+    (# docs with feature) — exact ratios from distributed partial counts."""
+    from miru_ray.strut import train_model
+
+    m = train_model(sf_dir, list(STRUT_TERMS), positive_term="the")
+    return pa.table(
+        {
+            "term": pa.array(list(STRUT_TERMS), pa.string()),
+            "weight": pa.array([round(m[t], 6) for t in STRUT_TERMS], pa.float64()),
+        }
+    )
+
+
 def strut_score(sf_dir: str):
     """Strut model scoring (Strut.java:37-56): term-weight model trained
     from corpus stats, broadcast to an actor pool, UNIT_WEIGHTED (mean over
@@ -523,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_trending": ev_trending,
         "ev_trending_peaks": ev_trending_peaks,
         "bloom_index": bloom_index,
+        "strut_model": strut_model,
         "strut_score": strut_score,
         "reco_cf": reco_cf,
         "dd_exact": dd_exact,
@@ -862,6 +878,21 @@ SELECT event_type,
 FROM events CROSS JOIN m GROUP BY event_type"""
         ),
         "bloom_index": _bloom_sql(),
+        "strut_model": (
+            f"""WITH tok AS ({_TOKTAB}),
+feat(t) AS (VALUES {", ".join(f"('{t}')" for t in STRUT_TERMS)}),
+present AS (SELECT DISTINCT doc_id, t FROM tok
+            WHERE t IN ({", ".join(f"'{t}'" for t in STRUT_TERMS)})),
+posdocs AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'the'),
+agg AS (SELECT p.t, CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(CASE WHEN p.doc_id IN (SELECT doc_id FROM posdocs)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM present p GROUP BY p.t)
+SELECT f.t AS term,
+       round(CASE WHEN COALESCE(agg.n_all, 0) > 0
+                  THEN CAST(agg.n_pos AS DOUBLE) / agg.n_all ELSE 0.0 END, 6) AS weight
+FROM feat f LEFT JOIN agg ON agg.t = f.t"""
+        ),
         "strut_score": (
             f"""WITH tok AS ({_TOKTAB}),
 g AS (SELECT t, CAST(count(*) AS BIGINT) AS ttf FROM tok GROUP BY t),

@@ -127,6 +127,72 @@ def build_model(sf_dir: str, feature_terms: list[str]) -> dict[str, float]:
     return {t: ttf.get(t, 0) / total for t in feature_terms}
 
 
+class _LabelCounter:
+    """map_batches stage: per batch, (term, n_positive, n_total) partial
+    document-frequency counts for the feature terms (label = does the doc
+    match the positive predicate)."""
+
+    def __init__(self, feature_terms: list[str], positive_term: str):
+        self.lookup = pa.array(feature_terms, type=pa.string())
+        self.n_feat = len(feature_terms)
+        self.positive_term = positive_term
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, tokens = tokenize_flat(batch["text"])
+        n = batch.num_rows
+        # positive label: the doc contains the positive term
+        pos = np.zeros(n, dtype=bool)
+        is_pos_tok = pc.equal(tokens, self.positive_term).to_numpy(zero_copy_only=False)
+        if is_pos_tok.any():
+            pos[np.unique(parents[is_pos_tok])] = True
+        idx = pc.index_in(tokens, value_set=self.lookup)
+        has = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        feats = idx.to_numpy(zero_copy_only=False)[has].astype(np.int64)
+        rows = parents[has]
+        # distinct (doc, feature) pairs → per-feature df among positives/all
+        pair = np.unique(rows * self.n_feat + feats)
+        prow = pair // self.n_feat
+        pfeat = pair % self.n_feat
+        n_all = np.bincount(pfeat, minlength=self.n_feat)
+        n_pos = np.bincount(pfeat[pos[prow]], minlength=self.n_feat)
+        return pa.table(
+            {
+                "fidx": pa.array(np.arange(self.n_feat), pa.int64()),
+                "n_pos": pa.array(n_pos.astype(np.int64)),
+                "n_all": pa.array(n_all.astype(np.int64)),
+            }
+        )
+
+
+def train_model(sf_dir: str, feature_terms: list[str], positive_term: str,
+                concurrency: int = 2) -> dict[str, float]:
+    """The catwalk numerator/denominator training semantics
+    (StrutModelScore.java:9-13: score = numerator / denominator): for each
+    feature term, numerator = # docs containing BOTH the feature and the
+    positive term, denominator = # docs containing the feature. A Ray Data
+    pipeline of per-batch partial counts → one tiny groupby-sum; weights
+    are exact ratios (0 for unseen features), SQL-checkable."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).map_batches(
+        _LabelCounter,
+        fn_constructor_kwargs={"feature_terms": list(feature_terms),
+                               "positive_term": positive_term},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    rows = ds.groupby("fidx").aggregate(Sum("n_pos"), Sum("n_all")).take_all()
+    agg = {int(r["fidx"]): (int(r["sum(n_pos)"]), int(r["sum(n_all)"])) for r in rows}
+    return {
+        t: (agg.get(i, (0, 0))[0] / agg[i][1] if agg.get(i, (0, 0))[1] else 0.0)
+        for i, t in enumerate(feature_terms)
+    }
+
+
 def strut_score_ds(sf_dir: str, feature_terms: list[str],
                    strategy: str = "unit_weighted", concurrency: int = 4):
     """The full Strut pipeline: train (stats) → broadcast the model to an

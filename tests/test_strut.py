@@ -48,3 +48,31 @@ def test_strut_empty_model():
     batch = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["alpha"], pa.string())})
     out = StrutScorer({}, strategy="max")(batch)
     assert out["score"].to_pylist() == [0.0]
+
+
+def test_train_model_vs_brute(ray_session):
+    """Catwalk numerator/denominator training: weights equal brute-force
+    per-feature positive-doc ratios over the sf0.001 documents."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.strut import train_model
+    from miru_ray.tokenize import py_tokenize
+
+    sf = "/root/testdata/sf0.001"
+    feats = ["scan", "merge", "zzznotaterm"]
+    got = train_model(sf, feats, positive_term="the")
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["text"])["text"].to_pylist()
+    n_pos = {f: 0 for f in feats}
+    n_all = {f: 0 for f in feats}
+    for text in docs:
+        toks = set(py_tokenize(text))
+        for f in feats:
+            if f in toks:
+                n_all[f] += 1
+                if "the" in toks:
+                    n_pos[f] += 1
+    for f in feats:
+        exp = n_pos[f] / n_all[f] if n_all[f] else 0.0
+        assert got[f] == pytest.approx(exp, abs=1e-12), f
+    assert got["zzznotaterm"] == 0.0
