@@ -73,6 +73,57 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_extend(args) -> int:
+    _ray_up()
+    from .build import extend_index
+
+    print(json.dumps(extend_index(args.input, args.index)))
+    return 0
+
+
+def cmd_plugin(args) -> int:
+    _ray_up()
+    from . import plugins
+    from .search import SearchEngine
+
+    eng = SearchEngine(args.index)
+    kwargs = json.loads(args.args) if args.args else {}
+    out = plugins.run_plugin(eng, args.name, **kwargs)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    _ray_up()
+    import __main__  # noqa: F401
+
+    name = args.name
+    if name == "reco":
+        from .reco import reco_cf_ds
+
+        out = reco_cf_ds(args.sf_dir, user_id=args.user, k=args.k).to_pylist()
+    elif name == "strut":
+        from .strut import strut_score_ds
+
+        out = strut_score_ds(args.sf_dir, args.terms.split(",")).take(args.k)
+    elif name == "bloom":
+        from .bloom import bloom_summary_ds
+
+        out = bloom_summary_ds(args.sf_dir).to_pylist()
+    elif name == "dedup":
+        from .dedup import minhash_clusters
+
+        out = minhash_clusters(args.sf_dir, threshold=0.9).to_pylist()
+    elif name == "trending":
+        from .analytics import trending_strategies_ds
+
+        out = trending_strategies_ds(args.sf_dir).to_pylist()
+    else:
+        raise SystemExit(f"unknown pipeline {name!r}")
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="miru_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -93,6 +144,26 @@ def main(argv=None) -> int:
     s.add_argument("--scoring", choices=["ref_tfidf", "bm25", "time"], default="bm25")
     s.add_argument("--actors", action="store_true", help="partition-pinned actor pool")
     s.set_defaults(fn=cmd_search)
+
+    e = sub.add_parser("extend", help="append new sorted files (sip analogue)")
+    e.add_argument("--input", required=True)
+    e.add_argument("--index", required=True)
+    e.set_defaults(fn=cmd_extend)
+
+    p = sub.add_parser("plugin", help="run a registered plugin against an index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--name", required=True, help="e.g. distincts, aggregate_counts, trending")
+    p.add_argument("--args", help='plugin kwargs as JSON, e.g. \'{"field": "role"}\'')
+    p.set_defaults(fn=cmd_plugin)
+
+    pl = sub.add_parser("pipeline", help="run a training-data pipeline over an sf dir")
+    pl.add_argument("--name", required=True,
+                    choices=["reco", "strut", "bloom", "dedup", "trending"])
+    pl.add_argument("--sf-dir", required=True)
+    pl.add_argument("--user", type=int, default=3, help="reco: user id")
+    pl.add_argument("--terms", default="scan,merge,join", help="strut: feature terms")
+    pl.add_argument("-k", type=int, default=10)
+    pl.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)
     try:
