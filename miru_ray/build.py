@@ -1245,14 +1245,59 @@ def repair_partitions(
     immutable segments the deterministic equivalent is to drop the affected
     partitions' manifests and rebuild them from the (corrected) input —
     resume leaves every other partition untouched, and docId assignment is
-    deterministic so unaffected queries see identical results."""
+    deterministic so unaffected queries see identical results.
+
+    Removal and per-stream inbox/unread state SURVIVE the repair (the
+    reference's removal/unread indexes persist across re-index): before
+    dropping a partition, its docId sets are converted to stable
+    (conv_id, turn_idx) keys via the forward table, then re-applied after
+    the rebuild. Keys whose rows no longer exist in the corrected input
+    drop out naturally."""
+    import glob as _glob
     import shutil
 
-    from .segments import part_dir, read_global_manifest
+    from .segments import (
+        _mutate_stream_set,
+        part_dir,
+        read_forward_table,
+        read_global_manifest,
+        read_manifest,
+        read_tombstones,
+        remove_docs,
+    )
 
     n_parts = read_global_manifest(index_dir)["n_parts"]
+
+    def keys_of(fwd, ids) -> list[tuple[str, int]]:
+        conv = fwd["conv_id"].to_pylist()
+        turn = fwd["turn_idx"].to_pylist()
+        return [(conv[i], int(turn[i])) for i in ids]
+
+    tomb_keys: list[tuple[str, int]] = []
+    stream_keys: dict[tuple[str, str], list[tuple[str, int]]] = {}
+    for p in parts:
+        if read_manifest(index_dir, p) is None:
+            continue
+        fwd = read_forward_table(index_dir, p)
+        tomb_keys.extend(keys_of(fwd, read_tombstones(index_dir, p).tolist()))
+        for path in _glob.glob(os.path.join(part_dir(index_dir, p), "*.parquet")):
+            name = os.path.basename(path)
+            for kind in ("inbox", "unread"):
+                if name.startswith(kind + "-"):
+                    stream = name[len(kind) + 1 : -len(".parquet")]
+                    import pyarrow.parquet as _pq
+
+                    ids = _pq.read_table(path)["doc_id"].to_pylist()
+                    stream_keys.setdefault((kind, stream), []).extend(keys_of(fwd, ids))
+
     for p in parts:
         d = part_dir(index_dir, p)
         if os.path.exists(d):
             shutil.rmtree(d)
-    return build_index(input_path, index_dir, n_parts=n_parts, resume=True, **build_kwargs)
+    meta = build_index(input_path, index_dir, n_parts=n_parts, resume=True, **build_kwargs)
+
+    if tomb_keys:
+        remove_docs(index_dir, tomb_keys)
+    for (kind, stream), keys in stream_keys.items():
+        _mutate_stream_set(index_dir, kind, stream, keys, add=True)
+    return meta

@@ -502,3 +502,30 @@ def test_authz_mask_rank_identity(engine, tiny_oracle):
     # the cache holds composed masks (serial path → driver-process cache)
     engine.search("t1", k=5, authz=("role", ["user"]), parallel=False)
     assert any(k[3] == "role" for k in S._AUTHZ_CACHE)
+
+
+def test_repair_preserves_tombstones_and_streams(ray_session, tiny_transcripts_dir, tiny_rows, tmp_path_factory):
+    """REPAIR keeps removal + inbox/unread state across the rebuild (the
+    reference's removal/unread indexes persist; keys are stable
+    (conv_id, turn_idx), not docIds)."""
+    from miru_ray.build import repair_partitions
+    from miru_ray.segments import add_to_inbox, mark_read, read_stream_set, read_tombstones, remove_docs
+
+    d = str(tmp_path_factory.mktemp("idx_repair_state"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    victims = [(r["conv_id"], r["turn_idx"]) for r in tiny_rows[::9]]
+    remove_docs(d, victims)
+    inbox_keys = [(r["conv_id"], r["turn_idx"]) for r in tiny_rows[::4]]
+    add_to_inbox(d, "s1", inbox_keys)
+    mark_read(d, "s1", inbox_keys[::2])
+
+    before_tomb = {p: read_tombstones(d, p).tolist() for p in range(N_PARTS)}
+    before_inbox = {p: read_stream_set(d, p, "inbox", "s1").tolist() for p in range(N_PARTS)}
+    before_unread = {p: read_stream_set(d, p, "unread", "s1").tolist() for p in range(N_PARTS)}
+
+    repair_partitions(d, tiny_transcripts_dir, [0, 2])
+
+    for p in range(N_PARTS):
+        assert read_tombstones(d, p).tolist() == before_tomb[p], p
+        assert read_stream_set(d, p, "inbox", "s1").tolist() == before_inbox[p], p
+        assert read_stream_set(d, p, "unread", "s1").tolist() == before_unread[p], p

@@ -220,3 +220,36 @@ def test_malformed_ranges_raise():
     for bad in ("turn_idx:[3 TO", "turn_idx:[3 7]", "turn_idx:[TO 7]", "turn_idx:[3 TO ]"):
         with pytest.raises(QueryParseError):
             q(bad)
+
+
+def test_numeric_range_property():
+    """Hypothesis: for random int value sets and random [lo TO hi] bounds,
+    the oracle's range expansion selects exactly the numerically-in-range
+    values (the order-preservation contract of numeric_lex)."""
+    from hypothesis import given, settings, strategies as st
+
+    from miru_ray.filters import range_term_bounds
+    from miru_ray.segments import numeric_lex
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(i64, min_size=0, max_size=30), i64, i64)
+    def check(vals, a, b):
+        lo, hi = min(a, b), max(a, b)
+        for lo_inc, hi_inc in ((True, True), (False, False), (True, False)):
+            br = "[" if lo_inc else "{"
+            kt = "]" if hi_inc else "}"
+            blo, bhi, li, hi_i = range_term_bounds(f"{br}{lo} TO {hi}{kt}")
+            terms = sorted(numeric_lex(v) for v in vals)
+            sel = [
+                t for t in terms
+                if (t >= blo if li else t > blo) and (t <= bhi if hi_i else t < bhi)
+            ]
+            exp = sorted(
+                numeric_lex(v) for v in vals
+                if (v >= lo if lo_inc else v > lo) and (v <= hi if hi_inc else v < hi)
+            )
+            assert sel == exp
+
+    check()
