@@ -19,7 +19,14 @@ Rank-identity contract (tested against the pure-python oracle):
   ts desc) (ActivityScore.compareTo); every partition queried with an
   ABSENT report (fulltext always uses the parallel solver, which creates
   solvables with Optional.absent() — MiruService.java:410-414);
-* TIME: descending docId, first k, score 0 (FullText.java:222-251);
+* TIME: descending docId, first k, score 0 (FullText.java:222-251).
+  The reference's TIME evaluator additionally short-circuits the
+  partition walk (isDone, FullTextAnswerEvaluator.java:18-35) because its
+  partitions are TIME-ordered: once k newest hits are found, older
+  partitions cannot contribute. Our partitioning is conversation-hash
+  (ts ranges overlap across partitions), so that early exit would be
+  UNSOUND here and all partitions are asked — by design, not omission;
+  with time-range partitioning the same merge loop would stop early;
 * merge: partitions newest→oldest (descending part id), two-pointer
   truncated to k, taking from the running merge iff strictly less — ties
   go to the current partition (FullTextAnswerMerger.java:56-63);
