@@ -1269,9 +1269,16 @@ def repair_partitions(
     n_parts = read_global_manifest(index_dir)["n_parts"]
 
     def keys_of(fwd, ids) -> list[tuple[str, int]]:
-        conv = fwd["conv_id"].to_pylist()
-        turn = fwd["turn_idx"].to_pylist()
-        return [(conv[i], int(turn[i])) for i in ids]
+        # vectorized gather of just the id rows (never to_pylist the full
+        # forward columns — a partition holds millions of rows)
+        if not len(ids):
+            return []
+        import pyarrow.compute as _pc
+
+        sel = pa.array(np.asarray(ids, dtype=np.int64))
+        conv = _pc.take(fwd["conv_id"], sel).to_pylist()
+        turn = _pc.take(fwd["turn_idx"], sel).to_pylist()
+        return [(c, int(t)) for c, t in zip(conv, turn)]
 
     tomb_keys: list[tuple[str, int]] = []
     stream_keys: dict[tuple[str, str], list[tuple[str, int]]] = {}

@@ -91,6 +91,19 @@ def _postings_meta(index_dir: str, part: int, field: str, prefix: str = ""):
     )
 
 
+def _range_overlap_idx(answer: np.ndarray, first: np.ndarray, last: np.ndarray) -> np.ndarray:
+    """Indices i where sorted ``answer`` has at least one value inside
+    [first[i], last[i]] — the vectorized candidate-rejection sweep over the
+    posting [first_doc, last_doc] metadata (one searchsorted over the whole
+    arrays instead of a per-term Python loop)."""
+    if len(answer) == 0 or len(first) == 0:
+        return np.empty(0, dtype=np.int64)
+    lo = np.searchsorted(answer, first)
+    ok = lo < len(answer)
+    ok[ok] &= answer[lo[ok]] <= last[ok]
+    return np.flatnonzero(ok).astype(np.int64)
+
+
 def distincts_partition(
     index_dir: str, part: int, field: str, prefix: str = "",
     query: str | None = None, use_stopwords: bool = False,
@@ -108,14 +121,11 @@ def distincts_partition(
     terms, first, last, _df = _postings_meta(index_dir, part, field, prefix)
     if answer is None:
         return terms  # already sorted
-    # gather loop: term survives iff posting ∩ answer ≠ ∅. Cheap range
-    # reject via the [first_doc, last_doc] metadata first, then ONE batched
-    # pushdown read for the surviving candidates.
-    cand = []
-    for i, term in enumerate(terms):
-        lo = np.searchsorted(answer, first[i])
-        if lo < len(answer) and answer[lo] <= last[i]:
-            cand.append(term)
+    # candidate rejection: term survives iff posting ∩ answer ≠ ∅. ONE
+    # vectorized searchsorted over the [first_doc, last_doc] metadata
+    # arrays rejects terms whose posting range can't touch the answer,
+    # then ONE batched pushdown read for the surviving candidates.
+    cand = [terms[i] for i in _range_overlap_idx(answer, first, last)]
     if not cand:
         return []
     src = PostingSource(index_dir, part, [(field, t) for t in cand], 0)

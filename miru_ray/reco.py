@@ -185,7 +185,7 @@ def reco_cf_partition(
     CollaborativeFiltering.java:88-213), vectorized over sorted docId
     arrays."""
     from .search import PostingSource, _cached_manifest
-    from .segments import forward_columns, read_term_between, read_tombstones
+    from .segments import forward_columns, read_tombstones
 
     man = _cached_manifest(index_dir, part)
     if man is None:
@@ -200,22 +200,28 @@ def reco_cf_partition(
     if len(mine) == 0:
         return []
 
-    # distinctParents: my distinct item terms (prefix-bounded gather)
-    terms = read_term_between(index_dir, part, "text",
-                              item_prefix or None, (item_prefix + "\U0010ffff") if item_prefix else None)
+    # distinctParents: my distinct item terms. Candidate rejection is ONE
+    # vectorized searchsorted over the posting [first_doc, last_doc]
+    # metadata columns (a term whose doc range can't touch `mine` is
+    # rejected without reading its posting); survivors get one batched
+    # pushdown read.
+    from .plugins import _postings_meta, _range_overlap_idx
+
+    terms, first, last, _df = _postings_meta(index_dir, part, "text", item_prefix)
     if not terms:
         return []
-    src_items = PostingSource(index_dir, part, [("text", t) for t in terms], 0)
-    my_terms: list[str] = []
-    other_docs_parts: list[np.ndarray] = []
+    cand1 = [terms[i] for i in _range_overlap_idx(mine, first, last)]
     postings: dict[str, np.ndarray] = {}
-    for t in terms:
-        d = src_items.docs("text", t)
-        if len(removed):
-            d = np.setdiff1d(d, removed, assume_unique=True)
-        postings[t] = d
-        if np.intersect1d(d, mine, assume_unique=True).size:
-            my_terms.append(t)
+    my_terms: list[str] = []
+    if cand1:
+        src1 = PostingSource(index_dir, part, [("text", t) for t in cand1], 0)
+        for t in cand1:
+            d = src1.docs("text", t)
+            if len(removed):
+                d = np.setdiff1d(d, removed, assume_unique=True)
+            postings[t] = d
+            if np.intersect1d(d, mine, assume_unique=True).size:
+                my_terms.append(t)
     if not my_terms:
         return []
     # otherOkField1Activity: union of my terms' postings, minus my docs
@@ -233,17 +239,32 @@ def reco_cf_partition(
     dict_names = enc_all.dictionary.to_pylist()
     uniq, counts = np.unique(all_codes[other], return_counts=True)
     order = sorted(range(len(uniq)), key=lambda i: (-int(counts[i]), dict_names[uniq[i]]))[:k]
-    contrib_count = {int(uniq[i]): int(counts[i]) for i in order}
+    # vectorized contributor lookup: conv code → hop-2 count
+    contrib_arr = np.zeros(len(dict_names), dtype=np.int64)
+    for i in order:
+        contrib_arr[uniq[i]] = counts[i]
 
     # hop 3: contributors' distinct items minus mine, each scored by the
     # contributor's hop-2 count (set semantics — scoredParents,
-    # CollaborativeFiltering.java:180-213)
+    # CollaborativeFiltering.java:180-213). Candidate rejection again by
+    # metadata: a term can only score if its posting touches a contributor
+    # conv's doc set.
+    contrib_docs = np.flatnonzero(contrib_arr[all_codes] > 0).astype(np.int64)
     my_set = set(my_terms)
+    cand3 = [terms[i] for i in _range_overlap_idx(contrib_docs, first, last)
+             if terms[i] not in my_set]
+    need = [t for t in cand3 if t not in postings]
+    src3 = PostingSource(index_dir, part, [("text", t) for t in need], 0) if need else None
     score: dict[str, int] = {}
-    for t, d in postings.items():
-        if t in my_set or len(d) == 0:
+    for t in cand3:
+        d = postings.get(t)
+        if d is None:
+            d = src3.docs("text", t)
+            if len(removed):
+                d = np.setdiff1d(d, removed, assume_unique=True)
+        if len(d) == 0:
             continue
-        s = sum(contrib_count.get(int(c), 0) for c in np.unique(all_codes[d]))
+        s = int(contrib_arr[np.unique(all_codes[d])].sum())
         if s:
             score[t] = s
     rows = sorted(score.items(), key=lambda r: (-r[1], r[0]))

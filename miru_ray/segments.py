@@ -35,6 +35,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 FIELD_SEP = "\x1f"
@@ -322,26 +323,10 @@ def remove_docs(index_dir: str, keys: list[tuple[str, int]]) -> dict[int, int]:
     removal counts. Global term stats stay untouched until a rebuild —
     exactly the reference's behavior (the cardinality store is not
     decremented on REMOVE)."""
-    from .hashing import fnv1a64_str
-
-    meta = read_global_manifest(index_dir)
-    n_parts = meta["n_parts"]
-    by_part: dict[int, list[tuple[str, int]]] = {}
-    for conv, turn in keys:
-        by_part.setdefault(fnv1a64_str(conv) % n_parts, []).append((conv, int(turn)))
     out: dict[int, int] = {}
-    for part, part_keys in sorted(by_part.items()):
-        if read_manifest(index_dir, part) is None:
-            continue
-        f = read_forward_table(index_dir, part)
-        want = set(part_keys)
-        conv_col = f["conv_id"].to_pylist()
-        turn_col = f["turn_idx"].to_pylist()
-        hits = [i for i, (c, t) in enumerate(zip(conv_col, turn_col)) if (c, t) in want]
-        if not hits:
-            continue
+    for part, hits in _resolve_doc_ids(index_dir, keys).items():
         existing = read_tombstones(index_dir, part)
-        merged = np.union1d(existing, np.asarray(hits, dtype=np.int64))
+        merged = np.union1d(existing, hits)
         path = os.path.join(part_dir(index_dir, part), "tombstones.parquet")
         tmp = path + ".tmp"
         pq.write_table(
@@ -362,9 +347,22 @@ def remove_docs(index_dir: str, keys: list[tuple[str, int]]) -> dict[int, int]:
 # layout as tombstones — queries AND them in per partition.
 
 
+def _pack_keys(conv: pa.Array | pa.ChunkedArray, turn: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Pack (conv_id, turn_idx) into one binary key column —
+    ``conv\\x1fturn`` — for vectorized membership tests (the same packed-key
+    idiom the build uses for its int64 sorts)."""
+    packed = pc.binary_join_element_wise(
+        pc.cast(conv, pa.string()), pc.cast(turn, pa.string()), "\x1f"
+    )
+    return packed.combine_chunks() if isinstance(packed, pa.ChunkedArray) else packed
+
+
 def _resolve_doc_ids(index_dir: str, keys: list[tuple[str, int]]) -> dict[int, np.ndarray]:
     """(conv_id, turn_idx) keys → {part: sorted docIds} via the forward
-    tables (key-routing identical to remove_docs)."""
+    tables. Key routing uses the build's conv-hash partitioner; membership
+    inside a partition is ONE vectorized ``pc.is_in`` over a packed key
+    column — no per-row Python over the (potentially millions-row) forward
+    table."""
     from .hashing import fnv1a64_str
 
     meta = read_global_manifest(index_dir)
@@ -377,11 +375,12 @@ def _resolve_doc_ids(index_dir: str, keys: list[tuple[str, int]]) -> dict[int, n
         if read_manifest(index_dir, part) is None:
             continue
         f = read_forward_table(index_dir, part)
-        conv_col = f["conv_id"].to_pylist()
-        turn_col = f["turn_idx"].to_pylist()
-        hits = [i for i, (c, t) in enumerate(zip(conv_col, turn_col)) if (c, t) in want]
-        if hits:
-            out[part] = np.asarray(sorted(hits), dtype=np.int64)
+        fwd_keys = _pack_keys(f["conv_id"], f["turn_idx"])
+        want_keys = pa.array([f"{c}\x1f{t}" for c, t in sorted(want)], pa.string())
+        mask = pc.is_in(fwd_keys, value_set=want_keys).to_numpy(zero_copy_only=False)
+        hits = np.flatnonzero(mask).astype(np.int64)
+        if len(hits):
+            out[part] = hits
     return out
 
 

@@ -107,24 +107,54 @@ class StrutScorer:
         )
 
 
-def build_model(sf_dir: str, feature_terms: list[str]) -> dict[str, float]:
-    """Catwalk-training stand-in: weight(t) = Σtf(t)/total_tokens computed
-    with the corpus term-stats pipeline (per-batch combiner, tiny groupby).
-    Deterministic and expressible in SQL for the oracle."""
-    from .textstats import term_stats_ds
+class _FeatureTfCounter:
+    """map_batches stage: per batch, partial Σtf for each feature term plus
+    the batch's total token count (fidx == -1 row). The feature filter runs
+    INSIDE the pipeline so the driver only ever sees len(features)+1 rows —
+    never the corpus vocabulary."""
 
-    stats = term_stats_ds(sf_dir)
-    want = set(feature_terms)
-    ttf: dict[str, int] = {}
-    total = 0
-    for batch in stats.iter_batches(batch_format="pyarrow"):
-        terms = batch["term"].to_pylist()
-        tt = batch["ttf"].to_numpy(zero_copy_only=False)
-        total += int(tt.sum())
-        for t, v in zip(terms, tt):
-            if t in want:
-                ttf[t] = int(v)
-    return {t: ttf.get(t, 0) / total for t in feature_terms}
+    def __init__(self, feature_terms: list[str]):
+        self.lookup = pa.array(feature_terms, type=pa.string())
+        self.n_feat = len(feature_terms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, tokens = tokenize_flat(batch["text"])
+        idx = pc.index_in(tokens, value_set=self.lookup)
+        has = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        feats = idx.to_numpy(zero_copy_only=False)[has].astype(np.int64)
+        tf = np.bincount(feats, minlength=self.n_feat).astype(np.int64)
+        return pa.table(
+            {
+                "fidx": pa.array(np.arange(-1, self.n_feat), pa.int64()),
+                "tf": pa.array(np.concatenate([[len(tokens)], tf])),
+            }
+        )
+
+
+def build_model(sf_dir: str, feature_terms: list[str],
+                concurrency: int = 2) -> dict[str, float]:
+    """Catwalk-training stand-in: weight(t) = Σtf(t)/total_tokens. A Ray
+    Data pipeline of per-batch FILTERED partials (only the feature terms
+    plus one total-token row leave each batch) → one tiny groupby-sum; the
+    driver never scans the vocabulary. Deterministic and expressible in
+    SQL for the oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).map_batches(
+        _FeatureTfCounter,
+        fn_constructor_kwargs={"feature_terms": list(feature_terms)},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    rows = ds.groupby("fidx").aggregate(Sum("tf")).take_all()
+    agg = {int(r["fidx"]): int(r["sum(tf)"]) for r in rows}
+    total = agg.get(-1, 0)
+    return {t: (agg.get(i, 0) / total if total else 0.0)
+            for i, t in enumerate(feature_terms)}
 
 
 class _LabelCounter:
