@@ -223,8 +223,14 @@ def trending_ranks(
     keys = sorted(waveforms)
     bucket95 = 0.0
     if "peaks" in strategies and keys:
+        # reference quirk, preserved bit-for-bit: TrendingInjectable.java:137
+        # calls percentile.evaluate(highestBuckets, 0.95), and Commons Math
+        # Percentile takes p in (0,100] — so the reference's "bucket95" is
+        # really the 0.95th percentile (≈ the MINIMUM of the highest
+        # buckets), not the 95th. We pass 0.95 to realize the same
+        # thresholds (cf. the value-in-mxpos PeakDet quirk below).
         bucket95 = commons_percentile(
-            [float(np.max(waveforms[key])) for key in keys], 95.0
+            [float(np.max(waveforms[key])) for key in keys], 0.95
         )
     for strat in strategies:
         rows: list[tuple[str, float]] = []

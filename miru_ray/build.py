@@ -969,8 +969,14 @@ def build_index_streaming(
     # FIXED pool size (not autoscaling): all actors start + import in
     # parallel at t0 instead of ramping from a floor. fi_conc + the
     # finalizer pool's min (1) must stay ≤ total CPUs or the all-or-nothing
-    # pool start deadlocks (observed).
-    fi_conc = max(1, min(concurrency, n_tasks))
+    # pool start deadlocks (observed) — so the groupby branch, whose
+    # SegmentFinalizer pool coexists with the FileIndexer pool, reserves
+    # one CPU for it; the spill branch finalizes with plain tasks after
+    # phase 2 drains and can use every CPU.
+    if exchange == "spill":
+        fi_conc = max(1, min(concurrency, n_tasks))
+    else:
+        fi_conc = max(1, min(concurrency - 1, n_tasks))
     # spill target: RAM-backed by default when available (same in-memory
     # semantics as the object-store exchange it replaces; on a cluster point
     # MIRU_RAY_SPILL_BASE at the shared segment store for durable phase-2
@@ -983,6 +989,15 @@ def build_index_streaming(
         spill_dir = os.path.join(
             base, f"miru_runs-{os.path.basename(os.path.normpath(index_dir))}-{_epoch_id(files, metas)}"
         )
+        # the spill dir name is deterministic (epoch id), so a rerun after a
+        # crashed build finds the old run's packs — and a different CPU
+        # count changes task grouping, so stale packs would survive beside
+        # the new ones and duplicate postings at merge. Packs are only a
+        # checkpoint WITHIN a run (task retries rewrite identical bytes);
+        # across runs, start clean.
+        import shutil as _shutil
+
+        _shutil.rmtree(spill_dir, ignore_errors=True)
     runs_ds = rd.from_items(items).map_batches(
         FileIndexer,
         fn_constructor_kwargs={

@@ -325,39 +325,7 @@ def minhash_clusters(
             {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
         )
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        node = b["node"]
-        mn = pc.cast(b[b.schema.names[-1]], pa.int64())
-        return pa.table({"node": node, "label": pc.min_element_wise(pc.cast(node, pa.int64()), mn)})
-
-    labels = (
-        edges.groupby("node").aggregate(Min("nbr"))
-        .map_batches(init_labels, batch_format="pyarrow")
-        .materialize()
-    )
-    prev_sum = None
-    for _ in range(max_iter):
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-        cand = edges.join(labels, "inner", 8, on=("node",)).map_batches(
-            lambda b: pa.table({"node": b["nbr"], "label": pc.cast(b["label"], pa.int64())}),
-            batch_format="pyarrow",
-        )
-        labels = (
-            cand.union(labels)
-            .groupby("node")
-            .aggregate(Min("label"))
-            .map_batches(
-                lambda b: pa.table(
-                    {"node": b["node"], "label": pc.cast(b[b.schema.names[-1]], pa.int64())}
-                ),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-
+    labels = _propagate_min_labels(edges, max_iter)
     # final answer: drop singleton clusters (a node whose label is itself
     # and no other node shares it). The label table is the result — small.
     rows = labels.take_all()
@@ -373,3 +341,75 @@ def minhash_clusters(
             "cluster_id": pa.array([r[1] for r in out], type=pa.int64()),
         }
     )
+
+
+def _propagate_min_labels(edges, max_iter: int = 50, num_partitions: int = 8):
+    """Distributed connected components over a symmetric (node, nbr) edge
+    Dataset: iterative min-label propagation with a pointer-doubling
+    (label-of-label) join each round, so convergence is O(log diameter)
+    rounds rather than O(diameter). Returns the materialized
+    (node, label) Dataset; label = component-minimum node id."""
+    from ray.data.aggregate import Min
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        node = b["node"]
+        mn = pc.cast(b[b.schema.names[-1]], pa.int64())
+        return pa.table({"node": node, "label": pc.min_element_wise(pc.cast(node, pa.int64()), mn)})
+
+    labels = (
+        edges.groupby("node").aggregate(Min("nbr"))
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _relabel(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"], "label": pc.cast(b[b.schema.names[-1]], pa.int64())}
+        )
+
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+        # neighbor-min propagation round
+        cand = edges.join(labels, "inner", num_partitions, on=("node",)).map_batches(
+            lambda b: pa.table({"node": b["nbr"], "label": pc.cast(b["label"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            cand.union(labels)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(_relabel, batch_format="pyarrow")
+            .materialize()
+        )
+        # pointer doubling: label ← min(label, label(label)) — the
+        # label-of-label join halves remaining path lengths each round, so
+        # a chain of length L converges in O(log L) rounds instead of
+        # O(L); max_iter=50 covers components of diameter ≫ 2^50
+        lab2 = labels.map_batches(
+            lambda b: pa.table({"l_node": b["node"], "l_label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        hop = labels.join(lab2, "inner", num_partitions, on=("label",), right_on=("l_node",)).map_batches(
+            lambda b: pa.table({"node": b["node"], "label": pc.cast(b["l_label"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            hop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(_relabel, batch_format="pyarrow")
+            .materialize()
+        )
+    if not converged and labels.sum("label") != prev_sum:
+        # with pointer doubling this is unreachable for any physical input;
+        # raise rather than silently return split clusters
+        raise RuntimeError(
+            f"minhash_clusters: label propagation did not converge in {max_iter} rounds"
+        )
+    return labels

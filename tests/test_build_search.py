@@ -251,6 +251,24 @@ def test_sort_strategy_equals_stream(ray_session, tiny_transcripts_dir, tmp_path
         assert read_forward_table(index_dir, p).equals(read_forward_table(d, p)), p
 
 
+def test_groupby_exchange_equals_spill(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """exchange='groupby' (packed runs through the one groupby(part)
+    exchange, SegmentFinalizer actor pool) must equal the default spill
+    exchange byte-for-byte — and must not deadlock the fixed FileIndexer
+    pool against the finalizer pool's min-1 actor (fi_conc is reduced by
+    one in this branch)."""
+    from miru_ray.build import build_index_streaming
+
+    d = str(tmp_path_factory.mktemp("idx_groupby"))
+    meta = build_index_streaming(tiny_transcripts_dir, d, n_parts=N_PARTS, exchange="groupby")
+    assert meta is not None and meta["strategy"] == "stream"
+    for p in range(N_PARTS):
+        a = pq.read_table(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))
+        b = pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))
+        assert a.equals(b), p
+        assert read_forward_table(index_dir, p).equals(read_forward_table(d, p)), p
+
+
 def test_auto_falls_back_on_unsorted_input(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
     """Files renamed out of conv order violate the streaming precondition;
     strategy='auto' must detect it in the metadata pass and fall back to the

@@ -62,10 +62,11 @@ def test_trending_ranks_strategies():
     assert r["leader"][0] == ("spiky", 27.0)
     assert r["highest_peak"][0] == ("spiky", 9.0)
     assert r["linear_regression"][0][0] == "rising"
-    # spiky: threshold = 9/6 + p95/100; bucket95 over maxes [5,9,2] (zero
-    # skipped? no — bucket95 uses ALL keys incl. zero per the reference's
-    # highestBuckets loop) → maxes [5,9,2,0]; p95 = max = 9 → thr 1.59
-    spiky_thr = 9 / 6 + commons_percentile([5.0, 9.0, 2.0, 0.0], 95) / 100
+    # spiky: threshold = 9/6 + bucket95/100. bucket95 uses ALL keys incl.
+    # zero per the reference's highestBuckets loop → maxes [5,9,2,0] — and
+    # the reference quirk passes p=0.95 (not 95) to Commons Percentile
+    # (TrendingInjectable.java:137), i.e. ≈ the MINIMUM of the maxes
+    spiky_thr = 9 / 6 + commons_percentile([5.0, 9.0, 2.0, 0.0], 0.95) / 100
     assert dict(r["peaks"])["spiky"] == float(len(peakdet(wf["spiky"], spiky_thr)))
 
 

@@ -295,6 +295,33 @@ def test_quality_empty_and_ratios():
     assert out["mean_token_len"][0] == (3 + 5 + 3) / 3
 
 
+def test_label_propagation_long_chain(ray_session):
+    """A 64-hop path graph must converge well inside max_iter: pointer
+    doubling makes rounds O(log diameter), so 8 rounds suffice where
+    plain neighbor-min propagation would need 64 (ADVICE r2)."""
+    import ray.data as rd
+
+    from miru_ray.dedup import _propagate_min_labels
+
+    n = 64
+    a = np.arange(n - 1, dtype=np.int64)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.concatenate([a, a + 1])),
+                "nbr": pa.array(np.concatenate([a + 1, a])),
+            }
+        )
+    )
+    labels = _propagate_min_labels(edges, max_iter=8, num_partitions=2)
+    rows = labels.take_all()
+    assert len(rows) == n
+    assert all(int(r["label"]) == 0 for r in rows)
+    # and the non-convergence guard actually fires when rounds are too few
+    with pytest.raises(RuntimeError):
+        _propagate_min_labels(edges, max_iter=1, num_partitions=2)
+
+
 def test_minhash_clusters_transitive(ray_session, doc_tokens):
     from miru_ray.dedup import exact_jaccard, minhash_clusters
 
