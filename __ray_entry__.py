@@ -221,6 +221,29 @@ def ft_topk_time(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": _i64(ids)})
 
 
+def ft_topk_time_range(sf_dir: str) -> pa.Table:
+    """TIME strategy on a RANGE-partitioned index (the reference's
+    time-segment rollover, MiruPartitioner.java:106-165): disjoint ts zone
+    maps make the newest-first partition walk short-circuit
+    (FullTextAnswerEvaluator.java:18-35) — the serial walk must answer
+    without asking every partition, and the answer must equal the
+    hash-partitioned ft_topk_time result."""
+    from miru_ray.search import SearchEngine
+    from miru_ray.transcripts import conv_to_doc_id, ensure_range_index
+
+    eng = SearchEngine(ensure_range_index(sf_dir, n_parts=4))
+    hits, _found = eng.search(
+        " ".join(TOPK_TERMS), k=K_TIME, scoring="time", parallel=False
+    )
+    if len(eng.parts) > 1 and eng.last_parts_asked >= len(eng.parts):
+        raise AssertionError(
+            f"TIME early exit did not fire: asked {eng.last_parts_asked} of "
+            f"{len(eng.parts)} range partitions"
+        )
+    ids = conv_to_doc_id([h.conv_id for h in hits])
+    return pa.table({"doc_id": _i64(ids)})
+
+
 # ----------------------------------------------- plugin-operator callables
 
 
@@ -527,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
         "ft_topk_time": ft_topk_time,
+        "ft_topk_time_range": ft_topk_time_range,
         "ft_distinct_roles": ft_distinct_roles,
         "ft_agg_counts": ft_agg_counts,
         "ft_agg_counts_inbox": ft_agg_counts_inbox,
@@ -819,6 +843,12 @@ ORDER BY idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) DESC, doc_i
 LIMIT {K_BM25}"""
         ),
         "ft_topk_time": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
+            f"AND list_contains({_TOK}, '{t2}') ORDER BY doc_id DESC LIMIT {K_TIME}"
+        ),
+        # same contract on the range-partitioned index: TIME answers are
+        # partitioning-invariant (the early exit changes work, not results)
+        "ft_topk_time_range": (
             f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
             f"AND list_contains({_TOK}, '{t2}') ORDER BY doc_id DESC LIMIT {K_TIME}"
         ),

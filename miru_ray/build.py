@@ -407,7 +407,7 @@ class SegmentBuilder:
         posting_bytes = sum(
             postings[c].nbytes for c in ("doc_bytes", "tf_bytes")
         ) if postings.num_rows else 0
-        metrics = dict(stats, posting_bytes=int(posting_bytes))
+        metrics = dict(stats, posting_bytes=int(posting_bytes), **_ts_bounds(forward))
         write_segment(
             self.index_dir,
             part,
@@ -453,6 +453,8 @@ def build_index(
     resume: bool = True,
     concurrency: int | None = None,
     strategy: str = "auto",
+    partitioning: str = "hash",
+    rows_per_part: int | None = None,
 ) -> dict:
     """Run the full build. Ray must already be initialised by the caller.
 
@@ -464,7 +466,19 @@ def build_index(
     * ``"sort"`` — single groupby(part) exchange of the raw rows (always
       correct, 3-4× slower: the whole corpus moves through the sort).
 
+    ``partitioning="range"`` (streaming strategy only) builds closed
+    row-range partitions — the reference's time-segment rollover; see
+    build_index_streaming.
+
     Returns the global manifest dict (also written to index.json)."""
+    if partitioning == "range":
+        if strategy == "sort":
+            raise ValueError("range partitioning requires the streaming build")
+        return build_index_streaming(
+            input_path, index_dir, n_parts,
+            use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
+            strict=True, partitioning="range", rows_per_part=rows_per_part,
+        )
     if strategy in ("auto", "stream"):
         meta = build_index_streaming(
             input_path, index_dir, n_parts,
@@ -517,6 +531,7 @@ def _build_index_sort(
     meta = {
         "version": 1,
         "n_parts": n_parts,
+        "partitioning": {"mode": "hash"},
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
@@ -573,17 +588,22 @@ def list_input_files(input_path: str | list[str]) -> list[str]:
     return [input_path]
 
 
-def scan_file_meta(path: str, n_parts: int) -> dict:
+def scan_file_meta(path: str, n_parts: int, partitioning: str = "hash") -> dict:
     """Phase-1 worker: per-partition counts + sort-order validation for one
-    file (reads only the two key columns)."""
+    file (reads only the two key columns). Range partitioning needs no
+    per-row hashing — partition membership is pure arithmetic over the
+    file's global row offset, so ``counts`` stays None."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["conv_id", "turn_idx"], use_threads=False)
     n = t.num_rows
     conv = t["conv_id"].combine_chunks()
     turn = t["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-    part = (fnv1a64(conv) % np.uint64(n_parts)).astype(np.int64)
-    counts = np.bincount(part, minlength=n_parts).astype(np.int64)
+    if partitioning == "range":
+        counts = None
+    else:
+        part = (fnv1a64(conv) % np.uint64(n_parts)).astype(np.int64)
+        counts = np.bincount(part, minlength=n_parts).astype(np.int64)
     ok = True
     if n > 1:
         gt = pc.greater(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
@@ -616,12 +636,19 @@ class FileIndexer:
 
     def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
                  use_stopwords: bool = False, spill_dir: str | None = None,
-                 bases_ref=None):
+                 bases_ref=None, rows_per_part: int | None = None):
         self.index_dir = index_dir
         self.n_parts = n_parts
         self.skip = skip_parts
         self.use_stopwords = use_stopwords
         self.spill_dir = spill_dir
+        # range partitioning (the reference's time-ordered rollover,
+        # MiruPartitioner.java:106-165): partition = contiguous global-row
+        # range of fixed size rows_per_part. Partition AND docId are pure
+        # arithmetic over the file's global row offset — no (n_files ×
+        # n_parts) bases matrix exists at all in this mode, so phase 1
+        # stays O(n_files) at any n_parts (each file touches ≤ 2 partitions)
+        self.rows_per_part = rows_per_part
         # the (n_files × n_parts) docId-base matrix travels through the
         # object store ONCE (ray.put broadcast, zero-copy numpy view per
         # actor); each task slices only its files' rows — the driver never
@@ -637,25 +664,38 @@ class FileIndexer:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
 
-    def _one_file(self, path: str, fidx: int, bases: np.ndarray) -> list[pa.Table]:
+    def _one_file(self, path: str, fidx: int, bases: np.ndarray | None,
+                  goff: int | None = None) -> list[pa.Table]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=INPUT_COLUMNS, use_threads=False)
         n = t.num_rows
         if n == 0:
             return []
-        conv = t["conv_id"].combine_chunks()
-        part = (fnv1a64(conv) % np.uint64(self.n_parts)).astype(np.int64)
+        if self.rows_per_part is not None:
+            # range mode: global row g = file offset + row; part = g // R,
+            # docId = g - part·R. Rows arrive already grouped by part
+            # (contiguous ranges), so the argsort below is a no-op pass.
+            g = goff + np.arange(n, dtype=np.int64)
+            part = g // np.int64(self.rows_per_part)
+            docid_of_row = g - part * np.int64(self.rows_per_part)
+            order = np.arange(n, dtype=np.int64)
+            sp = part
+            grp_starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+            grp_counts = np.diff(np.append(grp_starts, n))
+        else:
+            conv = t["conv_id"].combine_chunks()
+            part = (fnv1a64(conv) % np.uint64(self.n_parts)).astype(np.int64)
 
-        # vectorized per-row docId: rank within part (row order == stable
-        # (conv_id, turn_idx) order, validated in phase 1) + the file's base
-        order = np.argsort(part, kind="stable")
-        sp = part[order]
-        grp_starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
-        grp_counts = np.diff(np.append(grp_starts, n))
-        within = np.arange(n, dtype=np.int64) - np.repeat(grp_starts, grp_counts)
-        docid_of_row = np.empty(n, dtype=np.int64)
-        docid_of_row[order] = bases[sp] + within
+            # vectorized per-row docId: rank within part (row order == stable
+            # (conv_id, turn_idx) order, validated in phase 1) + the file's base
+            order = np.argsort(part, kind="stable")
+            sp = part[order]
+            grp_starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+            grp_counts = np.diff(np.append(grp_starts, n))
+            within = np.arange(n, dtype=np.int64) - np.repeat(grp_starts, grp_counts)
+            docid_of_row = np.empty(n, dtype=np.int64)
+            docid_of_row[order] = bases[sp] + within
 
         if self.skip:
             keep = ~np.isin(part, np.fromiter(self.skip, dtype=np.int64))
@@ -746,6 +786,10 @@ class FileIndexer:
         runs: list[pa.Table] = []
         for i in range(batch.num_rows):
             fidx = int(batch["fidx"][i].as_py())
+            if self.rows_per_part is not None:
+                goff = int(batch["goff"][i].as_py())
+                runs.extend(self._one_file(batch["path"][i].as_py(), fidx, None, goff))
+                continue
             if self._bases is not None:
                 bases = np.asarray(self._bases[fidx], dtype=np.int64)
             else:
@@ -789,6 +833,19 @@ class FileIndexer:
         )
 
 
+def _ts_bounds(forward: pa.Table | None) -> dict:
+    """Per-partition ts zone map recorded in the manifest: the query side
+    prunes partitions whose [ts_min, ts_max] misses the query's time range,
+    and — when partitions are closed time segments (range partitioning, the
+    reference's rollover model, MiruPartitioner.java:106-165) — soundly
+    short-circuits the newest-first TIME walk
+    (FullTextAnswerEvaluator.java:18-35)."""
+    if forward is None or forward.num_rows == 0:
+        return {}
+    mm = pc.min_max(forward["ts"])
+    return {"ts_min": mm["min"].as_py(), "ts_max": mm["max"].as_py()}
+
+
 def _finalize_partition(
     index_dir: str,
     part: int,
@@ -819,6 +876,7 @@ def _finalize_partition(
         "avg_dl": float(total_tokens / n_docs) if n_docs else 0.0,
         "posting_bytes": int(posting_bytes),
     }
+    metrics.update(_ts_bounds(forward))
     finalize_segment(index_dir, part, postings, dict(lineage), metrics, forward)
     return {
         "part": part,
@@ -912,10 +970,26 @@ def build_index_streaming(
     concurrency: int | None = None,
     strict: bool = False,
     exchange: str = "spill",
+    partitioning: str = "hash",
+    rows_per_part: int | None = None,
 ) -> dict | None:
     """The two-phase offset build (see module section comment). Returns None
     when the input violates the global (conv_id, turn_idx) sort order and
-    ``strict`` is False (caller falls back to the sort-based build)."""
+    ``strict`` is False (caller falls back to the sort-based build).
+
+    ``partitioning``:
+    * ``"hash"`` (default) — partition = fnv1a64(conv_id) % n_parts; a
+      conversation never splits, load is uniform, but partition ts ranges
+      overlap (TIME queries must ask every partition).
+    * ``"range"`` — partition = contiguous range of the global
+      (conv_id, turn_idx) row order, size ``rows_per_part`` (default
+      ceil(total/n_parts)): the reference's closed-time-segment rollover
+      (MiruPartitioner.java:106-165). When the input stream is time-ordered
+      (the reference's ingestion invariant) partitions are disjoint time
+      segments, the manifest ts zone maps don't overlap, and the TIME
+      partition walk short-circuits (FullTextAnswerEvaluator.java:18-35).
+      Also removes the (n_files × n_parts) bases matrix entirely — phase 1
+      ships one scalar row-offset per file."""
     import ray
     import ray.data as rd
 
@@ -927,7 +1001,7 @@ def build_index_streaming(
         raise FileNotFoundError(f"no parquet input under {input_path!r}")
 
     scan = ray.remote(num_cpus=1)(scan_file_meta)
-    metas = ray.get([scan.remote(f, n_parts) for f in files])
+    metas = ray.get([scan.remote(f, n_parts, partitioning) for f in files])
     if timing:
         print(f"[timing] phase1 scan: {time.monotonic() - t_start:.2f}s", flush=True)
     ordered = all(m["ok"] for m in metas)
@@ -935,16 +1009,46 @@ def build_index_streaming(
         if a["last"] is not None and b["first"] is not None and not (a["last"] < b["first"]):
             ordered = False
     if not ordered:
-        if strict:
+        if strict or partitioning == "range":
             raise ValueError("input files are not globally sorted by (conv_id, turn_idx)")
         return None
 
-    counts = np.stack([m["counts"] for m in metas])  # (n_files, n_parts)
-    bases = np.zeros_like(counts)
-    np.cumsum(counts[:-1], axis=0, out=bases[1:])
-    n_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+    if partitioning == "range":
+        rows = np.array([int(m["rows"]) for m in metas], dtype=np.int64)
+        goffs = np.zeros_like(rows)
+        np.cumsum(rows[:-1], out=goffs[1:])
+        total = int(rows.sum())
+        R = int(rows_per_part or max(1, -(-total // n_parts)))
+        n_parts_eff = max(1, -(-total // R)) if total else 1
+        n_docs_by_part = {
+            p: min(total, (p + 1) * R) - p * R for p in range(n_parts_eff)
+        }
+        n_docs_by_part = {p: c for p, c in n_docs_by_part.items() if c > 0}
+        bases = None
+    else:
+        counts = np.stack([m["counts"] for m in metas])  # (n_files, n_parts)
+        bases = np.zeros_like(counts)
+        np.cumsum(counts[:-1], axis=0, out=bases[1:])
+        n_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+        R = None
 
     done = frozenset(completed_parts(index_dir)) if resume else frozenset()
+    if partitioning == "range" and done:
+        # resume soundness: range boundaries are a function of (R, total) —
+        # if either changed since the completed partitions were written,
+        # their docId ranges are stale and the merge would be silently wrong
+        from .segments import read_manifest as _read_manifest
+
+        for p in sorted(done):
+            m = _read_manifest(index_dir, p)
+            expect = n_docs_by_part.get(p)
+            if m is not None and expect is not None and m["metrics"]["n_docs"] != expect:
+                raise ValueError(
+                    f"range-partitioned resume: partition {p} holds "
+                    f"{m['metrics']['n_docs']} docs but the current input maps "
+                    f"{expect} rows to it — input or rows_per_part changed; "
+                    "rebuild with resume=False"
+                )
     lineage = {
         "input_files": files,
         "strategy": "stream",
@@ -956,8 +1060,14 @@ def build_index_streaming(
         # CPU (phases serialize on small boxes, pipeline on big ones)
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 8)))
 
-    bases_ref = ray.put(bases)
-    items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
+    if partitioning == "range":
+        bases_ref = None
+        items = [
+            {"path": f, "fidx": i, "goff": int(goffs[i])} for i, f in enumerate(files)
+        ]
+    else:
+        bases_ref = ray.put(bases)
+        items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
     # files per task: ~6 waves per actor for load balance (coarse tasks
     # straggle: the last wave runs on a near-empty pool), floored at 3 so
     # the in-task combiner still amortizes (1-file tasks skip combining and
@@ -1004,6 +1114,7 @@ def build_index_streaming(
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
             "spill_dir": spill_dir, "bases_ref": bases_ref,
+            "rows_per_part": R,
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1045,7 +1156,12 @@ def build_index_streaming(
     built = {int(r["part"]): r for r in rows}
     meta = {
         "version": 1,
-        "n_parts": n_parts,
+        "n_parts": n_parts if partitioning != "range" else n_parts_eff,
+        "partitioning": (
+            {"mode": "range", "rows_per_part": R}
+            if partitioning == "range"
+            else {"mode": "hash"}
+        ),
         "strategy": "stream",
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
         "text_field": TEXT_FIELD,
@@ -1053,6 +1169,11 @@ def build_index_streaming(
         "num_fields": list(NUM_FIELDS),
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
+        # committed global row count — range-mode extend derives its append
+        # offset from THIS (updated only on successful build/extend), never
+        # from partition doc counts, so a crashed or repeated extend cannot
+        # shift the range boundaries
+        "total_rows": int(sum(n_docs_by_part.values())),
         "totals": _totals_from_manifests(index_dir),
     }
     write_global_manifest(index_dir, meta)
@@ -1141,6 +1262,7 @@ class SegmentExtender:
             "avg_dl": float(total_tokens / n_docs) if n_docs else 0.0,
             "posting_bytes": int(posting_bytes),
         }
+        metrics.update(_ts_bounds(forward))
         lineage = dict(self.lineage, epochs=epochs + [self.epoch])
         finalize_segment(self.index_dir, part, postings, lineage, metrics, forward)
         return pa.table(
@@ -1176,11 +1298,14 @@ def extend_index(
     if use_stopwords is None:
         use_stopwords = bool(gmeta.get("tokenizer", {}).get("stopwords"))
 
+    part_mode = gmeta.get("partitioning", {}).get("mode", "hash")
+    R = gmeta.get("partitioning", {}).get("rows_per_part")
+
     files = list_input_files(new_input)
     if not files:
         raise FileNotFoundError(f"no parquet input under {new_input!r}")
     scan = ray.remote(num_cpus=1)(scan_file_meta)
-    metas = ray.get([scan.remote(f, n_parts) for f in files])
+    metas = ray.get([scan.remote(f, n_parts, part_mode) for f in files])
     ordered = all(m["ok"] for m in metas)
     for a, b in zip(metas, metas[1:]):
         if a["last"] is not None and b["first"] is not None and not (a["last"] < b["first"]):
@@ -1197,17 +1322,75 @@ def extend_index(
         if (m := read_manifest(index_dir, p)) is not None
         and epoch in m["lineage"].get("epochs", [])
     )
-    counts = np.stack([m["counts"] for m in metas])
-    bases = np.zeros_like(counts)
-    np.cumsum(counts[:-1], axis=0, out=bases[1:])
-    base_off = np.array([existing[p] for p in range(n_parts)], dtype=counts.dtype)
-    bases = bases + base_off[None, :]
-    new_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+    if any(e.get("epoch") == epoch for e in gmeta.get("epochs", [])):
+        # this exact file batch was already committed (gmeta is written only
+        # on success) — a repeated extend touches nothing; record the no-op
+        # epoch application like any other sip catch-up
+        gmeta = dict(gmeta)
+        gmeta.setdefault("epochs", []).append(
+            {"epoch": epoch, "files": files, "parts_updated": [],
+             "parts_skipped": sorted(done)}
+        )
+        write_global_manifest(index_dir, gmeta)
+        return gmeta
+    if part_mode == "range":
+        # the reference's rollover ingestion (MiruPartitioner.java:106-165):
+        # new rows CONTINUE the global row order — fill the last open
+        # partition to rows_per_part, then open new partitions. Partition
+        # and docId stay pure arithmetic over the appended global offset.
+        from .segments import read_forward_table
+
+        # committed pre-extend row count: gmeta["total_rows"] (updated only
+        # on success) — NOT sum of partition doc counts, which a crashed or
+        # repeated extend has already advanced
+        total = gmeta.get("total_rows")
+        if total is None:
+            total = int(sum(existing.values()))
+        total = int(total)
+        rows = np.array([int(m["rows"]) for m in metas], dtype=np.int64)
+        goffs = total + np.concatenate([[0], np.cumsum(rows[:-1])])
+        new_total = total + int(rows.sum())
+        new_docs_by_part = {}
+        for p in range(total // R, -(-new_total // R)):
+            c = min(new_total, (p + 1) * R) - max(total, p * R)
+            if c > 0:
+                new_docs_by_part[p] = int(c)
+        n_parts = max(n_parts, -(-new_total // R))
+        # order guard on FRESH extends only: a crash-resumed epoch (some
+        # touched partition already carries it) was validated by the run
+        # that crashed, and its last partition may already hold new rows
+        if not any(p in done for p in new_docs_by_part):
+            last_part = max((p for p, c in existing.items() if c), default=None)
+            if last_part is not None:
+                old_fwd = read_forward_table(index_dir, last_part)
+                if old_fwd.num_rows:
+                    last_key = (
+                        old_fwd["conv_id"][old_fwd.num_rows - 1].as_py(),
+                        int(old_fwd["turn_idx"][old_fwd.num_rows - 1].as_py()),
+                    )
+                    first_new = metas[0]["first"]
+                    if first_new is not None and not (last_key < tuple(first_new)):
+                        raise ValueError(
+                            "range-partitioned extend requires new rows to sort "
+                            f"AFTER the existing corpus: last existing key {last_key} "
+                            f">= first new key {first_new}"
+                        )
+        bases_ref = None
+        items = [
+            {"path": f, "fidx": i, "goff": int(goffs[i])} for i, f in enumerate(files)
+        ]
+    else:
+        counts = np.stack([m["counts"] for m in metas])
+        bases = np.zeros_like(counts)
+        np.cumsum(counts[:-1], axis=0, out=bases[1:])
+        base_off = np.array([existing[p] for p in range(n_parts)], dtype=counts.dtype)
+        bases = bases + base_off[None, :]
+        new_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+        bases_ref = ray.put(bases)
+        items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
 
     if concurrency is None:
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 8)) - 1)
-    bases_ref = ray.put(bases)
-    items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
     group = int(min(8, max(1, len(files) // max(1, 6 * concurrency))))
     n_tasks = -(-len(files) // group)
     runs_ds = rd.from_items(items).map_batches(
@@ -1216,6 +1399,7 @@ def extend_index(
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
             "bases_ref": bases_ref,
+            "rows_per_part": R if part_mode == "range" else None,
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1241,6 +1425,10 @@ def extend_index(
     )
     built = {int(r["part"]): r for r in rows}
     gmeta = dict(gmeta)
+    gmeta["n_parts"] = n_parts  # range rollover may have opened new partitions
+    # commit the new global row count from the (now consistent) partition
+    # manifests — correct for fresh, crashed-resumed and repeated extends
+    gmeta["total_rows"] = _totals_from_manifests(index_dir)["n_docs"]
     gmeta.setdefault("epochs", []).append(
         {"epoch": epoch, "files": files, "parts_updated": sorted(built), "parts_skipped": sorted(done)}
     )
@@ -1281,7 +1469,13 @@ def repair_partitions(
         remove_docs,
     )
 
-    n_parts = read_global_manifest(index_dir)["n_parts"]
+    gmeta = read_global_manifest(index_dir)
+    n_parts = gmeta["n_parts"]
+    pmeta = gmeta.get("partitioning", {})
+    if pmeta.get("mode") == "range":
+        # the rebuilt partitions must land on the SAME range boundaries
+        build_kwargs.setdefault("partitioning", "range")
+        build_kwargs.setdefault("rows_per_part", pmeta.get("rows_per_part"))
 
     def keys_of(fwd, ids) -> list[tuple[str, int]]:
         # vectorized gather of just the id rows (never to_pylist the full

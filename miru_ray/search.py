@@ -26,7 +26,9 @@ Rank-identity contract (tested against the pure-python oracle):
   partitions cannot contribute. Our partitioning is conversation-hash
   (ts ranges overlap across partitions), so that early exit would be
   UNSOUND here and all partitions are asked — by design, not omission;
-  with time-range partitioning the same merge loop would stop early;
+  with range partitioning (build_index(partitioning="range") over a
+  time-ordered stream) the per-partition manifest ts zone maps are
+  disjoint and the walk DOES stop early (see SearchEngine.search);
 * merge: partitions newest→oldest (descending part id), two-pointer
   truncated to k, taking from the running merge iff strictly less — ties
   go to the current partition (FullTextAnswerMerger.java:56-63);
@@ -592,6 +594,26 @@ class PartitionSearcher:
     def search_many(self, kwargs: dict) -> list[dict]:
         return [search_partition(self.index_dir, p, **kwargs) for p in self.parts]
 
+    def search_parts(self, parts: list[int], kwargs: dict) -> list[dict]:
+        """Answer only the named owned partitions (zone-pruned queries and
+        TIME early-exit waves)."""
+        return [search_partition(self.index_dir, p, **kwargs) for p in parts]
+
+
+def _hits_of(r: dict) -> list[Hit]:
+    return [
+        Hit(
+            score=float(r["score"][i]),
+            ts=int(r["ts"][i]),
+            doc_id=int(r["doc_id"][i]),
+            part=r["part"],
+            conv_id=r["conv_id"][i],
+            turn_idx=int(r["turn_idx"][i]),
+            role=r["role"][i],
+        )
+        for i in range(len(r["doc_id"]))
+    ]
+
 
 class SearchEngine:
     """Query API over a built index. The scatter-gather driver: one task per
@@ -600,7 +622,20 @@ class SearchEngine:
 
     ``use_actors=True`` starts a partition-pinned actor pool (reader-node
     pattern): segment state stays resident across queries, cutting repeat
-    latency ~10×. Actors are created lazily on the first query."""
+    latency ~10×. Actors are created lazily on the first query.
+
+    Partition pruning: every partition manifest records a ts zone map
+    (``ts_min``/``ts_max``). Queries with a ``time_range`` skip partitions
+    whose zone misses the range (sound under ANY partitioning — a pruned
+    partition contributes no in-range doc). TIME-scored queries
+    additionally short-circuit the newest→oldest walk once k hits are in
+    hand and every remaining partition's ts_max is strictly older than the
+    kth hit — the reference's answer-evaluator early exit
+    (FullTextAnswerEvaluator.java:18-35), sound here because the check is
+    against the zone maps, not an assumed partition order; with hash
+    partitioning the zones overlap and the walk degrades to asking all
+    partitions, with range partitioning it stops after the first wave.
+    ``last_parts_asked`` exposes how many partitions the last search hit."""
 
     def __init__(self, index_dir: str, use_actors: bool = False, n_actors: int | None = None):
         from .segments import _fire_lifecycle
@@ -612,7 +647,28 @@ class SearchEngine:
         self.n_actors = n_actors
         self._actors: list | None = None
         self._actor_parts: list[list[int]] = []
+        self._actor_of: dict[int, int] = {}
+        self.last_parts_asked = 0
         _fire_lifecycle("open", index_dir)  # IndexOpenCallback analogue
+
+    def _ts_bounds(self, part: int) -> tuple[int, int] | None:
+        """(ts_min, ts_max) from the partition manifest zone map, or None
+        for indexes built before the zone map existed (no pruning then)."""
+        met = _cached_manifest(self.index_dir, part).get("metrics", {})
+        if met.get("ts_min") is None or met.get("ts_max") is None:
+            return None
+        return int(met["ts_min"]), int(met["ts_max"])
+
+    def _active_parts(self, time_range: tuple[int, int] | None) -> list[int]:
+        if time_range is None:
+            return self.parts
+        lo, hi = time_range
+        out = []
+        for p in self.parts:
+            b = self._ts_bounds(p)
+            if b is None or (b[0] <= hi and b[1] >= lo):
+                out.append(p)
+        return out
 
     def close(self) -> None:
         """Release query actors and fire the close lifecycle callbacks
@@ -643,6 +699,9 @@ class SearchEngine:
         self._actors = [
             cls.remote(self.index_dir, parts) for parts in self._actor_parts
         ]
+        self._actor_of = {
+            p: i for i, parts in enumerate(self._actor_parts) for p in parts
+        }
 
     def search(
         self,
@@ -655,7 +714,13 @@ class SearchEngine:
         parallel: bool | None = None,
         prune: bool = True,
         authz: tuple[str, list[str]] | None = None,
+        early_exit: bool = True,
     ) -> tuple[list[Hit], int]:
+        """``early_exit`` (TIME scoring only): stop the newest→oldest walk
+        once the zone maps prove no remaining partition can contribute —
+        the reference's evaluator short-circuit. Like the reference's,
+        the returned ``found`` then counts only the partitions actually
+        asked; pass early_exit=False for an exhaustive ``found``."""
         use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
         if authz is not None:
             authz = (authz[0], tuple(authz[1]))
@@ -664,23 +729,16 @@ class SearchEngine:
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
             prune=prune, authz=authz,
         )
-        results = self._fan_out(kwargs, parallel)
+        active = self._active_parts(time_range)
+        if scoring == "time" and k > 0 and len(active) > 1 and early_exit:
+            return self._time_walk(kwargs, parallel, active, k)
+        self.last_parts_asked = len(active)
+        results = self._fan_out(kwargs, parallel, parts=active)
         merged: list[Hit] = []
         found = 0
         first = True
         for r in results:  # already in partition walk order
-            hits = [
-                Hit(
-                    score=float(r["score"][i]),
-                    ts=int(r["ts"][i]),
-                    doc_id=int(r["doc_id"][i]),
-                    part=r["part"],
-                    conv_id=r["conv_id"][i],
-                    turn_idx=int(r["turn_idx"][i]),
-                    role=r["role"][i],
-                )
-                for i in range(len(r["doc_id"]))
-            ]
+            hits = _hits_of(r)
             found += r["found"]
             if first:
                 merged = hits[:k]
@@ -688,6 +746,67 @@ class SearchEngine:
             else:
                 merged = _merge_two(merged, hits, k)
         return merged, found
+
+    def _time_walk(
+        self, kwargs: dict, parallel: bool | None, active: list[int], k: int
+    ) -> tuple[list[Hit], int]:
+        """Newest→oldest TIME walk in parallel waves with zone-map early
+        exit (FullTextAnswerEvaluator.java:18-35 isDone). Stop condition is
+        strict (kth ts > every remaining ts_max): an equal-ts doc in an
+        older partition could still displace a hit under the merge's
+        tie-to-current rule, so ties keep walking. ``found`` counts only
+        the partitions actually asked — the reference's short-circuited
+        evaluator reports the same way."""
+        # suffix max of ts_max over the walk order; unknown bounds = +inf
+        # (those partitions can never be skipped past)
+        INF = (1 << 63) - 1
+        bmax = [
+            (self._ts_bounds(p) or (0, INF))[1] for p in active
+        ]
+        rest_max = [0] * len(active)
+        run = -INF
+        for i in range(len(active) - 1, -1, -1):
+            rest_max[i] = run
+            run = max(run, bmax[i])
+        wave = max(1, self._wave_width(parallel, len(active)))
+        merged: list[Hit] = []
+        found = 0
+        first = True
+        asked = 0
+        for w0 in range(0, len(active), wave):
+            chunk = active[w0 : w0 + wave]
+            for r in self._fan_out(kwargs, parallel, parts=chunk):
+                hits = _hits_of(r)
+                found += r["found"]
+                if first:
+                    merged = hits[:k]
+                    first = False
+                else:
+                    merged = _merge_two(merged, hits, k)
+            asked += len(chunk)
+            last = w0 + len(chunk) - 1
+            if len(merged) >= k and merged[k - 1].ts > rest_max[last]:
+                break
+        self.last_parts_asked = asked
+        return merged, found
+
+    def _wave_width(self, parallel: bool | None, n_active: int) -> int:
+        """Parallelism of one early-exit wave: all workers busy, but no
+        bigger — a full fan-out would defeat the exit."""
+        try:
+            import ray
+
+            use_ray = ray.is_initialized() if parallel is None else parallel
+        except ImportError:
+            use_ray = False
+        if not use_ray:
+            return 1
+        if self.use_actors and n_active > 1:
+            self._ensure_actors()
+            return max(1, len(self._actors or []))
+        import ray
+
+        return max(1, int(ray.cluster_resources().get("CPU", 8)) - 2)
 
     def match(
         self,
@@ -708,9 +827,14 @@ class SearchEngine:
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
             authz=authz,
         )
-        return self._fan_out(kwargs, parallel)
+        active = self._active_parts(time_range)
+        self.last_parts_asked = len(active)
+        return self._fan_out(kwargs, parallel, parts=active)
 
-    def _fan_out(self, kwargs: dict, parallel: bool | None) -> list[dict]:
+    def _fan_out(
+        self, kwargs: dict, parallel: bool | None, parts: list[int] | None = None
+    ) -> list[dict]:
+        parts = self.parts if parts is None else parts
         try:
             import ray
 
@@ -721,19 +845,30 @@ class SearchEngine:
             import ray
 
             self._ensure_actors()
-            futs = [a.search_many.remote(kwargs) for a in self._actors]
+            if len(parts) == len(self.parts):
+                futs = [a.search_many.remote(kwargs) for a in self._actors]
+            else:
+                # subset fan-out (zone-pruned / early-exit wave): each
+                # owning actor answers only its slice of the subset
+                by_actor: dict[int, list[int]] = {}
+                for p in parts:
+                    by_actor.setdefault(self._actor_of[p], []).append(p)
+                futs = [
+                    self._actors[i].search_parts.remote(ps, kwargs)
+                    for i, ps in by_actor.items()
+                ]
             by_part: dict[int, dict] = {}
             for res in ray.get(futs):
                 for r in res:
                     by_part[r["part"]] = r
-            return [by_part[p] for p in self.parts]
-        if use_ray and len(self.parts) > 1:
+            return [by_part[p] for p in parts]
+        if use_ray and len(parts) > 1:
             import ray
 
             fn = _remote_search_partition()
-            futs = [fn.remote(self.index_dir, p, **kwargs) for p in self.parts]
+            futs = [fn.remote(self.index_dir, p, **kwargs) for p in parts]
             return ray.get(futs)
-        return [search_partition(self.index_dir, p, **kwargs) for p in self.parts]
+        return [search_partition(self.index_dir, p, **kwargs) for p in parts]
 
 
 _REMOTE = None

@@ -128,3 +128,67 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
     write_global_manifest(index_dir, meta)
     _INDEX_CACHE[key] = index_dir
     return index_dir
+
+
+def ensure_transcripts_parquet(
+    sf_dir: str, n_shards: int = 4, base: str = "/tmp/miru_ray_tx"
+) -> str:
+    """Materialize the derived transcripts view as globally-sorted parquet
+    shards (streaming-build input shape). Cached per sf_dir under /tmp."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    out = os.path.join(base, tag)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    tx = docs_to_transcripts(t)
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    per = max(1, -(-tx.num_rows // n_shards))
+    for s in range(0, n_shards):
+        lo = s * per
+        if lo >= tx.num_rows:
+            break
+        pq.write_table(tx.slice(lo, per), os.path.join(tmp, f"shard-{s:05d}.parquet"))
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def ensure_range_index(
+    sf_dir: str, n_parts: int = 4, base: str = "/tmp/miru_ray_idx"
+) -> str:
+    """Range-partitioned (time-segment rollover) index over the derived
+    transcripts view — built with the REAL streaming build so the driver
+    queries exercise partitioning="range" + the TIME early-exit walk."""
+    from .build import build_index
+    from .segments import INDEX_VERSION, read_global_manifest
+
+    key = (os.path.abspath(sf_dir), n_parts, "range")
+    hit = _INDEX_CACHE.get(key)
+    if hit:
+        return hit
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    index_dir = os.path.join(base, f"{tag}_r{n_parts}_v{INDEX_VERSION}")
+    src = ensure_transcripts_parquet(sf_dir)
+    if not os.path.exists(os.path.join(index_dir, "index.json")):
+        build_index(src, index_dir, n_parts=n_parts, partitioning="range")
+    else:
+        read_global_manifest(index_dir)  # sanity: readable cache
+    _INDEX_CACHE[key] = index_dir
+    return index_dir

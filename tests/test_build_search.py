@@ -142,11 +142,18 @@ def test_rank_identity_bm25(engine, tiny_oracle, query):
 
 
 def test_rank_identity_time(engine, tiny_oracle):
-    hits, found = engine.search("t1 t7", k=20, scoring="time")
+    # exhaustive mode: hits AND found identical to the all-partition oracle
+    hits, found = engine.search("t1 t7", k=20, scoring="time", early_exit=False)
     ohits, ofound = oracle_search(tiny_oracle, "t1 t7", k=20, scoring="time")
     assert found == ofound
     assert [(h.part, h.doc_id) for h in hits] == [(h.part, h.doc_id) for h in ohits]
     assert all(h.score == 0.0 for h in hits)
+    # default mode: the zone-map early exit may skip partitions (found then
+    # counts only asked partitions, like the reference's short-circuited
+    # evaluator) but the HITS are identical
+    ehits, efound = engine.search("t1 t7", k=20, scoring="time")
+    assert [(h.part, h.doc_id) for h in ehits] == [(h.part, h.doc_id) for h in ohits]
+    assert efound <= ofound
 
 
 def test_rank_identity_time_range(engine, tiny_oracle):
