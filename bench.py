@@ -5,9 +5,15 @@ Default mode: one full run at ``RAY_GRAFT_CPUS`` (default 32) over the scale
 implied by ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → the 100k-conv
 "bench" corpus, ~2.1M turns) and prints ONE JSON line.
 
-``--scaling``: the same job in two FRESH processes at 8 and 32 CPUs (the
-sandbox stand-in for N vs 4N nodes per the driver instruction) plus the
-computed scaling efficiency  thr_4N / (4 · thr_N).
+``--scaling``: the same job in FRESH processes at 1/2/4/8/32 CPUs; reports
+every N→4N efficiency pair (1→4, 2→8, and the mandated 8→32 as the
+headline) plus the ``--membw`` control. ``--membw``: a no-Ray pure-memory
+LUT-pass scaling control at the same worker counts — the independent
+measurement of this shared box's DRAM ceiling.
+
+Every build run carries a single-core membw probe before/after: this VM's
+effective memory bandwidth swings >30× with co-tenant load, and the probe
+lets a recorded number be read against the window it was taken in.
 
 This file OWNS its Ray session (ray.init/shutdown); the library never does.
 """
@@ -46,7 +52,67 @@ def scale_for(sf_dir: str) -> str:
     return {"sf0.001": "tiny", "sf0.01": "small"}.get(name, "bench")
 
 
-def run_once(num_cpus: int, sf_dir: str, n_parts: int) -> dict:
+def membw_probe(mb: int = 256) -> float:
+    """Single-core memory-bandwidth probe (LUT pass over a touched buffer),
+    GB/s. This box is a shared VM whose effective DRAM bandwidth swings
+    >30× with co-tenant load; every recorded benchmark carries this number
+    so a slow build can be distinguished from a slow box."""
+    import numpy as np
+
+    a = np.random.randint(0, 256, mb * 1_000_000, dtype=np.uint8)  # touched
+    lut = np.arange(256, dtype=np.uint8)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        b = lut[a]
+        dt = time.monotonic() - t0
+        best = max(best, a.nbytes / dt / 1e9)
+        del b
+    return round(best, 2)
+
+
+def _membw_worker(mb: int, seconds: float, out_q):
+    import numpy as np
+
+    a = np.random.randint(0, 256, mb * 1_000_000, dtype=np.uint8)
+    lut = np.arange(256, dtype=np.uint8)
+    n = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < seconds:
+        b = lut[a]
+        del b
+        n += 1
+    out_q.put(n * a.nbytes / (time.monotonic() - t0) / 1e9)
+
+
+def membw_scaling(levels=(1, 2, 4, 8, 32), mb: int = 128, seconds: float = 3.0) -> dict:
+    """The NON-CIRCULAR scaling control: pure memory traffic (a 256-entry
+    LUT pass — no Ray, no algorithm, no exchange) run by N concurrent
+    processes over private buffers. If aggregate GB/s stops scaling from 8
+    to 32 workers, the ceiling is the box's shared DRAM bus, not any
+    property of the pipeline under test."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    out = {}
+    for n in levels:
+        q = ctx.Queue()
+        ps = [ctx.Process(target=_membw_worker, args=(mb, seconds, q)) for _ in range(n)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        out[n] = round(total, 2)
+    eff = {
+        f"{a}_to_{b}": round(out[b] / (out[a] * (b / a)), 3)
+        for a, b in ((1, 4), (2, 8), (8, 32))
+        if a in out and b in out
+    }
+    return {"aggregate_gbs": out, "efficiency": eff}
+
+
+def run_once(num_cpus: int, sf_dir: str, n_parts: int, build_attempts: int = 1) -> dict:
     import ray
 
     from miru_ray.build import build_index
@@ -74,10 +140,15 @@ def run_once(num_cpus: int, sf_dir: str, n_parts: int) -> dict:
         ).materialize()
 
         index_dir = f"/tmp/miru_ray_bench_idx_{os.getpid()}"
-        shutil.rmtree(index_dir, ignore_errors=True)
-        t0 = time.monotonic()
-        manifest = build_index(src, index_dir, n_parts=n_parts, resume=False)
-        build_sec = time.monotonic() - t0
+        membw_before = membw_probe()
+        build_secs = []
+        for _ in range(max(1, build_attempts)):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            t0 = time.monotonic()
+            manifest = build_index(src, index_dir, n_parts=n_parts, resume=False)
+            build_secs.append(time.monotonic() - t0)
+        membw_after = membw_probe()
+        build_sec = min(build_secs)
         n_turns = manifest["totals"]["n_docs"]
 
         eng = SearchEngine(index_dir, use_actors=True)
@@ -99,16 +170,23 @@ def run_once(num_cpus: int, sf_dir: str, n_parts: int) -> dict:
         "n_turns": n_turns,
         "n_parts": n_parts,
         "build_sec": round(build_sec, 2),
+        "build_secs_all": [round(s, 2) for s in build_secs],
         "turns_per_sec": round(n_turns / build_sec, 1),
         "posting_bytes": manifest["totals"]["posting_bytes"],
         "queries": q_p50,
         "query_p50_sec": round(statistics.median(q_p50.values()), 4),
+        # noise context: single-core DRAM GB/s right before/after the build
+        # (this shared VM swings >30x with co-tenant load)
+        "membw_gbs_before": membw_before,
+        "membw_gbs_after": membw_after,
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--membw", action="store_true",
+                    help="pure-memory-traffic scaling control (no Ray)")
     ap.add_argument("--sub", action="store_true", help="internal: single scaling run")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--parts", type=int, default=32)
@@ -118,25 +196,36 @@ def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
     cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+    if args.membw:
+        print(json.dumps(dict(
+            {"metric": "aggregate DRAM GB/s, N concurrent LUT-pass processes "
+                       "(non-circular scaling control: no Ray, no pipeline)",
+             "unit": "GB/s"},
+            **membw_scaling(),
+        )))
+        return
+
     if args.sub:
         print(json.dumps(run_once(cpus, sf_dir, args.parts)))
         return
 
     if args.scaling:
         # Same job at five parallelism levels in fresh processes (the
-        # sandbox stand-in for N- vs 4N-node clusters). Three N→4N pairs:
-        # 1→4 and 2→8 run below the single box's DRAM-bandwidth saturation
-        # point — the pairs that model multi-node scaling, where every node
-        # brings its own memory controllers — while 8→32 packs all workers
-        # onto one shared memory bus and measures the single-box ceiling,
-        # not the algorithm's scalability (per-CPU throughput halves purely
-        # from bus contention; BASELINE.md quantifies the curve).
-        # best-of-N per level: this box is a shared VM with ±40% run-to-run
-        # noise; interference only ever slows a run down, so the max
-        # throughput is the faithful estimate of each level's capability
+        # sandbox stand-in for N- vs 4N-node clusters). All three N→4N
+        # pairs are reported AS PEERS (1→4, 2→8, and the mandated 8→32);
+        # the headline value is the mandated 8→32 pair. The membw control
+        # (pure LUT traffic, no Ray — `--membw`) is run alongside so the
+        # single-box DRAM ceiling is measured independently of the
+        # pipeline rather than inferred from its own slowdown. The
+        # 1→4-models-multi-node reading (each real node brings its own
+        # memory controllers) remains a hypothesis until measured on real
+        # multi-node hardware. best-of-N per level with all runs listed:
+        # co-tenant interference on this shared VM only ever slows a run.
         results = {}
+        runs_all = {}
         for n in (1, 2, 4, 8, 32):
             best = None
+            runs_all[n] = []
             for _ in range(args.repeat):
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--sub", "--cpus", str(n),
@@ -145,32 +234,37 @@ def main():
                     env=dict(os.environ, GRAFT_SF_DIR=sf_dir),
                 )
                 r = json.loads(out.stdout.strip().splitlines()[-1])
+                runs_all[n].append(
+                    {"turns_per_sec": r["turns_per_sec"],
+                     "membw_gbs": [r["membw_gbs_before"], r["membw_gbs_after"]]}
+                )
                 if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
                     best = r
             results[n] = best
+        control = membw_scaling()
         thr = {n: results[n]["turns_per_sec"] for n in results}
-        eff_1_4 = thr[4] / (4.0 * thr[1])
-        eff_2_8 = thr[8] / (4.0 * thr[2])
-        eff_8_32 = thr[32] / (4.0 * thr[8])
+        eff = {
+            f"{a}_to_{b}": round(thr[b] / ((b / a) * thr[a]), 3)
+            for a, b in ((1, 4), (2, 8), (8, 32))
+        }
         print(
             json.dumps(
                 {
-                    "metric": "throughput scaling efficiency N→4N (1→4 cpus below the single-box DRAM saturation point; fresh sessions, same input)",
-                    "value": round(eff_1_4, 3),
+                    "metric": "throughput scaling efficiency N→4N cpus (fresh sessions, same input); headline = the mandated 8→32 pair, all pairs + the no-Ray membw control reported alongside",
+                    "value": eff["8_to_32"],
                     "unit": "ratio",
                     "sf": sf_dir,
                     "turns_per_sec": thr,
-                    "efficiency_1_to_4": round(eff_1_4, 3),
-                    "efficiency_2_to_8": round(eff_2_8, 3),
-                    "efficiency_8_to_32": round(eff_8_32, 3),
-                    "note": "all levels share ONE DRAM bus on this box; pairs whose 4N level stays below bus saturation (1→4, and mostly 2→8) model multi-node scaling where each node adds memory bandwidth; 8→32 measures the single-box ceiling",
+                    "efficiency": eff,
+                    "membw_control": control,
+                    "runs": runs_all,
                     "detail": results,
                 }
             )
         )
         return
 
-    r = run_once(cpus, sf_dir, args.parts)
+    r = run_once(cpus, sf_dir, args.parts, build_attempts=2)
     print(
         json.dumps(
             {
@@ -184,6 +278,9 @@ def main():
                 "turns_per_sec": r["turns_per_sec"],
                 "query_p50_sec": r["query_p50_sec"],
                 "posting_bytes": r["posting_bytes"],
+                "build_secs_all": r["build_secs_all"],
+                "membw_gbs_before": r["membw_gbs_before"],
+                "membw_gbs_after": r["membw_gbs_after"],
             }
         )
     )

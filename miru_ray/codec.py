@@ -70,33 +70,37 @@ RUNS_SCHEMA = pa.schema(
 )
 
 
+# LEB128 length thresholds: value >= 2^(7k) needs k+1 bytes
+_VB_THRESH = np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))
+
+
 def varbyte_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized LEB128 encode of non-negative ints.
 
     Returns ``(bytes:uint8[total], ends:int64[n])`` where ``ends`` is the
     cumulative byte length after each value.
+
+    One searchsorted pass yields every byte length (no per-threshold sweep);
+    values that all fit one byte (the common case for tf streams and dense
+    doc deltas) short-circuit to a single cast.
     """
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
-    nb = np.ones(n, dtype=np.int64)
-    k = 1
-    thresh = np.uint64(1) << np.uint64(7)
-    while True:
-        sel = v >= thresh
-        if not sel.any():
-            break
-        nb += sel
-        k += 1
-        if k >= 10:
-            break
-        thresh = np.uint64(1) << np.uint64(7 * k)
+    nb = np.searchsorted(_VB_THRESH, v, side="right").astype(np.int64) + 1
     ends = np.cumsum(nb)
+    total = int(ends[-1])
+    if total == n:  # every value < 128: the bytes ARE the values
+        return v.astype(np.uint8), ends
     starts = ends - nb
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    out = np.empty(total, dtype=np.uint8)
+    # first byte of EVERY value — no boolean mask on the full array
+    out[starts] = ((v & np.uint64(0x7F)).astype(np.uint8)) | (
+        (nb > 1).astype(np.uint8) << 7
+    )
     maxnb = int(nb.max())
-    for j in range(maxnb):
+    for j in range(1, maxnb):
         sel = nb > j
         idx = starts[sel] + j
         byte = ((v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)

@@ -45,6 +45,11 @@ _LOWER_LUT[65:91] += 32  # A-Z → a-z
 _ISTOK_LUT = np.zeros(256, dtype=bool)
 _ISTOK_LUT[ord("a") : ord("z") + 1] = True
 _ISTOK_LUT[ord("0") : ord("9") + 1] = True
+# token-class on RAW bytes (A-Z included): classifying before lowercasing
+# removes the full-buffer lowercase pass — only the ~80% of bytes that are
+# token bytes get the LUT applied, after the compress
+_ISTOK_RAW = _ISTOK_LUT.copy()
+_ISTOK_RAW[ord("A") : ord("Z") + 1] = True
 
 # Small fixed English stopword list (deterministic contract; mirrors the
 # spirit of Lucene's EnglishAnalyzer default set, reference
@@ -90,22 +95,37 @@ def tokenize_flat(
         offsets = offsets - offsets[0]
     if len(data) == 0:
         return np.empty(0, np.int64), pa.array([], type=pa.string())
-    low = _LOWER_LUT[data]
-    mask = _ISTOK_LUT[low]
-    # token starts: in-class byte whose predecessor is out-of-class or a row
-    # boundary; ends symmetric. Row boundaries force breaks so adjacent rows
-    # never merge into one token.
-    prev = np.empty(len(mask), dtype=bool)
-    prev[0] = False
-    prev[1:] = mask[:-1]
-    row_bounds = offsets[(offsets > 0) & (offsets < len(mask))]
-    prev[row_bounds] = False
-    starts = np.flatnonzero(mask & ~prev)
-    nxt = np.empty(len(mask), dtype=bool)
-    nxt[-1] = False
-    nxt[:-1] = mask[1:]
-    nxt[row_bounds - 1] = False
-    ends = np.flatnonzero(mask & ~nxt) + 1
+    nb = len(data)
+    # class mask straight from the RAW bytes (A-Z counted in-class): the
+    # full-buffer lowercase pass is gone — lowercasing happens once, after
+    # the compress, on token bytes only
+    mask = _ISTOK_RAW[data]
+    # token boundaries from ONE transition scan (run starts/ends alternate
+    # along the transition list) instead of the prev/nxt shifted-mask pair —
+    # 2 byte-buffer passes instead of ~6
+    t = np.flatnonzero(mask[1:] != mask[:-1]) + 1
+    if mask[0]:
+        class_starts = np.concatenate([np.zeros(1, np.int64), t[1::2]])
+        class_ends = t[0::2]
+    else:
+        class_starts = t[0::2]
+        class_ends = t[1::2]
+    if mask[-1]:
+        class_ends = np.concatenate([class_ends, np.array([nb], np.int64)])
+    # a row boundary inside an in-class run forces a break (adjacent rows
+    # must never merge into one token); boundaries at class edges are
+    # already transitions
+    row_bounds = offsets[(offsets > 0) & (offsets < nb)]
+    rb_in = row_bounds[mask[row_bounds] & mask[row_bounds - 1]]
+    if len(rb_in) > 1:
+        # empty rows repeat an offset — a duplicated break would fabricate
+        # an empty token; row_bounds is sorted, so adjacent-unique suffices
+        rb_in = rb_in[np.concatenate([[True], rb_in[1:] != rb_in[:-1]])]
+    if len(rb_in):
+        starts = np.sort(np.concatenate([class_starts, rb_in]))
+        ends = np.sort(np.concatenate([class_ends, rb_in]))
+    else:
+        starts, ends = class_starts, class_ends
     if len(starts) == 0:
         return np.empty(0, np.int64), pa.array([], type=pa.string())
     lengths = ends - starts
@@ -113,11 +133,10 @@ def tokenize_flat(
     out_off = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(lengths, out=out_off[1:])
     # packed token bytes = ONE boolean compress: every in-class byte belongs
-    # to exactly one token and tokens are maximal runs, so low[mask] IS the
-    # in-order concatenation of all token bytes. (The previous index-vector
-    # gather built an int64 index per token byte — 8× the memory traffic of
-    # the text itself, and the single hottest allocation in the build.)
-    tok_bytes = low[mask]
+    # to exactly one token and tokens are maximal runs, so data[mask] IS the
+    # in-order concatenation of all token bytes; the lowercase LUT then
+    # touches only those bytes
+    tok_bytes = _LOWER_LUT[data[mask]]
     tokens = pa.StringArray.from_buffers(
         len(starts),
         pa.py_buffer(out_off.astype(np.int32)),
