@@ -39,6 +39,9 @@ K_BM25 = 20
 K_TIME = 15
 ANN_NQ = 8
 ANN_K = 10
+ANN_PLANES = 12
+ANN_PROBE = 4
+ANN_DIM = 64  # embeddings table dim (constant across sf dirs)
 
 _TOK = f"regexp_extract_all(lower(text), '{TOKRE}')"
 _TOKTAB = f"SELECT doc_id, unnest({_TOK}) AS t FROM documents"
@@ -342,6 +345,25 @@ def ft_latest_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_paired_latest(sf_dir: str) -> pa.Table:
+    """PairedLatest plugin analogue (MiruIndexPairedLatest.java:36-151) over
+    the 4-partition index: for each (role, tool) value pair, the single
+    LATEST activity — read from the `role^tool` pairedLatest postings, with
+    the cross-partition max-ts merge. Global doc_id recovered from ts
+    (ts = epoch + doc_id seconds, partition docIds are local)."""
+    from miru_ray import plugins
+    from miru_ray.transcripts import BASE_TS_US
+
+    rows = plugins.paired_latest(_engine(sf_dir, 4), "role", "tool")
+    return pa.table(
+        {
+            "role": pa.array([r[0] for r in rows], type=pa.string()),
+            "tool": pa.array([r[1] for r in rows], type=pa.string()),
+            "doc_id": _i64([(r[4] - BASE_TS_US) // 1_000_000 for r in rows]),
+        }
+    )
+
+
 # ------------------------------------------------------ analytics callables
 
 
@@ -484,11 +506,9 @@ def txt_fingerprints(sf_dir: str):
     return fingerprint_ds(sf_dir)
 
 
-def ann_topk(sf_dir: str) -> pa.Table:
-    from miru_ray.ann import ann_brute_topk
-
-    t = ann_brute_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K)
-    # rank on rounded cosine (tie → neighbor asc) so SQL agrees bit-for-bit
+def _round_rerank(t: pa.Table, k: int) -> pa.Table:
+    """Rank on 4-decimal-rounded cosine (tie → neighbor asc) so the DuckDB
+    oracle (double math) agrees bit-for-bit with the pipeline (fp32 math)."""
     cs = np.round(t["cos"].to_numpy(zero_copy_only=False), 4)
     q = t["q"].to_numpy(zero_copy_only=False)
     nb = t["neighbor"].to_numpy(zero_copy_only=False)
@@ -496,14 +516,27 @@ def ann_topk(sf_dir: str) -> pa.Table:
     q, nb, cs = q[order], nb[order], cs[order]
     starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
     rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(q)]])))
-    keep = rank < ANN_K
+    keep = rank < k
     return pa.table({"q": _i64(q[keep]), "neighbor": _i64(nb[keep]), "cos": pa.array(cs[keep])})
 
 
+def ann_topk(sf_dir: str) -> pa.Table:
+    from miru_ray.ann import ann_brute_topk
+
+    return _round_rerank(ann_brute_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K), ANN_K)
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
+    """Sign-hyperplane LSH ANN. The hash chain is fully deterministic
+    (splitmix64-seeded hyperplanes), so the DuckDB oracle mirrors it END TO
+    END — plane literals, sign codes, hamming-probe gating, cosine rank —
+    and the result is value-checked, not rows-only."""
     from miru_ray.ann import ann_lsh_topk
 
-    return ann_lsh_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K)
+    return _round_rerank(
+        ann_lsh_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K, n_planes=ANN_PLANES, probe=ANN_PROBE),
+        ANN_K,
+    )
 
 
 # ------------------------------------------------------------------- driver
@@ -556,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_agg_counts_inbox": ft_agg_counts_inbox,
         "ft_waveform": ft_waveform,
         "ft_latest_terms": ft_latest_terms,
+        "ft_paired_latest": ft_paired_latest,
         "ev_waveform": ev_waveform,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
@@ -884,6 +918,11 @@ GROUP BY source"""
             f"CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
             f"FROM tok WHERE t IN ({posting_list}) GROUP BY t"
         ),
+        "ft_paired_latest": (
+            "SELECT source AS role, lang AS tool, CAST(max(doc_id) AS BIGINT) AS doc_id "
+            "FROM documents WHERE coalesce(source, '') <> '' AND coalesce(lang, '') <> '' "
+            "GROUP BY source, lang"
+        ),
         "ev_waveform": (
             "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts, "
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
@@ -1036,4 +1075,44 @@ ranked AS (
   FROM scored)
 SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
         ),
+        "ann_lsh": _lsh_oracle_sql(),
     }
+
+
+def _lsh_oracle_sql() -> str:
+    """End-to-end DuckDB mirror of the sign-LSH chain (ann.py:162-249):
+    the deterministic hyperplanes are inlined as 17-significant-digit
+    literals (exact float64 round-trip), sign codes and hamming-probe
+    candidate gating run in SQL, and candidates rank on 4-decimal-rounded
+    cosine — the same dedup-style hash-chain mirroring that made
+    dd_minhash value-checkable. Normalization is omitted on the SQL side:
+    sign(dot(e, p)) is scale-invariant."""
+    from miru_ray.ann import hyperplanes
+
+    planes = hyperplanes(ANN_DIM, ANN_PLANES)
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join("%.17g" % w for w in planes[p])
+        )
+        for p in range(ANN_PLANES)
+    )
+    return f"""WITH planes(pid, w) AS (VALUES {rows}),
+codes AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) > 0
+                       THEN 1::BIGINT << p.pid ELSE 0 END) AS BIGINT) AS code
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+qc AS (SELECT vec_id AS qid, code AS qcode FROM codes WHERE vec_id < {ANN_NQ}),
+cand AS (
+  SELECT qc.qid AS q, c.vec_id AS neighbor
+  FROM codes c CROSS JOIN qc
+  WHERE bit_count(xor(c.code, qc.qcode)) <= {ANN_PROBE} AND c.vec_id <> qc.qid),
+scored AS (
+  SELECT cand.q, cand.neighbor,
+         round(list_cosine_similarity(e.embedding, qe.embedding), 4) AS cos
+  FROM cand JOIN embeddings e ON e.vec_id = cand.neighbor
+            JOIN embeddings qe ON qe.vec_id = cand.q),
+ranked AS (SELECT q, neighbor, cos,
+                  row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) rn
+           FROM scored)
+SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""

@@ -232,6 +232,79 @@ def meta_field_runs_multi(
     return out
 
 
+# schema-declared pairedLatest pairs (MiruSchema.java:21-107 `pairedLatest`
+# map). The rebuild's schema is fixed, so the one meaningful pair is
+# declared here; the bundle is recomputed per partition at finalize time.
+PAIRED_LATEST_PAIRS = (("role", "tool"),)
+
+
+def paired_latest_field(a: str, b: str) -> str:
+    """Field name of the pairedLatest index for pair (A, B) — the
+    reference's makePairedLatestTerm separator '^'
+    (MiruIndexUtil.java:20-26: va + '^' + fieldB under field A's
+    pairedLatest field type)."""
+    return f"{a}^{b}"
+
+
+def paired_latest_runs(
+    part: int, doc_ids: np.ndarray, dl: np.ndarray, cols: dict
+) -> list[pa.Table]:
+    """The pairedLatest feature bundle (MiruIndexPairedLatest.java:36-56
+    compose → :103-151 index): for each schema pair (A, B) and each value
+    va of A, ONE posting under field ``A^B``, term va, holding exactly one
+    docId per distinct co-occurring B value — the LATEST (max docId; docId
+    order == time order), tf = 1. Answers "for each distinct value of this
+    field, what is the latest activity against each distinct value of the
+    related field?". Rows where either side is empty/null don't
+    participate (matching the reference's null fieldValues guard).
+
+    Computed from the full partition forward columns — NOT per input file:
+    latest-per-pair is a partition-global property, so this runs at
+    finalize/extend time where the merged forward is available."""
+    out: list[pa.Table] = []
+    for a, b in PAIRED_LATEST_PAIRS:
+        va = cols[a].combine_chunks() if isinstance(cols[a], pa.ChunkedArray) else cols[a]
+        vb = cols[b].combine_chunks() if isinstance(cols[b], pa.ChunkedArray) else cols[b]
+        ok = pc.and_(
+            pc.fill_null(pc.not_equal(pc.coalesce(va, ""), ""), False),
+            pc.fill_null(pc.not_equal(pc.coalesce(vb, ""), ""), False),
+        )
+        keep = ok.to_numpy(zero_copy_only=False)
+        if not keep.any():
+            continue
+        rows = np.flatnonzero(keep)
+        ea = va.filter(ok).dictionary_encode()
+        eb = vb.filter(ok).dictionary_encode()
+        ia = ea.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = eb.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = ia * np.int64(len(eb.dictionary)) + ib
+        # stable sort by pair keeps row (== docId) order within each pair;
+        # the group's last element is the pair's latest doc
+        order = np.argsort(pair, kind="stable")
+        sp = pair[order]
+        is_last = np.concatenate([sp[1:] != sp[:-1], [True]])
+        sel = order[is_last]
+        va_codes = ia[sel]
+        docs = doc_ids[rows[sel]]
+        o2 = np.lexsort((docs, va_codes))
+        dict_terms = pc.binary_join_element_wise(
+            pa.scalar(paired_latest_field(a, b) + "\x1f"), ea.dictionary, ""
+        )
+        from .codec import encode_codes_to_runs
+
+        out.append(
+            encode_codes_to_runs(
+                part,
+                va_codes[o2],
+                docs[o2],
+                np.ones(len(o2), dtype=np.int64),
+                dl[rows[sel[o2]]],
+                dict_terms,
+            )
+        )
+    return out
+
+
 def forward_to_run_row(part: int, first_doc: int, last_doc: int, forward: pa.Table) -> pa.Table:
     """Wrap a forward-table slice as one FWD_TERM run row (Arrow IPC bytes)."""
     import io
@@ -362,6 +435,10 @@ def build_segment_table(group: pa.Table, use_stopwords: bool = False):
 
     # meta fields (role/tool/conv_id): single-term postings, tf=1
     run_tables.extend(meta_field_runs(g, part, doc_ids, dl_all))
+    # pairedLatest bundle (whole partition is in hand here)
+    run_tables.extend(
+        paired_latest_runs(part, doc_ids, dl_all, {"role": g["role"], "tool": g["tool"]})
+    )
 
     postings = merge_runs(pa.concat_tables(run_tables)) if run_tables else RUNS_SCHEMA.empty_table()
     # final order: sorted by term_key for parquet min/max pruning
@@ -572,10 +649,12 @@ def _build_index_sort(
 # once as numpy on the driver and broadcast ONCE via ray.put (workers get
 # a zero-copy shared-memory view; the item dataset carries only paths and
 # file indexes — no per-file python base lists). Fine to tens of thousands
-# of files × parts (10k × 10k = 800 MB, one object); at 10^12-turn scale
-# align partitions with file ranges (the reference's own time-ordered
-# partition rollover, MiruPartitioner.java:106-165) so the matrix is
-# banded and each band ships separately.
+# of files × parts (10k × 10k = 800 MB, one object). At 10^12-turn scale
+# use ``partitioning="range"`` (implemented; the reference's own
+# time-ordered partition rollover, MiruPartitioner.java:106-165): partition
+# membership becomes arithmetic over one scalar row offset per file, the
+# matrix ceases to exist, and phase 1 is O(n_files) at ANY n_parts — each
+# file overlaps ≤ 2 partitions, the degenerate fully-banded case.
 
 
 def list_input_files(input_path: str | list[str]) -> list[str]:
@@ -859,6 +938,18 @@ def _finalize_partition(
     manifest row as a dict."""
     run_rows, forward = runs_split_forward(runs_table)
     postings = merge_runs(run_rows)
+    if forward is not None and forward.num_rows:
+        # pairedLatest is partition-global — computable only here, where the
+        # merged forward exists (per-file partials would leave several
+        # "latest" docs per pair)
+        pl = paired_latest_runs(
+            part,
+            forward["doc_id"].to_numpy().astype(np.int64),
+            forward["dl"].to_numpy().astype(np.int64),
+            {"role": forward["role"], "tool": forward["tool"]},
+        )
+        if pl:
+            postings = pa.concat_tables([postings] + pl).combine_chunks()
     postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
     text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
     total_tokens = int(
@@ -1232,6 +1323,16 @@ class SegmentExtender:
             old_post = pq.read_table(
                 os.path.join(self.index_dir, f"part={part:05d}", "postings.parquet")
             )
+            # pairedLatest rows are partition-global (latest-per-pair) —
+            # appended docs can displace them, so drop and recompute below
+            for a, b in PAIRED_LATEST_PAIRS:
+                old_post = old_post.filter(
+                    pc.invert(
+                        pc.starts_with(
+                            old_post["term"], paired_latest_field(a, b) + "\x1f"
+                        )
+                    )
+                )
             old_fwd = read_forward_table(self.index_dir, part)
             all_runs = pa.concat_tables([old_post, new_runs]) if new_runs.num_rows else old_post
             forward = (
@@ -1244,6 +1345,15 @@ class SegmentExtender:
         else:
             all_runs, forward, epochs, old_n = new_runs, new_fwd, [], 0
         postings = merge_runs(all_runs)
+        if forward is not None and forward.num_rows:
+            pl = paired_latest_runs(
+                part,
+                forward["doc_id"].to_numpy().astype(np.int64),
+                forward["dl"].to_numpy().astype(np.int64),
+                {"role": forward["role"], "tool": forward["tool"]},
+            )
+            if pl:
+                postings = pa.concat_tables([postings] + pl).combine_chunks()
         postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
         text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
         total_tokens = int(

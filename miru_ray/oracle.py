@@ -77,6 +77,20 @@ class OraclePartition:
                 if v:
                     fp.setdefault(v, {})[i] = 1
             self.post[fname] = fp
+        # pairedLatest bundle (MiruIndexPairedLatest.java): field "A^B",
+        # term va → one docId per distinct co-occurring vb (the latest)
+        for a, b in (("role", "tool"),):
+            fa, fb = self.fields.get(a), self.fields.get(b)
+            if fa is None or fb is None:
+                continue
+            latest: dict[tuple, int] = {}
+            for i, (x, y) in enumerate(zip(fa, fb)):
+                if x and y:
+                    latest[(x, y)] = i  # docId order == row order: last wins
+            plp: dict[str, dict[int, int]] = {}
+            for (x, _y), i in latest.items():
+                plp.setdefault(x, {})[i] = 1
+            self.post[f"{a}^{b}"] = plp
         self.sorted_terms = {f: sorted(p) for f, p in self.post.items()}
         # global Σtf per term (the reference's global cardinality row,
         # LabFieldIndex.java:473-476) and df

@@ -410,6 +410,52 @@ def latest_first(engine, field: str, prefix: str = ""):
     return {part: rows for part, rows in zip(engine.parts, res)}
 
 
+def paired_latest_partition(
+    index_dir: str, part: int, field_a: str = "role", field_b: str = "tool"
+):
+    """One partition's pairedLatest answer — (va, vb, docId, ts) with one
+    row per distinct (va, vb) pair, doc = the pair's latest activity
+    (MiruIndexPairedLatest.java: the pairedLatest bitmap holds exactly the
+    latest id per aggregate value; vb is read back through the forward
+    table, the reference's activity gather)."""
+    import pyarrow as pa
+
+    from .build import paired_latest_field
+    from .search import PostingSource
+    from .segments import forward_columns
+
+    field = paired_latest_field(field_a, field_b)
+    terms, _first, _last, _df = _postings_meta(index_dir, part, field, "")
+    if not terms:
+        return []
+    src = PostingSource(index_dir, part, [(field, t) for t in terms], 0)
+    fwd = forward_columns(index_dir, part)
+    out = []
+    for t in terms:
+        docs = src.docs(field, t)
+        if not len(docs):
+            continue
+        vbs = fwd[field_b].take(pa.array(docs)).to_pylist()
+        for d, vb in zip(docs.tolist(), vbs):
+            out.append((t, vb, int(d), int(fwd["ts"][d])))
+    return out
+
+
+def paired_latest(engine, field_a: str = "role", field_b: str = "tool"):
+    """Cross-partition pairedLatest merge: per (va, vb) keep the hit with
+    the greatest ts (tie → higher partition id, the newer segment in walk
+    order). Returns sorted (va, vb, part, doc, ts) tuples."""
+    res = _fan(engine, paired_latest_partition,
+               dict(field_a=field_a, field_b=field_b))
+    best: dict[tuple, tuple] = {}
+    for part, rows in zip(engine.parts, res):
+        for va, vb, doc, ts in rows:
+            cur = best.get((va, vb))
+            if cur is None or (ts, part) > (cur[4], cur[2]):
+                best[(va, vb)] = (va, vb, part, doc, ts)
+    return sorted(best.values())
+
+
 # ------------------------------------------------------------- plugin SPI
 #
 # The reference registers query plugins through an SPI (MiruPlugin →
@@ -479,6 +525,7 @@ register_plugin("aggregate_counts", aggregate_counts)
 register_plugin("aggregate_counts_inbox", aggregate_counts_inbox)
 register_plugin("waveform", waveform)
 register_plugin("trending", trending)
+register_plugin("paired_latest", paired_latest)
 register_plugin("latest_first", latest_first)
 
 

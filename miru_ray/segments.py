@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 FIELD_SEP = "\x1f"
-INDEX_VERSION = 2  # v2: NUM_FIELDS numeric-lex postings added
+INDEX_VERSION = 3  # v2: NUM_FIELDS numeric-lex postings; v3: pairedLatest bundle
 
 # fields beside tokenized `text` indexed as single-term (tf=1) postings —
 # reference schema analogue: role/tool/conv_id are singleTerm fields

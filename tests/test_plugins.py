@@ -320,3 +320,94 @@ def test_lifecycle_callbacks(ray_session, tiny_transcripts_dir, tmp_path_factory
         unregister_lifecycle_callback("open", cb_open)
         unregister_lifecycle_callback("commit", cb_commit)
         unregister_lifecycle_callback("close", cb_close)
+
+
+def _brute_paired_latest(parts_oracle):
+    """Brute-force (va, vb) -> globally-latest hit by (ts, part) from the
+    oracle row dicts — the cross-partition merge contract."""
+    best = {}
+    for part, opart in parts_oracle.items():
+        latest = {}
+        for i, (a, b) in enumerate(zip(opart.fields["role"], opart.fields["tool"])):
+            if a and b:
+                latest[(a, b)] = i  # row order == docId order: last wins
+        for (a, b), i in latest.items():
+            cur = best.get((a, b))
+            ts = opart.ts[i]
+            if cur is None or (ts, part) > (cur[4], cur[2]):
+                best[(a, b)] = (a, b, part, i, ts)
+    return sorted(best.values())
+
+
+def test_paired_latest_partition(engine, tiny_oracle):
+    """Per-partition pairedLatest == the oracle's role^tool posting dict
+    (one docId per pair, the latest; MiruIndexPairedLatest semantics)."""
+    for part, opart in tiny_oracle.items():
+        got = plugins.paired_latest_partition(engine.index_dir, part)
+        exp = {}
+        for i, (a, b) in enumerate(zip(opart.fields["role"], opart.fields["tool"])):
+            if a and b:
+                exp[(a, b)] = i
+        assert {(a, b): d for a, b, d, _ts in got} == exp, part
+        # and it must agree with the oracle's own role^tool index
+        by_va = {}
+        for a, b, d, _ts in got:
+            by_va.setdefault(a, set()).add(d)
+        assert by_va == {t: set(p) for t, p in opart.post["role^tool"].items()}
+
+
+def test_paired_latest_merge_and_extend(ray_session, tiny_transcripts_dir, tiny_rows, tiny_oracle, tmp_path_factory):
+    """Cross-partition merge matches brute force, and appended rows DISPLACE
+    stale latest entries (the bundle is recomputed at extend time)."""
+    import pyarrow as pa
+
+    from miru_ray.build import build_index, extend_index
+
+    d = str(tmp_path_factory.mktemp("idx_plat"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    eng = SearchEngine(d)
+    assert plugins.paired_latest(eng) == _brute_paired_latest(tiny_oracle)
+    eng.close()
+
+    # append one newer turn per conversation seen in partition 0, with a
+    # fresh (role, tool) combination that must take over those pairs
+    from miru_ray.build import route_partition
+
+    last_turn = {}
+    for r in tiny_rows:
+        last_turn[r["conv_id"]] = max(last_turn.get(r["conv_id"], -1), r["turn_idx"])
+    convs = sorted(last_turn)[:3]
+    max_ts = max(r["ts"] for r in tiny_rows)
+    new = pa.table(
+        {
+            "conv_id": pa.array(convs, type=pa.string()),
+            "turn_idx": pa.array([last_turn[c] + 1 for c in convs], type=pa.int32()),
+            "role": pa.array(["freshrole"] * len(convs)),
+            "text": pa.array(["brand new turn"] * len(convs)),
+            "tool": pa.array(["freshtool"] * len(convs)),
+            "ts": pa.array(
+                [max_ts + 1_000_000 * (i + 1) for i in range(len(convs))],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    import os
+
+    import pyarrow.parquet as pq
+
+    src2 = str(tmp_path_factory.mktemp("plat_src2"))
+    pq.write_table(new, os.path.join(src2, "plat-e1.parquet"))
+    extend_index(src2, d)
+    eng2 = SearchEngine(d)
+    merged = plugins.paired_latest(eng2)
+    pairs = {(a, b) for a, b, *_ in merged}
+    assert ("freshrole", "freshtool") in pairs
+    # the new pair's hit is the globally newest
+    hit = [r for r in merged if r[0] == "freshrole"][0]
+    assert hit[4] == max_ts + 1_000_000 * len(convs)
+    # old pairs unaffected by the append keep their brute-force answer
+    brute = {k[:2]: k for k in _brute_paired_latest(tiny_oracle)}
+    for a, b, part, doc, ts in merged:
+        if (a, b) in brute and (a, b) != ("freshrole", "freshtool"):
+            assert (a, b, part, doc, ts) == brute[(a, b)]
+    eng2.close()
