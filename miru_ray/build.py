@@ -57,6 +57,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .codec import (
+    VARBYTE,
+    get_codec,
     FWD_TERM,
     RUNS_SCHEMA,
     encode_codes_to_runs,
@@ -122,6 +124,7 @@ def tokenize_chunk_to_runs(
     doc_base: int,
     dl_out: np.ndarray,
     use_stopwords: bool = False,
+    codec=VARBYTE,
 ) -> pa.Table:
     """One bounded chunk of docs → encoded posting runs for the `text` field.
 
@@ -156,7 +159,7 @@ def tokenize_chunk_to_runs(
         pa.scalar(TEXT_FIELD + "\x1f"), denc.dictionary, ""
     )
     return encode_codes_to_runs(
-        int(part), u_code, u_row + doc_base, tf, dl_out[u_row], dict_terms
+        int(part), u_code, u_row + doc_base, tf, dl_out[u_row], dict_terms, codec
     )
 
 
@@ -172,7 +175,7 @@ def _single_term_columns(t: pa.Table):
 
 
 def meta_field_runs(
-    g: pa.Table, part: int, doc_ids: np.ndarray, dl_all: np.ndarray
+    g: pa.Table, part: int, doc_ids: np.ndarray, dl_all: np.ndarray, codec=VARBYTE
 ) -> list[pa.Table]:
     """Single-term postings (tf=1) for the META_FIELDS + NUM_FIELDS of a row
     slice whose global docIds are ``doc_ids`` (the reference's singleTerm
@@ -200,13 +203,15 @@ def meta_field_runs(
                 np.ones(len(u_row), dtype=np.int64),
                 dl_all[u_row],
                 dict_terms,
+                codec,
             )
         )
     return out
 
 
 def meta_field_runs_multi(
-    t: pa.Table, part: np.ndarray, docid_of_row: np.ndarray, dl_all: np.ndarray
+    t: pa.Table, part: np.ndarray, docid_of_row: np.ndarray, dl_all: np.ndarray,
+    codec=VARBYTE,
 ) -> list[pa.Table]:
     """meta_field_runs across all partitions of a file at once (one lexsort
     per field instead of one per (field, part))."""
@@ -226,7 +231,7 @@ def meta_field_runs_multi(
         out.append(
             encode_multi_part_runs(
                 p[o], codes[o], d[o], np.ones(len(o), dtype=np.int64),
-                dl_all[rows[o]], dict_terms,
+                dl_all[rows[o]], dict_terms, codec,
             )
         )
     return out
@@ -247,7 +252,7 @@ def paired_latest_field(a: str, b: str) -> str:
 
 
 def paired_latest_runs(
-    part: int, doc_ids: np.ndarray, dl: np.ndarray, cols: dict
+    part: int, doc_ids: np.ndarray, dl: np.ndarray, cols: dict, codec=VARBYTE
 ) -> list[pa.Table]:
     """The pairedLatest feature bundle (MiruIndexPairedLatest.java:36-56
     compose → :103-151 index): for each schema pair (A, B) and each value
@@ -300,6 +305,7 @@ def paired_latest_runs(
                 np.ones(len(o2), dtype=np.int64),
                 dl[rows[sel[o2]]],
                 dict_terms,
+                codec,
             )
         )
     return out
@@ -403,7 +409,7 @@ def runs_split_forward(group: pa.Table) -> tuple[pa.Table, pa.Table | None]:
     return rest, pa.concat_tables(tables).combine_chunks()
 
 
-def build_segment_table(group: pa.Table, use_stopwords: bool = False):
+def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARBYTE):
     """Pure function: one partition's rows → (postings:pa.Table(RUNS_SCHEMA),
     forward:pa.Table, stats:dict). Deterministic regardless of input row
     order or chunking (the parallelism-invariance contract, FIXTURES.md F4.6).
@@ -428,19 +434,20 @@ def build_segment_table(group: pa.Table, use_stopwords: bool = False):
         chunk = g.slice(lo, hi - lo)
         run_tables.append(
             tokenize_chunk_to_runs(
-                chunk["text"], part, lo, dl_all[lo:hi], use_stopwords=use_stopwords
+                chunk["text"], part, lo, dl_all[lo:hi], use_stopwords=use_stopwords,
+                codec=codec,
             )
         )
         total_tokens += int(dl_all[lo:hi].sum())
 
     # meta fields (role/tool/conv_id): single-term postings, tf=1
-    run_tables.extend(meta_field_runs(g, part, doc_ids, dl_all))
+    run_tables.extend(meta_field_runs(g, part, doc_ids, dl_all, codec))
     # pairedLatest bundle (whole partition is in hand here)
     run_tables.extend(
-        paired_latest_runs(part, doc_ids, dl_all, {"role": g["role"], "tool": g["tool"]})
+        paired_latest_runs(part, doc_ids, dl_all, {"role": g["role"], "tool": g["tool"]}, codec)
     )
 
-    postings = merge_runs(pa.concat_tables(run_tables)) if run_tables else RUNS_SCHEMA.empty_table()
+    postings = merge_runs(pa.concat_tables(run_tables), codec) if run_tables else RUNS_SCHEMA.empty_table()
     # final order: sorted by term_key for parquet min/max pruning
     postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
 
@@ -470,17 +477,19 @@ class SegmentBuilder:
     segment on disk + one manifest row. Stateful per-actor setup happens once
     in __init__ (the actor-pool pattern for stateful stages)."""
 
-    def __init__(self, index_dir: str, use_stopwords: bool = False, lineage: dict | None = None):
+    def __init__(self, index_dir: str, use_stopwords: bool = False, lineage: dict | None = None,
+                 codec: str = "varbyte"):
         self.index_dir = index_dir
         self.use_stopwords = use_stopwords
         self.lineage = lineage or {}
+        self.codec = get_codec(codec)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         if group.num_rows == 0:
             return MANIFEST_ROW_SCHEMA.empty_table()
         part = int(group["part"][0].as_py())
-        postings, forward, stats = build_segment_table(group, self.use_stopwords)
+        postings, forward, stats = build_segment_table(group, self.use_stopwords, self.codec)
         posting_bytes = sum(
             postings[c].nbytes for c in ("doc_bytes", "tf_bytes")
         ) if postings.num_rows else 0
@@ -532,6 +541,7 @@ def build_index(
     strategy: str = "auto",
     partitioning: str = "hash",
     rows_per_part: int | None = None,
+    codec: str = "varbyte",
 ) -> dict:
     """Run the full build. Ray must already be initialised by the caller.
 
@@ -555,18 +565,20 @@ def build_index(
             input_path, index_dir, n_parts,
             use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
             strict=True, partitioning="range", rows_per_part=rows_per_part,
+            codec=codec,
         )
     if strategy in ("auto", "stream"):
         meta = build_index_streaming(
             input_path, index_dir, n_parts,
             use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
-            strict=(strategy == "stream"),
+            strict=(strategy == "stream"), codec=codec,
         )
         if meta is not None:
             return meta
     return _build_index_sort(
         input_path, index_dir, n_parts,
         use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
+        codec=codec,
     )
 
 
@@ -577,6 +589,7 @@ def _build_index_sort(
     use_stopwords: bool = False,
     resume: bool = True,
     concurrency: int | None = None,
+    codec: str = "varbyte",
 ) -> dict:
     import ray.data as rd
 
@@ -590,7 +603,7 @@ def _build_index_sort(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    builder_kwargs = {"index_dir": index_dir, "use_stopwords": use_stopwords, "lineage": lineage}
+    builder_kwargs = {"index_dir": index_dir, "use_stopwords": use_stopwords, "lineage": lineage, "codec": codec}
     if concurrency is None:
         import ray
 
@@ -609,6 +622,7 @@ def _build_index_sort(
         "version": 1,
         "n_parts": n_parts,
         "partitioning": {"mode": "hash"},
+        "codec": codec,
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
@@ -715,12 +729,14 @@ class FileIndexer:
 
     def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
                  use_stopwords: bool = False, spill_dir: str | None = None,
-                 bases_ref=None, rows_per_part: int | None = None):
+                 bases_ref=None, rows_per_part: int | None = None,
+                 codec: str = "varbyte"):
         self.index_dir = index_dir
         self.n_parts = n_parts
         self.skip = skip_parts
         self.use_stopwords = use_stopwords
         self.spill_dir = spill_dir
+        self.codec = get_codec(codec)
         # range partitioning (the reference's time-ordered rollover,
         # MiruPartitioner.java:106-165): partition = contiguous global-row
         # range of fixed size rows_per_part. Partition AND docId are pure
@@ -835,11 +851,11 @@ class FileIndexer:
             runs.append(
                 encode_multi_part_runs(
                     p2[starts], c2[starts], docid_of_row[rs], tf,
-                    dl_all[rs], dict_terms,
+                    dl_all[rs], dict_terms, self.codec,
                 )
             )
         # meta fields across all parts at once
-        runs.extend(meta_field_runs_multi(t, part, docid_of_row, dl_all))
+        runs.extend(meta_field_runs_multi(t, part, docid_of_row, dl_all, self.codec))
         # forward slices per part, shipped as IPC pseudo-runs
         for gi, gs in enumerate(grp_starts):
             rows_p = order[gs : gs + grp_counts[gi]]
@@ -885,7 +901,7 @@ class FileIndexer:
             # un-merged (each is a self-contained IPC stream).
             is_fwd = pc.equal(t["term"], FWD_TERM)
             fwd_rows = t.filter(is_fwd)
-            merged = merge_runs(t.filter(pc.invert(is_fwd)))
+            merged = merge_runs(t.filter(pc.invert(is_fwd)), self.codec)
             t = pa.concat_tables([merged, fwd_rows]) if fwd_rows.num_rows else merged
         packs = pack_runs_by_part(t)
         if self.spill_dir is None:
@@ -932,12 +948,13 @@ def _finalize_partition(
     n_docs: int,
     lineage: dict,
     t0: float,
+    codec=VARBYTE,
 ) -> dict:
     """Shared phase-3 core: one partition's unpacked runs → merged postings
     + forward + manifest (written last: checkpoint atomicity). Returns the
     manifest row as a dict."""
     run_rows, forward = runs_split_forward(runs_table)
-    postings = merge_runs(run_rows)
+    postings = merge_runs(run_rows, codec)
     if forward is not None and forward.num_rows:
         # pairedLatest is partition-global — computable only here, where the
         # merged forward exists (per-file partials would leave several
@@ -947,6 +964,7 @@ def _finalize_partition(
             forward["doc_id"].to_numpy().astype(np.int64),
             forward["dl"].to_numpy().astype(np.int64),
             {"role": forward["role"], "tool": forward["tool"]},
+            codec,
         )
         if pl:
             postings = pa.concat_tables([postings] + pl).combine_chunks()
@@ -999,10 +1017,12 @@ class SegmentFinalizer:
     """Phase-3 map_groups stage (groupby exchange mode): all encoded run
     packs of one partition → merged postings + manifest."""
 
-    def __init__(self, index_dir: str, n_docs_by_part: dict[int, int], lineage: dict):
+    def __init__(self, index_dir: str, n_docs_by_part: dict[int, int], lineage: dict,
+                 codec: str = "varbyte"):
         self.index_dir = index_dir
         self.n_docs_by_part = n_docs_by_part
         self.lineage = lineage
+        self.codec = get_codec(codec)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -1011,13 +1031,14 @@ class SegmentFinalizer:
         part = int(group["part"][0].as_py())
         row = _finalize_partition(
             self.index_dir, part, unpack_group(group),
-            int(self.n_docs_by_part.get(part, 0)), self.lineage, t0,
+            int(self.n_docs_by_part.get(part, 0)), self.lineage, t0, self.codec,
         )
         return _manifest_row_table(row)
 
 
 def finalize_spilled_partition(
-    index_dir: str, spill_dir: str, part: int, n_docs: int, lineage: dict
+    index_dir: str, spill_dir: str, part: int, n_docs: int, lineage: dict,
+    codec: str = "varbyte",
 ) -> dict:
     """Phase-3 task (spill exchange mode): read the partition's spilled
     packs, merge, write the segment, then drop the runs dir. Runs as a
@@ -1035,7 +1056,7 @@ def finalize_spilled_partition(
     # no combine_chunks here: merge_runs consolidates once internally —
     # combining twice would copy every posting byte an extra time
     runs = pa.concat_tables(tables) if tables else RUNS_SCHEMA.empty_table()
-    row = _finalize_partition(index_dir, part, runs, n_docs, lineage, t0)
+    row = _finalize_partition(index_dir, part, runs, n_docs, lineage, t0, get_codec(codec))
     shutil.rmtree(d, ignore_errors=True)
     return row
 
@@ -1063,6 +1084,7 @@ def build_index_streaming(
     exchange: str = "spill",
     partitioning: str = "hash",
     rows_per_part: int | None = None,
+    codec: str = "varbyte",
 ) -> dict | None:
     """The two-phase offset build (see module section comment). Returns None
     when the input violates the global (conv_id, turn_idx) sort order and
@@ -1205,7 +1227,7 @@ def build_index_streaming(
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
             "spill_dir": spill_dir, "bases_ref": bases_ref,
-            "rows_per_part": R,
+            "rows_per_part": R, "codec": codec,
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1223,7 +1245,8 @@ def build_index_streaming(
         todo = [p for p in sorted(n_docs_by_part) if p not in done]
         fin = _remote_finalize()
         rows = ray.get([
-            fin.remote(index_dir, spill_dir, p, n_docs_by_part[p], lineage) for p in todo
+            fin.remote(index_dir, spill_dir, p, n_docs_by_part[p], lineage, codec)
+            for p in todo
         ])
         import shutil as _shutil
 
@@ -1235,6 +1258,7 @@ def build_index_streaming(
                 "index_dir": index_dir,
                 "n_docs_by_part": n_docs_by_part,
                 "lineage": lineage,
+                "codec": codec,
             },
             batch_format="pyarrow",
             concurrency=(1, concurrency),
@@ -1254,6 +1278,7 @@ def build_index_streaming(
             else {"mode": "hash"}
         ),
         "strategy": "stream",
+        "codec": codec,
         "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
@@ -1302,11 +1327,12 @@ class SegmentExtender:
     rewritten segment (manifest last, epoch appended)."""
 
     def __init__(self, index_dir: str, new_docs_by_part: dict[int, int], epoch: str,
-                 lineage: dict):
+                 lineage: dict, codec: str = "varbyte"):
         self.index_dir = index_dir
         self.new_docs_by_part = new_docs_by_part
         self.epoch = epoch
         self.lineage = lineage
+        self.codec = get_codec(codec)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -1344,13 +1370,14 @@ class SegmentExtender:
             old_n = old_manifest["metrics"]["n_docs"]
         else:
             all_runs, forward, epochs, old_n = new_runs, new_fwd, [], 0
-        postings = merge_runs(all_runs)
+        postings = merge_runs(all_runs, self.codec)
         if forward is not None and forward.num_rows:
             pl = paired_latest_runs(
                 part,
                 forward["doc_id"].to_numpy().astype(np.int64),
                 forward["dl"].to_numpy().astype(np.int64),
                 {"role": forward["role"], "tool": forward["tool"]},
+                self.codec,
             )
             if pl:
                 postings = pa.concat_tables([postings] + pl).combine_chunks()
@@ -1410,6 +1437,7 @@ def extend_index(
 
     part_mode = gmeta.get("partitioning", {}).get("mode", "hash")
     R = gmeta.get("partitioning", {}).get("rows_per_part")
+    codec = gmeta.get("codec", "varbyte")
 
     files = list_input_files(new_input)
     if not files:
@@ -1510,6 +1538,7 @@ def extend_index(
             "skip_parts": done, "use_stopwords": use_stopwords,
             "bases_ref": bases_ref,
             "rows_per_part": R if part_mode == "range" else None,
+            "codec": codec,
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1526,6 +1555,7 @@ def extend_index(
                 "new_docs_by_part": new_docs_by_part,
                 "epoch": epoch,
                 "lineage": lineage,
+                "codec": codec,
             },
             batch_format="pyarrow",
             concurrency=(1, concurrency),
@@ -1586,6 +1616,7 @@ def repair_partitions(
         # the rebuilt partitions must land on the SAME range boundaries
         build_kwargs.setdefault("partitioning", "range")
         build_kwargs.setdefault("rows_per_part", pmeta.get("rows_per_part"))
+    build_kwargs.setdefault("codec", gmeta.get("codec", "varbyte"))
 
     def keys_of(fwd, ids) -> list[tuple[str, int]]:
         # vectorized gather of just the id rows (never to_pylist the full

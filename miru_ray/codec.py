@@ -70,6 +70,29 @@ RUNS_SCHEMA = pa.schema(
 )
 
 
+# ----------------------------------------------------------- codec SPI
+#
+# The reference swaps bitmap backends behind MiruBitmaps
+# (miru-plugin/.../bitmap/MiruBitmaps.java:35 — roaring5/roaring6). The
+# rebuild's analogue is the VALUE-STREAM codec: how a stream of
+# non-negative ints (doc deltas, tfs) becomes bytes. Everything above the
+# byte payload — the run/block structure, block-max metadata, per-block
+# byte-end offsets, and the offset-subsampling merge — is codec-invariant,
+# so a codec is exactly two functions:
+#
+#   encode(values:int64[n]) -> (bytes:uint8[total], ends:int64[n])
+#   decode(buf:uint8[total]) -> uint64[n]
+#
+# ``ends`` (cumulative byte length after each value) is what the block
+# byte-end offsets are derived from, so partial decode works identically
+# for every codec. Registered codecs:
+#   varbyte — delta+LEB128, ~1 byte/doc on dense postings (default)
+#   raw32   — fixed-width little-endian uint32: 4 bytes/value, but decode
+#             is a single frombuffer+cast (no bit unpacking) — the
+#             decode-bound A/B alternative
+# The index's codec is recorded in its manifest (``codec`` key) and every
+# reader passes it down; mixing codecs across indexes in one process works.
+
 # LEB128 length thresholds: value >= 2^(7k) needs k+1 bytes
 _VB_THRESH = np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))
 
@@ -128,6 +151,55 @@ def varbyte_decode(buf: np.ndarray) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+def raw32_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-width codec: each value is 4 little-endian bytes. Encode is a
+    cast; decode is a frombuffer view — zero bit manipulation. Larger on
+    disk than varbyte (4 bytes/value vs ~1 on dense deltas) but the
+    cheapest possible decode. Values must fit uint32 (doc deltas and tfs
+    always do — docIds are int32 in the run schema)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    if v.max() > np.uint64(0xFFFFFFFF):
+        raise ValueError("raw32 codec: value exceeds uint32")
+    buf = v.astype("<u4").view(np.uint8)
+    ends = np.arange(4, 4 * n + 1, 4, dtype=np.int64)
+    return buf, ends
+
+
+def raw32_decode(buf: np.ndarray) -> np.ndarray:
+    b = np.asarray(buf, dtype=np.uint8)
+    return np.frombuffer(b.tobytes(), dtype="<u4").astype(np.uint64)
+
+
+class VarByteCodec:
+    name = "varbyte"
+    encode = staticmethod(varbyte_encode)
+    decode = staticmethod(varbyte_decode)
+
+
+class Raw32Codec:
+    name = "raw32"
+    encode = staticmethod(raw32_encode)
+    decode = staticmethod(raw32_decode)
+
+
+VARBYTE = VarByteCodec()
+RAW32 = Raw32Codec()
+CODECS = {"varbyte": VARBYTE, "raw32": RAW32}
+
+
+def get_codec(name: str | None):
+    """Resolve a codec by manifest name; None/absent → the default."""
+    if name is None:
+        return VARBYTE
+    try:
+        return CODECS[name]
+    except KeyError:
+        raise ValueError(f"unknown posting codec {name!r}; have {sorted(CODECS)}") from None
+
+
 def _reduceat(op, values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     if len(starts) == 0:
         return np.empty(0, values.dtype)
@@ -157,6 +229,7 @@ def encode_triples_to_runs(
     doc: np.ndarray,
     tf: np.ndarray,
     dl: np.ndarray,
+    codec=VARBYTE,
 ) -> pa.Table:
     """Encode a batch of (part, term, doc, tf, dl) triples — ALREADY sorted by
     (part, term, doc), doc strictly increasing within each (part, term) — into
@@ -182,7 +255,7 @@ def encode_triples_to_runs(
         new_run[1:] = (part[1:] != part[:-1]) | ~same_term
     run_starts = np.flatnonzero(new_run)
     term_per_run = term.take(pa.array(run_starts)).cast(pa.large_string())
-    return _encode_runs(part, term_per_run, doc, tf, dl, new_run, run_starts)
+    return _encode_runs(part, term_per_run, doc, tf, dl, new_run, run_starts, codec)
 
 
 def encode_codes_to_runs(
@@ -192,6 +265,7 @@ def encode_codes_to_runs(
     tf: np.ndarray,
     dl: np.ndarray,
     dict_terms: pa.Array,
+    codec=VARBYTE,
 ) -> pa.Table:
     """Integer-coded fast path: triples sorted by (code, doc), one partition.
     ``dict_terms[code]`` is the full term key string (prefix already applied).
@@ -216,6 +290,7 @@ def encode_codes_to_runs(
         np.asarray(dl, dtype=np.int64),
         new_run,
         run_starts,
+        codec,
     )
 
 
@@ -226,6 +301,7 @@ def encode_multi_part_runs(
     tf: np.ndarray,
     dl: np.ndarray,
     dict_terms: pa.Array,
+    codec=VARBYTE,
 ) -> pa.Table:
     """Multi-partition fast path: triples sorted by (part, code, doc), doc
     strictly increasing within each (part, code). One call encodes a whole
@@ -249,6 +325,7 @@ def encode_multi_part_runs(
         np.asarray(dl, dtype=np.int64),
         new_run,
         run_starts,
+        codec,
     )
 
 
@@ -260,6 +337,7 @@ def _encode_runs(
     dl: np.ndarray,
     new_run: np.ndarray,
     run_starts: np.ndarray,
+    codec=VARBYTE,
 ) -> pa.Table:
     n = len(doc)
     n_runs = len(run_starts)
@@ -285,8 +363,8 @@ def _encode_runs(
         if len(inner) and inner.min() <= 0:
             raise ValueError("doc ids must be strictly increasing within (part, term)")
 
-    doc_buf, doc_ends = varbyte_encode(deltas)
-    tf_buf, tf_ends = varbyte_encode(tf)
+    doc_buf, doc_ends = codec.encode(deltas)
+    tf_buf, tf_ends = codec.encode(tf)
 
     # per-run byte offsets
     doc_off = np.zeros(n + 1, dtype=np.int64)
@@ -355,9 +433,10 @@ def decode_posting(
     tf_bytes: bytes | np.ndarray | None,
     blk_first: np.ndarray,
     blk_count: np.ndarray,
+    codec=VARBYTE,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Decode one posting (or run) back to (docIds:int64, tfs:int64|None)."""
-    deltas = varbyte_decode(np.frombuffer(doc_bytes, dtype=np.uint8)).astype(np.int64)
+    deltas = codec.decode(np.frombuffer(doc_bytes, dtype=np.uint8)).astype(np.int64)
     blk_count = np.asarray(blk_count, dtype=np.int64)
     blk_first = np.asarray(blk_first, dtype=np.int64)
     starts = np.zeros(len(blk_count), dtype=np.int64)
@@ -369,7 +448,7 @@ def decode_posting(
     docs = c - np.repeat(base, blk_count)
     tfs = None
     if tf_bytes is not None:
-        tfs = varbyte_decode(np.frombuffer(tf_bytes, dtype=np.uint8)).astype(np.int64)
+        tfs = codec.decode(np.frombuffer(tf_bytes, dtype=np.uint8)).astype(np.int64)
     return docs, tfs
 
 
@@ -382,6 +461,7 @@ def decode_posting_range(
     blk_tf_end: np.ndarray,
     b_lo: int,
     b_hi: int,
+    codec=VARBYTE,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Partial decode of blocks [b_lo, b_hi) using the per-block byte
     offsets — the scale path for multi-GB hot-term postings: only the
@@ -391,7 +471,7 @@ def decode_posting_range(
     d_lo = 0 if b_lo == 0 else int(blk_doc_end[b_lo - 1])
     d_hi = int(blk_doc_end[b_hi - 1])
     buf = np.frombuffer(doc_bytes, dtype=np.uint8)[d_lo:d_hi]
-    deltas = varbyte_decode(buf).astype(np.int64)
+    deltas = codec.decode(buf).astype(np.int64)
     counts = np.asarray(blk_count[b_lo:b_hi], dtype=np.int64)
     firsts = np.asarray(blk_first[b_lo:b_hi], dtype=np.int64)
     starts = np.zeros(len(counts), dtype=np.int64)
@@ -405,7 +485,7 @@ def decode_posting_range(
     if tf_bytes is not None:
         t_lo = 0 if b_lo == 0 else int(blk_tf_end[b_lo - 1])
         t_hi = int(blk_tf_end[b_hi - 1])
-        tfs = varbyte_decode(np.frombuffer(tf_bytes, dtype=np.uint8)[t_lo:t_hi]).astype(np.int64)
+        tfs = codec.decode(np.frombuffer(tf_bytes, dtype=np.uint8)[t_lo:t_hi]).astype(np.int64)
     return docs, tfs
 
 
@@ -414,6 +494,7 @@ def decode_tf_range(
     blk_tf_end: np.ndarray,
     b_lo: int,
     b_hi: int,
+    codec=VARBYTE,
 ) -> np.ndarray:
     """Partial decode of the tf values of blocks [b_lo, b_hi) only — the
     lazy-tf path of the query engine: docs decode once for set algebra, tf
@@ -421,10 +502,10 @@ def decode_tf_range(
     blk_tf_end = np.asarray(blk_tf_end, dtype=np.int64)
     t_lo = 0 if b_lo == 0 else int(blk_tf_end[b_lo - 1])
     t_hi = int(blk_tf_end[b_hi - 1])
-    return varbyte_decode(np.frombuffer(tf_bytes, dtype=np.uint8)[t_lo:t_hi]).astype(np.int64)
+    return codec.decode(np.frombuffer(tf_bytes, dtype=np.uint8)[t_lo:t_hi]).astype(np.int64)
 
 
-def merge_runs(runs: pa.Table) -> pa.Table:
+def merge_runs(runs: pa.Table, codec=VARBYTE) -> pa.Table:
     """Merge encoded runs into one posting row per (part, term).
 
     Runs from different batches cover disjoint, ordered docId ranges, so the
@@ -464,7 +545,7 @@ def merge_runs(runs: pa.Table) -> pa.Table:
         gid = np.cumsum(new_group) - 1
         bad_mask = np.isin(gid, bad_gid)
         good = _merge_sorted_runs(t.filter(pa.array(~bad_mask)))
-        bad = _reencode_overlapping(t.filter(pa.array(bad_mask)))
+        bad = _reencode_overlapping(t.filter(pa.array(bad_mask)), codec)
         merged = pa.concat_tables([good, bad]).combine_chunks()
         return merged.take(
             pc.sort_indices(merged, sort_keys=[("part", "ascending"), ("term", "ascending")])
@@ -557,7 +638,7 @@ def _merge_sorted_runs(t: pa.Table, new_group: np.ndarray | None = None) -> pa.T
     )
 
 
-def _reencode_overlapping(t: pa.Table) -> pa.Table:
+def _reencode_overlapping(t: pa.Table, codec=VARBYTE) -> pa.Table:
     """Decode overlapping runs to triples and re-encode (robustness path)."""
     parts_out = []
     t = t.combine_chunks()
@@ -575,6 +656,7 @@ def _reencode_overlapping(t: pa.Table) -> pa.Table:
                 row["tf_bytes"][0].as_py(),
                 np.asarray(row["blk_first"][0].as_py()),
                 np.asarray(row["blk_count"][0].as_py()),
+                codec,
             )
             dls = np.repeat(
                 np.asarray(row["blk_min_dl"][0].as_py(), dtype=np.int64),
@@ -600,6 +682,7 @@ def _reencode_overlapping(t: pa.Table) -> pa.Table:
                 docs,
                 tfs,
                 dls,
+                codec,
             )
         )
     return pa.concat_tables(parts_out) if parts_out else RUNS_SCHEMA.empty_table()

@@ -46,7 +46,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .codec import decode_posting
+from .codec import decode_posting, get_codec
 from .filters import DEFAULT_MAX_WILDCARD_EXPANSION, Filter, parse_query
 from .segments import (
     FIELD_SEP,
@@ -115,6 +115,27 @@ def _manifest_epoch(index_dir: str, part: int) -> float:
         return -1.0
 
 
+_CODEC_CACHE: dict[str, object] = {}
+
+
+def _index_codec(index_dir: str):
+    """The index's posting value codec, from the global manifest's ``codec``
+    key (absent → varbyte, the pre-SPI default). Cached per index_dir: the
+    codec is fixed at build time and never changes across extends/repairs
+    (they inherit it from the same manifest)."""
+    c = _CODEC_CACHE.get(index_dir)
+    if c is None:
+        from .segments import read_global_manifest
+
+        try:
+            name = (read_global_manifest(index_dir) or {}).get("codec")
+        except FileNotFoundError:
+            name = None
+        c = get_codec(name)
+        _CODEC_CACHE[index_dir] = c
+    return c
+
+
 def _cached_manifest(index_dir: str, part: int) -> dict:
     from .segments import read_manifest
 
@@ -166,6 +187,7 @@ class PostingSource:
                 keys.update(field + FIELD_SEP + t for t in terms)
             else:
                 keys.add(field + FIELD_SEP + v)
+        self._codec = _index_codec(index_dir)
         self.post: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self.ttf: dict[tuple[str, str], int] = {}
         self.df: dict[tuple[str, str], int] = {}
@@ -201,6 +223,7 @@ class PostingSource:
                     None if lazy else tf_raw,
                     blk_first,
                     blk_count,
+                    self._codec,
                 )
                 if not lazy:
                     DECODE_STATS["tf_bytes_decoded"] += len(tf_raw)
@@ -250,7 +273,7 @@ class PostingSource:
 
             blk = self.blocks[(field, term)]
             DECODE_STATS["tf_bytes_decoded"] += len(blk["tf_bytes"])
-            tfs = decode_tf_range(blk["tf_bytes"], blk["tf_end"], 0, len(blk["tf_end"]))
+            tfs = decode_tf_range(blk["tf_bytes"], blk["tf_end"], 0, len(blk["tf_end"]), self._codec)
             self.post[(field, term)] = (p[0], tfs)
             ck = self._ckey + (field + FIELD_SEP + term,)
             hit = _POSTING_CACHE.get(ck)
@@ -282,7 +305,7 @@ class PostingSource:
             return self.tfs(field, term)[pos]
         t_lo = 0 if b_lo == 0 else int(blk["tf_end"][b_lo - 1])
         DECODE_STATS["tf_bytes_decoded"] += int(blk["tf_end"][b_hi - 1]) - t_lo
-        tf_span = decode_tf_range(blk["tf_bytes"], blk["tf_end"], b_lo, b_hi)
+        tf_span = decode_tf_range(blk["tf_bytes"], blk["tf_end"], b_lo, b_hi, self._codec)
         base = 0 if b_lo == 0 else int(cum[b_lo - 1])
         return tf_span[pos - base]
 

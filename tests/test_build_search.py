@@ -554,3 +554,34 @@ def test_repair_preserves_tombstones_and_streams(ray_session, tiny_transcripts_d
         assert read_tombstones(d, p).tolist() == before_tomb[p], p
         assert read_stream_set(d, p, "inbox", "s1").tolist() == before_inbox[p], p
         assert read_stream_set(d, p, "unread", "s1").tolist() == before_unread[p], p
+
+
+def test_raw32_codec_index_equals_varbyte(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """The codec SPI end-to-end (the MiruBitmaps two-backend analogue): an
+    index built with codec='raw32' must answer every query family
+    identically to the default varbyte index — decode metadata (blk_*),
+    docIds, tfs and scores are codec-invariant; only the byte payloads
+    differ (bigger: 4 bytes/value)."""
+    from miru_ray.search import SearchEngine
+
+    d = str(tmp_path_factory.mktemp("idx_raw32"))
+    meta = build_index(tiny_transcripts_dir, d, n_parts=N_PARTS, codec="raw32")
+    assert meta["codec"] == "raw32"
+
+    a = SearchEngine(index_dir)
+    b = SearchEngine(d)
+    for q in ("t1 t7", "t1 OR w00042", "t1 AND NOT t9", "w004*",
+              "role:tool t3", "turn_idx:[3 TO 7]"):
+        for scoring in ("ref_tfidf", "bm25", "time"):
+            ha, fa = a.search(q, k=20, scoring=scoring)
+            hb, fb = b.search(q, k=20, scoring=scoring)
+            assert fa == fb, (q, scoring)
+            assert [(h.part, h.doc_id, h.score) for h in ha] == [
+                (h.part, h.doc_id, h.score) for h in hb
+            ], (q, scoring)
+    # raw32 payloads are larger — prove the bytes really differ per codec
+    pb_a = sum(pq.read_table(os.path.join(index_dir, f"part={p:05d}", "postings.parquet"))["doc_bytes"].nbytes for p in range(N_PARTS))
+    pb_b = sum(pq.read_table(os.path.join(d, f"part={p:05d}", "postings.parquet"))["doc_bytes"].nbytes for p in range(N_PARTS))
+    assert pb_b > pb_a
+    a.close()
+    b.close()
