@@ -470,6 +470,25 @@ def strut_score(sf_dir: str):
     return strut_score_ds(sf_dir, list(STRUT_TERMS), strategy="unit_weighted")
 
 
+STRUT_FEATURES = (("source",), ("lang",), ("source", "lang"))
+STRUT_POS = "the"
+
+
+def strut_fields(sf_dir: str):
+    """Multi-field catwalk features (MiruAggregateUtil.java:111-257
+    gatherFeatures): the model is keyed by field-COMBINATION values —
+    [source], [lang], [source,lang] — each with the catwalk
+    numerator/denominator ratio (n docs with the combo AND the positive
+    term / n docs with the combo); docs score UNIT_WEIGHTED over their
+    present combos."""
+    from miru_ray.strut import strut_field_score_ds
+
+    return strut_field_score_ds(
+        sf_dir, [list(f) for f in STRUT_FEATURES], STRUT_POS,
+        strategy="unit_weighted",
+    )
+
+
 # ------------------------------------------------------------ reco callables
 
 RECO_USER = 3
@@ -598,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_index": bloom_index,
         "strut_model": strut_model,
         "strut_score": strut_score,
+        "strut_fields": strut_fields,
         "reco_cf": reco_cf,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
@@ -974,6 +994,36 @@ FROM documents d
 LEFT JOIN present p ON p.doc_id = d.doc_id
 LEFT JOIN model m ON m.t = p.t
 GROUP BY d.doc_id"""
+        ),
+        "strut_fields": (
+            f"""WITH tok AS ({_TOKTAB}),
+posdocs AS (SELECT DISTINCT doc_id FROM tok WHERE t = '{STRUT_POS}'),
+d AS (SELECT doc_id, source, lang,
+             (doc_id IN (SELECT doc_id FROM posdocs)) AS pos,
+             coalesce(source, '') <> '' AS s_ok,
+             coalesce(lang, '') <> '' AS l_ok
+      FROM documents),
+r0 AS (SELECT source, avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END) AS w
+       FROM d WHERE s_ok GROUP BY source),
+r1 AS (SELECT lang, avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END) AS w
+       FROM d WHERE l_ok GROUP BY lang),
+r2 AS (SELECT source, lang, avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END) AS w
+       FROM d WHERE s_ok AND l_ok GROUP BY source, lang)
+SELECT d.doc_id,
+       CASE WHEN (CASE WHEN d.s_ok THEN 1 ELSE 0 END
+                  + CASE WHEN d.l_ok THEN 1 ELSE 0 END
+                  + CASE WHEN d.s_ok AND d.l_ok THEN 1 ELSE 0 END) > 0
+            THEN round((coalesce(CASE WHEN d.s_ok THEN r0.w END, 0)
+                        + coalesce(CASE WHEN d.l_ok THEN r1.w END, 0)
+                        + coalesce(CASE WHEN d.s_ok AND d.l_ok THEN r2.w END, 0))
+                       / (CASE WHEN d.s_ok THEN 1 ELSE 0 END
+                          + CASE WHEN d.l_ok THEN 1 ELSE 0 END
+                          + CASE WHEN d.s_ok AND d.l_ok THEN 1 ELSE 0 END), 6)
+            ELSE 0.0 END AS score
+FROM d
+LEFT JOIN r0 ON r0.source = d.source
+LEFT JOIN r1 ON r1.lang = d.lang
+LEFT JOIN r2 ON r2.source = d.source AND r2.lang = d.lang"""
         ),
         "reco_cf": (
             f"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id,

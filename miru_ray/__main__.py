@@ -40,6 +40,7 @@ def cmd_build(args) -> int:
         use_stopwords=args.stopwords,
         resume=not args.no_resume,
         strategy=args.strategy,
+        codec=args.codec,
     )
     print(json.dumps(meta))
     return 0
@@ -50,7 +51,10 @@ def cmd_search(args) -> int:
     from .search import SearchEngine
 
     eng = SearchEngine(args.index, use_actors=args.actors)
-    hits, found = eng.search(args.query, k=args.k, scoring=args.scoring)
+    if getattr(args, "serial", False):
+        hits, found = eng.search_serial(args.query, k=args.k, scoring=args.scoring)
+    else:
+        hits, found = eng.search(args.query, k=args.k, scoring=args.scoring)
     print(
         json.dumps(
             {
@@ -135,6 +139,8 @@ def main(argv=None) -> int:
     b.add_argument("--stopwords", action="store_true")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--strategy", choices=["auto", "stream", "sort"], default="auto")
+    b.add_argument("--codec", choices=["varbyte", "raw32"], default="varbyte",
+                   help="posting value codec (recorded in the index manifest)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="query a built index")
@@ -143,6 +149,9 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--scoring", choices=["ref_tfidf", "bm25", "time"], default="bm25")
     s.add_argument("--actors", action="store_true", help="partition-pinned actor pool")
+    s.add_argument("--serial", action="store_true",
+                   help="serial partition walk with report carry-forward "
+                        "(acceptableBelowMin admission; relevance scorers only)")
     s.set_defaults(fn=cmd_search)
 
     e = sub.add_parser("extend", help="append new sorted files (sip analogue)")

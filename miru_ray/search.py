@@ -415,6 +415,8 @@ def search_partition(
     use_stopwords: bool = False,
     prune: bool = True,
     authz: tuple[str, tuple[str, ...]] | None = None,
+    min_score: float | None = None,
+    below_min: int = 0,
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
     task friendly). ``prune=False`` forces the full-evaluation path (used by
@@ -442,6 +444,7 @@ def search_partition(
         and authz is None
         and len(removed) == 0
         and k > 0
+        and min_score is None
     ):
         from .wand import conjunctive_terms, disjunctive_terms, wand_topk
 
@@ -538,6 +541,19 @@ def search_partition(
                 dl_answer = fwd["dl"][answer].astype(np.float64)
             denom = (tf_i + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_answer[pos] / avg_dl)).astype(np.float32)
             scores[pos] += F32(m) * (tf_v / denom)
+
+    if min_score is not None and len(answer):
+        # serial-report admission (FullText.java:134-141 batchTfIdf): docs
+        # scoring > lastReport.lowestScore always enter the queue; docs at
+        # or below it are admitted in docId (iterator) order only while the
+        # acceptableBelowMin budget (desired - alreadyScoredCount) lasts
+        above = scores > np.float32(min_score)
+        admit = above.copy()
+        budget = max(0, int(below_min))
+        if budget:
+            admit[np.flatnonzero(~above)[:budget]] = True
+        answer = answer[admit]
+        scores = scores[admit]
 
     if k <= 0 or len(answer) == 0:
         return _gather(fwd, part, answer[:0], scores[:0], found)
@@ -830,6 +846,59 @@ class SearchEngine:
         import ray
 
         return max(1, int(ray.cluster_resources().get("CPU", 8)) - 2)
+
+    def search_serial(
+        self,
+        query: str,
+        k: int = 10,
+        scoring: str = "ref_tfidf",
+        time_range: tuple[int, int] | None = None,
+        constraint: Filter | None = None,
+        max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
+        authz: tuple[str, list[str]] | None = None,
+    ) -> tuple[list[Hit], int]:
+        """The reference's SERIAL solver mode with report carry-forward
+        (MiruSolver non-parallel path; FullTextCustomQuestion.createReport
+        :128-143 → FullText.collectTfIdf :114-135): partitions are asked
+        one at a time newest→oldest; each ask after the first carries the
+        running answer's report (scoredActivities, lowestScore), and the
+        partition admits candidates scoring at or below lowestScore only
+        while the acceptableBelowMin budget (desired − alreadyScored)
+        lasts. Cheaper per partition than the parallel fan-out (older
+        partitions prune their scored sets against the carried threshold)
+        at the cost of latency; the answer can legitimately differ from
+        the parallel mode below the kth score — the reference makes the
+        same trade (fulltext registers the parallel question by default,
+        MiruService.java:410-414)."""
+        if scoring not in ("ref_tfidf", "bm25"):
+            raise ValueError("serial report mode applies to relevance scorers")
+        use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        if authz is not None:
+            authz = (authz[0], tuple(authz[1]))
+        base = dict(
+            query=query, k=k, scoring=scoring, time_range=time_range,
+            constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
+            authz=authz,
+        )
+        active = self._active_parts(time_range)
+        self.last_parts_asked = len(active)
+        merged: list[Hit] = []
+        found = 0
+        report: tuple[int, float] | None = None  # (scoredActivities, lowestScore)
+        for p in active:
+            kw = dict(base)
+            if report is not None:
+                kw["min_score"] = report[1]
+                kw["below_min"] = max(0, k - report[0])
+            r = search_partition(self.index_dir, p, **kw)
+            hits = _hits_of(r)
+            found += r["found"]
+            merged = hits[:k] if report is None else _merge_two(merged, hits, k)
+            report = (
+                len(merged),
+                min((h.score for h in merged), default=float("inf")),
+            )
+        return merged, found
 
     def match(
         self,

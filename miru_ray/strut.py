@@ -223,6 +223,16 @@ def train_model(sf_dir: str, feature_terms: list[str], positive_term: str,
     }
 
 
+def _pool_size(requested: int) -> int:
+    """Actor-pool size that can never starve the upstream read tasks: a
+    FIXED pool taking every CPU deadlocks against the task pool feeding it
+    (all-or-nothing start; same invariant as build.py's fi_conc guard)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(requested, cpus - 1))
+
+
 def strut_score_ds(sf_dir: str, feature_terms: list[str],
                    strategy: str = "unit_weighted", concurrency: int = 4):
     """The full Strut pipeline: train (stats) → broadcast the model to an
@@ -230,6 +240,7 @@ def strut_score_ds(sf_dir: str, feature_terms: list[str],
     (doc_id, score)."""
     import ray.data as rd
 
+    concurrency = _pool_size(concurrency)
     model = build_model(sf_dir, feature_terms)
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -237,6 +248,209 @@ def strut_score_ds(sf_dir: str, feature_terms: list[str],
     return ds.map_batches(
         StrutScorer,
         fn_constructor_kwargs={"model": model, "strategy": strategy},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ------------------------------------------------- multi-field catwalk model
+#
+# The reference's feature gather is MULTI-FIELD: a catwalk model is keyed by
+# feature definitions — arrays of fieldIds — and a candidate's features are
+# the term-value combinations across those fields
+# (MiruAggregateUtil.java:111-257 gatherFeatures; CatwalkQuery features;
+# StrutModelCache.java:104-140 keys models by the feature set). The
+# single-term model above keeps the text path; this section adds the
+# field-combination bundle: a feature definition is a list of column names,
+# a feature VALUE is the "\x1f"-joined tuple of those columns' values, and
+# the model maps every OBSERVED value combination to the catwalk
+# numerator/denominator ratio (StrutModelScore.java:9-13). Meta-field
+# combinations keep the model bounded (|distinct combos|, not vocabulary):
+# per-batch partials carry one row per distinct (feature, value) per batch.
+
+FIELD_SEP = "\x1f"
+
+
+def feature_keys(batch: pa.Table, fields: list[str]) -> pa.Array:
+    """Per-row feature value for one feature definition: the \\x1f-joined
+    tuple of the fields' values (the reference's composite feature term,
+    MiruAggregateUtil gatherFeatures value concat). Rows where any field is
+    null/empty get null (no feature — the reference's null fieldValues
+    guard)."""
+    cols = []
+    ok = None
+    for f in fields:
+        c = batch[f]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        c = pc.cast(c, pa.string())
+        nonempty = pc.fill_null(pc.not_equal(pc.coalesce(c, ""), ""), False)
+        ok = nonempty if ok is None else pc.and_(ok, nonempty)
+        cols.append(c)
+    if len(cols) == 1:
+        joined = cols[0]
+    else:
+        args = []
+        for i, c in enumerate(cols):
+            if i:
+                args.append(pa.scalar(FIELD_SEP))
+            args.append(c)
+        args.append("")
+        joined = pc.binary_join_element_wise(*args)
+    return pc.if_else(ok, joined, pa.scalar(None, pa.string()))
+
+
+class _FieldComboCounter:
+    """map_batches stage: per batch, one partial row per distinct
+    (feature definition, value combo): n_pos (docs whose text contains the
+    positive term) and n_all. The shuffle carries combos, never rows."""
+
+    def __init__(self, features: list[list[str]], positive_term: str):
+        self.features = features
+        self.positive_term = positive_term
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parents, tokens = tokenize_flat(batch["text"])
+        pos = np.zeros(n, dtype=bool)
+        is_pos = pc.equal(tokens, self.positive_term).to_numpy(zero_copy_only=False)
+        if is_pos.any():
+            pos[np.unique(parents[is_pos])] = True
+        fids, keys, n_pos, n_all = [], [], [], []
+        for fid, fields in enumerate(self.features):
+            vals = feature_keys(batch, fields)
+            valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+            if not valid.any():
+                continue
+            denc = vals.filter(pa.array(valid)).dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            rows = np.flatnonzero(valid)
+            nk = len(denc.dictionary)
+            alls = np.bincount(codes, minlength=nk)
+            poss = np.bincount(codes[pos[rows]], minlength=nk)
+            fids.append(np.full(nk, fid, dtype=np.int64))
+            keys.append(denc.dictionary)
+            n_pos.append(poss.astype(np.int64))
+            n_all.append(alls.astype(np.int64))
+        if not fids:
+            return pa.table(
+                {"fid": pa.array([], pa.int64()), "key": pa.array([], pa.string()),
+                 "n_pos": pa.array([], pa.int64()), "n_all": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "fid": pa.array(np.concatenate(fids)),
+                "key": pa.concat_arrays([k.cast(pa.string()) for k in keys]),
+                "n_pos": pa.array(np.concatenate(n_pos)),
+                "n_all": pa.array(np.concatenate(n_all)),
+            }
+        )
+
+
+def train_field_model(
+    sf_dir: str, features: list[list[str]], positive_term: str, concurrency: int = 2
+) -> dict[tuple[int, str], float]:
+    """Catwalk training over field-combination features: for every observed
+    value combo of every feature definition, numerator = # docs with that
+    combo AND the positive text term, denominator = # docs with the combo
+    (StrutModelScore.java:9-13 ratio). Per-batch partials → one tiny
+    groupby-sum over (fid, key); the driver sees |distinct combos| rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cols = sorted({f for fs in features for f in fs} | {"text"})
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=cols
+    ).map_batches(
+        _FieldComboCounter,
+        fn_constructor_kwargs={"features": [list(f) for f in features],
+                               "positive_term": positive_term},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    rows = ds.groupby(["fid", "key"]).aggregate(Sum("n_pos"), Sum("n_all")).take_all()
+    return {
+        (int(r["fid"]), r["key"]): (
+            int(r["sum(n_pos)"]) / int(r["sum(n_all)"]) if int(r["sum(n_all)"]) else 0.0
+        )
+        for r in rows
+    }
+
+
+class StrutFieldScorer:
+    """Actor-pool map_batches stage for field-combination features: model
+    (combo → ratio) loaded once per actor, per-batch vectorized gather +
+    strategy combine. A doc's features are its value combos, one per
+    feature definition; combos unseen in training score 0.0 but still
+    count toward the UNIT_WEIGHTED mean (documented deviation surface —
+    the reference's cache returns a nil score for unseen features too,
+    StrutModelCache.java:104-140)."""
+
+    def __init__(self, model: dict[tuple[int, str], float],
+                 features: list[list[str]], strategy: str = "unit_weighted",
+                 id_col: str = "doc_id"):
+        if strategy not in STRATEGIES:
+            raise ValueError(strategy)
+        self.features = [list(f) for f in features]
+        self.strategy = strategy
+        self.id_col = id_col
+        # per-feature-definition lookup dictionaries (value combo → ratio)
+        self._keys = []
+        self._weights = []
+        for fid in range(len(self.features)):
+            items = sorted((k, v) for (i, k), v in model.items() if i == fid)
+            self._keys.append(pa.array([k for k, _ in items], type=pa.string()))
+            self._weights.append(np.asarray([v for _, v in items], dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        per_feat = np.zeros((len(self.features), n), dtype=np.float64)
+        present = np.zeros((len(self.features), n), dtype=bool)
+        for fid, fields in enumerate(self.features):
+            vals = feature_keys(batch, fields)
+            valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+            if not valid.any():
+                continue
+            idx = pc.index_in(vals, value_set=self._keys[fid])
+            hit = pc.is_valid(idx).to_numpy(zero_copy_only=False) & valid
+            ii = idx.to_numpy(zero_copy_only=False)
+            per_feat[fid, hit] = self._weights[fid][ii[hit].astype(np.int64)]
+            present[fid] = valid  # unseen combos: present with weight 0.0
+        cnt = present.sum(axis=0)
+        if self.strategy == "unit_weighted":
+            scores = np.where(cnt > 0, (per_feat * present).sum(axis=0) / np.maximum(cnt, 1), 0.0)
+        elif self.strategy == "regression_weighted":
+            scal = np.asarray([regression_scalar(i) for i in range(len(self.features))])
+            scores = (per_feat * present * scal[:, None]).sum(axis=0)
+        else:  # max
+            scores = np.where(cnt > 0, (per_feat * present).max(axis=0), 0.0)
+        return pa.table(
+            {
+                self.id_col: pc.cast(batch[self.id_col], pa.int64()),
+                "score": pa.array(np.round(scores, 6)),
+            }
+        )
+
+
+def strut_field_score_ds(
+    sf_dir: str, features: list[list[str]], positive_term: str,
+    strategy: str = "unit_weighted", concurrency: int = 4,
+):
+    """Full multi-field Strut pipeline: train the per-combo catwalk model →
+    broadcast to an actor pool → score every document. Returns a Ray
+    Dataset (doc_id, score)."""
+    import ray.data as rd
+
+    concurrency = _pool_size(concurrency)
+    model = train_field_model(sf_dir, features, positive_term)
+    cols = sorted({f for fs in features for f in fs} | {"doc_id"})
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=cols)
+    return ds.map_batches(
+        StrutFieldScorer,
+        fn_constructor_kwargs={"model": model, "features": [list(f) for f in features],
+                               "strategy": strategy},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

@@ -76,3 +76,85 @@ def test_train_model_vs_brute(ray_session):
         exp = n_pos[f] / n_all[f] if n_all[f] else 0.0
         assert got[f] == pytest.approx(exp, abs=1e-12), f
     assert got["zzznotaterm"] == 0.0
+
+
+FIELD_FEATURES = [["source"], ["lang"], ["source", "lang"]]
+
+
+def _brute_field_model(rows, positive_term):
+    from miru_ray.tokenize import py_tokenize
+
+    pos = {r["doc_id"] for r in rows if positive_term in py_tokenize(r["text"] or "")}
+    model = {}
+    for fid, fields in enumerate(FIELD_FEATURES):
+        combos = {}
+        for r in rows:
+            vals = [r.get(f) for f in fields]
+            if any(v is None or v == "" for v in vals):
+                continue
+            key = "\x1f".join(str(v) for v in vals)
+            n_pos, n_all = combos.get(key, (0, 0))
+            combos[key] = (n_pos + (r["doc_id"] in pos), n_all + 1)
+        for key, (n_pos, n_all) in combos.items():
+            model[(fid, key)] = n_pos / n_all
+    return model
+
+
+def _brute_field_score(rows, model, strategy):
+    from miru_ray.strut import regression_scalar
+
+    out = {}
+    for r in rows:
+        weights, present = [], []
+        for fid, fields in enumerate(FIELD_FEATURES):
+            vals = [r.get(f) for f in fields]
+            if any(v is None or v == "" for v in vals):
+                present.append(False)
+                weights.append(0.0)
+                continue
+            present.append(True)
+            weights.append(model.get((fid, "\x1f".join(map(str, vals))), 0.0))
+        cnt = sum(present)
+        if cnt == 0:
+            out[r["doc_id"]] = 0.0
+        elif strategy == "unit_weighted":
+            out[r["doc_id"]] = sum(w for w, p in zip(weights, present) if p) / cnt
+        elif strategy == "regression_weighted":
+            out[r["doc_id"]] = sum(
+                w * regression_scalar(i) for i, (w, p) in enumerate(zip(weights, present)) if p
+            )
+        else:
+            out[r["doc_id"]] = max(w for w, p in zip(weights, present) if p)
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["unit_weighted", "regression_weighted", "max"])
+def test_strut_field_features_vs_brute(ray_session, strategy):
+    """Multi-field catwalk features (MiruAggregateUtil gatherFeatures):
+    training ratios and strategy scores equal a row-by-row brute force over
+    the sf0.001 documents, including null/empty field guards."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.strut import strut_field_score_ds, train_field_model
+
+    sf = "/root/testdata/sf0.001"
+    rows = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "source", "lang", "text"]
+    ).to_pylist()
+    positive = "the"
+
+    model = train_field_model(sf, FIELD_FEATURES, positive)
+    brute_model = _brute_field_model(rows, positive)
+    assert set(model) == set(brute_model)
+    for k in model:
+        assert model[k] == pytest.approx(brute_model[k], abs=1e-12), k
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in strut_field_score_ds(sf, FIELD_FEATURES, positive, strategy=strategy)
+        .take_all()
+    }
+    exp = _brute_field_score(rows, brute_model, strategy)
+    assert set(got) == set(exp)
+    for d in got:
+        assert got[d] == pytest.approx(round(exp[d], 6), abs=1e-9), d
