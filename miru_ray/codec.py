@@ -521,22 +521,35 @@ def merge_runs(runs: pa.Table, codec=VARBYTE) -> pa.Table:
     if runs.num_rows == 0:
         return RUNS_SCHEMA.empty_table()
     runs = runs.combine_chunks()
-    idx = pc.sort_indices(
-        runs,
-        sort_keys=[("part", "ascending"), ("term", "ascending"), ("first_doc", "ascending")],
-    )
-    t = runs.take(idx).combine_chunks()
-    n = t.num_rows
-    part = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
-    first_doc = t["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = runs.num_rows
+    # sort (part, term, first_doc) NUMERICALLY: dictionary-encode the terms
+    # once (one hash pass), lex-rank the (small) dictionary, then one numpy
+    # lexsort — the n-row multi-key STRING sort this replaces dominated the
+    # finalize profile at millions of pre-merge runs per partition. The key
+    # is unique per row (runs of one (part, term) cover disjoint docId
+    # ranges), so the permutation equals the stable string sort's exactly.
+    term_arr = runs["term"].combine_chunks()
+    if isinstance(term_arr, pa.ChunkedArray):
+        term_arr = term_arr.chunk(0) if term_arr.num_chunks else pa.array([], runs["term"].type)
+    denc = term_arr.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = denc.dictionary
+    rank = np.empty(len(dic), dtype=np.int64)
+    rank[pc.sort_indices(dic).to_numpy(zero_copy_only=False)] = np.arange(len(dic))
+    tcode = rank[codes]
+    part0 = runs["part"].to_numpy(zero_copy_only=False)
+    fd0 = runs["first_doc"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((fd0, tcode, part0))
+    t = runs.take(pa.array(order)).combine_chunks()
+    part = part0[order].astype(np.int64)
+    first_doc = fd0[order].astype(np.int64)
     last_doc = t["last_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
-    term = t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+    tc = tcode[order]
 
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
     if n > 1:
-        same_term = pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-        new_group[1:] = (part[1:] != part[:-1]) | ~same_term
+        new_group[1:] = (part[1:] != part[:-1]) | (tc[1:] != tc[:-1])
 
     overlap = (~new_group) & (first_doc <= np.concatenate([[np.int64(-1)], last_doc[:-1]]))
     if overlap.any():
@@ -577,7 +590,8 @@ def _merge_sorted_runs(t: pa.Table, new_group: np.ndarray | None = None) -> pa.T
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
     def np_col(name, dtype):
-        return col(name).to_numpy(zero_copy_only=False).astype(dtype)
+        a = col(name).to_numpy(zero_copy_only=False)
+        return a if a.dtype == dtype else a.astype(dtype)
 
     def subsample_binary(name):
         arr = col(name)
@@ -601,17 +615,19 @@ def _merge_sorted_runs(t: pa.Table, new_group: np.ndarray | None = None) -> pa.T
         byte_off = _offsets_and_data(col(bytes_name))
         gid = np.cumsum(new_group) - 1
         shift_per_row = byte_off[:-1] - byte_off[go[gid]]
-        blocks_per_row = (off[1:] - off[:-1]).astype(np.int64)
-        values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        blocks_per_row = off[1:] - off[:-1]  # already int64 views
+        values = arr.values.to_numpy(zero_copy_only=False)  # int64, zero-copy
         shifted = values + np.repeat(shift_per_row, blocks_per_row)
         return pa.LargeListArray.from_arrays(
             pa.array(off[bounds], type=pa.int64()), pa.array(shifted, type=pa.int64())
         )
 
-    df = np.add.reduceat(np_col("df", np.int64), go).astype(np.int32)
+    # native-dtype reduceats: df/n_blocks sums and max_tf maxes fit int32
+    # (docIds are int32 so per-(part,term) df ≤ 2^31); ttf stays int64
+    df = np.add.reduceat(np_col("df", np.int32), go)
     ttf = np.add.reduceat(np_col("ttf", np.int64), go)
-    max_tf = np.maximum.reduceat(np_col("max_tf", np.int64), go).astype(np.int32)
-    n_blocks = np.add.reduceat(np_col("n_blocks", np.int64), go).astype(np.int32)
+    max_tf = np.maximum.reduceat(np_col("max_tf", np.int32), go)
+    n_blocks = np.add.reduceat(np_col("n_blocks", np.int32), go)
     first_doc = np_col("first_doc", np.int32)[go]
     last_doc = np_col("last_doc", np.int32)[bounds[1:] - 1]
 
