@@ -428,6 +428,22 @@ def dd_clusters(sf_dir: str):
     return minhash_clusters(sf_dir, threshold=0.9)
 
 
+NGRAM_JACCARD_THRESHOLD = 0.5
+NGRAM_MAX_DF = 64
+
+
+def dd_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard pairs (dedup.ngram_jaccard_pairs_ds): inverted
+    gram index → distributed intersection counts → |A∪B| from per-doc
+    distinct counts. No signatures, no estimation — the score is exact
+    (lower-bounded only by the mirrored hot-gram cap)."""
+    from miru_ray.dedup import ngram_jaccard_pairs_ds
+
+    return ngram_jaccard_pairs_ds(
+        sf_dir, threshold=NGRAM_JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
+
+
 # ------------------------------------------------------------ bloom callable
 
 
@@ -623,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash": dd_minhash,
         "dd_simhash_groups": dd_simhash_groups,
         "dd_clusters": dd_clusters,
+        "dd_ngram_jaccard": dd_ngram_jaccard,
         "txt_quality": txt_quality,
         "txt_langid": txt_langid,
         "txt_fingerprints": txt_fingerprints,
@@ -1074,6 +1091,22 @@ reach(s, d) AS (SELECT s, d FROM edges
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
 SELECT CAST(s AS BIGINT) AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
 FROM reach GROUP BY s"""
+        ),
+        "dd_ngram_jaccard": (
+            f"""WITH {_gram_ctes()},
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+ndist AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY doc_id),
+-- hot-shingle cap: grams in >{NGRAM_MAX_DF} docs contribute no pair evidence
+inv AS (SELECT doc_id, g FROM dg
+        WHERE g IN (SELECT g FROM dg GROUP BY g
+                    HAVING count(*) BETWEEN 2 AND {NGRAM_MAX_DF})),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+          FROM inv x JOIN inv y USING (g) WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN ndist na ON na.doc_id = a JOIN ndist nb ON nb.doc_id = b
+WHERE round(i / (na.n + nb.n - i), 6) >= {NGRAM_JACCARD_THRESHOLD}"""
         ),
         "txt_fingerprints": (
             f"""WITH {_gram_ctes()},

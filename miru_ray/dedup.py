@@ -21,6 +21,16 @@ the engine for training-data pipelines):
   is reported in the result metadata).
 * **simhash** — 64-bit SimHash over tf-weighted token hashes; near-dups =
   identical simhash (extendable to hamming≤k via rotation banding).
+* **ngram_jaccard** — EXACT token-k-gram Jaccard pairs via a distributed
+  inverted gram index: the intersection size of every candidate pair is a
+  groupby count over shared grams, the union falls out of the per-doc
+  distinct-gram counts (|A∪B| = |A|+|B|−|A∩B|), so no signatures and no
+  estimation error. Grams shared by more than ``max_df`` docs are excluded
+  from intersection EVIDENCE (bounding the per-gram pair fan-out — the
+  standard hot-shingle cap; boilerplate shingles contribute O(df²) pairs);
+  the resulting score is therefore a lower bound that equals true Jaccard
+  whenever no shared gram is hot. The cap is part of the operator contract
+  and the SQL oracle mirrors it exactly.
 """
 
 from __future__ import annotations
@@ -284,6 +294,117 @@ def simhash_dup_groups_ds(sf_dir: str):
         lambda b: b.rename_columns(["simhash", "keep_id", "n_dups"]).drop_columns(["simhash"]),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+
+
+def _gram_set_map(batch: pa.Table, shingle_k: int) -> pa.Table:
+    """Per batch: (g, doc_id) rows for every DISTINCT k-gram of each doc.
+    A doc's text lives in one batch row, so within-batch distinct is
+    globally distinct — no cross-batch dedup needed."""
+    parents, tokens = tokenize_flat(batch["text"])
+    th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+    gp, gh = gram_hashes(parents, th, shingle_k)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(gh) == 0:
+        return pa.table({"g": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())})
+    order = np.lexsort((gh, gp))
+    gp, gh = gp[order], gh[order]
+    keep = np.concatenate([[True], (gp[1:] != gp[:-1]) | (gh[1:] != gh[:-1])])
+    return pa.table(
+        {"g": pa.array(gh[keep].view(np.int64)), "doc_id": pa.array(ids[gp[keep]])}
+    )
+
+
+def _gram_bucket_pairs(group: pa.Table, max_df: int) -> pa.Table:
+    """Within one gram's posting group: emit all doc pairs (a < b), one row
+    per shared gram. Groups larger than ``max_df`` are dropped whole (the
+    hot-shingle cap — O(df²) fan-out bound; mirrored in the SQL oracle)."""
+    n = group.num_rows
+    if n < 2 or n > max_df:
+        return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+    ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ai, bi = np.triu_indices(n, k=1)
+    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+
+def ngram_jaccard_pairs_ds(
+    sf_dir: str, shingle_k: int = 3, threshold: float = 0.5, max_df: int = 64
+):
+    """EXACT token-k-gram Jaccard near-dup pairs ≥ ``threshold``.
+
+    Pipeline: distinct (gram, doc) rows per batch → groupby(gram) pair
+    emission (bucket ≤ max_df, see module doc) → groupby(a, b) count =
+    |A∩B| → two hash joins against the per-doc distinct-gram counts for
+    |A| and |B| → jaccard = inter / (na + nb − inter). Only gram hashes
+    and doc ids ever shuffle (never text); the pair fan-out is bounded by
+    max_df² per gram. Returns (a, b, jaccard) rounded to 6 decimals."""
+    from ray.data.aggregate import Count
+
+    rows = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _gram_set_map(b, shingle_k), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice (ndist + inverted index); grams ≪ text
+
+    ndist = rows.groupby("doc_id").aggregate(Count()).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b["doc_id"], pa.int64()),
+             "n": pc.cast(b[b.schema.names[-1]], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    inter = (
+        rows.groupby("g")
+        .map_groups(lambda g: _gram_bucket_pairs(g, max_df), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {"a": pc.cast(b["a"], pa.int64()), "b": pc.cast(b["b"], pa.int64()),
+                 "inter": pc.cast(b[b.schema.names[-1]], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # Ray's hash aggregate emits a schemaless empty stream on zero input
+    # rows, which the join below can't key — and count() on the materialized
+    # handle is free metadata. inter is object-store-resident (spillable),
+    # never driver-resident.
+    inter = inter.materialize()
+    if inter.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
+        )
+    na = ndist.map_batches(
+        lambda b: b.rename_columns(["a", "na"]), batch_format="pyarrow"
+    )
+    nb = ndist.map_batches(
+        lambda b: b.rename_columns(["b", "nb"]), batch_format="pyarrow"
+    )
+    joined = inter.join(na, "inner", 8, on=("a",)).join(nb, "inner", 8, on=("b",))
+
+    def _score(b: pa.Table) -> pa.Table:
+        i = b["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (
+            b["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+            + b["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+            - i
+        )
+        j = np.round(i / u, 6)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pc.cast(b["a"], pa.int64()).filter(pa.array(keep)),
+                "b": pc.cast(b["b"], pa.int64()).filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(_score, batch_format="pyarrow")
 
 
 def minhash_clusters(

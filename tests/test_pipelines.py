@@ -130,6 +130,36 @@ def test_minhash_pairs_recall_and_estimates(ray_session, doc_tokens):
     assert not missed, f"missed near-dups: {missed}"
 
 
+def test_ngram_jaccard_exact(ray_session, doc_tokens):
+    """ngram_jaccard_pairs_ds must return the EXACT token-3-gram Jaccard for
+    every pair it emits, and find every true pair ≥ threshold, whenever no
+    shared gram exceeds max_df (set high enough here that the cap is
+    inactive — the brute-force set is then the complete ground truth)."""
+    from miru_ray.dedup import exact_jaccard, ngram_jaccard_pairs_ds
+
+    got = ngram_jaccard_pairs_ds(SF, threshold=0.6, max_df=10**6).to_pandas()
+    pairs = {(int(a), int(b)): float(j) for a, b, j in zip(got["a"], got["b"], got["jaccard"])}
+    ids = sorted(doc_tokens)
+    truth = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            j = exact_jaccard(doc_tokens[ids[x]], doc_tokens[ids[y]], k=3)
+            if j >= 0.6:
+                truth[(ids[x], ids[y])] = j
+    assert set(pairs) == set(truth), (set(pairs) ^ set(truth))
+    for p, j in pairs.items():
+        assert abs(j - truth[p]) < 1e-6, (p, j, truth[p])
+
+
+def test_ngram_jaccard_hot_gram_cap(ray_session, doc_tokens):
+    """With max_df=1 no gram may contribute pair evidence → zero pairs (the
+    cap bounds fan-out exactly as documented)."""
+    from miru_ray.dedup import ngram_jaccard_pairs_ds
+
+    got = ngram_jaccard_pairs_ds(SF, threshold=0.0, max_df=1).to_pandas()
+    assert len(got) == 0
+
+
 def test_fingerprints_vs_scalar(ray_session, doc_tokens):
     from miru_ray.textstats import fingerprint_ds
 
