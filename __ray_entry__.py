@@ -561,6 +561,42 @@ def ann_topk(sf_dir: str) -> pa.Table:
     return _round_rerank(ann_brute_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K), ANN_K)
 
 
+IVF_STRIDE = 31
+IVF_NPROBE = 4
+
+
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF-flat ANN (ann.ann_ivf_topk): strided deterministic coarse
+    quantizer, nearest-centroid assignment (rounded-8dp cosine, tie →
+    smaller centroid id), nprobe multi-probe per query. Fully mirrored in
+    DuckDB — value-checked like ann_lsh."""
+    from miru_ray.ann import ann_ivf_topk
+
+    return _round_rerank(
+        ann_ivf_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K, stride=IVF_STRIDE, nprobe=IVF_NPROBE),
+        ANN_K,
+    )
+
+
+EMBED_ND_THRESHOLD = 0.4
+EMBED_ND_BANDS = 8
+EMBED_ND_PPB = 4
+EMBED_ND_MAXBUCKET = 256
+
+
+def dd_embed_cosine(sf_dir: str):
+    """Embedding-cosine near-dup pairs (ann.embed_neardup_pairs_ds): sign-LSH
+    banded bucketing (8 bands × 4 planes), exact cosine within buckets,
+    max-dedup across bands. Deterministic planes → the DuckDB oracle mirrors
+    the whole chain and value-checks the result."""
+    from miru_ray.ann import embed_neardup_pairs_ds
+
+    return embed_neardup_pairs_ds(
+        sf_dir, threshold=EMBED_ND_THRESHOLD, bands=EMBED_ND_BANDS,
+        planes_per_band=EMBED_ND_PPB, max_bucket=EMBED_ND_MAXBUCKET, dim=ANN_DIM,
+    )
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-hyperplane LSH ANN. The hash chain is fully deterministic
     (splitmix64-seeded hyperplanes), so the DuckDB oracle mirrors it END TO
@@ -645,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_fingerprints": txt_fingerprints,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "dd_embed_cosine": dd_embed_cosine,
     }
 
 
@@ -1159,7 +1197,72 @@ ranked AS (
 SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
         ),
         "ann_lsh": _lsh_oracle_sql(),
+        "ann_ivf": (
+            f"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+               WHERE vec_id % {IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 8) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 8) DESC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT p.qid AS q, a.vec_id AS neighbor
+         FROM assign a JOIN probe p USING (cid) WHERE a.vec_id <> p.qid),
+scored AS (
+  SELECT cand.q, cand.neighbor,
+         round(list_cosine_similarity(e.embedding, qe.embedding), 4) AS cos
+  FROM cand JOIN embeddings e ON e.vec_id = cand.neighbor
+            JOIN embeddings qe ON qe.vec_id = cand.q),
+ranked AS (SELECT q, neighbor, cos,
+                  row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) rn
+           FROM scored)
+SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
+        ),
+        "dd_embed_cosine": _embed_neardup_oracle_sql(),
     }
+
+
+def _embed_neardup_oracle_sql() -> str:
+    """DuckDB mirror of ann.embed_neardup_pairs_ds: the 8×4 banded sign
+    codes (same splitmix64 hyperplanes, inlined as exact float64 literals),
+    the vec_id-ascending bucket cap, and the 4-decimal-rounded cosine
+    threshold — value-checked like the ann_lsh chain."""
+    from miru_ray.ann import hyperplanes
+
+    n_planes = EMBED_ND_BANDS * EMBED_ND_PPB
+    planes = hyperplanes(ANN_DIM, n_planes)
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join("%.17g" % w for w in planes[p]))
+        for p in range(n_planes)
+    )
+    return f"""WITH planes(pid, w) AS (VALUES {rows}),
+codes AS (
+  SELECT e.vec_id, CAST(p.pid // {EMBED_ND_PPB} AS BIGINT) AS band,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) > 0
+                       THEN 1::BIGINT << (p.pid % {EMBED_ND_PPB}) ELSE 0 END) AS BIGINT) AS code
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.pid // {EMBED_ND_PPB}),
+capped AS (
+  SELECT band, code, vec_id FROM (
+    SELECT band, code, vec_id,
+           row_number() OVER (PARTITION BY band, code ORDER BY vec_id) AS rn
+    FROM codes) WHERE rn <= {EMBED_ND_MAXBUCKET}),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM capped x JOIN capped y USING (band, code) WHERE x.vec_id < y.vec_id),
+scored AS (
+  SELECT a, b, round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+  FROM cand JOIN embeddings ea ON ea.vec_id = cand.a
+            JOIN embeddings eb ON eb.vec_id = cand.b)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cos
+FROM scored WHERE cos >= {EMBED_ND_THRESHOLD}"""
 
 
 def _lsh_oracle_sql() -> str:

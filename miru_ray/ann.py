@@ -10,7 +10,12 @@ size on a cluster.
 
 The LSH-bucketed variant (`ann_lsh_topk`) is the scale path: sign-random-
 hyperplane codes gate which rows are even compared (multi-probe over the
-query codes); recall vs brute force is validated in tests.
+query codes); recall vs brute force is validated in tests. The IVF-flat
+variant (`ann_ivf_topk`) is the other standard gate: rows are assigned to
+their nearest coarse centroid and only the query's ``nprobe`` probed cells
+are scored. `embed_neardup_pairs_ds` turns the same sign-LSH machinery
+into an embedding-cosine near-duplicate detector (banded buckets → exact
+within-bucket cosine).
 
 The reference has no vector operator; this extends the engine for
 training-data pipelines (embedding near-dup / retrieval).
@@ -225,6 +230,211 @@ class LshTopK:
                 "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
             }
         )
+
+
+# ------------------------------------------------------------------ IVF path
+
+
+def load_centroids(sf_dir: str, stride: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic strided coarse quantizer: centroids = the vectors with
+    vec_id ≡ 0 (mod stride) — a plain sample, exactly mirrorable in SQL.
+    Lloyd refinement (distributed: per-batch partial centroid sums + a tiny
+    groupby) plugs in here without touching the probe/assign machinery; the
+    sampled quantizer is the value-checked baseline."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    # dataset expressions have no modulo: scan the id column alone (column
+    # pruning keeps this tiny), then push the centroid id set down as isin
+    ids_only = dset.to_table(columns=["vec_id"])["vec_id"].to_numpy()
+    want = ids_only[ids_only % stride == 0]
+    t = dset.to_table(
+        filter=pc.field("vec_id").isin(pa.array(want)), columns=["vec_id", "embedding"]
+    )
+    ids, m = _to_matrix(t)
+    order = np.argsort(ids)
+    return ids[order], m[order]
+
+
+class IvfTopK:
+    """IVF-flat stage: each batch row is ASSIGNED to its nearest centroid
+    (max cosine, rounded 8dp, tie → smaller centroid id); a row is compared
+    against query j only if its centroid is in j's ``nprobe`` probe list.
+    Cuts compared rows ~nprobe/n_centroids vs brute force; the centroid and
+    query matrices ride the object store once (ray.put)."""
+
+    def __init__(self, queries_ref, query_ids, cents_ref, cent_ids, k: int, nprobe: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+        self.q = _normalize(q)
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.cents = _normalize(c)
+        self.cent_ids = np.asarray(cent_ids, dtype=np.int64)  # ascending
+        self.k = k
+        # probe set per query: top-nprobe centroids by rounded cosine
+        qc = np.round(self.q @ self.cents.T, 8)  # (nq, nc)
+        order = np.lexsort((np.broadcast_to(np.arange(qc.shape[1]), qc.shape), -qc))
+        self.probe = order[:, :nprobe]  # centroid POSITIONS, not ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        ac = np.round(mn @ self.cents.T, 8)
+        assigned = np.argmax(ac, axis=1)  # first max = smallest centroid id
+        out_q, out_n, out_c = [], [], []
+        for j in range(len(self.query_ids)):
+            sel = np.flatnonzero(np.isin(assigned, self.probe[j]))
+            if not len(sel):
+                continue
+            sims = mn[sel] @ self.q[j]
+            k = min(self.k + 1, len(sel))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.append(np.full(k, self.query_ids[j], dtype=np.int64))
+            out_n.append(ids[sel][top])
+            out_c.append(sims[top])
+        if not out_q:
+            return pa.table(
+                {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate(out_q)),
+                "neighbor": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+
+def ann_ivf_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 10, stride: int = 31, nprobe: int = 4
+) -> pa.Table:
+    """Approximate cosine top-k via IVF-flat with a strided coarse
+    quantizer: only rows whose nearest centroid is among the query's
+    ``nprobe`` probed centroids are scored."""
+    import ray
+
+    qids, qm = load_queries(sf_dir, n_queries)
+    cids, cm = load_centroids(sf_dir, stride)
+    qref, cref = ray.put(qm), ray.put(cm)
+    partials = _emb_ds(sf_dir).map_batches(
+        IvfTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "query_ids": qids, "cents_ref": cref,
+            "cent_ids": cids, "k": k, "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return _merge_topk_ds(partials, k)
+
+
+# -------------------------------------------------- embedding-cosine near-dup
+
+
+class EmbedLshStage:
+    """Near-dup stage 1: per batch, each vector's sign code under every
+    band's plane set → one output row per (band, row): (band, code, vec_id,
+    embedding). The embedding rides to the bucket stage so exact cosines
+    are computed WITHIN the bucket — the shuffle payload is bands × vector,
+    the standard LSH near-dup trade (dedup data never crosses the driver)."""
+
+    def __init__(self, dim: int, bands: int, planes_per_band: int):
+        self.bands = bands
+        self.ppb = planes_per_band
+        self.planes = hyperplanes(dim, bands * planes_per_band)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        n = len(ids)
+        bits = (m @ self.planes.T) > 0  # (n, bands*ppb); sign is scale-invariant
+        weights = (np.uint64(1) << np.arange(self.ppb, dtype=np.uint64))
+        out_band = np.repeat(np.arange(self.bands, dtype=np.int64), n)
+        out_code = np.empty(self.bands * n, dtype=np.int64)
+        for b in range(self.bands):
+            chunk = bits[:, b * self.ppb : (b + 1) * self.ppb].astype(np.uint64)
+            out_code[b * n : (b + 1) * n] = (chunk * weights[None, :]).sum(axis=1).astype(np.int64)
+        emb = batch["embedding"].combine_chunks() if isinstance(batch["embedding"], pa.ChunkedArray) else batch["embedding"]
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), self.bands))
+        return pa.table(
+            {
+                "band": pa.array(out_band),
+                "code": pa.array(out_code),
+                "vec_id": pa.array(np.tile(ids, self.bands)),
+                "embedding": emb.take(idx),
+            }
+        )
+
+
+def _embed_bucket_pairs(group: pa.Table, threshold: float, max_bucket: int) -> pa.Table:
+    """Within one (band, code) bucket: exact pairwise cosine over the first
+    ``max_bucket`` members (vec_id ascending — mirrored in the SQL oracle),
+    emit pairs with 4-decimal-rounded cosine ≥ threshold."""
+    empty = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]
+    ).empty_table()
+    if group.num_rows < 2:
+        return empty
+    ids, m = _to_matrix(group)
+    order = np.argsort(ids, kind="stable")[:max_bucket]
+    ids, m = ids[order], m[order]
+    mn = _normalize(m)
+    sims = np.round(mn @ mn.T, 4)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    keep = sims[ai, bi] >= threshold
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(ids[ai[keep]]),
+            "b": pa.array(ids[bi[keep]]),
+            "cos": pa.array(sims[ai[keep], bi[keep]], type=pa.float64()),
+        }
+    )
+
+
+def embed_neardup_pairs_ds(
+    sf_dir: str,
+    threshold: float = 0.4,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    max_bucket: int = 256,
+    dim: int = 64,
+):
+    """Embedding-cosine near-duplicate pairs ≥ ``threshold``.
+
+    LSH-banded: two vectors are compared iff some band gives them the same
+    sign code (recall at cosine c is 1-(1-p^P)^B with p = 1-acos(c)/π;
+    grow ``planes_per_band`` with log n to keep buckets bounded at corpus
+    scale). Pipeline: EmbedLshStage map_batches → groupby(band, code)
+    bucket pair emission → groupby(a, b) max-dedup across bands. The full
+    chain is deterministic (splitmix64-seeded planes) and mirrored end to
+    end in the SQL oracle."""
+    from ray.data.aggregate import Max
+
+    rows = _emb_ds(sf_dir).map_batches(
+        EmbedLshStage,
+        fn_constructor_kwargs={"dim": dim, "bands": bands, "planes_per_band": planes_per_band},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    pairs = rows.groupby(["band", "code"]).map_groups(
+        lambda g: _embed_bucket_pairs(g, threshold, max_bucket), batch_format="pyarrow"
+    )
+    out = pairs.groupby(["a", "b"]).aggregate(Max("cos"))
+    empty = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]
+    ).empty_table()
+    return out.map_batches(
+        # zero-candidate inputs reach here schemaless (Ray hash aggregate)
+        lambda b: b.rename_columns(["a", "b", "cos"]) if len(b.schema) == 3 else empty,
+        batch_format="pyarrow",
+    )
 
 
 def ann_lsh_topk(

@@ -218,6 +218,63 @@ def test_ann_lsh_recall(ray_session, emb):
 # -------------------------------------------------------------- multimodal
 
 
+def test_ann_ivf_equals_gated_brute(ray_session, emb):
+    """ann_ivf_topk must equal the numpy mirror of its own gating: assign
+    each vector to its nearest strided centroid (rounded-8dp cosine, tie →
+    smaller cid), score a row for query j only if its centroid is probed,
+    exact top-k among candidates."""
+    from miru_ray.ann import ann_ivf_topk
+
+    ids, m = emb
+    nq, k, stride, nprobe = 4, 5, 31, 3
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cmask = ids % stride == 0
+    cpos = np.flatnonzero(cmask)[np.argsort(ids[cmask])]
+    cm = mn[cpos]
+    ac = np.round(mn @ cm.T, 8)
+    assigned = np.argmax(ac, axis=1)
+    expect = set()
+    for j in range(nq):
+        qrow = np.flatnonzero(ids == j)[0]
+        qc = np.round(mn[qrow] @ cm.T, 8)
+        probe = np.lexsort((np.arange(len(qc)), -qc))[:nprobe]
+        sel = np.flatnonzero(np.isin(assigned, probe) & (ids != j))
+        sims = mn[sel] @ mn[qrow]
+        order = np.lexsort((ids[sel], -sims))[:k]
+        for p in order:
+            expect.add((j, int(ids[sel][p])))
+    got = ann_ivf_topk(SF, n_queries=nq, k=k, stride=stride, nprobe=nprobe).to_pandas()
+    got_pairs = set(zip((int(x) for x in got["q"]), (int(x) for x in got["neighbor"])))
+    assert got_pairs == expect
+
+
+def test_embed_neardup_pairs(ray_session, emb):
+    """Every emitted pair's cosine must equal the numpy truth (rounded 4),
+    no pair below threshold may appear, and recall vs brute force must be
+    in the band-math range (8 bands × 4 planes at cos≥0.5 → >0.9)."""
+    from miru_ray.ann import embed_neardup_pairs_ds
+
+    ids, m = emb
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn @ mn.T, 4)
+    got = embed_neardup_pairs_ds(SF, threshold=0.35).to_pandas()
+    assert len(got) > 0
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for a, b, c in zip(got["a"], got["b"], got["cos"]):
+        assert a < b
+        truth = sims[idx[int(a)], idx[int(b)]]
+        assert abs(float(c) - truth) < 1e-9, (a, b, c, truth)
+        assert float(c) >= 0.35
+    # strong pairs (≥0.45): per-plane p=1-acos(.45)/pi≈.648, band p^4≈.177,
+    # miss chance (1-.177)^8≈.21 per pair — require at least half found
+    ai, bi = np.triu_indices(len(ids), k=1)
+    strong = [(int(ids[x]), int(ids[y])) for x, y in zip(ai, bi) if sims[x, y] >= 0.45]
+    if strong:
+        found = set(zip((int(x) for x in got["a"]), (int(x) for x in got["b"])))
+        rec = sum(p in found for p in strong) / len(strong)
+        assert rec >= 0.5, (rec, len(strong))
+
+
 def test_multimodal_plumbing(ray_session):
     from miru_ray.multimodal import DecodeStage, FEATURE_DIM, feature_extract_ds, synth_media_table
 
