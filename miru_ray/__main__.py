@@ -41,6 +41,7 @@ def cmd_build(args) -> int:
         resume=not args.no_resume,
         strategy=args.strategy,
         codec=args.codec,
+        analyzer=args.analyzer,
     )
     print(json.dumps(meta))
     return 0
@@ -139,6 +140,8 @@ def main(argv=None) -> int:
     b.add_argument("--stopwords", action="store_true")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--strategy", choices=["auto", "stream", "sort"], default="auto")
+    b.add_argument("--analyzer", default="default",
+                   help="analyzer name (analyzers.register_analyzer; e.g. unicode)")
     b.add_argument("--codec", choices=["varbyte", "raw32"], default="varbyte",
                    help="posting value codec (recorded in the index manifest)")
     b.set_defaults(fn=cmd_build)

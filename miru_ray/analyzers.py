@@ -1,0 +1,117 @@
+"""Pluggable analyzer registry — the per-locale analyzer seam.
+
+The reference resolves a Lucene analyzer per field locale with a
+fallback chain (TermAnalyzers.java:50-136: exact locale → language-only
+prefix → default) and uses the SAME chain at ingest and at query parse
+(TermTokenizer.java:34-54). This module is that seam for the rebuild:
+
+* an Analyzer couples the VECTORIZED batch tokenizer (build side,
+  ``flat``) with its scalar twin (query-parse side, ``scalar``); the two
+  must be byte-identical on every input — that is the index's term
+  equality contract (see tokenize.py module doc).
+* ``get_analyzer`` resolves names with the reference's fallback chop:
+  ``"en_GB"`` → ``"en"`` → ``"default"``.
+* the analyzer NAME is recorded in the index manifest at build time and
+  re-resolved on the query side, so an index can never be queried with a
+  different analyzer than it was built with.
+
+Two shipped analyzers:
+
+* ``default`` (= ``ascii``) — the byte-level numpy tokenizer
+  (tokenize.tokenize_flat): maximal [a-z0-9]+ runs after ASCII
+  lowercasing. The SQL-oracle-expressible engine contract; non-ASCII
+  bytes are separators.
+* ``unicode`` — Unicode letters/digits after full utf8 lowercasing
+  (Arrow ``utf8_lower`` + re2 ``[\\p{L}\\p{N}]+`` splitting): the
+  multilingual path (accents, Cyrillic, CJK runs kept whole). Its scalar
+  twin IS the vectorized kernel on a 1-row array — parity by
+  construction, not by a parallel implementation.
+
+Registering a new locale is ``register_analyzer(Analyzer(...))`` — the
+plugin-SPI pattern (plugins.register_plugin) applied to analysis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .tokenize import STOPWORDS, py_tokenize, tokenize_flat
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    name: str
+    flat: Callable  # (texts, use_stopwords=False) -> (parents, tokens)
+    scalar: Callable  # (text, use_stopwords=False) -> list[str]
+
+
+_REGISTRY: dict[str, Analyzer] = {}
+
+
+def register_analyzer(analyzer: Analyzer) -> None:
+    _REGISTRY[analyzer.name] = analyzer
+
+
+def get_analyzer(name: str | None) -> Analyzer:
+    """Resolve with the reference's fallback chain
+    (TermAnalyzers.findAnalyzer:117-136): exact name, then the language
+    prefix before '_' or '-', then the default analyzer."""
+    if not name:
+        return _REGISTRY["default"]
+    key = name.lower()
+    if key in _REGISTRY:
+        return _REGISTRY[key]
+    for sep in ("_", "-"):
+        if sep in key and key.split(sep, 1)[0] in _REGISTRY:
+            return _REGISTRY[key.split(sep, 1)[0]]
+    return _REGISTRY["default"]
+
+
+def analyzer_names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ------------------------------------------------------------------ unicode
+
+
+def _unicode_flat(
+    texts: pa.Array | pa.ChunkedArray, use_stopwords: bool = False
+) -> tuple[np.ndarray, pa.Array]:
+    """Unicode tokenizer: utf8 lowercase, tokens = maximal runs of Unicode
+    letters/digits (re2 [\\p{L}\\p{N}]+ via split-on-complement)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), pa.array([], type=pa.string())
+    lower = pc.utf8_lower(pc.cast(texts, pa.string()))
+    lists = pc.split_pattern_regex(
+        pc.coalesce(lower, pa.scalar("", pa.string())), pattern="[^\\p{L}\\p{N}]+"
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    counts = np.diff(lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    parents = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    if use_stopwords:
+        keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return parents[keep_np], flat.filter(keep)
+
+
+def _unicode_scalar(text: str, use_stopwords: bool = False) -> list[str]:
+    """Parity by construction: the scalar side IS the vectorized kernel on
+    a one-row array (no second tokenizer implementation to drift)."""
+    _, toks = _unicode_flat(pa.array([text or ""], pa.string()), use_stopwords)
+    return toks.to_pylist()
+
+
+register_analyzer(Analyzer("default", tokenize_flat, py_tokenize))
+register_analyzer(Analyzer("ascii", tokenize_flat, py_tokenize))
+register_analyzer(Analyzer("unicode", _unicode_flat, _unicode_scalar))

@@ -125,6 +125,7 @@ def tokenize_chunk_to_runs(
     dl_out: np.ndarray,
     use_stopwords: bool = False,
     codec=VARBYTE,
+    analyzer: str = "default",
 ) -> pa.Table:
     """One bounded chunk of docs → encoded posting runs for the `text` field.
 
@@ -139,7 +140,9 @@ def tokenize_chunk_to_runs(
     are ``doc_base + row``.
     """
     n_rows = len(dl_out)
-    parents, tokens = tokenize_flat(texts, use_stopwords=use_stopwords)
+    from .analyzers import get_analyzer
+
+    parents, tokens = get_analyzer(analyzer).flat(texts, use_stopwords=use_stopwords)
     dl_out[:] = token_counts(parents, n_rows)
     if len(parents) == 0:
         return RUNS_SCHEMA.empty_table()
@@ -409,7 +412,8 @@ def runs_split_forward(group: pa.Table) -> tuple[pa.Table, pa.Table | None]:
     return rest, pa.concat_tables(tables).combine_chunks()
 
 
-def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARBYTE):
+def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARBYTE,
+                        analyzer: str = "default"):
     """Pure function: one partition's rows → (postings:pa.Table(RUNS_SCHEMA),
     forward:pa.Table, stats:dict). Deterministic regardless of input row
     order or chunking (the parallelism-invariance contract, FIXTURES.md F4.6).
@@ -435,7 +439,7 @@ def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARB
         run_tables.append(
             tokenize_chunk_to_runs(
                 chunk["text"], part, lo, dl_all[lo:hi], use_stopwords=use_stopwords,
-                codec=codec,
+                codec=codec, analyzer=analyzer,
             )
         )
         total_tokens += int(dl_all[lo:hi].sum())
@@ -478,18 +482,20 @@ class SegmentBuilder:
     in __init__ (the actor-pool pattern for stateful stages)."""
 
     def __init__(self, index_dir: str, use_stopwords: bool = False, lineage: dict | None = None,
-                 codec: str = "varbyte"):
+                 codec: str = "varbyte", analyzer: str = "default"):
         self.index_dir = index_dir
         self.use_stopwords = use_stopwords
         self.lineage = lineage or {}
         self.codec = get_codec(codec)
+        self.analyzer = analyzer
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         if group.num_rows == 0:
             return MANIFEST_ROW_SCHEMA.empty_table()
         part = int(group["part"][0].as_py())
-        postings, forward, stats = build_segment_table(group, self.use_stopwords, self.codec)
+        postings, forward, stats = build_segment_table(group, self.use_stopwords, self.codec,
+                                                       analyzer=self.analyzer)
         posting_bytes = sum(
             postings[c].nbytes for c in ("doc_bytes", "tf_bytes")
         ) if postings.num_rows else 0
@@ -542,6 +548,7 @@ def build_index(
     partitioning: str = "hash",
     rows_per_part: int | None = None,
     codec: str = "varbyte",
+    analyzer: str = "default",
 ) -> dict:
     """Run the full build. Ray must already be initialised by the caller.
 
@@ -565,20 +572,20 @@ def build_index(
             input_path, index_dir, n_parts,
             use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
             strict=True, partitioning="range", rows_per_part=rows_per_part,
-            codec=codec,
+            codec=codec, analyzer=analyzer,
         )
     if strategy in ("auto", "stream"):
         meta = build_index_streaming(
             input_path, index_dir, n_parts,
             use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
-            strict=(strategy == "stream"), codec=codec,
+            strict=(strategy == "stream"), codec=codec, analyzer=analyzer,
         )
         if meta is not None:
             return meta
     return _build_index_sort(
         input_path, index_dir, n_parts,
         use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
-        codec=codec,
+        codec=codec, analyzer=analyzer,
     )
 
 
@@ -590,6 +597,7 @@ def _build_index_sort(
     resume: bool = True,
     concurrency: int | None = None,
     codec: str = "varbyte",
+    analyzer: str = "default",
 ) -> dict:
     import ray.data as rd
 
@@ -603,7 +611,7 @@ def _build_index_sort(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    builder_kwargs = {"index_dir": index_dir, "use_stopwords": use_stopwords, "lineage": lineage, "codec": codec}
+    builder_kwargs = {"index_dir": index_dir, "use_stopwords": use_stopwords, "lineage": lineage, "codec": codec, "analyzer": analyzer}
     if concurrency is None:
         import ray
 
@@ -623,7 +631,8 @@ def _build_index_sort(
         "n_parts": n_parts,
         "partitioning": {"mode": "hash"},
         "codec": codec,
-        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
+        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords,
+                      "analyzer": analyzer},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),
@@ -730,7 +739,10 @@ class FileIndexer:
     def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
                  use_stopwords: bool = False, spill_dir: str | None = None,
                  bases_ref=None, rows_per_part: int | None = None,
-                 codec: str = "varbyte"):
+                 codec: str = "varbyte", analyzer: str = "default"):
+        from .analyzers import get_analyzer
+
+        self._flat = get_analyzer(analyzer).flat
         self.index_dir = index_dir
         self.n_parts = n_parts
         self.skip = skip_parts
@@ -812,7 +824,7 @@ class FileIndexer:
         # once), then one lexsort groups triples by (part, term, doc)
         for lo in range(0, n, CHUNK_DOCS):
             hi = min(n, lo + CHUNK_DOCS)
-            parents, tokens = tokenize_flat(
+            parents, tokens = self._flat(
                 t["text"].slice(lo, hi - lo), use_stopwords=self.use_stopwords
             )
             dl_all[lo:hi] = token_counts(parents, hi - lo)
@@ -1085,6 +1097,7 @@ def build_index_streaming(
     partitioning: str = "hash",
     rows_per_part: int | None = None,
     codec: str = "varbyte",
+    analyzer: str = "default",
 ) -> dict | None:
     """The two-phase offset build (see module section comment). Returns None
     when the input violates the global (conv_id, turn_idx) sort order and
@@ -1227,7 +1240,7 @@ def build_index_streaming(
             "index_dir": index_dir, "n_parts": n_parts,
             "skip_parts": done, "use_stopwords": use_stopwords,
             "spill_dir": spill_dir, "bases_ref": bases_ref,
-            "rows_per_part": R, "codec": codec,
+            "rows_per_part": R, "codec": codec, "analyzer": analyzer,
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1279,7 +1292,8 @@ def build_index_streaming(
         ),
         "strategy": "stream",
         "codec": codec,
-        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords},
+        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords,
+                      "analyzer": analyzer},
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),
@@ -1434,6 +1448,8 @@ def extend_index(
     n_parts = gmeta["n_parts"]
     if use_stopwords is None:
         use_stopwords = bool(gmeta.get("tokenizer", {}).get("stopwords"))
+    # an index is only ever extended with the analyzer it was built with
+    analyzer = gmeta.get("tokenizer", {}).get("analyzer", "default")
 
     part_mode = gmeta.get("partitioning", {}).get("mode", "hash")
     R = gmeta.get("partitioning", {}).get("rows_per_part")
@@ -1538,7 +1554,7 @@ def extend_index(
             "skip_parts": done, "use_stopwords": use_stopwords,
             "bases_ref": bases_ref,
             "rows_per_part": R if part_mode == "range" else None,
-            "codec": codec,
+            "codec": codec, "analyzer": analyzer,
         },
         batch_size=group,
         batch_format="pyarrow",

@@ -120,10 +120,14 @@ class QueryParseError(ValueError):
 
 
 def parse_query(query: str, default_field: str = DEFAULT_FIELD,
-                use_stopwords: bool = False) -> Filter:
+                use_stopwords: bool = False, analyzer: str = "default") -> Filter:
     """Parse a query string into a Filter tree (LuceneBackedQueryParser
-    contract; default operator AND — :51)."""
-    from .tokenize import py_tokenize
+    contract; default operator AND — :51). ``analyzer`` must be the index's
+    build-time analyzer (TermTokenizer.java:34-54: ingest ≡ query); callers
+    resolve it from the global manifest."""
+    from .analyzers import get_analyzer
+
+    _scalar = get_analyzer(analyzer).scalar
 
     raw = _TOKEN_RE.findall(query)
     if not raw:
@@ -144,7 +148,7 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
         build and query sides — TermTokenizer.java:34-54)."""
         prefix = tok.endswith("*")
         body = tok[:-1] if prefix else tok
-        toks = py_tokenize(body, use_stopwords=use_stopwords)
+        toks = _scalar(body, use_stopwords=use_stopwords)
         if not toks:
             return None  # analyzer dropped it (stopword / punctuation)
         if prefix:

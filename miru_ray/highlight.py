@@ -53,12 +53,13 @@ def highlight(
     fragment_size: int = 100,
     max_fragments: int = 4,
     use_stopwords: bool = False,
+    analyzer: str = "default",
     field: str = "text",
 ) -> str | None:
     """Highlight ``query``'s positive terms in ``content``; None if no
     term matches (the reference's blank-summary contract)."""
     try:
-        filt = parse_query(query, use_stopwords=use_stopwords)
+        filt = parse_query(query, use_stopwords=use_stopwords, analyzer=analyzer)
     except ValueError:
         return None
     values: set[str] = set()

@@ -59,7 +59,10 @@ def _answer(index_dir: str, part: int, query: str | None, use_stopwords: bool):
         return universe, n_docs, fwd
     from .filters import parse_query
 
-    filt = parse_query(query, use_stopwords=use_stopwords)
+    from .search import _analyzer_name
+
+    filt = parse_query(query, use_stopwords=use_stopwords,
+                       analyzer=_analyzer_name(index_dir))
     specs: list[tuple[str, str]] = []
     _collect_term_specs(filt, specs)
     src = PostingSource(index_dir, part, specs, DEFAULT_MAX_WILDCARD_EXPANSION)

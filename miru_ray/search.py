@@ -136,6 +136,24 @@ def _index_codec(index_dir: str):
     return c
 
 
+
+# analyzer name per index: fixed at build time (manifest tokenizer.analyzer),
+# so a plain process cache with no epoch is sound — extend/repair never
+# change it (build.extend_index re-resolves it from the same manifest)
+_ANALYZER_CACHE: dict[str, str] = {}
+
+
+def _analyzer_name(index_dir: str) -> str:
+    name = _ANALYZER_CACHE.get(index_dir)
+    if name is None:
+        from .segments import read_global_manifest
+
+        meta = read_global_manifest(index_dir) or {}
+        name = (meta.get("tokenizer") or {}).get("analyzer", "default")
+        _ANALYZER_CACHE[index_dir] = name
+    return name
+
+
 def _cached_manifest(index_dir: str, part: int) -> dict:
     from .segments import read_manifest
 
@@ -426,7 +444,8 @@ def search_partition(
     avg_dl = manifest["metrics"].get("avg_dl") or (
         manifest["metrics"]["total_tokens"] / max(1, n_docs)
     )
-    filt = parse_query(query, use_stopwords=use_stopwords)
+    filt = parse_query(query, use_stopwords=use_stopwords,
+                       analyzer=_analyzer_name(index_dir))
     specs: list[tuple[str, str]] = []
     _collect_term_specs(filt, specs)
     if constraint is not None:
