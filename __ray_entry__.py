@@ -428,6 +428,18 @@ def dd_clusters(sf_dir: str):
     return minhash_clusters(sf_dir, threshold=0.9)
 
 
+SIMHASH_NEAR_MAXHAM = 3
+
+
+def dd_simhash_near(sf_dir: str):
+    """SimHash hamming≤3 near-dup pairs (dedup.simhash_hamming_pairs_ds):
+    4×16-bit block banding (pigeonhole recall 1.0), exact popcount verify,
+    min-dedup across bands — the hash chain mirrored end to end in DuckDB."""
+    from miru_ray.dedup import simhash_hamming_pairs_ds
+
+    return simhash_hamming_pairs_ds(sf_dir, max_hamming=SIMHASH_NEAR_MAXHAM)
+
+
 NGRAM_JACCARD_THRESHOLD = 0.5
 NGRAM_MAX_DF = 64
 
@@ -674,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
         "dd_simhash_groups": dd_simhash_groups,
+        "dd_simhash_near": dd_simhash_near,
         "dd_clusters": dd_clusters,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "txt_quality": txt_quality,
@@ -1104,21 +1117,26 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, est_jaccard
 FROM mh_pairs WHERE est_jaccard >= 0.5"""
         ),
         "dd_simhash_groups": (
-            f"""WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
-th AS (SELECT doc_id, {_fnv_sql('t')} AS h FROM tok),
-bits AS (
-  SELECT doc_id, CAST(b AS BIGINT) AS bit,
-         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
-  GROUP BY doc_id, b),
-sim0 AS (
-  SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS simhash
-  FROM bits GROUP BY doc_id),
-sim AS (SELECT d.doc_id, COALESCE(sim0.simhash, 0) AS simhash
-        FROM documents d LEFT JOIN sim0 USING (doc_id))
+            f"""WITH {_simhash_ctes()}
 SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM sim GROUP BY simhash"""
+        ),
+        "dd_simhash_near": (
+            f"""WITH {_simhash_ctes()},
+simu AS (SELECT doc_id, CAST(simhash % {U64} AS UBIGINT) AS sh FROM sim),
+bands AS (SELECT doc_id, sh, CAST(b AS BIGINT) AS band,
+                 CAST((sh >> (16 * b)) & 65535 AS BIGINT) AS key
+          FROM simu CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+capped AS (SELECT band, key, doc_id, sh FROM (
+             SELECT band, key, doc_id, sh,
+                    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+             FROM bands) WHERE rn <= 256),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                 CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+          FROM capped x JOIN capped y USING (band, key)
+          WHERE x.doc_id < y.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, hamming
+FROM pairs WHERE hamming <= {SIMHASH_NEAR_MAXHAM}"""
         ),
         "dd_clusters": (
             f"""WITH RECURSIVE {_minhash_pair_ctes()},
@@ -1263,6 +1281,26 @@ scored AS (
             JOIN embeddings eb ON eb.vec_id = cand.b)
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cos
 FROM scored WHERE cos >= {EMBED_ND_THRESHOLD}"""
+
+
+
+def _simhash_ctes() -> str:
+    """documents → sim(doc_id, simhash): the 64-bit SimHash chain
+    (dedup.simhash_batch — per-bit ±1 sums over token FNV hashes), as an
+    unsigned HUGEINT value."""
+    return f"""tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+th AS (SELECT doc_id, {_fnv_sql('t')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS bit,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, b),
+sim0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id),
+sim AS (SELECT d.doc_id, COALESCE(sim0.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sim0 USING (doc_id))"""
 
 
 def _lsh_oracle_sql() -> str:

@@ -257,6 +257,58 @@ def load_centroids(sf_dir: str, stride: int) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], m[order]
 
 
+def kmeans_refine(
+    sf_dir: str, centroids: np.ndarray, n_iters: int = 2
+) -> np.ndarray:
+    """Distributed Lloyd refinement of a coarse quantizer: each iteration is
+    ONE streaming pass — map_batches emits per-batch partial (centroid →
+    vector sum, count) rows (k×dim floats per batch, never vectors), a tiny
+    groupby folds them, and the driver holds only the k×dim centroid
+    matrix. Deterministic: assignment ties break to the smaller centroid
+    index (same rounded-cosine rule as IvfTopK); empty cells keep their old
+    centroid. Plugs into ann_ivf_topk via the ``centroids`` override."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    k, dim = cents.shape
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _ref=ref, _k=k, _dim=dim) -> pa.Table:
+            c = ray.get(_ref)
+            _, m = _to_matrix(batch)
+            mn = _normalize(m)
+            assigned = np.argmax(np.round(mn @ c.T, 8), axis=1)
+            sums = np.zeros((_k, _dim), dtype=np.float64)
+            np.add.at(sums, assigned, mn)
+            counts = np.bincount(assigned, minlength=_k).astype(np.int64)
+            live = np.flatnonzero(counts)
+            cols = {"cid": pa.array(live)}
+            for d in range(_dim):
+                cols[f"s{d}"] = pa.array(sums[live, d])
+            cols["n"] = pa.array(counts[live])
+            return pa.table(cols)
+
+        agg = (
+            _emb_ds(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cid")
+            .aggregate(*( [Sum(f"s{d}") for d in range(dim)] + [Sum("n")] ))
+        )
+        new = cents.copy()
+        names = agg.schema().names  # [cid, <dim sums>, count] in aggregate order
+        for row in agg.take_all():  # ≤ k rows — answer-sized
+            cid = int(row[names[0]])
+            vec = np.array([row[nm] for nm in names[1 : dim + 1]], dtype=np.float64)
+            n = float(row[names[-1]])
+            if n > 0:
+                new[cid] = vec / n
+        cents = _normalize(new)
+    return cents
+
+
 class IvfTopK:
     """IVF-flat stage: each batch row is ASSIGNED to its nearest centroid
     (max cosine, rounded 8dp, tie → smaller centroid id); a row is compared
@@ -310,15 +362,21 @@ class IvfTopK:
 
 
 def ann_ivf_topk(
-    sf_dir: str, n_queries: int = 8, k: int = 10, stride: int = 31, nprobe: int = 4
+    sf_dir: str, n_queries: int = 8, k: int = 10, stride: int = 31, nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> pa.Table:
     """Approximate cosine top-k via IVF-flat with a strided coarse
     quantizer: only rows whose nearest centroid is among the query's
-    ``nprobe`` probed centroids are scored."""
+    ``nprobe`` probed centroids are scored. ``refine_iters`` > 0 runs that
+    many distributed Lloyd passes over the corpus first (kmeans_refine) —
+    better cells, same probe machinery; the SQL-mirrored driver oracle uses
+    0 (the sampled quantizer is the value-checked baseline)."""
     import ray
 
     qids, qm = load_queries(sf_dir, n_queries)
     cids, cm = load_centroids(sf_dir, stride)
+    if refine_iters:
+        cm = kmeans_refine(sf_dir, cm, n_iters=refine_iters)
     qref, cref = ray.put(qm), ray.put(cm)
     partials = _emb_ds(sf_dir).map_batches(
         IvfTopK,

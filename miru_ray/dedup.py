@@ -283,6 +283,97 @@ def simhash_ds(sf_dir: str):
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def _simhash_band_map(batch: pa.Table, blocks: int, width: int) -> pa.Table:
+    """(doc_id, simhash) → one row per (block, doc): band key = the block's
+    ``width`` bits. Pigeonhole: two hashes within hamming distance
+    ``blocks``−1 agree exactly on ≥1 block, so same-block-value bucketing
+    has recall 1.0 at that distance."""
+    sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    band = np.repeat(np.arange(blocks, dtype=np.int64), n)
+    key = np.empty(blocks * n, dtype=np.int64)
+    mask = np.uint64((1 << width) - 1)
+    for b in range(blocks):
+        key[b * n : (b + 1) * n] = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
+    return pa.table(
+        {
+            "band": pa.array(band),
+            "key": pa.array(key),
+            "doc_id": pa.array(np.tile(ids, blocks)),
+            "simhash": pa.array(np.tile(sh.view(np.int64), blocks)),
+        }
+    )
+
+
+def _simhash_bucket_pairs(group: pa.Table, max_hamming: int, max_bucket: int) -> pa.Table:
+    empty = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+    ).empty_table()
+    if group.num_rows < 2:
+        return empty
+    ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")[:max_bucket]
+    ids = ids[order]
+    sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)[order]
+    ai, bi = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(sh[ai] ^ sh[bi]).astype(np.int64)
+    keep = ham <= max_hamming
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(ids[ai[keep]]),
+            "b": pa.array(ids[bi[keep]]),
+            "hamming": pa.array(ham[keep]),
+        }
+    )
+
+
+def simhash_hamming_pairs_ds(
+    sf_dir: str, max_hamming: int = 3, max_bucket: int = 256
+):
+    """Near-dup pairs at SimHash hamming distance ≤ ``max_hamming`` via
+    block banding: the 64-bit hash splits into ``max_hamming``+1 equal
+    blocks (pigeonhole ⇒ recall 1.0 within the bucket cap); buckets of
+    identical block values emit candidate pairs, verified with the exact
+    popcount of the full hashes, min-deduped across bands. Only (band,
+    key, id, hash) rows shuffle — never text. 64 must be divisible by
+    blocks (3 → 4×16 bits)."""
+    from ray.data.aggregate import Min
+
+    blocks = max_hamming + 1
+    if 64 % blocks:
+        raise ValueError(f"max_hamming+1 must divide 64, got {blocks}")
+    width = 64 // blocks
+    rows = simhash_ds(sf_dir).map_batches(
+        lambda b: _simhash_band_map(b, blocks, width),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs = rows.groupby(["band", "key"]).map_groups(
+        lambda g: _simhash_bucket_pairs(g, max_hamming, max_bucket),
+        batch_format="pyarrow",
+    )
+    out = pairs.groupby(["a", "b"]).aggregate(Min("hamming"))
+    empty = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+    ).empty_table()
+    return out.map_batches(
+        lambda b: (
+            pa.table({"a": pc.cast(b["a"], pa.int64()), "b": pc.cast(b["b"], pa.int64()),
+                      "hamming": pc.cast(b[b.schema.names[-1]], pa.int64())})
+            if len(b.schema) == 3 else empty
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def simhash_dup_groups_ds(sf_dir: str):
     """(keep_id, n_dups) for groups with identical simhash (near-dup at
     hamming distance 0; band over rotations for hamming≤k)."""

@@ -130,6 +130,30 @@ def test_minhash_pairs_recall_and_estimates(ray_session, doc_tokens):
     assert not missed, f"missed near-dups: {missed}"
 
 
+def test_simhash_hamming_pairs_complete(ray_session):
+    """Block banding is pigeonhole-complete: EVERY pair at hamming ≤ 3 must
+    be found (no bucket tops 256 members here), with the exact distance."""
+    from miru_ray.dedup import simhash_ds, simhash_hamming_pairs_ds
+
+    t = simhash_ds(SF).to_pandas().sort_values("doc_id")
+    ids = t["doc_id"].to_numpy()
+    sh = t["simhash"].to_numpy().view(np.uint64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    x = sh[ai] ^ sh[bi]
+    ham = (
+        np.bitwise_count(x)
+        if hasattr(np, "bitwise_count")
+        else np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    )
+    truth = {
+        (int(ids[a]), int(ids[b])): int(h)
+        for a, b, h in zip(ai[ham <= 3], bi[ham <= 3], ham[ham <= 3])
+    }
+    got = simhash_hamming_pairs_ds(SF, max_hamming=3).to_pandas()
+    pairs = {(int(a), int(b)): int(h) for a, b, h in zip(got["a"], got["b"], got["hamming"])}
+    assert pairs == truth
+
+
 def test_ngram_jaccard_exact(ray_session, doc_tokens):
     """ngram_jaccard_pairs_ds must return the EXACT token-3-gram Jaccard for
     every pair it emits, and find every true pair ≥ threshold, whenever no
@@ -246,6 +270,28 @@ def test_ann_ivf_equals_gated_brute(ray_session, emb):
     got = ann_ivf_topk(SF, n_queries=nq, k=k, stride=stride, nprobe=nprobe).to_pandas()
     got_pairs = set(zip((int(x) for x in got["q"]), (int(x) for x in got["neighbor"])))
     assert got_pairs == expect
+
+
+def test_kmeans_refine_improves_quantizer(ray_session, emb):
+    """Lloyd refinement must be deterministic and must not worsen the mean
+    max-cosine of vectors to their nearest centroid (Lloyd monotonicity on
+    the spherical objective, allowing fp rounding slack)."""
+    from miru_ray.ann import ann_ivf_topk, kmeans_refine, load_centroids
+
+    ids, m = emb
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    _, cm0 = load_centroids(SF, stride=31)
+    cn0 = cm0 / np.linalg.norm(cm0, axis=1, keepdims=True)
+    q0 = (mn @ cn0.T).max(axis=1).mean()
+    c1 = kmeans_refine(SF, cm0, n_iters=2)
+    c1b = kmeans_refine(SF, cm0, n_iters=2)
+    assert np.allclose(c1, c1b)  # deterministic
+    q1 = (mn @ c1.T).max(axis=1).mean()
+    assert q1 >= q0 - 1e-9, (q0, q1)
+    # refined IVF still returns well-formed per-query top-k
+    t = ann_ivf_topk(SF, n_queries=3, k=5, stride=31, nprobe=3, refine_iters=1)
+    assert set(t.column_names) == {"q", "neighbor", "cos"}
+    assert t.num_rows > 0
 
 
 def test_embed_neardup_pairs(ray_session, emb):
