@@ -553,6 +553,15 @@ def txt_fingerprints(sf_dir: str):
     return fingerprint_ds(sf_dir)
 
 
+def txt_token_bpe(sf_dir: str):
+    """BPE-ish tokenizer-cost counts (textstats.bpe_token_count_ds): piece
+    and ≤4-char-subword counts from shared re2 class patterns — the count
+    is a pure regex-match count, mirrored verbatim in DuckDB."""
+    from miru_ray.textstats import bpe_token_count_ds
+
+    return bpe_token_count_ds(sf_dir)
+
+
 def _round_rerank(t: pa.Table, k: int) -> pa.Table:
     """Rank on 4-decimal-rounded cosine (tie → neighbor asc) so the DuckDB
     oracle (double math) agrees bit-for-bit with the pipeline (fp32 math)."""
@@ -692,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_quality": txt_quality,
         "txt_langid": txt_langid,
         "txt_fingerprints": txt_fingerprints,
+        "txt_token_bpe": txt_token_bpe,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1181,6 +1191,12 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        COALESCE(fpa.n_fingerprints, 0) AS n_fingerprints,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
+        ),
+        "txt_token_bpe": (
+            """SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_pieces,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
+FROM documents"""
         ),
         "txt_quality": (
             f"""SELECT doc_id,

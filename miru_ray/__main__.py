@@ -106,26 +106,59 @@ def cmd_pipeline(args) -> int:
     if name == "reco":
         from .reco import reco_cf_ds
 
-        out = reco_cf_ds(args.sf_dir, user_id=args.user, k=args.k).to_pylist()
+        out = reco_cf_ds(args.sf_dir, user_id=args.user, k=args.k)
     elif name == "strut":
         from .strut import strut_score_ds
 
-        out = strut_score_ds(args.sf_dir, args.terms.split(",")).take(args.k)
+        out = strut_score_ds(args.sf_dir, args.terms.split(","))
     elif name == "bloom":
         from .bloom import bloom_summary_ds
 
-        out = bloom_summary_ds(args.sf_dir).to_pylist()
+        out = bloom_summary_ds(args.sf_dir)
     elif name == "dedup":
         from .dedup import minhash_clusters
 
-        out = minhash_clusters(args.sf_dir, threshold=0.9).to_pylist()
+        out = minhash_clusters(args.sf_dir, threshold=0.9)
+    elif name == "ngram_jaccard":
+        from .dedup import ngram_jaccard_pairs_ds
+
+        out = ngram_jaccard_pairs_ds(args.sf_dir)
+    elif name == "simhash_near":
+        from .dedup import simhash_hamming_pairs_ds
+
+        out = simhash_hamming_pairs_ds(args.sf_dir)
+    elif name == "embed_neardup":
+        from .ann import embed_neardup_pairs_ds
+
+        out = embed_neardup_pairs_ds(args.sf_dir)
+    elif name == "ann":
+        from .ann import ann_ivf_topk
+
+        out = ann_ivf_topk(args.sf_dir, k=args.k)
     elif name == "trending":
         from .analytics import trending_strategies_ds
 
-        out = trending_strategies_ds(args.sf_dir).to_pylist()
+        out = trending_strategies_ds(args.sf_dir)
     else:
         raise SystemExit(f"unknown pipeline {name!r}")
-    print(json.dumps(out, default=str))
+
+    import pyarrow as pa
+
+    if args.out:
+        # resumable sink: one parquet file per output block under the target
+        # dir — the streaming executor writes blocks as they finish, nothing
+        # funnels through the driver, never one giant file
+        import os
+
+        import ray.data as rd
+
+        ds = rd.from_arrow(out) if isinstance(out, pa.Table) else out
+        ds.write_parquet("local://" + os.path.abspath(args.out))
+        print(json.dumps({"out": args.out}))
+        return 0
+
+    rows = out.to_pylist() if isinstance(out, pa.Table) else out.take(args.k)
+    print(json.dumps(rows, default=str))
     return 0
 
 
@@ -170,11 +203,13 @@ def main(argv=None) -> int:
 
     pl = sub.add_parser("pipeline", help="run a training-data pipeline over an sf dir")
     pl.add_argument("--name", required=True,
-                    choices=["reco", "strut", "bloom", "dedup", "trending"])
+                    choices=["reco", "strut", "bloom", "dedup", "ngram_jaccard",
+                             "simhash_near", "embed_neardup", "ann", "trending"])
     pl.add_argument("--sf-dir", required=True)
     pl.add_argument("--user", type=int, default=3, help="reco: user id")
     pl.add_argument("--terms", default="scan,merge,join", help="strut: feature terms")
     pl.add_argument("-k", type=int, default=10)
+    pl.add_argument("--out", help="write the result as partitioned parquet under this dir instead of printing")
     pl.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)

@@ -433,9 +433,13 @@ def ngram_jaccard_pairs_ds(
     max_df² per gram. Returns (a, b, jaccard) rounded to 6 decimals."""
     from ray.data.aggregate import Count
 
+    # consumed twice (ndist + inverted index). Deliberately NOT materialized:
+    # the gram stream is token-sized, and holding it in the object store at
+    # corpus scale buys nothing the deterministic re-tokenize doesn't — two
+    # streaming passes beat pinning ~the token stream across the cluster
     rows = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: _gram_set_map(b, shingle_k), batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # consumed twice (ndist + inverted index); grams ≪ text
+    )
 
     ndist = rows.groupby("doc_id").aggregate(Count()).map_batches(
         lambda b: pa.table(

@@ -304,6 +304,125 @@ def synth_real_media_table(n: int, seed: int = 11) -> pa.Table:
     )
 
 
+# ------------------------------------------------- resize + frame sampling
+
+
+def resize_bilinear(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize of an (H, W, C) uint8 image — vectorized
+    gather of the four neighbor grids + two lerps (no per-pixel loop).
+    Uses the align-corners=False pixel-center convention."""
+    h, w, c = rgb.shape
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    img = rgb.astype(np.float64)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class ResizeStage:
+    """Actor-pool stage: BMP payload → bilinear-resized BMP payload (fixed
+    target box). Non-image rows pass through untouched; output keeps
+    MEDIA_SCHEMA so resize composes with DecodeStage in either order."""
+
+    def __init__(self, out_h: int, out_w: int):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_numpy(zero_copy_only=False).copy()
+        heights = batch["height"].to_numpy(zero_copy_only=False).copy()
+        out = []
+        for i, (k, p) in enumerate(zip(kinds, payloads)):
+            if k == "image/bmp" and p:
+                rgb = resize_bilinear(decode_bmp(p), self.out_h, self.out_w)
+                out.append(encode_bmp(rgb))
+                heights[i], widths[i] = self.out_h, self.out_w
+            else:
+                out.append(p)
+        # replace in place so extra columns (e.g. FrameSampleStage's
+        # frame_idx) ride through the stage untouched
+        t = batch
+        for name, col in (
+            ("payload", pa.array(out, type=pa.large_binary())),
+            ("width", pa.array(widths.astype(np.int32))),
+            ("height", pa.array(heights.astype(np.int32))),
+        ):
+            t = t.set_column(t.schema.get_field_index(name), name, col)
+        return t
+
+
+# A "video" here is the trivial deterministic container the sandbox can
+# decode: magic + frame count + frame byte offsets, then concatenated BMP
+# frames. The container exists to make the FRAME-SAMPLING PLUMBING real
+# (one video row → k image rows via a flat-map batch stage); a real codec
+# (mp4/h264) plugs into _video_frames behind the same seam as
+# DecodeStage's backend="real".
+_VID_MAGIC = b"MRV1"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    blobs = [encode_bmp(f) for f in frames]
+    offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=offs[1:])
+    head = _VID_MAGIC + np.int64(len(blobs)).tobytes() + offs.tobytes()
+    return head + b"".join(blobs)
+
+
+def _video_frames(payload: bytes) -> list[bytes]:
+    assert payload[:4] == _VID_MAGIC, "not an MRV1 container"
+    n = int(np.frombuffer(payload, np.int64, 1, 4)[0])
+    offs = np.frombuffer(payload, np.int64, n + 1, 12)
+    base = 12 + 8 * (n + 1)
+    return [bytes(payload[base + offs[i] : base + offs[i + 1]]) for i in range(n)]
+
+
+class FrameSampleStage:
+    """Flat-map batch stage: one video row → one image row per sampled
+    frame (``every_k``-th, always including frame 0). Output rows are BMP
+    images in MEDIA_SCHEMA + a frame_idx column, so the sampled frames feed
+    straight into ResizeStage / DecodeStage."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = max(1, every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = batch["media_id"].to_pylist(), batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        o_id, o_fi, o_pay, o_w, o_h = [], [], [], [], []
+        for mid, k, p in zip(ids, kinds, payloads):
+            if k != "video/mrv1" or not p:
+                continue
+            frames = _video_frames(p)
+            for fi in range(0, len(frames), self.every_k):
+                rgb_dims = np.frombuffer(frames[fi], np.int32, 2, 18)  # BMP w,h
+                o_id.append(mid)
+                o_fi.append(fi)
+                o_pay.append(frames[fi])
+                o_w.append(int(rgb_dims[0]))
+                o_h.append(int(abs(rgb_dims[1])))
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame_idx": pa.array(o_fi, pa.int32()),
+                "media_type": pa.array(["image/bmp"] * len(o_id), pa.string()),
+                "payload": pa.array(o_pay, pa.large_binary()),
+                "width": pa.array(o_w, pa.int32()),
+                "height": pa.array(o_h, pa.int32()),
+                "sample_rate": pa.array([-1] * len(o_id), pa.int32()),
+            }
+        )
+
+
 def feature_extract_ds(media_table: pa.Table, concurrency: int = 2, batch_size: int = 32,
                        backend: str = "numpy"):
     """The multimodal pipeline over an in-memory media table (tests) — at

@@ -70,6 +70,39 @@ def token_count_ds(sf_dir: str):
     )
 
 
+# BPE-ish piece classes (re2, shared verbatim with the DuckDB oracle):
+# letter runs, single digits (GPT-style digit splitting), non-space
+# punctuation chars. The subword estimate greedily chops letter runs into
+# ≤4-char pieces — count_substring_regex's non-overlapping leftmost matching
+# makes count('[a-z]{1,4}') ≡ Σ ceil(run_len/4) with no per-match decode.
+BPE_PIECE_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+BPE_SUBWORD_RE = "[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"
+
+
+def _bpe_count_batch(batch: pa.Table) -> pa.Table:
+    lower = pc.utf8_lower(batch["text"])
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_pieces": pc.cast(pc.count_substring_regex(lower, BPE_PIECE_RE), pa.int64()),
+            "n_subwords": pc.cast(
+                pc.count_substring_regex(lower, BPE_SUBWORD_RE), pa.int64()
+            ),
+        }
+    )
+
+
+def bpe_token_count_ds(sf_dir: str):
+    """(doc_id, n_pieces, n_subwords): BPE-ish tokenizer-cost estimate per
+    document — pieces = letter runs + single digits + punctuation chars;
+    subwords = the same with letter runs chopped into ≤4-char pieces (a
+    deterministic stand-in for a learned BPE vocab's subword count). Pure
+    count_substring_regex kernels; no token strings materialize."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _bpe_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------- term stats
 
 

@@ -392,6 +392,70 @@ def test_multimodal_real_decode(ray_session):
 # -------------------------------------------------- scalar batch unit tests
 
 
+def test_resize_bilinear_known_values():
+    from miru_ray.multimodal import resize_bilinear
+
+    # constant image stays constant at any scale
+    const = np.full((5, 7, 3), 113, np.uint8)
+    assert (resize_bilinear(const, 3, 11) == 113).all()
+    # 2x upscale of a 2x2 checker: corners keep source values (pixel-center
+    # sampling maps output corners inside the nearest source pixel)
+    src = np.zeros((2, 2, 3), np.uint8)
+    src[0, 1] = src[1, 0] = 255
+    up = resize_bilinear(src, 4, 4)
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 255
+    assert up[3, 0, 0] == 255 and up[3, 3, 0] == 0
+    # identity resize is exact
+    rng = (np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) * 7) % 251
+    assert (resize_bilinear(rng, 4, 6) == rng).all()
+
+
+def test_frame_sample_and_resize_stages(ray_session):
+    """video container → FrameSampleStage (1 row per sampled frame) →
+    ResizeStage (fixed box) — the full multimodal composition over Ray."""
+    import ray.data as rd
+
+    from miru_ray.multimodal import (
+        FrameSampleStage, ResizeStage, decode_bmp, encode_video, resize_bilinear,
+    )
+
+    rng = np.random.default_rng(3)
+    vids = []
+    for n_frames in (5, 1, 4):
+        vids.append(encode_video([
+            rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(n_frames)
+        ]))
+    media = pa.table(
+        {
+            "media_id": pa.array([10, 11, 12], pa.int64()),
+            "media_type": pa.array(["video/mrv1"] * 3, pa.string()),
+            "payload": pa.array(vids, pa.large_binary()),
+            "width": pa.array([8, 8, 8], pa.int32()),
+            "height": pa.array([6, 6, 6], pa.int32()),
+            "sample_rate": pa.array([-1] * 3, pa.int32()),
+        }
+    )
+    frames = rd.from_arrow(media).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every_k": 2},
+        batch_format="pyarrow", concurrency=1,
+    )
+    resized = frames.map_batches(
+        ResizeStage, fn_constructor_kwargs={"out_h": 3, "out_w": 4},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    # frames 0,2,4 / 0 / 0,2 sampled
+    assert list(zip(resized["media_id"], resized["frame_idx"])) == [
+        (10, 0), (10, 2), (10, 4), (11, 0), (12, 0), (12, 2)
+    ]
+    assert set(resized["width"]) == {4} and set(resized["height"]) == {3}
+    # byte-exact vs the scalar composition
+    first = decode_bmp(bytes(resized["payload"][0]))
+    from miru_ray.multimodal import _video_frames
+
+    expect = resize_bilinear(decode_bmp(_video_frames(vids[0])[0]), 3, 4)
+    assert (first == expect).all()
+
+
 def test_langid_tiebreak_and_und():
     from miru_ray.textstats import _langid_batch
 
