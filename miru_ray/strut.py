@@ -456,3 +456,99 @@ def strut_field_score_ds(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ------------------------------------------------ incremental scoring cache
+#
+# The reference's Strut keeps a per-partition lastScoredId beside the cached
+# scores: a query gathers + scores features only for activities ABOVE that
+# id and merges them with the cache (Strut.java "lastId" cache updates;
+# MiruAggregateUtil.java:111-257 gatherFeatures' lastScoredId bound;
+# StrutModelCache.java:104-140 keys the cache by model version so a model
+# change invalidates it). This is that contract over the documents table:
+# the cache pins the MODEL it was built with (scores from two models never
+# mix), and a rescore after new docs arrive reads only doc_id > last.
+
+
+def strut_score_incremental(
+    sf_dir: str,
+    feature_terms: list[str],
+    cache_dir: str,
+    strategy: str = "unit_weighted",
+    concurrency: int = 4,
+) -> pa.Table:
+    """Incrementally maintained Strut scores: full (doc_id, score) table,
+    recomputing only documents with doc_id above the cache's lastScoredId.
+    The model is trained once when the cache is created and pinned in the
+    cache meta; a different (terms, strategy) key drops the cache — the
+    reference's model-version invalidation. Cache meta records
+    ``last_run_scored`` so callers/tests can verify the delta property."""
+    import json as _json
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    meta_path = os.path.join(cache_dir, "meta.json")
+    scores_path = os.path.join(cache_dir, "scores.parquet")
+    key = {"feature_terms": list(feature_terms), "strategy": strategy}
+
+    cached = None
+    meta = None
+    if os.path.exists(meta_path) and os.path.exists(scores_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        if meta.get("key") != key:
+            meta = None  # model-version mismatch → full rescore
+        else:
+            cached = pq.read_table(scores_path)
+
+    if meta is None:
+        model = build_model(sf_dir, feature_terms)
+        last = -1
+        cached = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "score": pa.array([], pa.float64())})
+    else:
+        model = {t: float(w) for t, w in meta["model"].items()}
+        last = int(meta["last_doc_id"])
+
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"), format="parquet")
+    new_tbl = dset.to_table(filter=pc.field("doc_id") > last, columns=["doc_id", "text"])
+    if new_tbl.num_rows:
+        scored_new = (
+            rd.from_arrow(new_tbl)
+            .map_batches(
+                StrutScorer,
+                fn_constructor_kwargs={"model": model, "strategy": strategy},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                concurrency=_pool_size(concurrency),
+                num_cpus=1,
+            )
+            .to_arrow_refs()
+        )
+        import ray as _ray
+
+        new_scores = pa.concat_tables([_ray.get(r) for r in scored_new])
+        new_scores = pa.table(
+            {"doc_id": pc.cast(new_scores["doc_id"], pa.int64()),
+             "score": pc.cast(new_scores["score"], pa.float64())}
+        )
+        full = pa.concat_tables([cached, new_scores]).combine_chunks()
+    else:
+        full = cached
+    full = full.take(pc.sort_indices(full, sort_keys=[("doc_id", "ascending")]))
+
+    os.makedirs(cache_dir, exist_ok=True)
+    pq.write_table(full, scores_path)
+    with open(meta_path, "w") as f:
+        _json.dump(
+            {
+                "key": key,
+                "model": model,
+                "last_doc_id": int(pc.max(full["doc_id"]).as_py()) if full.num_rows else -1,
+                "last_run_scored": int(new_tbl.num_rows),
+            },
+            f,
+        )
+    return full

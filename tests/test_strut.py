@@ -158,3 +158,58 @@ def test_strut_field_features_vs_brute(ray_session, strategy):
     assert set(got) == set(exp)
     for d in got:
         assert got[d] == pytest.approx(round(exp[d], 6), abs=1e-9), d
+
+
+def test_strut_incremental_cache(ray_session, tmp_path_factory):
+    """lastScoredId semantics: first call scores everything and pins the
+    model; after new docs append, the second call scores ONLY the delta yet
+    returns scores identical to a full rescore UNDER THE PINNED MODEL; a
+    changed feature set drops the cache (model-version invalidation)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_ray.strut import StrutScorer, strut_score_incremental
+
+    corpus = tmp_path_factory.mktemp("inc_corpus")
+    docs_dir = corpus / "documents.parquet"
+    docs_dir.mkdir()
+
+    def write_part(name, ids, texts):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            str(docs_dir / name),
+        )
+
+    write_part("p0.parquet", [0, 1, 2, 3],
+               ["scan merge the data", "join window scan", "plain words only", "merge merge data"])
+    cache = str(tmp_path_factory.mktemp("inc_cache"))
+    terms = ["scan", "merge", "join"]
+
+    full1 = strut_score_incremental(str(corpus), terms, cache)
+    assert full1.num_rows == 4
+    meta1 = json.load(open(os.path.join(cache, "meta.json")))
+    assert meta1["last_run_scored"] == 4 and meta1["last_doc_id"] == 3
+    pinned_model = {t: float(w) for t, w in meta1["model"].items()}
+
+    # append new docs (higher doc_ids), rescore incrementally
+    write_part("p1.parquet", [4, 5], ["scan join everything", "no features here"])
+    full2 = strut_score_incremental(str(corpus), terms, cache)
+    meta2 = json.load(open(os.path.join(cache, "meta.json")))
+    assert meta2["last_run_scored"] == 2 and meta2["last_doc_id"] == 5
+    assert full2.num_rows == 6
+    # old rows byte-identical to the first run (never rescored)
+    assert full2.slice(0, 4).equals(full1)
+    # delta rows equal a direct scoring under the PINNED model
+    scorer = StrutScorer(model=pinned_model)
+    direct = scorer(pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                              "text": pa.array(["scan join everything", "no features here"])}))
+    assert full2.slice(4, 2)["score"].to_pylist() == direct["score"].to_pylist()
+
+    # a different feature set invalidates the cache → full rescore
+    full3 = strut_score_incremental(str(corpus), ["scan"], cache)
+    meta3 = json.load(open(os.path.join(cache, "meta.json")))
+    assert meta3["last_run_scored"] == 6 and full3.num_rows == 6
