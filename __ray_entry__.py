@@ -391,6 +391,18 @@ def ev_trending(sf_dir: str):
     return trending_ds(sf_dir)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def ev_sessionize(sf_dir: str):
+    """Gap-based sessionization (analytics.sessionize_ds): per-user maximal
+    event bursts with ≤30-min gaps — the windowed aggregate, SQL-checked
+    via lag + conditional cumulative sum."""
+    from miru_ray.analytics import sessionize_ds
+
+    return sessionize_ds(sf_dir, gap_us=SESSION_GAP_US)
+
+
 def ev_trending_peaks(sf_dir: str) -> pa.Table:
     """Reference-strategy trending (PEAKS/LEADER/HIGHEST_PEAK/regression —
     TrendingInjectable.java:143-190). The PeakDet loop is not reasonably
@@ -687,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
         "ev_trending_peaks": ev_trending_peaks,
+        "ev_sessionize": ev_sessionize,
         "bloom_index": bloom_index,
         "strut_model": strut_model,
         "strut_score": strut_score,
@@ -1020,6 +1033,22 @@ GROUP BY source"""
             "SELECT source AS role, lang AS tool, CAST(max(doc_id) AS BIGINT) AS doc_id "
             "FROM documents WHERE coalesce(source, '') <> '' AND coalesce(lang, '') <> '' "
             "GROUP BY source, lang"
+        ),
+        "ev_sessionize": (
+            f"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+s AS (SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > {SESSION_GAP_US}
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sess
+      FROM l)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(event_id) AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_us) AS BIGINT) AS start_us,
+       CAST(max(ts_us) AS BIGINT) AS end_us,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sess"""
         ),
         "ev_waveform": (
             "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts, "

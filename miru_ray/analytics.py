@@ -364,3 +364,46 @@ def trending_ds(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- sessionize
+
+
+def _sessionize_group(group: pa.Table, gap_us: int) -> pa.Table:
+    """One user's events → session rows. Sort by (ts, event_id), break
+    where the gap exceeds ``gap_us``, reduceat per-session aggregates."""
+    ts = _ts_us(group)
+    eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((eid, ts))
+    ts, eid, val = ts[order], eid[order], val[order]
+    starts = np.flatnonzero(np.concatenate([[True], np.diff(ts) > gap_us]))
+    ends = np.append(starts[1:], len(ts))
+    uid = int(group["user_id"][0].as_py())
+    return pa.table(
+        {
+            "user_id": pa.array(np.full(len(starts), uid, np.int64)),
+            "session_id": pa.array(np.minimum.reduceat(eid, starts)),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "start_us": pa.array(ts[starts]),
+            "end_us": pa.array(ts[ends - 1]),
+            "sum_value": pa.array(np.round(np.add.reduceat(val, starts), 6)),
+        }
+    )
+
+
+def sessionize_ds(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
+    """Gap-based sessionization — the canonical windowed aggregate the
+    reference lacks (SURVEY §2.10 watermarks/windows: none in reference).
+    One session row per maximal burst of a user's events with inter-event
+    gaps ≤ ``gap_us``; session_id = the smallest event_id of the burst.
+
+    Partitioning assumption: ONE USER'S EVENTS FIT ONE WORKER (the standard
+    sessionization contract — groupby(user_id) co-locates each user). At
+    100 TB a whale user needs pre-splitting by coarse time range with a
+    boundary-merge pass; the groupby itself shuffles only the four needed
+    columns, never props."""
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(
+        lambda g: _sessionize_group(g, gap_us), batch_format="pyarrow"
+    )

@@ -533,3 +533,34 @@ def test_minhash_clusters_transitive(ray_session, doc_tokens):
         for doc in grp["doc_id"]:
             if doc != cid:
                 assert exact_jaccard(doc_tokens[int(cid)], doc_tokens[int(doc)], 3) > 0.5, (cid, doc)
+
+
+def test_sessionize_vs_scalar(ray_session):
+    """sessionize_ds equals a pure-python sweep: per user, sort by (ts,
+    event_id), break on gap > T, aggregate."""
+    from miru_ray.analytics import sessionize_ds
+
+    GAP = 10 * 60 * 1_000_000  # tighter gap than the driver query: more breaks
+    ev = pq.read_table(SF + "/events.parquet").to_pydict()
+    by_user = {}
+    for eid, ts, uid, val in zip(ev["event_id"], ev["ts"], ev["user_id"], ev["value"]):
+        by_user.setdefault(uid, []).append((int(ts.timestamp() * 1_000_000), eid, val))
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        sess = []
+        for r in rows:
+            if not sess or r[0] - sess[-1][-1][0] > GAP:
+                sess.append([])
+            sess[-1].append(r)
+        for s in sess:
+            expect[(uid, min(e[1] for e in s))] = (
+                len(s), s[0][0], s[-1][0], round(sum(e[2] for e in s), 6)
+            )
+    got = sessionize_ds(SF, gap_us=GAP).to_pandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        k = (r.user_id, r.session_id)
+        n, st, en, sv = expect[k]
+        assert (r.n_events, r.start_us, r.end_us) == (n, st, en), k
+        assert abs(r.sum_value - sv) < 1e-6, k
