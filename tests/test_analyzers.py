@@ -108,6 +108,39 @@ def test_unicode_index_round_trip(ray_session, unicode_corpus_dir, tmp_path_fact
     assert {h.conv_id for h in hits} == {"c004"}  # café crème à Paris
 
 
+def test_unicode_extend_preserves_analyzer(ray_session, unicode_corpus_dir, tmp_path_factory):
+    """extend_index must re-resolve the analyzer from the manifest — new
+    accented docs become queryable without the caller restating it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_ray.build import build_index, extend_index
+    from miru_ray.search import SearchEngine
+
+    idx = str(tmp_path_factory.mktemp("uni_ext_idx"))
+    build_index(unicode_corpus_dir, idx, n_parts=2, analyzer="unicode")
+    ext = tmp_path_factory.mktemp("uni_ext_in")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["d000"], pa.string()),
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": pa.array(["user"], pa.string()),
+                "text": pa.array(["größe Straße prüfung"], pa.string()),
+                "tool": pa.array(["t"], pa.string()),
+                "ts": pa.array([99_000_000], pa.timestamp("us")),
+            }
+        ),
+        str(ext / "part-0.parquet"),
+    )
+    extend_index(str(ext), idx)
+    eng = SearchEngine(idx)
+    hits, _ = eng.search("STRASSE", k=10)  # utf8_lower("STRASSE") ≠ straße — no match
+    assert hits == []
+    hits, _ = eng.search("Straße prüfung", k=10)
+    assert {h.conv_id for h in hits} == {"d000"}
+
+
 def test_ascii_index_unaffected(ray_session, unicode_corpus_dir, tmp_path_factory):
     """Default build keeps the ascii contract: non-ASCII bytes separate, so
     'wörld' never becomes a token and the accented query finds nothing."""
