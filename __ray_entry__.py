@@ -391,6 +391,29 @@ def ev_trending(sf_dir: str):
     return trending_ds(sf_dir)
 
 
+HLL_P = 10
+QUANTILES = (0.25, 0.5, 0.9, 0.99)
+
+
+def ev_distinct_sketch(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event_type
+    (analytics.hll_distinct_ds): deterministic splitmix64 registers →
+    groupby max-merge → estimate with linear-counting correction. The
+    whole sketch chain is mirrored in DuckDB — a VALUE-CHECKED approximate
+    operator (unlike approx_count_distinct, which is a different sketch)."""
+    from miru_ray.analytics import hll_distinct_ds
+
+    return hll_distinct_ds(sf_dir, p=HLL_P)
+
+
+def ev_quantiles(sf_dir: str):
+    """Exact per-event_type value quantiles (analytics.quantiles_ds);
+    numpy linear interpolation ≡ SQL quantile_cont."""
+    from miru_ray.analytics import quantiles_ds
+
+    return quantiles_ds(sf_dir, qs=QUANTILES)
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
@@ -700,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_trending": ev_trending,
         "ev_trending_peaks": ev_trending_peaks,
         "ev_sessionize": ev_sessionize,
+        "ev_distinct_sketch": ev_distinct_sketch,
+        "ev_quantiles": ev_quantiles,
         "bloom_index": bloom_index,
         "strut_model": strut_model,
         "strut_score": strut_score,
@@ -1034,6 +1059,15 @@ GROUP BY source"""
             "FROM documents WHERE coalesce(source, '') <> '' AND coalesce(lang, '') <> '' "
             "GROUP BY source, lang"
         ),
+        "ev_distinct_sketch": _hll_oracle_sql(),
+        "ev_quantiles": (
+            "SELECT event_type AS key, "
+            + ", ".join(
+                f"round(quantile_cont(value, {q}), 6) AS q{int(q * 100):02d}"
+                for q in QUANTILES
+            )
+            + " FROM events GROUP BY event_type"
+        ),
         "ev_sessionize": (
             f"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
 l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
@@ -1327,6 +1361,40 @@ scored AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cos
 FROM scored WHERE cos >= {EMBED_ND_THRESHOLD}"""
 
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB mirror of analytics.hll_distinct_ds (p=HLL_P): splitmix64 of
+    user_id via the shared _sm_ctes chain, bucket = low p bits, rho from
+    the EXACT bit length (length(bin(y)) — no float log2), groupby
+    max-merge, alpha·m²/Σ2^-rho with the linear-counting correction."""
+    m = 1 << HLL_P
+    width = 64 - HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # one float literal (alpha·m²): a bare 0.7213… literal parses as
+    # DECIMAL in DuckDB and overflows multiplied by m² — and predividing
+    # keeps the float op order identical to the python side
+    amm = repr(alpha * m * m)
+    sm, sm_last = _sm_ctes("hll", "ev", "uid", "sm")
+    return f"""WITH ev AS (SELECT event_type AS key, CAST(user_id AS UBIGINT) AS uid FROM events),
+{sm},
+hb AS (SELECT key, CAST(sm & {m - 1} AS BIGINT) AS bucket, sm >> {HLL_P} AS y FROM {sm_last}),
+rho AS (SELECT key, bucket,
+               CASE WHEN y = 0 THEN {width + 1}
+                    ELSE {width} - length(bin(y)) + 1 END AS rho
+        FROM hb),
+regs AS (SELECT key, bucket, max(rho) AS rho FROM rho GROUP BY key, bucket),
+est AS (SELECT key,
+               CAST({m} - count(*) AS BIGINT) AS zeros,
+               CAST(sum(rho) AS BIGINT) AS register_sum,
+               sum(power(2.0, -rho)) + ({m} - count(*)) AS denom
+        FROM regs GROUP BY key)
+SELECT key,
+       round(CASE WHEN {amm} / denom <= {2.5 * m} AND zeros > 0
+                  THEN {m} * ln({m} / zeros)
+                  ELSE {amm} / denom END, 4) AS est_distinct,
+       zeros AS n_zero_registers, register_sum
+FROM est"""
 
 
 def _simhash_ctes() -> str:

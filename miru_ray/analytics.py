@@ -407,3 +407,116 @@ def sessionize_ds(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
     return ds.groupby("user_id").map_groups(
         lambda g: _sessionize_group(g, gap_us), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------ HLL distinct sketch
+
+
+def _bit_length_u64(y: np.ndarray) -> np.ndarray:
+    """Exact integer bit length (no float log2 — 2^54-1 rounds UP in a
+    double): smear the top bit down, popcount."""
+    y = y.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        y |= y >> np.uint64(s)
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(y).astype(np.int64)
+    return np.unpackbits(y.view(np.uint8).reshape(len(y), 8), axis=1).sum(axis=1).astype(np.int64)
+
+
+def _hll_partial(batch: pa.Table, key_col: str, value_col: str, p: int) -> pa.Table:
+    """Per-batch HLL partial: (key, bucket, max rho). Deterministic
+    splitmix64 hashing; bucket = low p bits, rho = position of the first
+    set bit of the remaining 64-p bits (counting from the top of that
+    field), all-zero → 64-p+1."""
+    from .hashing import splitmix64
+
+    keys = batch[key_col]
+    vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(vals)
+    m = np.uint64(1 << p)
+    bucket = (h & (m - np.uint64(1))).astype(np.int64)
+    y = h >> np.uint64(p)
+    width = 64 - p
+    rho = np.where(y == 0, width + 1, width - _bit_length_u64(y) + 1).astype(np.int64)
+    t = pa.table({"key": keys, "bucket": pa.array(bucket), "rho": pa.array(rho)})
+    agg = t.group_by(["key", "bucket"], use_threads=False).aggregate([("rho", "max")])
+    return pa.table(
+        {"key": agg["key"], "bucket": agg["bucket"], "rho": pc.cast(agg["rho_max"], pa.int64())}
+    )
+
+
+def _hll_estimate(group: pa.Table, p: int) -> pa.Table:
+    """One key's merged registers → the HLL estimate with the standard
+    small-range (linear counting) correction. Registers absent from the
+    table are zero."""
+    m = 1 << p
+    rho = group["rho"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_set = len(rho)
+    zeros = m - n_set
+    denom = np.sum(np.power(2.0, -rho)) + zeros  # 2^-0 = 1 per zero register
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / denom
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return pa.table(
+        {
+            "key": pa.array([group["key"][0].as_py()], pa.string()),
+            "est_distinct": pa.array([round(float(est), 4)], pa.float64()),
+            "n_zero_registers": pa.array([int(zeros)], pa.int64()),
+            "register_sum": pa.array([int(rho.sum())], pa.int64()),
+        }
+    )
+
+
+def hll_distinct_ds(sf_dir: str, key_col: str = "event_type",
+                    value_col: str = "user_id", p: int = 10):
+    """Approximate distinct count sketch per key — the mergeable-sketch
+    pattern at scale: per-batch register partials (≤ m rows per key per
+    batch, never values), one groupby max-merge, answer-sized estimates.
+    The whole chain (splitmix64, bucketing, rho, correction) is
+    deterministic and mirrored in the SQL oracle — a value-checked sketch."""
+    from ray.data.aggregate import Max
+
+    ds = _events_ds(sf_dir, [key_col, value_col]).map_batches(
+        lambda b: _hll_partial(b, key_col, value_col, p),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    regs = ds.groupby(["key", "bucket"]).aggregate(Max("rho")).map_batches(
+        lambda b: pa.table(
+            {"key": b["key"], "bucket": b["bucket"],
+             "rho": pc.cast(b[b.schema.names[-1]], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return regs.groupby("key").map_groups(
+        lambda g: _hll_estimate(g, p), batch_format="pyarrow"
+    )
+
+
+# ----------------------------------------------------------- exact quantiles
+
+
+def _quantile_group(group: pa.Table, qs: tuple, value_col: str) -> pa.Table:
+    v = np.sort(group[value_col].to_numpy(zero_copy_only=False).astype(np.float64))
+    out = {"key": pa.array([group["key"][0].as_py()], pa.string())}
+    for q in qs:
+        # linear interpolation — numpy default ≡ SQL quantile_cont
+        out[f"q{int(q * 100):02d}"] = pa.array(
+            [round(float(np.quantile(v, q)), 6)], pa.float64()
+        )
+    return pa.table(out)
+
+
+def quantiles_ds(sf_dir: str, key_col: str = "event_type", value_col: str = "value",
+                 qs: tuple = (0.25, 0.5, 0.9, 0.99)):
+    """Exact per-key quantiles (linear interpolation ≡ quantile_cont).
+    groupby(key) co-locates each key's values; for keys too big for one
+    worker, swap _quantile_group for a two-pass histogram refinement — the
+    exact path is the value-checked baseline."""
+    ds = _events_ds(sf_dir, [key_col, value_col]).map_batches(
+        lambda b: pa.table({"key": b[key_col], value_col: b[value_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby("key").map_groups(
+        lambda g: _quantile_group(g, qs, value_col), batch_format="pyarrow"
+    )

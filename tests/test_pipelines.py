@@ -564,3 +564,35 @@ def test_sessionize_vs_scalar(ray_session):
         n, st, en, sv = expect[k]
         assert (r.n_events, r.start_us, r.end_us) == (n, st, en), k
         assert abs(r.sum_value - sv) < 1e-6, k
+
+
+def test_hll_sketch_accuracy(ray_session):
+    """The HLL estimate must be within 10% of the true distinct count at
+    these cardinalities (linear-counting regime is far tighter), and the
+    register summary must be deterministic across runs."""
+    from miru_ray.analytics import hll_distinct_ds
+
+    ev = pq.read_table(SF + "/events.parquet", columns=["event_type", "user_id"]).to_pydict()
+    truth = {}
+    for k, u in zip(ev["event_type"], ev["user_id"]):
+        truth.setdefault(k, set()).add(u)
+    got = hll_distinct_ds(SF).to_pandas().set_index("key")
+    got2 = hll_distinct_ds(SF).to_pandas().set_index("key")
+    assert sorted(got.index) == sorted(truth)
+    for k, users in truth.items():
+        est = float(got.loc[k, "est_distinct"])
+        assert abs(est - len(users)) <= max(2, 0.1 * len(users)), (k, est, len(users))
+        assert got.loc[k, "register_sum"] == got2.loc[k, "register_sum"]
+
+
+def test_quantiles_vs_numpy(ray_session):
+    from miru_ray.analytics import quantiles_ds
+
+    ev = pq.read_table(SF + "/events.parquet", columns=["event_type", "value"]).to_pydict()
+    vals = {}
+    for k, v in zip(ev["event_type"], ev["value"]):
+        vals.setdefault(k, []).append(v)
+    got = quantiles_ds(SF).to_pandas().set_index("key")
+    for k, v in vals.items():
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            assert abs(got.loc[k, col] - round(float(np.quantile(v, q)), 6)) < 1e-9, (k, col)
