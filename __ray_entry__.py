@@ -428,9 +428,10 @@ def ev_sessionize(sf_dir: str):
 
 def ev_trending_peaks(sf_dir: str) -> pa.Table:
     """Reference-strategy trending (PEAKS/LEADER/HIGHEST_PEAK/regression —
-    TrendingInjectable.java:143-190). The PeakDet loop is not reasonably
-    SQL-expressible; the algorithm is pytest-gated against golden vectors
-    (driver records a rows-only check)."""
+    TrendingInjectable.java:143-190). The Billauer PeakDet loop is mirrored
+    in DuckDB as a recursive-CTE state machine (see
+    _trending_peaks_oracle_sql), so even this one is value-checked; golden
+    PeakDet vectors are additionally pytest-gated."""
     from miru_ray.analytics import trending_strategies_ds
 
     return trending_strategies_ds(sf_dir)
@@ -1097,6 +1098,7 @@ FROM s GROUP BY user_id, sess"""
             "CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts, "
             "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id"
         ),
+        "ev_trending_peaks": _trending_peaks_oracle_sql(),
         "ev_trending": (
             """WITH mm AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
                        CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
@@ -1361,6 +1363,70 @@ scored AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cos
 FROM scored WHERE cos >= {EMBED_ND_THRESHOLD}"""
 
+
+
+def _trending_peaks_oracle_sql(n_seg: int = 24) -> str:
+    """DuckDB mirror of analytics.trending_strategies_ds — including the
+    Billauer peakdet loop (PeakDet.java:44-80) as a RECURSIVE-CTE state
+    machine stepping all event types through the dense n_seg waveform in
+    lockstep, the Commons-Math LEGACY percentile (p=0.95 quirk preserved)
+    for bucket95, regr_slope for SimpleRegression, and the hasCounts
+    filter. State update order matters: mx/mn absorb the new value FIRST
+    (mx1/mn1), then the trigger tests use the updated values."""
+    return f"""WITH RECURSIVE
+ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+bounds AS (SELECT min(ts_us) AS lo, max(ts_us) - min(ts_us) + 1 AS span FROM ev),
+counts AS (SELECT event_type, ((ts_us - lo) * {n_seg}) // span AS seg,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM ev, bounds GROUP BY 1, 2),
+grid AS (SELECT t.event_type, s.seg, COALESCE(c.n, 0.0) AS v
+         FROM (SELECT DISTINCT event_type FROM ev) t
+         CROSS JOIN (SELECT unnest(range({n_seg})) AS seg) s
+         LEFT JOIN counts c ON c.event_type = t.event_type AND c.seg = s.seg),
+maxes AS (SELECT event_type, max(v) AS m, sum(v) AS tot FROM grid GROUP BY 1),
+b95 AS (SELECT CASE WHEN pos < 1 THEN mx[1] WHEN pos >= n THEN mx[n]
+                    ELSE mx[CAST(floor(pos) AS INT)]
+                         + (pos - floor(pos))
+                           * (mx[CAST(floor(pos) AS INT) + 1] - mx[CAST(floor(pos) AS INT)])
+               END AS bucket95
+        FROM (SELECT list(m ORDER BY m) AS mx, count(*) AS n,
+                     0.95 * (count(*) + 1) / 100.0 AS pos
+              FROM maxes)),
+deltas AS (SELECT event_type, m / 6.0 + bucket95 / 100.0 AS delta
+           FROM maxes, b95),
+pd (event_type, i, mx, mn, mxpos, lookformax, peaks, delta) AS (
+  SELECT event_type, -1, '-infinity'::DOUBLE, 'infinity'::DOUBLE, 0.0::DOUBLE, true,
+         0, CAST(delta AS DOUBLE)
+  FROM deltas
+  UNION ALL
+  SELECT p.event_type, p.i + 1,
+         CASE WHEN p.lookformax THEN greatest(p.mx, g.v)
+              WHEN g.v > least(p.mn, g.v) + p.delta THEN g.v
+              ELSE greatest(p.mx, g.v) END,
+         CASE WHEN p.lookformax AND g.v < greatest(p.mx, g.v) - p.delta THEN g.v
+              ELSE least(p.mn, g.v) END,
+         CASE WHEN NOT p.lookformax AND g.v > least(p.mn, g.v) + p.delta THEN g.v
+              WHEN g.v > p.mx THEN g.v ELSE p.mxpos END,
+         CASE WHEN p.lookformax THEN g.v >= greatest(p.mx, g.v) - p.delta
+              ELSE g.v > least(p.mn, g.v) + p.delta END,
+         p.peaks + CASE WHEN p.lookformax AND g.v < greatest(p.mx, g.v) - p.delta
+                        THEN 1 ELSE 0 END,
+         p.delta
+  FROM pd p JOIN grid g ON g.event_type = p.event_type AND g.seg = p.i + 1
+  WHERE p.i + 1 < {n_seg}),
+live AS (SELECT event_type FROM maxes WHERE tot > 0)
+SELECT 'linear_regression' AS strategy, event_type,
+       round(regr_slope(v, CAST(seg AS DOUBLE)), 6) AS rank
+FROM grid JOIN live USING (event_type) GROUP BY event_type
+UNION ALL
+SELECT 'leader', event_type, round(sum(v), 6)
+FROM grid JOIN live USING (event_type) GROUP BY event_type
+UNION ALL
+SELECT 'highest_peak', event_type, round(max(v), 6)
+FROM grid JOIN live USING (event_type) GROUP BY event_type
+UNION ALL
+SELECT 'peaks', event_type, round(CAST(peaks AS DOUBLE), 6)
+FROM pd JOIN live USING (event_type) WHERE i = {n_seg} - 1"""
 
 
 def _hll_oracle_sql() -> str:
