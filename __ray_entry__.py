@@ -589,6 +589,35 @@ def txt_fingerprints(sf_dir: str):
     return fingerprint_ds(sf_dir)
 
 
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def txt_splits(sf_dir: str):
+    """Deterministic train/val/test assignment (textstats.split_ds): split
+    is a pure function of splitmix64(doc_id) — stable under re-runs and
+    appends; the hash chain and bucket bounds are mirrored in SQL."""
+    from miru_ray.textstats import split_ds
+
+    return split_ds(sf_dir, dict(SPLIT_FRACTIONS))
+
+
+def _splits_oracle_sql() -> str:
+    from miru_ray.textstats import split_bounds
+
+    bounds = split_bounds(SPLIT_FRACTIONS)
+    case = " ".join(
+        f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{label}'"
+        for label, lo, hi in bounds
+    )
+    cover = " OR ".join(f"(bucket >= {lo} AND bucket < {hi})" for _, lo, hi in bounds)
+    sm, sm_last = _sm_ctes("spl", "d", "did", "sm")
+    return f"""WITH d AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS did FROM documents),
+{sm},
+b AS (SELECT doc_id, CAST(sm >> 44 AS BIGINT) AS bucket FROM {sm_last})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, bucket, CASE {case} END AS split
+FROM b WHERE {cover}"""
+
+
 def txt_token_bpe(sf_dir: str):
     """BPE-ish tokenizer-cost counts (textstats.bpe_token_count_ds): piece
     and ≤4-char-subword counts from shared re2 class patterns — the count
@@ -741,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_langid": txt_langid,
         "txt_fingerprints": txt_fingerprints,
         "txt_token_bpe": txt_token_bpe,
+        "txt_splits": txt_splits,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1257,6 +1287,7 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
         ),
+        "txt_splits": _splits_oracle_sql(),
         "txt_token_bpe": (
             """SELECT doc_id,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_pieces,

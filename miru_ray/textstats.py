@@ -103,6 +103,64 @@ def bpe_token_count_ds(sf_dir: str):
     )
 
 
+# ------------------------------------------------------- deterministic split
+
+# Hash-based sampling/splits: split(doc) is a pure function of doc_id, so
+# the assignment is stable under re-runs, re-partitioning and incremental
+# appends (a doc never migrates between train and eval as the corpus
+# grows) — the property random_sample cannot give. Buckets come from the
+# top bits of splitmix64(doc_id); fractions are exact over the 2^20 grid.
+_SPLIT_GRID = 1 << 20
+
+
+def _split_map(batch: pa.Table, bounds: list[tuple[str, int, int]]) -> pa.Table:
+    from .hashing import splitmix64
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bucket = (splitmix64(ids) >> np.uint64(44)).astype(np.int64)  # 20 bits
+    name = np.full(len(ids), "", dtype=object)
+    for label, lo, hi in bounds:
+        sel = (bucket >= lo) & (bucket < hi)
+        name[sel] = label
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "bucket": pa.array(bucket),
+            "split": pa.array(name.tolist(), pa.string()),
+        }
+    )
+
+
+def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int, int]]:
+    """[(label, lo, hi)) bucket ranges over the 2^20 grid, in insertion
+    order; fractions must sum to ≤ 1 (the remainder is unlabeled → dropped
+    — sub-sampling is the fractions-sum-<1 case of the same operator)."""
+    total = sum(fractions.values())
+    if total > 1 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    out, lo = [], 0
+    for label, f in fractions.items():
+        hi = lo + int(round(f * _SPLIT_GRID))
+        out.append((label, lo, hi))
+        lo = hi
+    return out
+
+
+def split_ds(sf_dir: str, fractions: dict[str, float] | None = None):
+    """(doc_id, bucket, split): deterministic train/val/test assignment (or
+    plain sub-sampling when the fractions sum below 1 — unlabeled rows are
+    filtered). Pure map_batches; no shuffle, no state."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = split_bounds(fractions)
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        lambda b: _split_map(b, bounds), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.map_batches(
+        lambda b: b.filter(pc.not_equal(b["split"], pa.scalar(""))),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- term stats
 
 

@@ -596,3 +596,26 @@ def test_quantiles_vs_numpy(ray_session):
     for k, v in vals.items():
         for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
             assert abs(got.loc[k, col] - round(float(np.quantile(v, q)), 6)) < 1e-9, (k, col)
+
+
+def test_split_ds_deterministic_and_proportional(ray_session):
+    """Splits are a pure function of doc_id (stable across runs), cover
+    every doc when fractions sum to 1, and sub-sample when they don't."""
+    from miru_ray.textstats import split_ds
+
+    a = split_ds(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = split_ds(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 500
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.84 <= frac.get("train", 0) <= 0.96
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+    # sub-sampling: fractions sum < 1 drops the remainder deterministically
+    s = split_ds(SF, {"sample": 0.2}).to_pandas()
+    assert 0.1 <= len(s) / 500 <= 0.3
+    assert set(s["split"]) == {"sample"}
+    # a doc keeps its split when the corpus grows (hash of id, not position):
+    # the 'sample' rows are exactly the train-prefix rows with bucket < 20% grid
+    sub = set(s["doc_id"])
+    pref = set(a[a["bucket"] < (1 << 20) // 5]["doc_id"])
+    assert sub == pref
