@@ -534,6 +534,28 @@ def strut_score(sf_dir: str):
     return strut_score_ds(sf_dir, list(STRUT_TERMS), strategy="unit_weighted")
 
 
+def ft_strut(sf_dir: str) -> pa.Table:
+    """INDEX-backed Strut (plugins.strut): feature presence from the model
+    terms' postings rather than a corpus scan — the reference's
+    Strut-as-index-plugin shape (Strut.java:37-56). Emits (doc_id, score)
+    for every doc with ≥1 model feature; weights = the same Σtf/total model
+    as strut_score, so the oracle shares that weight CTE."""
+    from miru_ray.plugins import run_plugin
+    from miru_ray.strut import build_model
+    from miru_ray.transcripts import conv_to_doc_id
+
+    eng = _engine(sf_dir, 4)
+    model = build_model(sf_dir, list(STRUT_TERMS))
+    rows = run_plugin(eng, "strut", model=model, strategy="unit_weighted")
+    if not rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    doc_ids = conv_to_doc_id([r[0] for r in rows])
+    return pa.table(
+        {"doc_id": _i64(doc_ids), "score": pa.array([r[2] for r in rows], pa.float64())}
+    )
+
+
 STRUT_FEATURES = (("source",), ("lang",), ("source", "lang"))
 STRUT_POS = "the"
 
@@ -759,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strut_model": strut_model,
         "strut_score": strut_score,
         "strut_fields": strut_fields,
+        "ft_strut": ft_strut,
         "reco_cf": reco_cf,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
@@ -1167,6 +1190,16 @@ FROM documents d
 LEFT JOIN present p ON p.doc_id = d.doc_id
 LEFT JOIN model m ON m.t = p.t
 GROUP BY d.doc_id"""
+        ),
+        "ft_strut": (
+            f"""WITH tok AS ({_TOKTAB}),
+g AS (SELECT t, CAST(count(*) AS BIGINT) AS ttf FROM tok GROUP BY t),
+stats AS (SELECT CAST(sum(CAST(len({_TOK}) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents),
+model AS (SELECT t, CAST(ttf AS DOUBLE) / stats.total_tokens AS w
+          FROM g CROSS JOIN stats WHERE t IN ({", ".join(f"'{t}'" for t in STRUT_TERMS)})),
+present AS (SELECT DISTINCT doc_id, t FROM tok WHERE t IN ({", ".join(f"'{t}'" for t in STRUT_TERMS)}))
+SELECT p.doc_id, round(avg(m.w), 6) AS score
+FROM present p JOIN model m ON m.t = p.t GROUP BY p.doc_id"""
         ),
         "strut_fields": (
             f"""WITH tok AS ({_TOKTAB}),

@@ -498,6 +498,68 @@ def registered_plugins() -> list[str]:
 _REMOTE_FNS: dict = {}
 
 
+def strut_partition(
+    index_dir: str, part: int, model: dict[str, float],
+    strategy: str = "unit_weighted", query: str | None = None,
+    use_stopwords: bool = False,
+) -> list[tuple[str, int, float]]:
+    """Index-backed Strut scoring for one partition (the reference's Strut
+    is an index PLUGIN, not a corpus scan: it gathers candidates' features
+    from the index and scores against the cached model — Strut.java:37-56,
+    StrutModelCache.java:104-140). Feature presence comes straight from the
+    model terms' POSTINGS (one pushdown read, removal/tombstones already
+    honored by _answer); scores follow strut.StrutScorer's strategy
+    semantics exactly. Returns (conv_id, turn_idx, score) for every doc
+    with ≥1 model feature."""
+    import pyarrow as pa
+
+    from .segments import TEXT_FIELD
+    from .strut import regression_scalar
+
+    answer, n_docs, fwd = _answer(index_dir, part, query, use_stopwords)
+    terms = list(model)
+    src = PostingSource(index_dir, part, [(TEXT_FIELD, t) for t in terms], 0)
+    sums = np.zeros(n_docs, dtype=np.float64)
+    cnts = np.zeros(n_docs, dtype=np.int64)
+    mx = np.zeros(n_docs, dtype=np.float64)
+    for i, t in enumerate(terms):
+        docs = src.docs(TEXT_FIELD, t)
+        if answer is not None:
+            docs = np.intersect1d(docs, answer, assume_unique=True)
+        if not len(docs):
+            continue
+        w = float(model[t])
+        scal = regression_scalar(i) if strategy == "regression_weighted" else 1.0
+        sums[docs] += w * scal
+        cnts[docs] += 1
+        mx[docs] = np.maximum(mx[docs], w)
+    sel = np.flatnonzero(cnts)
+    if not len(sel):
+        return []
+    if strategy == "unit_weighted":
+        score = sums[sel] / cnts[sel]
+    elif strategy == "regression_weighted":
+        score = sums[sel]
+    elif strategy == "max":
+        score = mx[sel]
+    else:
+        raise ValueError(strategy)
+    conv = fwd["conv_id"].take(pa.array(sel)).to_pylist()
+    turn = np.asarray(fwd["turn_idx"])[sel]  # forward turn_idx is numpy
+    return [
+        (c, int(tn), float(round(s, 6))) for c, tn, s in zip(conv, turn, score)
+    ]
+
+
+def strut(engine, model: dict[str, float], strategy: str = "unit_weighted",
+          query: str | None = None):
+    """All partitions' index-backed Strut scores, flattened."""
+    use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
+    res = _fan(engine, strut_partition,
+               dict(model=model, strategy=strategy, query=query, use_stopwords=use_stop))
+    return [row for rows in res for row in rows]
+
+
 def _fan(engine, fn, kwargs: dict) -> list:
     """One task per partition (Ray when available), results in engine.parts
     order — the same scatter pattern as SearchEngine._fan_out. Remote
@@ -530,6 +592,7 @@ register_plugin("waveform", waveform)
 register_plugin("trending", trending)
 register_plugin("paired_latest", paired_latest)
 register_plugin("latest_first", latest_first)
+register_plugin("strut", strut)
 
 
 def _register_reco():

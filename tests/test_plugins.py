@@ -411,3 +411,33 @@ def test_paired_latest_merge_and_extend(ray_session, tiny_transcripts_dir, tiny_
         if (a, b) in brute and (a, b) != ("freshrole", "freshtool"):
             assert (a, b, part, doc, ts) == brute[(a, b)]
     eng2.close()
+
+
+def test_strut_plugin_vs_scan(engine, tiny_rows):
+    """Index-backed strut (postings gather) must equal a brute-force text
+    scan: per turn, score = mean model weight over the turn's DISTINCT
+    model terms (unit_weighted), only turns with >=1 feature returned."""
+    from miru_ray.tokenize import py_tokenize
+
+    model = {"t1": 0.05, "t3": 0.2, "t7": 0.01}
+    rows = plugins.run_plugin(engine, "strut", model=model)
+    got = {(c, t): s for c, t, s in rows}
+    expect = {}
+    for r in tiny_rows:
+        present = set(py_tokenize(r["text"])) & set(model)
+        if present:
+            expect[(r["conv_id"], r["turn_idx"])] = round(
+                sum(model[t] for t in present) / len(present), 6
+            )
+    assert got.keys() == expect.keys()
+    for k, s in expect.items():
+        assert abs(got[k] - s) < 1e-9, k
+    # a query filter restricts the candidate set like every other plugin
+    rows_q = plugins.run_plugin(engine, "strut", model=model, query="t1")
+    keys_q = {(c, t) for c, t, _ in rows_q}
+    assert keys_q <= got.keys()
+    expect_q = {
+        (r["conv_id"], r["turn_idx"]) for r in tiny_rows
+        if "t1" in py_tokenize(r["text"]) and set(py_tokenize(r["text"])) & set(model)
+    }
+    assert keys_q == expect_q
