@@ -156,7 +156,7 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
         fn_constructor_kwargs={"queries_ref": ref, "query_ids": qids, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return _merge_topk_ds(partials, k)
 
@@ -386,7 +386,7 @@ def ann_ivf_topk(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return _merge_topk_ds(partials, k)
 
@@ -479,7 +479,7 @@ def embed_neardup_pairs_ds(
         fn_constructor_kwargs={"dim": dim, "bands": bands, "planes_per_band": planes_per_band},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     pairs = rows.groupby(["band", "code"]).map_groups(
         lambda g: _embed_bucket_pairs(g, threshold, max_bucket), batch_format="pyarrow"
@@ -511,6 +511,6 @@ def ann_lsh_topk(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return _merge_topk_ds(partials, k)

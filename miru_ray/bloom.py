@@ -105,7 +105,7 @@ def build_bloom(sf_dir: str, key_col: str = "source",
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     rows = ds.groupby(["key", "bit"]).aggregate(Count()).take_all()
     out: dict[str, list[int]] = {}

@@ -215,7 +215,7 @@ def minhash_pairs_ds(
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     pairs = ds.groupby("band").map_groups(
         lambda g: _bucket_pairs(g, max_bucket), batch_format="pyarrow"

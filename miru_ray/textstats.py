@@ -361,5 +361,5 @@ def fingerprint_ds(sf_dir: str, k: int = 3, w: int = 4):
         fn_constructor_kwargs={"k": k, "w": w},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )

@@ -110,7 +110,11 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
                 "lineage": {"input": sf_dir, "derived": "documents→transcripts"},
             },
             batch_format="pyarrow",
-            concurrency=4,
+            # autoscaling (min 1): a FIXED 4-actor pool at ray.init(num_cpus=4)
+            # takes every CPU and deadlocks against the upstream read tasks
+            # (the all-or-nothing pool start — same invariant as build.py's
+            # fi_conc guard)
+            concurrency=(1, 4),
             num_cpus=1,
         )
         .take_all()
