@@ -481,11 +481,15 @@ def hll_distinct_ds(sf_dir: str, key_col: str = "event_type",
         lambda b: _hll_partial(b, key_col, value_col, p),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    empty = pa.schema(
+        [("key", pa.string()), ("bucket", pa.int64()), ("rho", pa.int64())]
+    ).empty_table()
     regs = ds.groupby(["key", "bucket"]).aggregate(Max("rho")).map_batches(
+        # zero-row inputs reach here schemaless (Ray hash aggregate)
         lambda b: pa.table(
             {"key": b["key"], "bucket": b["bucket"],
              "rho": pc.cast(b[b.schema.names[-1]], pa.int64())}
-        ),
+        ) if len(b.schema) == 3 else empty,
         batch_format="pyarrow",
     )
     return regs.groupby("key").map_groups(

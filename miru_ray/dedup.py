@@ -20,7 +20,9 @@ the engine for training-data pipelines):
   (oversized buckets are truncated and counted — no silent caps: the count
   is reported in the result metadata).
 * **simhash** — 64-bit SimHash over tf-weighted token hashes; near-dups =
-  identical simhash (extendable to hamming≤k via rotation banding).
+  identical simhash (``simhash_dup_groups_ds``) or hamming ≤ k
+  (``simhash_hamming_pairs_ds``: block banding, pigeonhole-complete,
+  exact popcount verify).
 * **ngram_jaccard** — EXACT token-k-gram Jaccard pairs via a distributed
   inverted gram index: the intersection size of every candidate pair is a
   groupby count over shared grams, the union falls out of the per-doc

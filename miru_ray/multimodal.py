@@ -361,6 +361,49 @@ class ResizeStage:
         return t
 
 
+def resample_linear(samples: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Pure-numpy linear-interpolation resample of int16 PCM (np.interp over
+    the continuous-time sample positions). A real sinc/polyphase resampler
+    plugs in behind the same signature."""
+    if sr_in == sr_out or len(samples) == 0:
+        return samples.astype(np.int16, copy=False)
+    n_out = max(1, int(round(len(samples) * sr_out / sr_in)))
+    t_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    out = np.interp(t_out, np.arange(len(samples), dtype=np.float64),
+                    samples.astype(np.float64))
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+class ResampleStage:
+    """Actor-pool stage: WAV payload → linear-resampled WAV at a fixed
+    target rate. Non-audio rows pass through untouched (same in-place
+    column replacement as ResizeStage, so extra columns survive)."""
+
+    def __init__(self, target_rate: int):
+        self.target_rate = target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rates = batch["sample_rate"].to_numpy(zero_copy_only=False).copy()
+        out = []
+        for i, (k, p) in enumerate(zip(kinds, payloads)):
+            if k == "audio/wav" and p:
+                samples, sr = decode_wav(p)
+                out.append(encode_wav(resample_linear(samples, sr, self.target_rate),
+                                      self.target_rate))
+                rates[i] = self.target_rate
+            else:
+                out.append(p)
+        t = batch
+        for name, col in (
+            ("payload", pa.array(out, type=pa.large_binary())),
+            ("sample_rate", pa.array(rates.astype(np.int32))),
+        ):
+            t = t.set_column(t.schema.get_field_index(name), name, col)
+        return t
+
+
 # A "video" here is the trivial deterministic container the sandbox can
 # decode: magic + frame count + frame byte offsets, then concatenated BMP
 # frames. The container exists to make the FRAME-SAMPLING PLUMBING real

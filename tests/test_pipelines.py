@@ -619,3 +619,40 @@ def test_split_ds_deterministic_and_proportional(ray_session):
     sub = set(s["doc_id"])
     pref = set(a[a["bucket"] < (1 << 20) // 5]["doc_id"])
     assert sub == pref
+
+
+def test_resample_stage(ray_session):
+    """WAV resample: scalar equality vs np.interp, and the stage passes
+    non-audio rows through untouched."""
+    import ray.data as rd
+
+    from miru_ray.multimodal import (
+        ResampleStage, decode_wav, encode_wav, resample_linear,
+    )
+
+    t = np.arange(1600, dtype=np.float64)
+    wave = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    media = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "media_type": pa.array(["audio/wav", "image/bmp"], pa.string()),
+            "payload": pa.array([encode_wav(wave, 16000), b"notaudio"], pa.large_binary()),
+            "width": pa.array([-1, 4], pa.int32()),
+            "height": pa.array([-1, 4], pa.int32()),
+            "sample_rate": pa.array([16000, -1], pa.int32()),
+        }
+    )
+    got = (
+        rd.from_arrow(media)
+        .map_batches(ResampleStage, fn_constructor_kwargs={"target_rate": 8000},
+                     batch_format="pyarrow", concurrency=1)
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert int(got["sample_rate"][0]) == 8000
+    s, sr = decode_wav(bytes(got["payload"][0]))
+    assert sr == 8000 and len(s) == 800
+    assert (s == resample_linear(wave, 16000, 8000)).all()
+    # identity rate keeps samples byte-identical
+    assert (resample_linear(wave, 16000, 16000) == wave).all()
+    # non-audio untouched
+    assert bytes(got["payload"][1]) == b"notaudio" and int(got["sample_rate"][1]) == -1
