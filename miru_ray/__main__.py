@@ -157,8 +157,19 @@ def cmd_pipeline(args) -> int:
         print(json.dumps({"out": args.out}))
         return 0
 
-    rows = out.to_pylist() if isinstance(out, pa.Table) else out.take(args.k)
-    print(json.dumps(rows, default=str))
+    if isinstance(out, pa.Table):
+        print(json.dumps(out.to_pylist(), default=str))
+        return 0
+    # Dataset results: pair/enumeration pipelines can be large — print k
+    # rows WITH an explicit truncation marker and point at --out (silent
+    # truncation would read as the complete answer)
+    rows = out.take(args.k + 1)
+    truncated = len(rows) > args.k
+    payload = {"rows": rows[: args.k]}
+    if truncated:
+        payload["truncated"] = True
+        payload["hint"] = "result exceeds -k rows; use --out DIR for the full set"
+    print(json.dumps(payload, default=str))
     return 0
 
 

@@ -115,3 +115,19 @@ def _unicode_scalar(text: str, use_stopwords: bool = False) -> list[str]:
 register_analyzer(Analyzer("default", tokenize_flat, py_tokenize))
 register_analyzer(Analyzer("ascii", tokenize_flat, py_tokenize))
 register_analyzer(Analyzer("unicode", _unicode_flat, _unicode_scalar))
+
+
+def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
+    """The manifest ``tokenizer`` block. The analyzer name recorded is the
+    RESOLVED one (get_analyzer().name), never the raw request — a typo or
+    unregistered locale falls back to default at build time, and recording
+    the raw string would let a later process that registers that locale
+    resolve it differently at query parse (silent term mismatch). The
+    pattern/lowercase fields describe the resolved analyzer's actual term
+    rule, not a hardcoded ASCII contract."""
+    resolved = get_analyzer(analyzer)
+    if resolved.name == "unicode":
+        contract = {"pattern": "[\\p{L}\\p{N}]+", "lowercase": "utf8"}
+    else:
+        contract = {"pattern": "[a-z0-9]+", "lowercase": True}
+    return dict(contract, stopwords=use_stopwords, analyzer=resolved.name)

@@ -79,6 +79,7 @@ from .segments import (
     write_global_manifest,
     write_segment,
 )
+from .analyzers import tokenizer_meta as _tokenizer_meta
 from .tokenize import token_counts, tokenize_flat
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -631,8 +632,7 @@ def _build_index_sort(
         "n_parts": n_parts,
         "partitioning": {"mode": "hash"},
         "codec": codec,
-        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords,
-                      "analyzer": analyzer},
+        "tokenizer": _tokenizer_meta(analyzer, use_stopwords),
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),
@@ -1292,8 +1292,7 @@ def build_index_streaming(
         ),
         "strategy": "stream",
         "codec": codec,
-        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": use_stopwords,
-                      "analyzer": analyzer},
+        "tokenizer": _tokenizer_meta(analyzer, use_stopwords),
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),

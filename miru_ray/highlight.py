@@ -14,8 +14,18 @@ reference returns null on a blank summary).
 
 from __future__ import annotations
 
+import re
+
 from .filters import Filter, parse_query
 from .tokenize import _ASCII_LOWER, _PY_TOKEN_RE
+
+# content-side span tokenizer for the unicode analyzer: offsets come from
+# the ORIGINAL text (utf8-lowering first could shift offsets — some
+# codepoints change length under case folding); each matched token is
+# lowercased for comparison. str.lower vs Arrow utf8_lower agree on all
+# common scripts — a divergence costs at worst a missed highlight, never a
+# wrong span.
+_UNI_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
 
 def _positive_terms(filt: Filter, field: str, out: set[str], term_in: bool = True):
@@ -69,12 +79,24 @@ def highlight(
         return None
 
     text = content[:preview]
-    low = text.translate(_ASCII_LOWER)
-    spans = [
-        (m.start(), m.end())
-        for m in _PY_TOKEN_RE.finditer(low)
-        if _term_matches(m.group(), values)
-    ]
+    from .analyzers import get_analyzer
+
+    if get_analyzer(analyzer).name == "unicode":
+        # unicode analyzer: spans from the original text, tokens lowercased
+        # for the match — the content side must tokenize like the index side
+        low = text
+        spans = [
+            (m.start(), m.end())
+            for m in _UNI_TOKEN_RE.finditer(text)
+            if _term_matches(m.group().lower(), values)
+        ]
+    else:
+        low = text.translate(_ASCII_LOWER)
+        spans = [
+            (m.start(), m.end())
+            for m in _PY_TOKEN_RE.finditer(low)
+            if _term_matches(m.group(), values)
+        ]
     if not spans:
         return None
 

@@ -521,7 +521,9 @@ def strut_partition(
     src = PostingSource(index_dir, part, [(TEXT_FIELD, t) for t in terms], 0)
     sums = np.zeros(n_docs, dtype=np.float64)
     cnts = np.zeros(n_docs, dtype=np.int64)
-    mx = np.zeros(n_docs, dtype=np.float64)
+    # -inf, not 0: a doc whose matched features all carry NEGATIVE weights
+    # must score that weight under 'max' (StrutScorer parity), not 0
+    mx = np.full(n_docs, -np.inf, dtype=np.float64)
     for i, t in enumerate(terms):
         docs = src.docs(TEXT_FIELD, t)
         if answer is not None:

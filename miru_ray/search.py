@@ -42,6 +42,7 @@ pruning for conjunctive all-positive queries (see codec.BLOCK_SIZE).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -137,20 +138,27 @@ def _index_codec(index_dir: str):
 
 
 
-# analyzer name per index: fixed at build time (manifest tokenizer.analyzer),
-# so a plain process cache with no epoch is sound — extend/repair never
-# change it (build.extend_index re-resolves it from the same manifest)
-_ANALYZER_CACHE: dict[str, str] = {}
+# analyzer name per index, keyed by the GLOBAL manifest's mtime epoch (like
+# _MANIFEST_CACHE): extend/repair never change the analyzer, but an
+# in-place REBUILD of the same directory may — the epoch key makes the
+# cache follow index.json instead of serving the first process-lifetime
+# answer forever
+_ANALYZER_CACHE: dict[tuple, str] = {}
 
 
 def _analyzer_name(index_dir: str) -> str:
-    name = _ANALYZER_CACHE.get(index_dir)
+    try:
+        epoch = os.path.getmtime(os.path.join(index_dir, "index.json"))
+    except OSError:
+        epoch = -1.0
+    key = (index_dir, epoch)
+    name = _ANALYZER_CACHE.get(key)
     if name is None:
         from .segments import read_global_manifest
 
         meta = read_global_manifest(index_dir) or {}
         name = (meta.get("tokenizer") or {}).get("analyzer", "default")
-        _ANALYZER_CACHE[index_dir] = name
+        _ANALYZER_CACHE[key] = name
     return name
 
 

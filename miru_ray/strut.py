@@ -491,7 +491,11 @@ def strut_score_incremental(
 
     meta_path = os.path.join(cache_dir, "meta.json")
     scores_path = os.path.join(cache_dir, "scores.parquet")
-    key = {"feature_terms": list(feature_terms), "strategy": strategy}
+    # sf_dir is part of the key: a cache_dir reused against a DIFFERENT
+    # corpus must invalidate, or ids overlapping between corpora would mix
+    # stale scores into the answer
+    key = {"sf_dir": os.path.abspath(sf_dir),
+           "feature_terms": list(feature_terms), "strategy": strategy}
 
     cached = None
     meta = None

@@ -139,8 +139,14 @@ def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int, int]]:
     if total > 1 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
     out, lo = [], 0
-    for label, f in fractions.items():
-        hi = lo + int(round(f * _SPLIT_GRID))
+    labels = list(fractions)
+    for i, label in enumerate(labels):
+        hi = lo + int(round(fractions[label] * _SPLIT_GRID))
+        # per-label rounding can leave the top bucket(s) unlabeled even when
+        # fractions sum to exactly 1 (e.g. three thirds) — silent data loss.
+        # The LAST label absorbs the grid remainder whenever the total is 1.
+        if i == len(labels) - 1 and abs(total - 1.0) <= 1e-9:
+            hi = _SPLIT_GRID
         out.append((label, lo, hi))
         lo = hi
     return out

@@ -82,6 +82,7 @@ _INDEX_CACHE: dict[tuple, str] = {}
 def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> str:
     """Build (once per process+disk) the fulltext index over the derived
     transcripts view of ``sf_dir``; returns the index dir. Ray must be up."""
+    from .analyzers import tokenizer_meta
     from .build import SegmentBuilder, route_partition
     from .segments import completed_parts, write_global_manifest
     from .segments import INDEX_VERSION, META_FIELDS, NUM_FIELDS, TEXT_FIELD
@@ -122,7 +123,7 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
     meta = {
         "version": 1,
         "n_parts": n_parts,
-        "tokenizer": {"pattern": "[a-z0-9]+", "lowercase": True, "stopwords": False},
+        "tokenizer": tokenizer_meta("default", False),
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),

@@ -153,3 +153,45 @@ def test_ascii_index_unaffected(ray_session, unicode_corpus_dir, tmp_path_factor
     eng = SearchEngine(idx)
     hits, _ = eng.search("hello", k=10)
     assert {h.conv_id for h in hits} == {"c005"}  # hello world Zurich
+
+
+def test_manifest_records_resolved_analyzer(ray_session, unicode_corpus_dir, tmp_path_factory):
+    """A typo/unregistered locale falls back to default AND the manifest
+    records the RESOLVED name — a later process registering that locale
+    can't silently re-tokenize queries differently."""
+    from miru_ray.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("typo_idx"))
+    meta = build_index(unicode_corpus_dir, idx, n_parts=2, analyzer="unicod")  # typo
+    assert meta["tokenizer"]["analyzer"] == "default"
+    # the contract fields describe the resolved analyzer too
+    assert meta["tokenizer"]["pattern"] == "[a-z0-9]+"
+
+
+def test_analyzer_cache_follows_rebuild(ray_session, unicode_corpus_dir, tmp_path_factory):
+    """An in-place rebuild with a different analyzer must not serve the old
+    cached name (the epoch-keyed cache)."""
+    import shutil
+
+    from miru_ray.build import build_index
+    from miru_ray.search import _analyzer_name
+
+    idx = str(tmp_path_factory.mktemp("rebuild_idx"))
+    build_index(unicode_corpus_dir, idx, n_parts=2)
+    assert _analyzer_name(idx) == "default"
+    shutil.rmtree(idx)
+    build_index(unicode_corpus_dir, idx, n_parts=2, analyzer="unicode")
+    assert _analyzer_name(idx) == "unicode"
+
+
+def test_highlight_unicode_content_side():
+    """highlight(analyzer='unicode') must find spans for accented terms in
+    the ORIGINAL content (review finding: content side used ascii rule)."""
+    from miru_ray.highlight import highlight
+
+    out = highlight("WÖRLD", "Héllo wörld from Zürich", analyzer="unicode")
+    assert out is not None and "<b>wörld</b>" in out
+    # default analyzer splits the query at Ö into ['w','rld'] and marks the
+    # ascii fragments — never the whole accented token
+    dflt = highlight("WÖRLD", "Héllo wörld", analyzer="default")
+    assert dflt is None or "<b>wörld</b>" not in dflt

@@ -91,3 +91,17 @@ def test_gram_bucket_pairs_cap_and_order(ids, cap):
     assert len(a) == expect
     for x, y in zip(a, b):
         assert x <= y
+
+
+@given(st.integers(2, 7))
+@settings(max_examples=12, deadline=None)
+def test_split_bounds_cover_grid_when_total_one(n_labels):
+    """Equal fractions summing to 1 must label EVERY bucket (the last label
+    absorbs the rounding remainder — review finding: thirds left the top
+    bucket unlabeled)."""
+    from miru_ray.textstats import _SPLIT_GRID, split_bounds
+
+    bounds = split_bounds({f"l{i}": 1.0 / n_labels for i in range(n_labels)})
+    assert bounds[0][1] == 0 and bounds[-1][2] == _SPLIT_GRID
+    for (_, _, hi), (_, lo2, _) in zip(bounds, bounds[1:]):
+        assert hi == lo2
