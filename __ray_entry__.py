@@ -640,6 +640,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, bucket, CASE {case} END AS split
 FROM b WHERE {cover}"""
 
 
+def txt_charlm(sf_dir: str):
+    """Char-bigram LM quality score (textstats.charlm_score_ds): mean ln
+    P(c₂|c₁) per doc under the corpus's own add-one-smoothed bigram model
+    over the tokenizer-normalized stream — the perplexity-proxy filter; the
+    entire two-pass chain is mirrored in SQL."""
+    from miru_ray.textstats import charlm_score_ds
+
+    return charlm_score_ds(sf_dir)
+
+
 def txt_token_bpe(sf_dir: str):
     """BPE-ish tokenizer-cost counts (textstats.bpe_token_count_ds): piece
     and ≤4-char-subword counts from shared re2 class patterns — the count
@@ -793,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_langid": txt_langid,
         "txt_fingerprints": txt_fingerprints,
         "txt_token_bpe": txt_token_bpe,
+        "txt_charlm": txt_charlm,
         "txt_splits": txt_splits,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
@@ -1319,6 +1330,22 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        COALESCE(fpa.n_fingerprints, 0) AS n_fingerprints,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
+        ),
+        "txt_charlm": (
+            f"""WITH norm AS (SELECT doc_id, array_to_string({_TOK}, ' ') AS s FROM documents),
+bg AS (SELECT doc_id, substring(s, CAST(i AS INT), 2) AS b
+       FROM (SELECT doc_id, s, unnest(range(1, greatest(length(s), 1))) AS i FROM norm)),
+counts AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY b),
+rowtot AS (SELECT substring(b, 1, 1) AS c1, CAST(sum(n) AS BIGINT) AS rt
+           FROM counts GROUP BY 1),
+lp AS (SELECT counts.b, ln((n + 1.0) / (rt + 37.0)) AS l
+       FROM counts JOIN rowtot ON rowtot.c1 = substring(counts.b, 1, 1)),
+sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(lp.l), 6) AS lm_score
+       FROM bg JOIN lp ON lp.b = bg.b GROUP BY bg.doc_id)
+SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       COALESCE(sc.lm_score, 0.0) AS lm_score
+FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
         "txt_splits": _splits_oracle_sql(),
         "txt_token_bpe": (

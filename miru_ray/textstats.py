@@ -369,3 +369,138 @@ def fingerprint_ds(sf_dir: str, k: int = 3, w: int = 4):
         zero_copy_batch=True,
         concurrency=(1, 2),
     )
+
+
+# ------------------------------------------------- char-bigram LM quality
+
+# Perplexity-proxy quality filtering (the CCNet/Gopher-style signal) over a
+# SELF-TRAINED character bigram LM: normalize each doc to its token stream
+# joined by single spaces (the exact tokenizer contract — so the LM sees
+# the same bytes the index does), estimate add-one-smoothed bigram
+# probabilities over the corpus (alphabet [a-z0-9 ] → 37² counts, a
+# broadcast-sized model), then score each doc by the mean natural log
+# probability of its bigrams. Low scores ⇒ unnatural character statistics
+# (boilerplate, encoding garbage, non-language). Both passes are plain
+# map_batches; the model is 1369 floats via ray.put.
+
+_LM_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_LM_V = len(_LM_ALPHABET)  # 37
+_LM_CODE = np.full(256, -1, dtype=np.int64)
+for _i, _c in enumerate(_LM_ALPHABET):
+    _LM_CODE[ord(_c)] = _i
+
+
+def _doc_streams(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per batch: (doc_lengths, concatenated normalized byte codes) — each
+    doc's tokens joined by single spaces, coded into the 37-symbol
+    alphabet. Vectorized: one gather builds the padded token+space buffer."""
+    parents, tokens = tokenize_flat(batch["text"])
+    n_rows = batch.num_rows
+    if len(parents) == 0:
+        return np.zeros(n_rows, np.int64), np.empty(0, np.int64)
+    toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(np.bincount(parents, minlength=n_rows))]).astype(np.int32)),
+            toks,
+        ),
+        pa.scalar(" "),
+    )
+    lens = np.zeros(n_rows, dtype=np.int64)
+    bufs = []
+    for i, s in enumerate(joined.to_pylist()):
+        b = (s or "").encode()
+        lens[i] = len(b)
+        bufs.append(np.frombuffer(b, dtype=np.uint8))
+    flat = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
+    return lens, _LM_CODE[flat]
+
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    lens, codes = _doc_streams(batch)
+    counts = np.zeros(_LM_V * _LM_V, dtype=np.int64)
+    if len(codes):
+        ends = np.cumsum(lens)
+        valid = np.ones(len(codes) - 1, dtype=bool) if len(codes) > 1 else np.zeros(0, bool)
+        # bigrams never span doc boundaries (guard: a zero-length doc makes
+        # ends-1 wrap to -1 / duplicate — only real boundary positions mask)
+        b = ends[:-1] - 1
+        b = b[(b >= 0) & (b < len(valid))]
+        valid[b] = False
+        if valid.any():
+            bg = codes[:-1][valid] * _LM_V + codes[1:][valid]
+            counts += np.bincount(bg, minlength=_LM_V * _LM_V)
+    live = np.flatnonzero(counts)
+    return pa.table({"bg": pa.array(live), "n": pa.array(counts[live])})
+
+
+def train_char_lm(sf_dir: str) -> np.ndarray:
+    """(V, V) add-one-smoothed ln-probability matrix from one distributed
+    counting pass."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    rows = (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(_bigram_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bg")
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    counts = np.zeros(_LM_V * _LM_V, dtype=np.float64)
+    for r in rows:
+        counts[int(r["bg"])] = float(r["sum(n)"])
+    m = counts.reshape(_LM_V, _LM_V)
+    return np.log((m + 1.0) / (m.sum(axis=1, keepdims=True) + _LM_V))
+
+
+class CharLmScorer:
+    """Pass-2 stage: model from the object store once per actor, per-doc
+    mean ln bigram probability (0.0 for docs with no bigram)."""
+
+    def __init__(self, lm_ref):
+        import ray
+
+        self.lp = (ray.get(lm_ref) if not isinstance(lm_ref, np.ndarray) else lm_ref).reshape(-1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lens, codes = _doc_streams(batch)
+        n_rows = batch.num_rows
+        score = np.zeros(n_rows, dtype=np.float64)
+        nbg = np.maximum(lens - 1, 0)
+        if len(codes) > 1:
+            ends = np.cumsum(lens)
+            valid = np.ones(len(codes) - 1, dtype=bool)
+            b = ends[:-1] - 1
+            b = b[(b >= 0) & (b < len(valid))]
+            valid[b] = False
+            lp = self.lp[codes[:-1] * _LM_V + codes[1:]]
+            lp[~valid] = 0.0
+            doc_of = np.searchsorted(ends, np.arange(len(codes) - 1), side="right")
+            sums = np.bincount(doc_of, weights=lp, minlength=n_rows)
+            nz = nbg > 0
+            score[nz] = sums[nz] / nbg[nz]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_bigrams": pa.array(nbg),
+                "lm_score": pa.array(np.round(score, 6), type=pa.float64()),
+            }
+        )
+
+
+def charlm_score_ds(sf_dir: str):
+    """(doc_id, n_bigrams, lm_score): mean ln P(c₂|c₁) of each doc under
+    the corpus's own character bigram LM."""
+    import ray
+    import ray.data as rd
+
+    lm = train_char_lm(sf_dir)
+    ref = ray.put(lm)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        CharLmScorer,
+        fn_constructor_kwargs={"lm_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    )

@@ -656,3 +656,32 @@ def test_resample_stage(ray_session):
     assert (resample_linear(wave, 16000, 16000) == wave).all()
     # non-audio untouched
     assert bytes(got["payload"][1]) == b"notaudio" and int(got["sample_rate"][1]) == -1
+
+
+def test_charlm_vs_scalar(ray_session, doc_tokens):
+    """charlm_score_ds equals a pure-python bigram LM over the normalized
+    token streams (add-one smoothing, mean ln prob)."""
+    import math
+
+    from miru_ray.textstats import charlm_score_ds
+
+    streams = {i: " ".join(doc_tokens[i]) for i in doc_tokens}
+    counts: dict[str, int] = {}
+    row: dict[str, int] = {}
+    for s in streams.values():
+        for i in range(len(s) - 1):
+            bgm = s[i : i + 2]
+            counts[bgm] = counts.get(bgm, 0) + 1
+            row[s[i]] = row.get(s[i], 0) + 1
+    got = charlm_score_ds(SF).to_pandas().set_index("doc_id")
+    for i in list(streams)[:40]:
+        s = streams[i]
+        if len(s) < 2:
+            assert got.loc[i, "n_bigrams"] == 0
+            continue
+        lps = [
+            math.log((counts[s[j : j + 2]] + 1.0) / (row[s[j]] + 37.0))
+            for j in range(len(s) - 1)
+        ]
+        assert got.loc[i, "n_bigrams"] == len(lps), i
+        assert abs(got.loc[i, "lm_score"] - round(sum(lps) / len(lps), 6)) < 1e-5, i
