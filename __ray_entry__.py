@@ -650,6 +650,23 @@ def txt_charlm(sf_dir: str):
     return charlm_score_ds(sf_dir)
 
 
+DECONTAM_EVAL_MAX_DOC_ID = 25
+DECONTAM_K = 3
+
+
+def txt_decontam(sf_dir: str):
+    """Benchmark decontamination (textstats.decontaminate_ds): a training
+    doc (doc_id ≥ eval bound) is contaminated if it shares any token k-gram
+    with the eval slice (doc_id < bound) — the GPT-3 appendix-C / PaLM
+    procedure. The eval gram-hash set is the canonical ray.put broadcast
+    small side; n_hits counts DISTINCT shared grams. Production k=13; the
+    tiny fixtures exercise the machinery at k=3 (the same rolling-hash
+    chain mirrored in the SQL gram CTEs)."""
+    from miru_ray.textstats import decontaminate_ds
+
+    return decontaminate_ds(sf_dir, DECONTAM_EVAL_MAX_DOC_ID, k=DECONTAM_K)
+
+
 def txt_token_bpe(sf_dir: str):
     """BPE-ish tokenizer-cost counts (textstats.bpe_token_count_ds): piece
     and ≤4-char-subword counts from shared re2 class patterns — the count
@@ -805,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_token_bpe": txt_token_bpe,
         "txt_charlm": txt_charlm,
         "txt_splits": txt_splits,
+        "txt_decontam": txt_decontam,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1330,6 +1348,18 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        COALESCE(fpa.n_fingerprints, 0) AS n_fingerprints,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
+        ),
+        "txt_decontam": (
+            f"""WITH {_gram_ctes()},
+eg AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECONTAM_EVAL_MAX_DOC_ID}),
+tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= {DECONTAM_EVAL_MAX_DOC_ID}),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM tg JOIN eg USING (g) GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= {DECONTAM_EVAL_MAX_DOC_ID}"""
         ),
         "txt_charlm": (
             f"""WITH norm AS (SELECT doc_id, array_to_string({_TOK}, ' ') AS s FROM documents),

@@ -264,7 +264,12 @@ def main():
         )
         return
 
-    r = run_once(cpus, sf_dir, args.parts, build_attempts=2)
+    # 3 attempts, min: attempt 1 pays the session's one-time costs (worker
+    # spawn + imports + first-touch), and this shared VM's co-tenant load
+    # swings effective DRAM bandwidth >30× between minutes — three samples
+    # materially improve the odds that one lands in a usable window. All
+    # attempts are reported (build_secs_all) beside the membw probes.
+    r = run_once(cpus, sf_dir, args.parts, build_attempts=3)
     print(
         json.dumps(
             {

@@ -504,3 +504,97 @@ def charlm_score_ds(sf_dir: str):
         zero_copy_batch=True,
         concurrency=(1, 2),
     )
+
+
+# ------------------------------------------------------- decontamination
+
+# Benchmark decontamination (the GPT-3 appendix-C / PaLM procedure): a
+# training document is contaminated if it shares any token k-gram with the
+# evaluation set. The eval side of a real pipeline is tiny (benchmarks are
+# thousands of documents against a 100 TB corpus), so its distinct gram-hash
+# set is the canonical broadcast small side: computed once, ray.put once,
+# binary-searched inside every map_batches task. Production uses k=13;
+# the tiny synthetic fixtures exercise the machinery at k=3 (the gram-hash
+# chain already mirrored in the SQL oracles).
+
+
+def eval_gram_set(sf_dir: str, eval_max_doc_id: int, k: int) -> np.ndarray:
+    """Distinct k-gram hashes of the eval slice (doc_id < eval_max_doc_id),
+    sorted uint64. Streams only the eval rows (row filter at the read); the
+    result is benchmark-sized by construction."""
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).filter(
+        expr=f"doc_id < {int(eval_max_doc_id)}"
+    )
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        parents, tokens = tokenize_flat(batch["text"])
+        th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+        _, gh = gram_hashes(parents, th, k)
+        return pa.table({"g": pa.array(np.unique(gh))})
+
+    parts = [
+        b["g"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(_grams, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+
+class DecontamStage:
+    """Actor-pool stage: per-doc count of DISTINCT k-gram hashes shared with
+    the broadcast eval gram set. The eval array is fetched from the object
+    store once per actor (zero-copy shared-memory view), never per batch."""
+
+    def __init__(self, eval_ref, k: int):
+        import ray
+
+        self.k = k
+        self.eval_grams = ray.get(eval_ref)  # sorted uint64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        parents, tokens = tokenize_flat(batch["text"])
+        th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+        gp, gh = gram_hashes(parents, th, self.k)
+        n_hits = np.zeros(n_rows, dtype=np.int64)
+        if len(gp) and len(self.eval_grams):
+            # per-doc distinct grams, then sorted-set membership
+            order = np.lexsort((gh, gp))
+            gp, gh = gp[order], gh[order]
+            keep = np.concatenate([[True], (gp[1:] != gp[:-1]) | (gh[1:] != gh[:-1])])
+            gp, gh = gp[keep], gh[keep]
+            idx = np.searchsorted(self.eval_grams, gh)
+            idx[idx == len(self.eval_grams)] = 0
+            hit = self.eval_grams[idx] == gh
+            if hit.any():
+                np.add.at(n_hits, gp[hit], 1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(_ids(batch), pa.int64()),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+
+def decontaminate_ds(sf_dir: str, eval_max_doc_id: int, k: int = 3):
+    """(doc_id, n_hits, contaminated) for every TRAINING doc (doc_id ≥
+    eval_max_doc_id): n_hits = distinct token k-grams shared with the eval
+    slice (doc_id < eval_max_doc_id). The eval gram set rides the object
+    store as one broadcast array; the training scan is embarrassingly
+    parallel — no shuffle anywhere."""
+    import ray
+
+    ref = ray.put(eval_gram_set(sf_dir, eval_max_doc_id, k))
+    return (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .filter(expr=f"doc_id >= {int(eval_max_doc_id)}")
+        .map_batches(
+            DecontamStage,
+            fn_constructor_kwargs={"eval_ref": ref, "k": k},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 2),
+        )
+    )

@@ -685,3 +685,24 @@ def test_charlm_vs_scalar(ray_session, doc_tokens):
         ]
         assert got.loc[i, "n_bigrams"] == len(lps), i
         assert abs(got.loc[i, "lm_score"] - round(sum(lps) / len(lps), 6)) < 1e-5, i
+
+
+def test_decontaminate_vs_brute(ray_session, doc_tokens):
+    """decontaminate_ds == brute-force distinct k-gram set intersection
+    (training docs vs the eval slice), flag and count both."""
+    from miru_ray.textstats import decontaminate_ds
+
+    bound, k = 25, 3
+    ev = set()
+    for d, toks in doc_tokens.items():
+        if d < bound:
+            ev |= {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    got = decontaminate_ds(SF, bound, k=k).to_pandas().set_index("doc_id")
+    assert len(got) == sum(1 for d in doc_tokens if d >= bound)
+    for d, toks in doc_tokens.items():
+        if d < bound:
+            continue
+        grams = {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        n = len(grams & ev)
+        assert got.loc[d, "n_hits"] == n
+        assert bool(got.loc[d, "contaminated"]) == (n > 0)
