@@ -667,6 +667,31 @@ def txt_decontam(sf_dir: str):
     return decontaminate_ds(sf_dir, DECONTAM_EVAL_MAX_DOC_ID, k=DECONTAM_K)
 
 
+CHUNK_MAX_TOKENS = 64
+PACK_BUDGET = 512
+
+
+def txt_chunks(sf_dir: str):
+    """Training-sequence chunking (textstats.chunk_ds): each doc's token
+    stream in consecutive ≤64-token windows, chunk_text = tokens joined by
+    single spaces — value-checked INCLUDING the text (DuckDB list_slice +
+    array_to_string mirrors the window exactly)."""
+    from miru_ray.textstats import chunk_ds
+
+    return chunk_ds(sf_dir, max_tokens=CHUNK_MAX_TOKENS)
+
+
+def txt_packing(sf_dir: str):
+    """Linear sequence packing (textstats.pack_ds): docs concatenated in
+    doc_id order and cut every 512 tokens; pack_id = tokens-before // 512.
+    The global prefix sum is the build's two-phase offset pattern (per-file
+    totals → exclusive prefix → broadcast bases) — one int per FILE crosses
+    the cluster, never per doc."""
+    from miru_ray.textstats import pack_ds
+
+    return pack_ds(sf_dir, budget=PACK_BUDGET)
+
+
 def txt_token_bpe(sf_dir: str):
     """BPE-ish tokenizer-cost counts (textstats.bpe_token_count_ds): piece
     and ≤4-char-subword counts from shared re2 class patterns — the count
@@ -823,6 +848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_charlm": txt_charlm,
         "txt_splits": txt_splits,
         "txt_decontam": txt_decontam,
+        "txt_chunks": txt_chunks,
+        "txt_packing": txt_packing,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1348,6 +1375,27 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        COALESCE(fpa.n_fingerprints, 0) AS n_fingerprints,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
+        ),
+        "txt_chunks": (
+            f"""WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+         toks[CAST(t.i*{CHUNK_MAX_TOKENS}+1 AS BIGINT):CAST(least((t.i+1)*{CHUNK_MAX_TOKENS}, len(toks)) AS BIGINT)] AS ct
+  FROM tok, unnest(range(CAST(ceil(len(toks)/{CHUNK_MAX_TOKENS}.0) AS BIGINT))) AS t(i)
+  WHERE len(toks) > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx,
+       CAST(len(ct) AS BIGINT) AS n_tokens, array_to_string(ct, ' ') AS chunk_text
+FROM chunks"""
+        ),
+        "txt_packing": (
+            f"""WITH n AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM n)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(floor(tokens_before / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM c"""
         ),
         "txt_decontam": (
             f"""WITH {_gram_ctes()},

@@ -598,3 +598,150 @@ def decontaminate_ds(sf_dir: str, eval_max_doc_id: int, k: int = 3):
             concurrency=(1, 2),
         )
     )
+
+
+# ------------------------------------------- sequence chunking and packing
+
+# Training-sequence preparation: (1) chunk each document's token stream into
+# consecutive windows of ≤ max_tokens (what a trainer feeds a fixed-context
+# model after re-tokenizing), and (2) assign documents to fixed-budget
+# training sequences ("linear packing": concatenate in doc_id order, cut
+# every `budget` tokens — a document starts in pack ⌊tokens-before/budget⌋;
+# overflow is handled downstream by the chunker). Chunking is embarrassingly
+# parallel. Packing needs a GLOBAL prefix sum over doc order — the same
+# two-phase offset pattern as the index build (build.py phase 1): one tiny
+# per-file counting pass, an exclusive prefix over file totals on the
+# driver (one int per FILE, never per doc), then a parallel second pass
+# where every task computes exact global offsets by local cumsum + its
+# file's base.
+
+
+def _chunk_batch(batch: pa.Table, max_tokens: int) -> pa.Table:
+    n_rows = batch.num_rows
+    parents, tokens = tokenize_flat(batch["text"])
+    if len(parents) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+    toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    counts = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(parents), dtype=np.int64) - doc_starts[parents]
+    cidx = pos // np.int64(max_tokens)
+    new_chunk = np.concatenate(
+        [[True], (parents[1:] != parents[:-1]) | (cidx[1:] != cidx[:-1])]
+    )
+    coff = np.flatnonzero(new_chunk)
+    offsets = np.concatenate([coff, [len(parents)]]).astype(np.int32)
+    chunk_text = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), toks), pa.scalar(" ")
+    )
+    ids = pc.cast(_ids(batch), pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[parents[coff]]),
+            "chunk_idx": pa.array(cidx[coff]),
+            "n_tokens": pa.array(np.diff(offsets).astype(np.int64)),
+            "chunk_text": chunk_text,
+        }
+    )
+
+
+def chunk_ds(sf_dir: str, max_tokens: int = 64):
+    """(doc_id, chunk_idx, n_tokens, chunk_text): each doc's token stream in
+    consecutive ≤max_tokens windows; chunk_text is the tokens joined by a
+    single space (the tokenizer-normalized stream). Zero-token docs emit no
+    chunks. One map_batches pass — no shuffle."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunk_batch,
+        fn_kwargs={"max_tokens": max_tokens},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _file_token_counts(path: str) -> dict:
+    """Packing pass 1: one file's (sorted-doc_id check, per-file token
+    total). Reads only (doc_id, text)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "text"], use_threads=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) > 1 and not bool(np.all(np.diff(ids) > 0)):
+        raise ValueError(f"{path}: doc_id not strictly sorted — packing needs doc order")
+    parents, _ = tokenize_flat(t["text"])
+    return {
+        "total": int(len(parents)),
+        "first": int(ids[0]) if len(ids) else -1,
+        "rows": t.num_rows,
+    }
+
+
+class PackStage:
+    """Packing pass 2 (actor-pool, one file per task): per-doc token counts
+    → exact global tokens-before by local exclusive cumsum + the file's
+    broadcast base offset → pack_id = before // budget."""
+
+    def __init__(self, bases: dict[int, int], budget: int):
+        self.bases = bases
+        self.budget = budget
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for i in range(batch.num_rows):
+            fidx = int(batch["fidx"][i].as_py())
+            t = pq.read_table(
+                batch["path"][i].as_py(), columns=["doc_id", "text"], use_threads=False
+            )
+            parents, _ = tokenize_flat(t["text"])
+            n = token_counts(parents, t.num_rows).astype(np.int64)
+            before = self.bases[fidx] + np.concatenate([[0], np.cumsum(n)[:-1]])
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                        "n_tokens": pa.array(n),
+                        "pack_id": pa.array(before // np.int64(self.budget)),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+
+def pack_ds(sf_dir: str, budget: int = 512):
+    """(doc_id, n_tokens, pack_id): linear sequence packing — documents in
+    doc_id order are concatenated and cut every `budget` tokens; a doc
+    belongs to the pack its first token lands in. Two passes over the text
+    (count, then assign); the only cross-task state is one int per FILE
+    (exclusive prefix of file token totals), broadcast in the actor ctor."""
+    import glob as _glob
+
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    files = sorted(_glob.glob(path)) if "*" in path else (
+        sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    )
+    count = ray.remote(num_cpus=1)(_file_token_counts)
+    metas = ray.get([count.remote(f) for f in files])
+    firsts = [m["first"] for m in metas if m["rows"]]
+    if firsts != sorted(firsts):
+        raise ValueError("documents files not globally sorted by doc_id")
+    totals = np.array([m["total"] for m in metas], dtype=np.int64)
+    bases = {i: int(b) for i, b in enumerate(np.concatenate([[0], np.cumsum(totals)[:-1]]))}
+    items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
+    return rd.from_items(items).map_batches(
+        PackStage,
+        fn_constructor_kwargs={"bases": bases, "budget": budget},
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -706,3 +706,57 @@ def test_decontaminate_vs_brute(ray_session, doc_tokens):
         n = len(grams & ev)
         assert got.loc[d, "n_hits"] == n
         assert bool(got.loc[d, "contaminated"]) == (n > 0)
+
+
+def test_chunk_ds_vs_brute(ray_session, doc_tokens):
+    """chunk_ds == per-doc fixed windows of the scalar token stream,
+    including the joined chunk text."""
+    from miru_ray.textstats import chunk_ds
+
+    got = (
+        chunk_ds(SF, max_tokens=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for d in sorted(doc_tokens):
+        toks = doc_tokens[d]
+        for i in range(0, len(toks), 16):
+            want.append((d, i // 16, len(toks[i : i + 16]), " ".join(toks[i : i + 16])))
+    assert len(got) == len(want)
+    for row, (d, ci, n, text) in zip(got.itertuples(index=False), want):
+        assert (row.doc_id, row.chunk_idx, row.n_tokens, row.chunk_text) == (d, ci, n, text)
+
+
+def test_pack_ds_vs_brute_and_multifile(ray_session, doc_tokens, tmp_path):
+    """pack_ds == running global token prefix-sum // budget, and the
+    multi-file base-offset path agrees with the single-file answer."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.textstats import pack_ds
+
+    budget = 128
+    got = pack_ds(SF, budget=budget).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cum = 0
+    for d in sorted(doc_tokens):
+        n = len(doc_tokens[d])
+        row = got[got.doc_id == d].iloc[0]
+        assert row.n_tokens == n
+        assert row.pack_id == cum // budget
+        cum += n
+    # multi-file: same corpus split into 3 sorted shards under a dir named
+    # documents.parquet — exercises the per-file exclusive-prefix bases
+    t = pq.read_table(SF + "/documents.parquet")
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    n = t.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo), str(d / f"shard-{i}.parquet"))
+    got2 = (
+        pack_ds(str(tmp_path), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got2.equals(got)
