@@ -692,6 +692,21 @@ def txt_packing(sf_dir: str):
     return pack_ds(sf_dir, budget=PACK_BUDGET)
 
 
+REDACT_PATTERNS = {"entity": r"\bcustomer\b", "metric": r"\b(fast|slow)\b"}
+
+
+def txt_redact(sf_dir: str):
+    """Pattern scrubbing (textstats.redact_ds): ordered {label: regex} →
+    per-doc match counts + the text with every match replaced by <label>,
+    in one vectorized RE2 pass. The synthetic corpus has no real PII, so
+    the driver query fires on corpus words; textstats.PII_PRESETS
+    (email/phone/ipv4) are the production defaults, unit-tested on strings
+    containing real PII shapes."""
+    from miru_ray.textstats import redact_ds
+
+    return redact_ds(sf_dir, REDACT_PATTERNS)
+
+
 def txt_token_bpe(sf_dir: str):
     """BPE-ish tokenizer-cost counts (textstats.bpe_token_count_ds): piece
     and ≤4-char-subword counts from shared re2 class patterns — the count
@@ -850,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_decontam": txt_decontam,
         "txt_chunks": txt_chunks,
         "txt_packing": txt_packing,
+        "txt_redact": txt_redact,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1375,6 +1391,15 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        COALESCE(fpa.n_fingerprints, 0) AS n_fingerprints,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
+        ),
+        "txt_redact": (
+            r"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_entity,
+  CAST(len(regexp_extract_all(r1, '\b(fast|slow)\b')) AS BIGINT) AS n_metric,
+  regexp_replace(r1, '\b(fast|slow)\b', '<metric>', 'g') AS redacted_text
+FROM (SELECT doc_id, text,
+        regexp_replace(text, '\bcustomer\b', '<entity>', 'g') AS r1
+      FROM documents)"""
         ),
         "txt_chunks": (
             f"""WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),

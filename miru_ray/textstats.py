@@ -745,3 +745,43 @@ def pack_ds(sf_dir: str, budget: int = 512):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# ------------------------------------------------------- pattern redaction
+
+# PII / pattern scrubbing: apply an ordered {label: regex} map to each doc —
+# count matches, then replace them with "<label>" — in ONE vectorized
+# map_batches pass (RE2 kernels; counts are taken on the text state each
+# pattern sees, i.e. after the previous labels' replacements, which the SQL
+# oracle mirrors by nesting regexp_replace). The synthetic corpus contains
+# no real PII, so the driver query exercises the machinery with
+# corpus-firing patterns; these presets are the production defaults.
+PII_PRESETS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def _redact_batch(batch: pa.Table, patterns: dict[str, str]) -> pa.Table:
+    text = batch["text"]
+    cur = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    cols: dict = {"doc_id": pc.cast(_ids(batch), pa.int64())}
+    for label, pat in patterns.items():
+        cols[f"n_{label}"] = pc.cast(pc.count_substring_regex(cur, pat), pa.int64())
+        cur = pc.replace_substring_regex(cur, pat, f"<{label}>")
+    cols["redacted_text"] = cur
+    return pa.table(cols)
+
+
+def redact_ds(sf_dir: str, patterns: dict[str, str] | None = None):
+    """(doc_id, n_<label>..., redacted_text): per-doc match counts and the
+    scrubbed text under the ordered pattern map (default: the PII presets).
+    Stateless vectorized scan — no shuffle, no actor state."""
+    patterns = dict(patterns or PII_PRESETS)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _redact_batch,
+        fn_kwargs={"patterns": patterns},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -760,3 +760,43 @@ def test_pack_ds_vs_brute_and_multifile(ray_session, doc_tokens, tmp_path):
         .reset_index(drop=True)
     )
     assert got2.equals(got)
+
+
+def test_redact_pii_presets_and_corpus(ray_session):
+    """PII presets scrub real PII shapes (scalar kernel check), and the
+    corpus pipeline's counts/redactions match python re."""
+    import re
+
+    import pyarrow as pa
+
+    from miru_ray.textstats import PII_PRESETS, _redact_batch, redact_ds
+
+    samples = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a@b.co or x.y+z@sub.example.org now",
+                "call +1 (555) 123-4567 from 10.0.0.1",
+                "no pii here",
+            ],
+        }
+    )
+    got = _redact_batch(samples, PII_PRESETS).to_pydict()
+    assert got["n_email"] == [2, 0, 0]
+    assert got["n_phone"] == [0, 1, 0]
+    assert got["n_ipv4"] == [0, 1, 0]
+    assert got["redacted_text"][0] == "mail <email> or <email> now"
+    assert got["redacted_text"][1] == "call <phone> from <ipv4>"
+    assert got["redacted_text"][2] == "no pii here"
+
+    pats = {"entity": r"\bcustomer\b", "metric": r"\b(fast|slow)\b"}
+    df = redact_ds(SF, pats).to_pandas().set_index("doc_id")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(SF + "/documents.parquet").to_pandas()
+    for _, r in docs.head(50).iterrows():
+        t1, n1 = re.subn(pats["entity"], "<entity>", r.text)
+        t2, n2 = re.subn(pats["metric"], "<metric>", t1)
+        assert df.loc[r.doc_id, "n_entity"] == n1
+        assert df.loc[r.doc_id, "n_metric"] == n2
+        assert df.loc[r.doc_id, "redacted_text"] == t2
