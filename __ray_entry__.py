@@ -426,6 +426,16 @@ def ev_sessionize(sf_dir: str):
     return sessionize_ds(sf_dir, gap_us=SESSION_GAP_US)
 
 
+def ev_retention(sf_dir: str):
+    """Retention cohorts (analytics.retention_ds): users cohorted by first
+    active epoch-day; n_users = distinct users of a cohort active `period`
+    days later. Per-batch-deduped (user, day) pairs → groupby(user) →
+    answer-sized cohort×period count."""
+    from miru_ray.analytics import retention_ds
+
+    return retention_ds(sf_dir)
+
+
 def ev_trending_peaks(sf_dir: str) -> pa.Table:
     """Reference-strategy trending (PEAKS/LEADER/HIGHEST_PEAK/regression —
     TrendingInjectable.java:143-190). The Billauer PeakDet loop is mirrored
@@ -842,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_trending": ev_trending,
         "ev_trending_peaks": ev_trending_peaks,
         "ev_sessionize": ev_sessionize,
+        "ev_retention": ev_retention,
         "ev_distinct_sketch": ev_distinct_sketch,
         "ev_quantiles": ev_quantiles,
         "bloom_index": bloom_index,
@@ -1209,6 +1220,15 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(ts_us) AS BIGINT) AS end_us,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sess"""
+        ),
+        "ev_retention": (
+            """WITH ud AS (SELECT DISTINCT user_id,
+                     CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+             FROM events),
+coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day, ud.day - c.cohort_day AS period,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN coh c USING (user_id) GROUP BY 1, 2"""
         ),
         "ev_waveform": (
             "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts, "

@@ -524,3 +524,78 @@ def quantiles_ds(sf_dir: str, key_col: str = "event_type", value_col: str = "val
     return ds.groupby("key").map_groups(
         lambda g: _quantile_group(g, qs, value_col), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- retention cohorts
+
+_DAY_US = 86_400_000_000
+
+
+def _user_day_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (user_id, epoch-day) pairs — the combiner that
+    makes the user-keyed shuffle carry at most one row per user-day per
+    batch instead of one per event."""
+    us = _ts_us(batch)
+    uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    day = us // _DAY_US
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    keep = np.concatenate([[True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])])
+    return pa.table({"user_id": pa.array(uid[keep]), "day": pa.array(day[keep])})
+
+
+def _cohort_periods(group: pa.Table) -> pa.Table:
+    """One user's distinct active days → (cohort_day, period) rows, one per
+    distinct day (cohort = first active day). Each user contributes a
+    period at most once, so downstream row counts ARE distinct-user
+    counts."""
+    day = np.unique(group["day"].to_numpy(zero_copy_only=False).astype(np.int64))
+    cohort = day[0]
+    return pa.table(
+        {
+            "cohort_day": pa.array(np.full(len(day), cohort, np.int64)),
+            "period": pa.array(day - cohort),
+        }
+    )
+
+
+def retention_ds(sf_dir: str):
+    """(cohort_day, period, n_users): classic retention triangle — users
+    cohorted by their first active epoch-day; n_users = distinct users of
+    that cohort active `period` days later. Two pre-aggregated shuffles:
+    groupby(user) over per-batch-deduped (user, day) pairs, then a
+    cohort×period count whose key space is answer-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = _events_ds(sf_dir, ["ts", "user_id"]).map_batches(
+        _user_day_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    periods = ds.groupby("user_id").map_groups(_cohort_periods, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["cohort_day", "period"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "cohort_day": pc.cast(t["cohort_day"], pa.int64()),
+                "period": pc.cast(t["period"], pa.int64()),
+                "n": pc.cast(t["count_all"], pa.int64()),
+            }
+        )
+
+    out = (
+        periods.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "period"])
+        .aggregate(Sum("n"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort_day": pc.cast(b["cohort_day"], pa.int64()),
+                "period": pc.cast(b["period"], pa.int64()),
+                "n_users": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

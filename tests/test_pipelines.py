@@ -800,3 +800,33 @@ def test_redact_pii_presets_and_corpus(ray_session):
         assert df.loc[r.doc_id, "n_entity"] == n1
         assert df.loc[r.doc_id, "n_metric"] == n2
         assert df.loc[r.doc_id, "redacted_text"] == t2
+
+
+def test_retention_vs_brute(ray_session):
+    """retention_ds == brute-force pandas cohort triangle."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from miru_ray.analytics import retention_ds
+
+    got = (
+        retention_ds(SF)
+        .to_pandas()
+        .sort_values(["cohort_day", "period"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(SF + "/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = (ev.ts.astype("int64") // 86_400_000_000).astype("int64")
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    coh = ud.groupby("user_id")["day"].min().rename("cohort_day")
+    j = ud.join(coh, on="user_id")
+    j["period"] = j.day - j.cohort_day
+    want = (
+        j.groupby(["cohort_day", "period"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_day", "period"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
