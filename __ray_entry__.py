@@ -436,6 +436,19 @@ def ev_retention(sf_dir: str):
     return retention_ds(sf_dir)
 
 
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def ev_funnel(sf_dir: str):
+    """Ordered-funnel completion (analytics.funnel_ds): distinct users whose
+    events match the step list in strict time order, each step strictly
+    after the previous step's earliest match — min-ts chaining, mirrored
+    step-for-step in SQL."""
+    from miru_ray.analytics import funnel_ds
+
+    return funnel_ds(sf_dir, FUNNEL_STEPS)
+
+
 def ev_trending_peaks(sf_dir: str) -> pa.Table:
     """Reference-strategy trending (PEAKS/LEADER/HIGHEST_PEAK/regression —
     TrendingInjectable.java:143-190). The Billauer PeakDet loop is mirrored
@@ -853,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_trending_peaks": ev_trending_peaks,
         "ev_sessionize": ev_sessionize,
         "ev_retention": ev_retention,
+        "ev_funnel": ev_funnel,
         "ev_distinct_sketch": ev_distinct_sketch,
         "ev_quantiles": ev_quantiles,
         "bloom_index": bloom_index,
@@ -1220,6 +1234,19 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(ts_us) AS BIGINT) AS end_us,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sess"""
+        ),
+        "ev_funnel": (
+            f"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+s0 AS (SELECT user_id, min(t) AS t0 FROM e
+       WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(t) AS t1 FROM e JOIN s0 USING (user_id)
+       WHERE event_type = '{FUNNEL_STEPS[1]}' AND t > t0 GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = '{FUNNEL_STEPS[2]}' AND t > t1 GROUP BY e.user_id)
+SELECT CAST(0 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+       (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+UNION ALL SELECT 1, '{FUNNEL_STEPS[1]}', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+UNION ALL SELECT 2, '{FUNNEL_STEPS[2]}', (SELECT CAST(count(*) AS BIGINT) FROM s2)"""
         ),
         "ev_retention": (
             """WITH ud AS (SELECT DISTINCT user_id,

@@ -599,3 +599,86 @@ def retention_ds(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------ funnel depth
+
+def _funnel_steps_partial(batch: pa.Table, steps: list[str]) -> pa.Table:
+    """Pre-filter to funnel-step events and project the three needed
+    columns — the funnel shuffle never carries off-funnel events or props."""
+    et = batch["event_type"]
+    et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+    keep = pc.is_in(et, value_set=pa.array(steps))
+    t = batch.filter(keep)
+    sidx = pc.index_in(
+        t["event_type"].combine_chunks() if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"],
+        value_set=pa.array(steps),
+    )
+    return pa.table(
+        {
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t": pa.array(_ts_us(t)),
+            "sidx": pc.cast(sidx, pa.int8()),
+        }
+    )
+
+
+def _funnel_group(group: pa.Table, n_steps: int) -> pa.Table:
+    """One user's step events → (step_idx,) rows for every step reached.
+    Matching rule (mirrored in SQL by min-ts chaining): step i matches at
+    the MINIMUM ts of its events strictly AFTER step i-1's match time."""
+    t = group["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = group["sidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cur = -np.inf
+    reached = []
+    for i in range(n_steps):
+        cand = t[(s == i) & (t > cur)]
+        if len(cand) == 0:
+            break
+        cur = cand.min()
+        reached.append(i)
+    return pa.table({"step_idx": pa.array(np.asarray(reached, np.int64))})
+
+
+def funnel_ds(sf_dir: str, steps: list[str]):
+    """(step_idx, step, n_users): ordered-funnel completion — n_users =
+    distinct users whose events match steps[0..i] in strict time order
+    (each step strictly after the previous step's earliest match). One
+    user-keyed shuffle over pre-filtered step events; the final count's key
+    space is len(steps)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events_ds(sf_dir, ["ts", "user_id", "event_type"]).map_batches(
+        lambda b: _funnel_steps_partial(b, steps),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    depth = ds.groupby("user_id").map_groups(
+        lambda g: _funnel_group(g, len(steps)), batch_format="pyarrow"
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("step_idx", use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "step_idx": pc.cast(t["step_idx"], pa.int64()),
+                "n": pc.cast(t["count_all"], pa.int64()),
+            }
+        )
+
+    out = (
+        depth.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("step_idx")
+        .aggregate(Sum("n"))
+    )
+    step_names = pa.array(steps, pa.string())
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "step_idx": pc.cast(b["step_idx"], pa.int64()),
+                "step": pc.take(step_names, b["step_idx"]),
+                "n_users": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

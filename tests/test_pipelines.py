@@ -830,3 +830,27 @@ def test_retention_vs_brute(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_funnel_vs_brute(ray_session):
+    """funnel_ds == brute-force per-user min-ts chaining."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.analytics import funnel_ds
+
+    steps = ["signup", "click", "error"]
+    got = funnel_ds(SF, steps).to_pandas().sort_values("step_idx").reset_index(drop=True)
+    ev = pq.read_table(SF + "/events.parquet", columns=["ts", "user_id", "event_type"]).to_pandas()
+    ev["t"] = ev.ts.astype("int64")
+    counts = [0] * len(steps)
+    for _, g in ev.groupby("user_id"):
+        cur = float("-inf")
+        for i, s in enumerate(steps):
+            cand = g[(g.event_type == s) & (g.t > cur)]
+            if cand.empty:
+                break
+            cur = cand.t.min()
+            counts[i] += 1
+    assert list(got.step) == steps
+    assert list(got.n_users) == counts
+    assert (got.n_users.diff().dropna() <= 0).all()  # funnel is monotone
