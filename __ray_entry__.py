@@ -426,6 +426,20 @@ def ev_sessionize(sf_dir: str):
     return sessionize_ds(sf_dir, gap_us=SESSION_GAP_US)
 
 
+def ev_sessionize_scaled(sf_dir: str):
+    """Whale-safe two-level sessionization (analytics.sessionize_scalable_ds):
+    sessionize within (user, coarse window) groups, then chain-merge the
+    session PIECES per user — identical answers to ev_sessionize without
+    any worker ever holding one user's full event history. Same SQL oracle
+    as ev_sessionize (the outputs are defined to be equal); the window is
+    set small here (4 gaps) so the boundary-merge path actually fires."""
+    from miru_ray.analytics import sessionize_scalable_ds
+
+    return sessionize_scalable_ds(
+        sf_dir, gap_us=SESSION_GAP_US, window_us=4 * SESSION_GAP_US
+    )
+
+
 def ev_retention(sf_dir: str):
     """Retention cohorts (analytics.retention_ds): users cohorted by first
     active epoch-day; n_users = distinct users of a cohort active `period`
@@ -865,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_trending": ev_trending,
         "ev_trending_peaks": ev_trending_peaks,
         "ev_sessionize": ev_sessionize,
+        "ev_sessionize_scaled": ev_sessionize_scaled,
         "ev_retention": ev_retention,
         "ev_funnel": ev_funnel,
         "ev_distinct_sketch": ev_distinct_sketch,
@@ -1090,7 +1105,7 @@ g AS (SELECT t, CAST(sum(tf) AS BIGINT) AS ttf, CAST(count(*) AS BIGINT) AS df F
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(CAST(len({_TOK}) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents)"""
 
-    return {
+    out = {
         "ft_token_counts": (
             f"SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents"
         ),
@@ -1569,6 +1584,10 @@ SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
         ),
         "dd_embed_cosine": _embed_neardup_oracle_sql(),
     }
+    # the scalable two-level sessionize is DEFINED to equal the single-pass
+    # one — same oracle, checked independently by the driver
+    out["ev_sessionize_scaled"] = out["ev_sessionize"]
+    return out
 
 
 def _embed_neardup_oracle_sql() -> str:

@@ -369,9 +369,11 @@ def trending_ds(sf_dir: str):
 # ------------------------------------------------------------- sessionize
 
 
-def _sessionize_group(group: pa.Table, gap_us: int) -> pa.Table:
+def _sessionize_group(group: pa.Table, gap_us: int, round_sum: bool = True) -> pa.Table:
     """One user's events → session rows. Sort by (ts, event_id), break
-    where the gap exceeds ``gap_us``, reduceat per-session aggregates."""
+    where the gap exceeds ``gap_us``, reduceat per-session aggregates.
+    ``round_sum=False`` keeps raw fp sums (the two-level scalable path
+    rounds once, after the boundary merge)."""
     ts = _ts_us(group)
     eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -380,6 +382,7 @@ def _sessionize_group(group: pa.Table, gap_us: int) -> pa.Table:
     starts = np.flatnonzero(np.concatenate([[True], np.diff(ts) > gap_us]))
     ends = np.append(starts[1:], len(ts))
     uid = int(group["user_id"][0].as_py())
+    sums = np.add.reduceat(val, starts)
     return pa.table(
         {
             "user_id": pa.array(np.full(len(starts), uid, np.int64)),
@@ -387,7 +390,7 @@ def _sessionize_group(group: pa.Table, gap_us: int) -> pa.Table:
             "n_events": pa.array((ends - starts).astype(np.int64)),
             "start_us": pa.array(ts[starts]),
             "end_us": pa.array(ts[ends - 1]),
-            "sum_value": pa.array(np.round(np.add.reduceat(val, starts), 6)),
+            "sum_value": pa.array(np.round(sums, 6) if round_sum else sums),
         }
     )
 
@@ -399,13 +402,75 @@ def sessionize_ds(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
     gaps ≤ ``gap_us``; session_id = the smallest event_id of the burst.
 
     Partitioning assumption: ONE USER'S EVENTS FIT ONE WORKER (the standard
-    sessionization contract — groupby(user_id) co-locates each user). At
-    100 TB a whale user needs pre-splitting by coarse time range with a
-    boundary-merge pass; the groupby itself shuffles only the four needed
-    columns, never props."""
+    sessionization contract — groupby(user_id) co-locates each user). For
+    whale users that violate it, ``sessionize_scalable_ds`` is the
+    pre-split + boundary-merge variant with identical output; the groupby
+    here shuffles only the four needed columns, never props."""
     ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "value"])
     return ds.groupby("user_id").map_groups(
         lambda g: _sessionize_group(g, gap_us), batch_format="pyarrow"
+    )
+
+
+def _merge_session_pieces(group: pa.Table, gap_us: int) -> pa.Table:
+    """One user's per-window session PIECES → final sessions: sort by
+    start, chain-merge adjacent pieces whose boundary gap ≤ gap_us (the
+    same reduceat pattern, now over session rows instead of events)."""
+    start = group["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(start, kind="stable")
+    start = start[order]
+    end = group["end_us"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    sid = group["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    ne = group["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    sv = group["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    brk = np.concatenate([[True], (start[1:] - end[:-1]) > gap_us])
+    starts = np.flatnonzero(brk)
+    ends_i = np.append(starts[1:], len(start))
+    uid = int(group["user_id"][0].as_py())
+    return pa.table(
+        {
+            "user_id": pa.array(np.full(len(starts), uid, np.int64)),
+            "session_id": pa.array(np.minimum.reduceat(sid, starts)),
+            "n_events": pa.array(np.add.reduceat(ne, starts)),
+            "start_us": pa.array(start[starts]),
+            "end_us": pa.array(end[ends_i - 1]),
+            "sum_value": pa.array(np.round(np.add.reduceat(sv, starts), 6)),
+        }
+    )
+
+
+def sessionize_scalable_ds(
+    sf_dir: str,
+    gap_us: int = 30 * 60 * 1_000_000,
+    window_us: int | None = None,
+):
+    """Whale-safe two-level sessionization — same answer as
+    ``sessionize_ds``, but no single worker ever holds one user's full
+    event history. Level 1 sessionizes within (user, coarse time window)
+    groups (a window boundary may cut a true session); level 2 re-groups
+    by user over SESSION PIECES — orders of magnitude smaller than events
+    — and chain-merges pieces whose boundary gap ≤ gap_us, which exactly
+    reconstructs the single-pass partition (pieces inside one window
+    already have gaps > gap_us between them; cut points only ever split a
+    run, never join two). This is the pre-split + boundary-merge pass the
+    plain sessionize's docstring defers to; default window = 64 gaps."""
+    window_us = window_us or 64 * gap_us
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = _ts_us(batch) // np.int64(window_us)
+        return batch.append_column("w", pa.array(w))
+
+    pieces = (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "w"])
+        .map_groups(
+            lambda g: _sessionize_group(g.drop_columns(["w"]), gap_us, round_sum=False),
+            batch_format="pyarrow",
+        )
+    )
+    return pieces.groupby("user_id").map_groups(
+        lambda g: _merge_session_pieces(g, gap_us), batch_format="pyarrow"
     )
 
 

@@ -854,3 +854,22 @@ def test_funnel_vs_brute(ray_session):
     assert list(got.step) == steps
     assert list(got.n_users) == counts
     assert (got.n_users.diff().dropna() <= 0).all()  # funnel is monotone
+
+
+def test_sessionize_scalable_equals_single_pass(ray_session):
+    """Two-level (whale-safe) sessionize == single-pass sessionize, with a
+    window small enough that the boundary merge provably fires."""
+    from miru_ray.analytics import sessionize_ds, sessionize_scalable_ds
+
+    gap = 30 * 60 * 1_000_000
+    key = ["user_id", "session_id"]
+    a = sessionize_ds(SF, gap).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        sessionize_scalable_ds(SF, gap, window_us=gap)  # window == gap: max splitting
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns.tolist()])
+    # the merge path must actually run: some session spans > 1 window
+    assert (a.end_us // gap != a.start_us // gap).any()
