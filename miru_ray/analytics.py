@@ -600,6 +600,10 @@ def _user_day_partial(batch: pa.Table) -> pa.Table:
     """Per-batch distinct (user_id, epoch-day) pairs — the combiner that
     makes the user-keyed shuffle carry at most one row per user-day per
     batch instead of one per event."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "day": pa.array([], pa.int64())}
+        )
     us = _ts_us(batch)
     uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     day = us // _DAY_US

@@ -678,6 +678,7 @@ def _file_token_counts(path: str) -> dict:
     return {
         "total": int(len(parents)),
         "first": int(ids[0]) if len(ids) else -1,
+        "last": int(ids[-1]) if len(ids) else -1,
         "rows": t.num_rows,
     }
 
@@ -732,8 +733,8 @@ def pack_ds(sf_dir: str, budget: int = 512):
     )
     count = ray.remote(num_cpus=1)(_file_token_counts)
     metas = ray.get([count.remote(f) for f in files])
-    firsts = [m["first"] for m in metas if m["rows"]]
-    if firsts != sorted(firsts):
+    spans = [(m["first"], m["last"]) for m in metas if m["rows"]]
+    if any(b[0] <= a[1] for a, b in zip(spans, spans[1:])):
         raise ValueError("documents files not globally sorted by doc_id")
     totals = np.array([m["total"] for m in metas], dtype=np.int64)
     bases = {i: int(b) for i, b in enumerate(np.concatenate([[0], np.cumsum(totals)[:-1]]))}
