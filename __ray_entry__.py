@@ -732,6 +732,22 @@ def txt_packing(sf_dir: str):
 REDACT_PATTERNS = {"entity": r"\bcustomer\b", "metric": r"\b(fast|slow)\b"}
 
 
+def _redact_oracle_sql(patterns: dict[str, str]) -> str:
+    """DuckDB mirror of textstats.redact_ds, generated from the SAME
+    pattern map the query runs (single source of truth): each label counts
+    matches on the text state the previous labels produced, then replaces
+    them — nested regexp_replace, exactly the sequential-kernel order."""
+    expr = "text"
+    selects = ["CAST(doc_id AS BIGINT) AS doc_id"]
+    for label, pat in patterns.items():
+        selects.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT) AS n_{label}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '<{label}>', 'g')"
+    selects.append(f"{expr} AS redacted_text")
+    return "SELECT " + ",\n  ".join(selects) + " FROM documents"
+
+
 def txt_redact(sf_dir: str):
     """Pattern scrubbing (textstats.redact_ds): ordered {label: regex} →
     per-doc match counts + the text with every match replaced by <label>,
@@ -1454,15 +1470,7 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
         ),
-        "txt_redact": (
-            r"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_entity,
-  CAST(len(regexp_extract_all(r1, '\b(fast|slow)\b')) AS BIGINT) AS n_metric,
-  regexp_replace(r1, '\b(fast|slow)\b', '<metric>', 'g') AS redacted_text
-FROM (SELECT doc_id, text,
-        regexp_replace(text, '\bcustomer\b', '<entity>', 'g') AS r1
-      FROM documents)"""
-        ),
+        "txt_redact": _redact_oracle_sql(REDACT_PATTERNS),
         "txt_chunks": (
             f"""WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 chunks AS (

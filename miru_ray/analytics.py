@@ -415,7 +415,14 @@ def sessionize_ds(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
 def _merge_session_pieces(group: pa.Table, gap_us: int) -> pa.Table:
     """One user's per-window session PIECES → final sessions: sort by
     start, chain-merge adjacent pieces whose boundary gap ≤ gap_us (the
-    same reduceat pattern, now over session rows instead of events)."""
+    same reduceat pattern, now over session rows instead of events).
+
+    sum_value: pieces carry RAW fp sums and rounding happens once here, so
+    the only difference vs the single pass is summation association
+    (per-piece partials vs one sequential sum). At double precision that is
+    ~1e-10 relative error against a 1e-6 rounding grid — bit-identical for
+    any value magnitudes below ~1e9, which the shared SQL oracle (itself a
+    third association order) already requires."""
     start = group["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(start, kind="stable")
     start = start[order]
@@ -658,50 +665,56 @@ def retention_ds(sf_dir: str):
         .groupby(["cohort_day", "period"])
         .aggregate(Sum("n"))
     )
+    empty = pa.schema(
+        [("cohort_day", pa.int64()), ("period", pa.int64()), ("n_users", pa.int64())]
+    ).empty_table()
     return out.map_batches(
+        # zero-row inputs reach here schemaless (Ray hash aggregate)
         lambda b: pa.table(
             {
                 "cohort_day": pc.cast(b["cohort_day"], pa.int64()),
                 "period": pc.cast(b["period"], pa.int64()),
-                "n_users": pc.cast(b["sum(n)"], pa.int64()),
+                "n_users": pc.cast(b[b.schema.names[-1]], pa.int64()),
             }
-        ),
+        ) if len(b.schema) == 3 else empty,
         batch_format="pyarrow",
     )
 
 
 # ------------------------------------------------------------ funnel depth
 
-def _funnel_steps_partial(batch: pa.Table, steps: list[str]) -> pa.Table:
+def _funnel_steps_partial(batch: pa.Table, uniq_types: list[str]) -> pa.Table:
     """Pre-filter to funnel-step events and project the three needed
-    columns — the funnel shuffle never carries off-funnel events or props."""
+    columns — the funnel shuffle never carries off-funnel events or props.
+    Events are coded against the UNIQUE type list (a step list may repeat a
+    type, e.g. view→click→view; pc.index_in alone would alias repeats)."""
     et = batch["event_type"]
     et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
-    keep = pc.is_in(et, value_set=pa.array(steps))
+    keep = pc.is_in(et, value_set=pa.array(uniq_types))
     t = batch.filter(keep)
-    sidx = pc.index_in(
+    tcode = pc.index_in(
         t["event_type"].combine_chunks() if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"],
-        value_set=pa.array(steps),
+        value_set=pa.array(uniq_types),
     )
     return pa.table(
         {
             "user_id": pc.cast(t["user_id"], pa.int64()),
             "t": pa.array(_ts_us(t)),
-            "sidx": pc.cast(sidx, pa.int8()),
+            "tcode": pc.cast(tcode, pa.int8()),
         }
     )
 
 
-def _funnel_group(group: pa.Table, n_steps: int) -> pa.Table:
+def _funnel_group(group: pa.Table, step_codes: list[int]) -> pa.Table:
     """One user's step events → (step_idx,) rows for every step reached.
     Matching rule (mirrored in SQL by min-ts chaining): step i matches at
     the MINIMUM ts of its events strictly AFTER step i-1's match time."""
     t = group["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s = group["sidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = group["tcode"].to_numpy(zero_copy_only=False).astype(np.int64)
     cur = -np.inf
     reached = []
-    for i in range(n_steps):
-        cand = t[(s == i) & (t > cur)]
+    for i, code in enumerate(step_codes):
+        cand = t[(s == code) & (t > cur)]
         if len(cand) == 0:
             break
         cur = cand.min()
@@ -709,24 +722,30 @@ def _funnel_group(group: pa.Table, n_steps: int) -> pa.Table:
     return pa.table({"step_idx": pa.array(np.asarray(reached, np.int64))})
 
 
-def funnel_ds(sf_dir: str, steps: list[str]):
+def funnel_ds(sf_dir: str, steps: list[str]) -> pa.Table:
     """(step_idx, step, n_users): ordered-funnel completion — n_users =
     distinct users whose events match steps[0..i] in strict time order
     (each step strictly after the previous step's earliest match). One
-    user-keyed shuffle over pre-filtered step events; the final count's key
-    space is len(steps)."""
+    user-keyed shuffle over pre-filtered step events; the result is
+    answer-sized (len(steps) rows — zero-completion steps included, as in
+    the SQL mirror), so the final zero-fill happens driver-side over the
+    tiny aggregated table."""
     from ray.data.aggregate import Sum
 
+    uniq_types = list(dict.fromkeys(steps))
+    step_codes = [uniq_types.index(st) for st in steps]
     ds = _events_ds(sf_dir, ["ts", "user_id", "event_type"]).map_batches(
-        lambda b: _funnel_steps_partial(b, steps),
+        lambda b: _funnel_steps_partial(b, uniq_types),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     depth = ds.groupby("user_id").map_groups(
-        lambda g: _funnel_group(g, len(steps)), batch_format="pyarrow"
+        lambda g: _funnel_group(g, step_codes), batch_format="pyarrow"
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"step_idx": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
         t = batch.group_by("step_idx", use_threads=False).aggregate([([], "count_all")])
         return pa.table(
             {
@@ -735,19 +754,20 @@ def funnel_ds(sf_dir: str, steps: list[str]):
             }
         )
 
-    out = (
+    agg = (
         depth.map_batches(count_partial, batch_format="pyarrow")
         .groupby("step_idx")
         .aggregate(Sum("n"))
     )
-    step_names = pa.array(steps, pa.string())
-    return out.map_batches(
-        lambda b: pa.table(
-            {
-                "step_idx": pc.cast(b["step_idx"], pa.int64()),
-                "step": pc.take(step_names, b["step_idx"]),
-                "n_users": pc.cast(b["sum(n)"], pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
+    n_users = np.zeros(len(steps), dtype=np.int64)
+    for row in agg.take_all():  # ≤ len(steps) rows by construction
+        n_users[int(row["step_idx"])] = int(row["sum(n)"])
+    return pa.table(
+        {
+            "step_idx": pa.array(np.arange(len(steps), dtype=np.int64)),
+            "step": pa.array(steps, pa.string()),
+            "n_users": pa.array(n_users),
+        }
     )
+
+

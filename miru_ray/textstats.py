@@ -665,44 +665,54 @@ def chunk_ds(sf_dir: str, max_tokens: int = 64):
     )
 
 
-def _file_token_counts(path: str) -> dict:
-    """Packing pass 1: one file's (sorted-doc_id check, per-file token
-    total). Reads only (doc_id, text)."""
+def _file_token_counts(path: str):
+    """Packing pass 1: one file's (sorted-doc_id check, first/last ids,
+    per-doc token counts). Returns ``(meta, counts)`` as TWO task returns so
+    the per-doc counts array stays in the object store — the driver fetches
+    only the tiny meta dicts; pass 2 fetches each file's counts by ref and
+    never re-reads or re-tokenizes the text. Counting-only tokenize
+    (``with_tokens=False``) skips the token-string gather entirely."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["doc_id", "text"], use_threads=False)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(ids) > 1 and not bool(np.all(np.diff(ids) > 0)):
         raise ValueError(f"{path}: doc_id not strictly sorted — packing needs doc order")
-    parents, _ = tokenize_flat(t["text"])
-    return {
-        "total": int(len(parents)),
+    parents, _ = tokenize_flat(t["text"], with_tokens=False)
+    counts = token_counts(parents, t.num_rows).astype(np.int64)
+    meta = {
+        "total": int(counts.sum()),
         "first": int(ids[0]) if len(ids) else -1,
         "last": int(ids[-1]) if len(ids) else -1,
         "rows": t.num_rows,
     }
+    return meta, counts
 
 
 class PackStage:
-    """Packing pass 2 (actor-pool, one file per task): per-doc token counts
-    → exact global tokens-before by local exclusive cumsum + the file's
-    broadcast base offset → pack_id = before // budget."""
+    """Packing pass 2 (actor-pool, one file per task): the file's per-doc
+    token counts (fetched by object ref — pass 1's output, no second text
+    read) → exact global tokens-before by local exclusive cumsum + the
+    file's broadcast base offset → pack_id = before // budget."""
 
-    def __init__(self, bases: dict[int, int], budget: int):
+    def __init__(self, bases: dict[int, int], budget: int, counts_refs: list):
         self.bases = bases
         self.budget = budget
+        self.counts_refs = counts_refs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
+        import ray
 
         out = []
         for i in range(batch.num_rows):
             fidx = int(batch["fidx"][i].as_py())
             t = pq.read_table(
-                batch["path"][i].as_py(), columns=["doc_id", "text"], use_threads=False
+                batch["path"][i].as_py(), columns=["doc_id"], use_threads=False
             )
-            parents, _ = tokenize_flat(t["text"])
-            n = token_counts(parents, t.num_rows).astype(np.int64)
+            n = np.asarray(ray.get(self.counts_refs[fidx]), dtype=np.int64)
+            if len(n) == 0:
+                continue
             before = self.bases[fidx] + np.concatenate([[0], np.cumsum(n)[:-1]])
             out.append(
                 pa.table(
@@ -713,15 +723,25 @@ class PackStage:
                     }
                 )
             )
+        if not out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                }
+            )
         return pa.concat_tables(out)
 
 
 def pack_ds(sf_dir: str, budget: int = 512):
     """(doc_id, n_tokens, pack_id): linear sequence packing — documents in
     doc_id order are concatenated and cut every `budget` tokens; a doc
-    belongs to the pack its first token lands in. Two passes over the text
-    (count, then assign); the only cross-task state is one int per FILE
-    (exclusive prefix of file token totals), broadcast in the actor ctor."""
+    belongs to the pack its first token lands in. One tokenize pass over
+    the text (pass 2 reuses pass 1's per-doc counts via object refs); the
+    only driver state is one meta dict per FILE. Files are ordered by their
+    first doc_id (not filename — ``shard-10`` sorts before ``shard-2``
+    lexically), then validated as globally non-overlapping."""
     import glob as _glob
 
     import ray
@@ -731,8 +751,18 @@ def pack_ds(sf_dir: str, budget: int = 512):
     files = sorted(_glob.glob(path)) if "*" in path else (
         sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
     )
-    count = ray.remote(num_cpus=1)(_file_token_counts)
-    metas = ray.get([count.remote(f) for f in files])
+    count = ray.remote(num_cpus=1, num_returns=2)(_file_token_counts)
+    pairs = [count.remote(f) for f in files]
+    metas = ray.get([m for m, _ in pairs])
+    counts_refs = [c for _, c in pairs]
+    # doc order = first-doc_id order; empty shards (no order info) last
+    order = sorted(
+        range(len(files)),
+        key=lambda i: (metas[i]["rows"] == 0, metas[i]["first"]),
+    )
+    files = [files[i] for i in order]
+    metas = [metas[i] for i in order]
+    counts_refs = [counts_refs[i] for i in order]
     spans = [(m["first"], m["last"]) for m in metas if m["rows"]]
     if any(b[0] <= a[1] for a, b in zip(spans, spans[1:])):
         raise ValueError("documents files not globally sorted by doc_id")
@@ -741,7 +771,7 @@ def pack_ds(sf_dir: str, budget: int = 512):
     items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
     return rd.from_items(items).map_batches(
         PackStage,
-        fn_constructor_kwargs={"bases": bases, "budget": budget},
+        fn_constructor_kwargs={"bases": bases, "budget": budget, "counts_refs": counts_refs},
         batch_size=1,
         batch_format="pyarrow",
         concurrency=(1, 4),

@@ -70,14 +70,22 @@ def py_tokenize(text: str, use_stopwords: bool = False) -> list[str]:
 
 
 def tokenize_flat(
-    texts: pa.Array | pa.ChunkedArray, use_stopwords: bool = False
-) -> tuple[np.ndarray, pa.Array]:
+    texts: pa.Array | pa.ChunkedArray, use_stopwords: bool = False,
+    with_tokens: bool = True,
+) -> tuple[np.ndarray, pa.Array | None]:
     """Vectorized byte-level tokenize of a string column.
 
     Returns ``(parent_indices:int64[nTokens], tokens:StringArray[nTokens])``
     where ``parent_indices[i]`` is the row of ``texts`` that produced token
     ``i``; tokens appear in within-row order.
+
+    ``with_tokens=False`` (counting-only callers, e.g. packing pass 1)
+    skips the token-byte gather + lowercase LUT entirely and returns
+    ``(parents, None)`` — roughly a third of the tokenize cost. Requires
+    ``use_stopwords=False`` (the stopword filter needs the strings).
     """
+    if not with_tokens and use_stopwords:
+        raise ValueError("with_tokens=False is incompatible with use_stopwords")
     from .hashing import _string_buffers
 
     if isinstance(texts, pa.ChunkedArray):
@@ -89,12 +97,12 @@ def tokenize_flat(
     # Without this, a pa.Array with offset>0 tokenizes bytes outside the
     # window (parents of -1 / n_rows, tokens merged across sliced-away rows).
     if n_rows <= 0:
-        return np.empty(0, np.int64), pa.array([], type=pa.string())
+        return np.empty(0, np.int64), (pa.array([], type=pa.string()) if with_tokens else None)
     if offsets[0] != 0 or int(offsets[-1]) != len(data):
         data = data[int(offsets[0]) : int(offsets[-1])]
         offsets = offsets - offsets[0]
     if len(data) == 0:
-        return np.empty(0, np.int64), pa.array([], type=pa.string())
+        return np.empty(0, np.int64), (pa.array([], type=pa.string()) if with_tokens else None)
     nb = len(data)
     # class mask straight from the RAW bytes (A-Z counted in-class): the
     # full-buffer lowercase pass is gone — lowercasing happens once, after
@@ -127,9 +135,11 @@ def tokenize_flat(
     else:
         starts, ends = class_starts, class_ends
     if len(starts) == 0:
-        return np.empty(0, np.int64), pa.array([], type=pa.string())
+        return np.empty(0, np.int64), (pa.array([], type=pa.string()) if with_tokens else None)
     lengths = ends - starts
     parents = np.searchsorted(offsets, starts, side="right") - 1
+    if not with_tokens:
+        return parents.astype(np.int64, copy=False), None
     out_off = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(lengths, out=out_off[1:])
     # packed token bytes = ONE boolean compress: every in-class byte belongs

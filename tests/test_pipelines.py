@@ -873,3 +873,53 @@ def test_sessionize_scalable_equals_single_pass(ray_session):
     assert a.equals(b[a.columns.tolist()])
     # the merge path must actually run: some session spans > 1 window
     assert (a.end_us // gap != a.start_us // gap).any()
+
+
+def test_funnel_zero_completion_and_repeated_steps(ray_session):
+    """Zero-completion steps emit n_users=0 rows (matching the SQL mirror),
+    and a repeated step type chains correctly instead of aliasing to its
+    first occurrence."""
+    from miru_ray.analytics import funnel_ds
+
+    got = funnel_ds(SF, ["signup", "nosuchtype", "purchase"]).to_pydict()
+    assert got["step"] == ["signup", "nosuchtype", "purchase"]
+    assert got["n_users"][1] == 0 and got["n_users"][2] == 0
+    assert got["n_users"][0] > 0
+
+    # repeated type: users with signup -> click -> signup chains must count
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(SF + "/events.parquet", columns=["ts", "user_id", "event_type"]).to_pandas()
+    ev["t"] = ev.ts.astype("int64")
+    steps = ["signup", "click", "signup"]
+    counts = [0] * 3
+    for _, g in ev.groupby("user_id"):
+        cur = float("-inf")
+        for i, s in enumerate(steps):
+            cand = g[(g.event_type == s) & (g.t > cur)]
+            if cand.empty:
+                break
+            cur = cand.t.min()
+            counts[i] += 1
+    got2 = funnel_ds(SF, steps).to_pydict()
+    assert got2["n_users"] == counts
+    assert counts[2] > 0  # the fixture actually exercises the repeat
+
+
+def test_pack_ds_numeric_shard_names(ray_session, tmp_path):
+    """Shards whose lexicographic order differs from doc order (shard-10 <
+    shard-2 lexically) are ordered by first doc_id, not filename."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.textstats import pack_ds
+
+    t = pq.read_table(SF + "/documents.parquet")
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    n = t.num_rows
+    cuts = [0, n // 12, 2 * n // 12, 3 * n // 12, n]  # 4 shards named 1,2,3,10
+    for name, (lo, hi) in zip([1, 2, 3, 10], zip(cuts, cuts[1:])):
+        pq.write_table(t.slice(lo, hi - lo), str(d / f"shard-{name}.parquet"))
+    got = pack_ds(str(tmp_path), budget=128).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = pack_ds(SF, budget=128).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
