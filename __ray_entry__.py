@@ -440,6 +440,19 @@ def ev_sessionize_scaled(sf_dir: str):
     )
 
 
+def ev_metric_waveform(sf_dir: str):
+    """Anomaly-plugin metricing waveforms (analytics.metric_waveform_ds —
+    Anomaly.java:36-130): per (event_type, hour) the metric sum and count,
+    plus metricingAvg's value — Java long-division averages where the
+    bucket has events, linear interpolation with flat edges (the ix=-1 /
+    ix=len knot padding) truncated to long where it doesn't. The bit-plane
+    sum reconstruction is an artifact of the reference's bitmap engine;
+    Arrow sums the quantized metric column directly."""
+    from miru_ray.analytics import metric_waveform_ds
+
+    return metric_waveform_ds(sf_dir)
+
+
 def ev_retention(sf_dir: str):
     """Retention cohorts (analytics.retention_ds): users cohorted by first
     active epoch-day; n_users = distinct users of a cohort active `period`
@@ -898,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessionize_scaled": ev_sessionize_scaled,
         "ev_retention": ev_retention,
         "ev_funnel": ev_funnel,
+        "ev_metric_waveform": ev_metric_waveform,
         "ev_distinct_sketch": ev_distinct_sketch,
         "ev_quantiles": ev_quantiles,
         "bloom_index": bloom_index,
@@ -1265,6 +1279,36 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(ts_us) AS BIGINT) AS end_us,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sess"""
+        ),
+        "ev_metric_waveform": (
+            """WITH e AS (SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+                  CAST(round(value * 100) AS BIGINT) AS m FROM events),
+rng AS (SELECT min(b) AS lo, max(b) AS hi FROM e),
+grid AS (SELECT t.event_type, lo + u.i AS b
+         FROM (SELECT DISTINCT event_type FROM e) t, rng,
+              unnest(range(hi - lo + 1)) AS u(i)),
+agg AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s
+        FROM e GROUP BY 1, 2),
+g AS (SELECT grid.event_type, grid.b, COALESCE(n, 0) AS n, COALESCE(s, 0) AS s
+      FROM grid LEFT JOIN agg USING (event_type, b)),
+w AS (SELECT *, CASE WHEN n > 0 THEN s // n END AS q FROM g),
+f AS (SELECT *,
+        last_value(q IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN q IS NOT NULL THEN b END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+        first_value(q IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN q IS NOT NULL THEN b END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM w)
+SELECT event_type, b * 3600 AS bucket_ts, n, s AS sum_metric,
+       CASE WHEN q IS NOT NULL THEN q
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE CAST(floor(pv + ((nv - pv) / CAST(nx - px AS DOUBLE)) * (b - px)) AS BIGINT)
+       END AS metric
+FROM f"""
         ),
         "ev_funnel": (
             f"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),

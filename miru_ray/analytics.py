@@ -771,3 +771,134 @@ def funnel_ds(sf_dir: str, steps: list[str]) -> pa.Table:
     )
 
 
+
+
+# --------------------------------------------------- metric waveform (anomaly)
+
+# The reference's anomaly plugin (miru-anomaly-plugins/.../Anomaly.java)
+# reconstructs per-bucket METRIC sums from a bit-sliced posting index
+# (numBits planes, bucket sum = Σ 2^i · cardinality(plane_i ∧ bucket),
+# Anomaly.java:102-130) and serves two waveforms: metricingSum and
+# metricingAvg — the avg divides by the bucket's raw cardinality with JAVA
+# LONG DIVISION and fills empty buckets by LINEAR INTERPOLATION between
+# the neighboring non-empty buckets, flat at the edges (the ix[0]=-1 /
+# ix[end]=len padding, Anomaly.java:60-97), truncating the interpolated
+# value to long. The bit-plane decomposition is an artifact of the bitmap
+# engine — Arrow batches sum an integer column directly — but the
+# waveform/avg/interpolation semantics are reproduced exactly. The metric
+# here is the events `value` quantized to integer cents (the reference
+# likewise indexes pre-quantized longs).
+
+
+def _metric_partial(batch: pa.Table) -> pa.Table:
+    us = _ts_us(batch)
+    bucket = us // BUCKET_US
+    m = np.round(
+        batch["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+    ).astype(np.int64)
+    t = pa.table(
+        {
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "b": pa.array(bucket),
+            "m": pa.array(m),
+        }
+    )
+    agg = t.group_by(["event_type", "b"], use_threads=False).aggregate(
+        [("m", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "event_type": agg["event_type"],
+            "b": agg["b"],
+            "s": pc.cast(agg["m_sum"], pa.int64()),
+            "n": pc.cast(agg["count_all"], pa.int64()),
+        }
+    )
+
+
+def _metric_interp_group(group: pa.Table, lo: int, hi: int) -> pa.Table:
+    """One event_type's non-empty buckets → the full [lo, hi] hour grid
+    with sum/count and the reference's avg: long division where n>0,
+    linear interpolation (flat edges, floor-truncated) where n=0."""
+    b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = group["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(b)
+    b, s, n = b[order], s[order], n[order]
+    size = hi - lo + 1
+    grid_s = np.zeros(size, np.int64)
+    grid_n = np.zeros(size, np.int64)
+    grid_s[b - lo] = s
+    grid_n[b - lo] = n
+    metric = np.zeros(size, np.int64)
+    filled = grid_n > 0
+    metric[filled] = grid_s[filled] // grid_n[filled]
+    if (~filled).any():
+        fi = np.flatnonzero(filled)
+        idx = np.arange(size)
+        # previous / next non-empty knot per cell (edges → flat)
+        pi = fi[np.clip(np.searchsorted(fi, idx, side="right") - 1, 0, len(fi) - 1)]
+        ni = fi[np.clip(np.searchsorted(fi, idx, side="left"), 0, len(fi) - 1)]
+        pv = metric[pi].astype(np.float64)
+        nv = metric[ni].astype(np.float64)
+        empty = ~filled
+        interior = empty & (pi < idx) & (ni > idx)
+        lead = empty & (idx < fi[0])
+        trail = empty & (idx > fi[-1])
+        metric[lead] = metric[fi[0]]
+        metric[trail] = metric[fi[-1]]
+        if interior.any():
+            i = idx[interior]
+            # identical double-op order to the SQL mirror:
+            # pv + ((nv - pv) / (nx - px)) * (i - px), floor
+            val = pv[interior] + (
+                (nv[interior] - pv[interior]) / (ni[interior] - pi[interior])
+            ) * (i - pi[interior])
+            metric[interior] = np.floor(val).astype(np.int64)
+    et = group["event_type"][0].as_py()
+    return pa.table(
+        {
+            "event_type": pa.array(np.full(size, et, dtype=object), pa.string()),
+            "bucket_ts": pa.array((np.arange(lo, hi + 1)) * (BUCKET_US // 1_000_000)),
+            "n": pa.array(grid_n),
+            "sum_metric": pa.array(grid_s),
+            "metric": pa.array(metric),
+        }
+    )
+
+
+def metric_waveform_ds(sf_dir: str):
+    """(event_type, bucket_ts, n, sum_metric, metric): the anomaly plugin's
+    metricing waveforms over the corpus hour grid — sum and count per
+    bucket plus the metricingAvg value (long-division averages, linearly
+    interpolated empty buckets, flat edges). Per-batch partials → tiny
+    (type × hour) groupby → per-type grid fill; the global grid bounds are
+    two scalars from the same aggregate."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        _events_ds(sf_dir, ["event_type", "ts", "value"])
+        .map_batches(_metric_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "b"])
+        .aggregate(Sum("s"), Sum("n"))
+    )
+    empty = pa.schema(
+        [("event_type", pa.string()), ("b", pa.int64()), ("s", pa.int64()), ("n", pa.int64())]
+    ).empty_table()
+    agg = agg.map_batches(
+        # zero-row inputs reach here schemaless (Ray hash aggregate)
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "b": pc.cast(t["b"], pa.int64()),
+                "s": pc.cast(t["sum(s)"], pa.int64()),
+                "n": pc.cast(t["sum(n)"], pa.int64()),
+            }
+        ) if len(t.schema) == 4 else empty,
+        batch_format="pyarrow",
+    )
+    bounds = agg.aggregate(Min("b"), Max("b"))
+    lo, hi = int(bounds["min(b)"]), int(bounds["max(b)"])
+    return agg.groupby("event_type").map_groups(
+        lambda g: _metric_interp_group(g, lo, hi), batch_format="pyarrow"
+    )

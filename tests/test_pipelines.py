@@ -923,3 +923,50 @@ def test_pack_ds_numeric_shard_names(ray_session, tmp_path):
     got = pack_ds(str(tmp_path), budget=128).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = pack_ds(SF, budget=128).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_metric_waveform_vs_brute(ray_session):
+    """metric_waveform_ds == a scalar reimplementation of the reference's
+    metricingSum/Avg semantics (long division, flat-edge linear
+    interpolation, floor truncation)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from miru_ray.analytics import metric_waveform_ds
+
+    got = (
+        metric_waveform_ds(SF)
+        .to_pandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(SF + "/events.parquet", columns=["event_type", "ts", "value"]).to_pandas()
+    ev["b"] = ev.ts.astype("int64") // 3_600_000_000
+    ev["m"] = (ev.value * 100).round().astype("int64")
+    lo, hi = int(ev.b.min()), int(ev.b.max())
+    for et, g in ev.groupby("event_type"):
+        sums = g.groupby("b").m.sum().to_dict()
+        ns = g.groupby("b").size().to_dict()
+        filled = sorted(ns)
+        sub = got[got.event_type == et].reset_index(drop=True)
+        assert len(sub) == hi - lo + 1
+        for i, b in enumerate(range(lo, hi + 1)):
+            row = sub.iloc[i]
+            assert row.bucket_ts == b * 3600
+            assert row.n == ns.get(b, 0) and row.sum_metric == sums.get(b, 0)
+            if b in ns:
+                assert row.metric == sums[b] // ns[b]
+            else:
+                prevs = [x for x in filled if x < b]
+                nexts = [x for x in filled if x > b]
+                if not prevs:
+                    want = sums[nexts[0]] // ns[nexts[0]]
+                elif not nexts:
+                    want = sums[prevs[-1]] // ns[prevs[-1]]
+                else:
+                    px, nx = prevs[-1], nexts[0]
+                    pv = float(sums[px] // ns[px])
+                    nv = float(sums[nx] // ns[nx])
+                    want = math.floor(pv + ((nv - pv) / (nx - px)) * (b - px))
+                assert row.metric == want, (et, b)
