@@ -338,23 +338,22 @@ def _simhash_bucket_pairs(group: pa.Table, max_hamming: int, max_bucket: int) ->
     )
 
 
-def simhash_hamming_pairs_ds(
-    sf_dir: str, max_hamming: int = 3, max_bucket: int = 256
-):
-    """Near-dup pairs at SimHash hamming distance ≤ ``max_hamming`` via
-    block banding: the 64-bit hash splits into ``max_hamming``+1 equal
-    blocks (pigeonhole ⇒ recall 1.0 within the bucket cap); buckets of
-    identical block values emit candidate pairs, verified with the exact
-    popcount of the full hashes, min-deduped across bands. Only (band,
-    key, id, hash) rows shuffle — never text. 64 must be divisible by
-    blocks (3 → 4×16 bits)."""
+def hamming_pairs_ds(hash_rows, max_hamming: int = 3, max_bucket: int = 256):
+    """Generic banded hamming-pair search over a Dataset of (doc_id,
+    simhash) rows — the block-banding core shared by text SimHash and
+    image perceptual-hash dedup. The 64-bit hash splits into
+    ``max_hamming``+1 equal blocks (pigeonhole ⇒ recall 1.0 within the
+    bucket cap); buckets of identical block values emit candidate pairs,
+    verified with the exact popcount of the full hashes, min-deduped
+    across bands. Only (band, key, id, hash) rows shuffle. 64 must be
+    divisible by blocks (3 → 4×16 bits; 7 → 8×8 bits)."""
     from ray.data.aggregate import Min
 
     blocks = max_hamming + 1
     if 64 % blocks:
         raise ValueError(f"max_hamming+1 must divide 64, got {blocks}")
     width = 64 // blocks
-    rows = simhash_ds(sf_dir).map_batches(
+    rows = hash_rows.map_batches(
         lambda b: _simhash_band_map(b, blocks, width),
         batch_format="pyarrow", zero_copy_batch=True,
     )
@@ -374,6 +373,14 @@ def simhash_hamming_pairs_ds(
         ),
         batch_format="pyarrow",
     )
+
+
+def simhash_hamming_pairs_ds(
+    sf_dir: str, max_hamming: int = 3, max_bucket: int = 256
+):
+    """Near-dup pairs at SimHash hamming distance ≤ ``max_hamming`` over
+    the documents table — see ``hamming_pairs_ds`` for the banding core."""
+    return hamming_pairs_ds(simhash_ds(sf_dir), max_hamming, max_bucket)
 
 
 def simhash_dup_groups_ds(sf_dir: str):

@@ -481,3 +481,76 @@ def feature_extract_ds(media_table: pa.Table, concurrency: int = 2, batch_size: 
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# -------------------------------------------------- perceptual-hash dedup
+
+# Image near-dup detection over the REAL decode path: aHash (average hash)
+# — grayscale via ITU-R 601 luma, bilinear resize to 8×8 (the same
+# resize_bilinear kernel the ResizeStage uses), bit i = (pixel ≥ mean),
+# row-major MSB-first — then banded hamming pairs through the SAME
+# block-banding machinery as text SimHash (dedup.hamming_pairs_ds). Not
+# SQL-expressible (binary decode); the oracle is the exact brute-force
+# pytest (pigeonhole banding is recall-1.0, so pairs match popcount
+# brute force exactly).
+
+
+def ahash64(rgb: np.ndarray) -> int:
+    """64-bit average hash of an (H, W, 3) uint8 image."""
+    luma = np.clip(
+        np.rint(
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    small = resize_bilinear(luma[..., None], 8, 8)[..., 0].astype(np.float64)
+    bits = (small >= small.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AHashStage:
+    """Actor-pool stage: BMP image rows → (doc_id, simhash) aHash rows
+    (column names chosen so dedup's banding machinery consumes them
+    directly). Non-image rows are dropped. Per-row decode is inherent —
+    images are variable-size — but each decode is vectorized numpy."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for i in range(batch.num_rows):
+            if batch["media_type"][i].as_py() != "image/bmp":
+                continue
+            rgb = decode_bmp(batch["payload"][i].as_py())
+            ids.append(int(batch["media_id"][i].as_py()))
+            hashes.append(ahash64(rgb))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64)),
+                "simhash": pa.array(np.asarray(hashes, np.uint64).view(np.int64)),
+            }
+        )
+
+
+def image_ahash_ds(media_table: pa.Table, concurrency=(1, 2), batch_size: int = 32):
+    """(doc_id, simhash): aHash per BMP image row of a media table."""
+    import ray.data as rd
+
+    return rd.from_arrow(media_table).map_batches(
+        AHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def image_neardup_pairs_ds(
+    media_table: pa.Table, max_hamming: int = 7, max_bucket: int = 256
+):
+    """(a, b, hamming): image near-dup pairs at aHash hamming ≤
+    ``max_hamming`` (default 7 → 8×8-bit banding) — decode + hash in an
+    actor pool, then the shared banded-hamming exchange; payloads never
+    shuffle."""
+    from .dedup import hamming_pairs_ds
+
+    return hamming_pairs_ds(image_ahash_ds(media_table), max_hamming, max_bucket)

@@ -970,3 +970,57 @@ def test_metric_waveform_vs_brute(ray_session):
                     nv = float(sums[nx] // ns[nx])
                     want = math.floor(pv + ((nv - pv) / (nx - px)) * (b - px))
                 assert row.metric == want, (et, b)
+
+
+def test_image_neardup_pairs_vs_brute(ray_session):
+    """aHash banded hamming pairs == exact brute force over all image
+    pairs (pigeonhole banding is recall-1.0), on a corpus of base images
+    plus controlled near-duplicates."""
+    import numpy as np
+    import pyarrow as pa
+
+    from miru_ray.multimodal import (
+        MEDIA_SCHEMA,
+        ahash64,
+        decode_bmp,
+        encode_bmp,
+        image_neardup_pairs_ds,
+    )
+
+    rng = np.random.default_rng(3)
+    payloads, ids = [], []
+    base_images = []
+    for i in range(12):
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        base_images.append(img)
+        payloads.append(encode_bmp(img))
+        ids.append(len(ids))
+    for img in base_images[:6]:  # near-dups: flip a few pixels slightly
+        noisy = img.copy()
+        noisy[:2, :2, :] = np.clip(noisy[:2, :2, :].astype(int) + 3, 0, 255).astype(np.uint8)
+        payloads.append(encode_bmp(noisy))
+        ids.append(len(ids))
+    n = len(ids)
+    media = pa.table(
+        {
+            "media_id": pa.array(np.asarray(ids, np.int64)),
+            "media_type": pa.array(["image/bmp"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.full(n, 16, np.int32)),
+            "height": pa.array(np.full(n, 16, np.int32)),
+            "sample_rate": pa.array(np.full(n, -1, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    max_h = 7
+    got = image_neardup_pairs_ds(media, max_hamming=max_h).to_pandas()
+    got_pairs = {(r.a, r.b): r.hamming for r in got.itertuples(index=False)}
+    hashes = [ahash64(decode_bmp(p)) for p in payloads]
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= max_h:
+                want[(i, j)] = d
+    assert got_pairs == want
+    assert any(d == 0 or d <= max_h for d in want.values()) and len(want) >= 6
