@@ -554,3 +554,60 @@ def image_neardup_pairs_ds(
     from .dedup import hamming_pairs_ds
 
     return hamming_pairs_ds(image_ahash_ds(media_table), max_hamming, max_bucket)
+
+
+def audio_fingerprint64(samples: np.ndarray, sr: int) -> int:
+    """64-bit spectral fingerprint of a PCM16 clip: 64 equal bands of the
+    magnitude spectrum, bit i = (band energy > median band energy) —
+    MSB-first. Median-threshold (not mean) keeps exactly ~32 bits set, so
+    hamming distance is loudness-invariant in rank terms; bands whose
+    energy sits NEAR the median flip under small perturbations, so
+    near-dup search over these fingerprints wants a wider radius than
+    image aHash (default max_hamming=15 → 16×4-bit banding). Degenerate
+    near-empty spectra (pure tones) make the threshold ill-conditioned —
+    this fingerprint is for broadband material."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) < 64:
+        x = np.pad(x, (0, 64 - len(x)))
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, 64)
+    e = np.array([float((b**2).sum()) for b in bands])
+    bits = e > np.median(e)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFpStage:
+    """Actor-pool stage: WAV rows → (doc_id, simhash) fingerprint rows for
+    the shared banded-hamming exchange. Non-audio rows are dropped."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for i in range(batch.num_rows):
+            if batch["media_type"][i].as_py() != "audio/wav":
+                continue
+            samples, sr = decode_wav(batch["payload"][i].as_py())
+            ids.append(int(batch["media_id"][i].as_py()))
+            hashes.append(audio_fingerprint64(samples, sr))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64)),
+                "simhash": pa.array(np.asarray(hashes, np.uint64).view(np.int64)),
+            }
+        )
+
+
+def audio_neardup_pairs_ds(
+    media_table: pa.Table, max_hamming: int = 15, max_bucket: int = 256
+):
+    """(a, b, hamming): audio near-dup pairs at spectral-fingerprint
+    hamming ≤ ``max_hamming`` — decode + FFT hash in an actor pool, then
+    the same banded-hamming exchange as text SimHash and image aHash."""
+    import ray.data as rd
+
+    from .dedup import hamming_pairs_ds
+
+    hashes = rd.from_arrow(media_table).map_batches(
+        AudioFpStage, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 2), num_cpus=1,
+    )
+    return hamming_pairs_ds(hashes, max_hamming, max_bucket)

@@ -1024,3 +1024,64 @@ def test_image_neardup_pairs_vs_brute(ray_session):
                 want[(i, j)] = d
     assert got_pairs == want
     assert any(d == 0 or d <= max_h for d in want.values()) and len(want) >= 6
+
+
+def test_audio_neardup_pairs_vs_brute(ray_session):
+    """Audio spectral-fingerprint banded pairs == exact popcount brute
+    force, on synth tones plus requantized near-duplicate copies."""
+    import numpy as np
+    import pyarrow as pa
+
+    from miru_ray.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint64,
+        audio_neardup_pairs_ds,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    sr = 8000
+    payloads, ids = [], []
+    clips = []
+    for i in range(8):
+        # band-limited noise: broadband spectral shape (a pure tone's
+        # near-empty spectrum makes median thresholding degenerate)
+        spec = np.zeros(801, dtype=np.complex128)
+        lo = 40 + 80 * i
+        spec[lo : lo + 120] = rng.standard_normal(120) + 1j * rng.standard_normal(120)
+        x = np.fft.irfft(spec, n=1600)
+        s = (x / np.abs(x).max() * 12000).astype(np.int16)
+        clips.append(s)
+        payloads.append(encode_wav(s, sr))
+        ids.append(len(ids))
+    for s in clips[:4]:  # near-dups: slight requantization
+        payloads.append(encode_wav((s.astype(np.float64) * 0.999).astype(np.int16), sr))
+        ids.append(len(ids))
+    n = len(ids)
+    media = pa.table(
+        {
+            "media_id": pa.array(np.asarray(ids, np.int64)),
+            "media_type": pa.array(["audio/wav"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.full(n, -1, np.int32)),
+            "height": pa.array(np.full(n, -1, np.int32)),
+            "sample_rate": pa.array(np.full(n, sr, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    max_h = 15  # 16 blocks x 4 bits; median-threshold bits flip more
+    # under requantization than image aHash bits do under pixel noise
+    got = audio_neardup_pairs_ds(media, max_hamming=max_h).to_pandas()
+    got_pairs = {(r.a, r.b): r.hamming for r in got.itertuples(index=False)}
+    fps = [audio_fingerprint64(*decode_wav(p)) for p in payloads]
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= max_h:
+                want[(i, j)] = d
+    assert got_pairs == want
+    # every requantized copy must pair with its original
+    for k in range(4):
+        assert (k, 8 + k) in want
