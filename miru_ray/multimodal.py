@@ -611,3 +611,63 @@ def audio_neardup_pairs_ds(
         concurrency=(1, 2), num_cpus=1,
     )
     return hamming_pairs_ds(hashes, max_hamming, max_bucket)
+
+
+def videohash64(frame_hashes: list[int]) -> int:
+    """64-bit video hash: bitwise MAJORITY over the sampled frames' aHashes
+    (ties → 1, deterministic). Robust to a minority of edited/retimed
+    frames; a re-encoded copy keeps most per-frame bits and therefore most
+    majority bits."""
+    if not frame_hashes:
+        return 0
+    bits = np.array(
+        [[(h >> b) & 1 for b in range(64)] for h in frame_hashes], dtype=np.int64
+    )
+    maj = (2 * bits.sum(axis=0)) >= len(frame_hashes)
+    return int(sum(int(v) << b for b, v in enumerate(maj)))
+
+
+class VideoHashStage:
+    """Actor-pool stage: MRV1 video rows → (doc_id, simhash) rows — sample
+    every ``every_k``-th frame, aHash each, majority-combine."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = max(1, every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for i in range(batch.num_rows):
+            if batch["media_type"][i].as_py() != "video/mrv1":
+                continue
+            frames = _video_frames(batch["payload"][i].as_py())
+            fh = [
+                ahash64(decode_bmp(frames[fi]))
+                for fi in range(0, len(frames), self.every_k)
+            ]
+            ids.append(int(batch["media_id"][i].as_py()))
+            hashes.append(videohash64(fh))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64)),
+                "simhash": pa.array(np.asarray(hashes, np.uint64).view(np.int64)),
+            }
+        )
+
+
+def video_neardup_pairs_ds(
+    media_table: pa.Table, max_hamming: int = 7, max_bucket: int = 256,
+    every_k: int = 2,
+):
+    """(a, b, hamming): video near-dup pairs — frame-sampled majority
+    aHash through the shared banded-hamming exchange; containers never
+    shuffle."""
+    import ray.data as rd
+
+    from .dedup import hamming_pairs_ds
+
+    hashes = rd.from_arrow(media_table).map_batches(
+        VideoHashStage,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2), num_cpus=1,
+    )
+    return hamming_pairs_ds(hashes, max_hamming, max_bucket)

@@ -1085,3 +1085,69 @@ def test_audio_neardup_pairs_vs_brute(ray_session):
     # every requantized copy must pair with its original
     for k in range(4):
         assert (k, 8 + k) in want
+
+
+def test_video_neardup_pairs_vs_brute(ray_session):
+    """Frame-sampled majority-aHash video pairs == exact brute force, with
+    re-encoded copies (one frame altered) pairing with their originals."""
+    import numpy as np
+    import pyarrow as pa
+
+    from miru_ray.multimodal import (
+        MEDIA_SCHEMA,
+        _video_frames,
+        ahash64,
+        decode_bmp,
+        encode_bmp,
+        encode_video,
+        video_neardup_pairs_ds,
+        videohash64,
+    )
+
+    rng = np.random.default_rng(9)
+    payloads, ids = [], []
+    vids = []
+    for i in range(6):
+        frames = [
+            rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8) for _ in range(10)
+        ]
+        vids.append(frames)
+        payloads.append(encode_video(frames))
+        ids.append(len(ids))
+    for frames in vids[:3]:  # near-dups: one SAMPLED frame half-brightened
+        dup = [f.copy() for f in frames]
+        d2 = dup[2].astype(int)
+        d2[:, :6, :] += 30
+        dup[2] = np.clip(d2, 0, 255).astype(np.uint8)
+        payloads.append(encode_video(dup))
+        ids.append(len(ids))
+    n = len(ids)
+    media = pa.table(
+        {
+            "media_id": pa.array(np.asarray(ids, np.int64)),
+            "media_type": pa.array(["video/mrv1"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.full(n, 12, np.int32)),
+            "height": pa.array(np.full(n, 12, np.int32)),
+            "sample_rate": pa.array(np.full(n, -1, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    max_h = 15  # 1 edited frame of 5 sampled flips the bits it tie-broke
+    got = video_neardup_pairs_ds(media, max_hamming=max_h, every_k=2).to_pandas()
+    got_pairs = {(r.a, r.b): r.hamming for r in got.itertuples(index=False)}
+    fps = []
+    for p in payloads:
+        frames = _video_frames(p)
+        fps.append(videohash64([ahash64(decode_bmp(frames[i])) for i in range(0, len(frames), 2)]))
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= max_h:
+                want[(i, j)] = d
+    assert got_pairs == want
+    # a minority edited frame (1 of 5 sampled) moves only the bits where
+    # it was the tie-breaker — every copy must still pair with its original
+    for k in range(3):
+        assert want.get((k, 6 + k), 99) <= max_h
