@@ -105,3 +105,47 @@ def test_split_bounds_cover_grid_when_total_one(n_labels):
     assert bounds[0][1] == 0 and bounds[-1][2] == _SPLIT_GRID
     for (_, _, hi), (_, lo2, _) in zip(bounds, bounds[1:]):
         assert hi == lo2
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 40))
+@settings(max_examples=40, deadline=None)
+def test_ahash_brightness_invariance(seed, shift):
+    """aHash is invariant to a global brightness shift that doesn't clip:
+    the mean moves with every pixel, so the ≥-mean bit pattern is
+    unchanged."""
+    from miru_ray.multimodal import ahash64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(40, 200, size=(11, 13, 3), dtype=np.uint8)  # no-clip range
+    shifted = (img.astype(np.int64) + shift).astype(np.uint8)
+    assert ahash64(img) == ahash64(shifted)
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_audio_fingerprint_scale_invariance(seed):
+    """The spectral fingerprint is invariant to exact amplitude scaling
+    (×2 of int16 samples without clipping): every band energy scales by
+    the same factor, so the >median bit pattern is unchanged."""
+    from miru_ray.multimodal import audio_fingerprint64
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-8000, 8000, size=640, dtype=np.int16)
+    assert audio_fingerprint64(s, 8000) == audio_fingerprint64(
+        (s.astype(np.int64) * 2).astype(np.int16), 8000
+    )
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=9))
+@settings(max_examples=60, deadline=None)
+def test_videohash_majority_properties(hashes):
+    """Majority video hash: equals the single hash for one frame, is
+    permutation-invariant, and duplicating the whole frame list is a
+    no-op."""
+    from miru_ray.multimodal import videohash64
+
+    h = videohash64(hashes)
+    assert videohash64(list(reversed(hashes))) == h
+    assert videohash64(hashes + hashes) == h
+    if len(hashes) == 1:
+        assert h == hashes[0]
