@@ -773,6 +773,15 @@ def txt_redact(sf_dir: str):
     return redact_ds(sf_dir, REDACT_PATTERNS)
 
 
+def txt_source_stats(sf_dir: str):
+    """Per-source corpus quality report (textstats.source_stats_ds): exact
+    integer sums (docs/tokens/stopwords/chars) per source through the
+    shuffle, ratios computed once from the final sums."""
+    from miru_ray.textstats import source_stats_ds
+
+    return source_stats_ds(sf_dir)
+
+
 def txt_token_bpe(sf_dir: str):
     """BPE-ish tokenizer-cost counts (textstats.bpe_token_count_ds): piece
     and ≤4-char-subword counts from shared re2 class patterns — the count
@@ -936,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_chunks": txt_chunks,
         "txt_packing": txt_packing,
         "txt_redact": txt_redact,
+        "txt_source_stats": txt_source_stats,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1515,6 +1525,20 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
         ),
         "txt_redact": _redact_oracle_sql(REDACT_PATTERNS),
+        "txt_source_stats": (
+            f"""WITH q AS (SELECT source,
+        CAST(len({_TOK}) AS BIGINT) AS ntok,
+        CAST(len(list_filter({_TOK}, x -> x IN ({stop_list}))) AS BIGINT) AS nstop,
+        CAST(length(text) AS BIGINT) AS nchars
+      FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(nstop) AS BIGINT) AS n_stopwords,
+       CAST(sum(nchars) AS BIGINT) AS n_chars,
+       round(CAST(sum(ntok) AS DOUBLE) / greatest(count(*), 1), 6) AS mean_tokens,
+       round(CAST(sum(nstop) AS DOUBLE) / greatest(sum(ntok), 1), 6) AS stopword_ratio
+FROM q GROUP BY source"""
+        ),
         "txt_chunks": (
             f"""WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 chunks AS (

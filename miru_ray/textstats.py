@@ -816,3 +816,93 @@ def redact_ds(sf_dir: str, patterns: dict[str, str] | None = None):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------- per-source stats
+
+def _source_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: exact integer sums per source (docs, tokens,
+    stopword hits, chars) — the shuffle carries one row per (source,
+    batch)."""
+    n_rows = batch.num_rows
+    parents, tokens = tokenize_flat(batch["text"])
+    n_tok = token_counts(parents, n_rows).astype(np.int64)
+    stop_hit = pc.is_in(tokens, value_set=pa.array(sorted(STOPWORDS))).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.zeros(n_rows, dtype=np.int64)
+    if len(parents):
+        np.add.at(n_stop, parents, stop_hit.astype(np.int64))
+    n_chars = pc.utf8_length(pc.coalesce(batch["text"], "")).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    t = pa.table(
+        {
+            "source": pc.cast(batch["source"], pa.string()),
+            "ntok": pa.array(n_tok),
+            "nstop": pa.array(n_stop),
+            "nchars": pa.array(n_chars),
+        }
+    )
+    agg = t.group_by("source", use_threads=False).aggregate(
+        [("ntok", "sum"), ("nstop", "sum"), ("nchars", "sum"), ([], "count_all")]
+    )
+    return pa.table(
+        {
+            "source": agg["source"],
+            "n_docs": pc.cast(agg["count_all"], pa.int64()),
+            "n_tokens": pc.cast(agg["ntok_sum"], pa.int64()),
+            "n_stopwords": pc.cast(agg["nstop_sum"], pa.int64()),
+            "n_chars": pc.cast(agg["nchars_sum"], pa.int64()),
+        }
+    )
+
+
+def source_stats_ds(sf_dir: str):
+    """(source, n_docs, n_tokens, n_stopwords, n_chars, mean_tokens,
+    stopword_ratio): the per-source corpus quality report — exact integer
+    sums through the shuffle, ratios computed once from the final sums
+    (single fp64 ops on exact ints, so Ray and DuckDB agree
+    bit-for-bit)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs_ds(sf_dir, ["source", "text"]).map_batches(
+        _source_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("source").aggregate(
+        Sum("n_docs"), Sum("n_tokens"), Sum("n_stopwords"), Sum("n_chars")
+    )
+    empty = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_stopwords", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("mean_tokens", pa.float64()),
+            ("stopword_ratio", pa.float64()),
+        ]
+    ).empty_table()
+
+    def finish(b: pa.Table) -> pa.Table:
+        # zero-row inputs reach here schemaless (Ray hash aggregate)
+        if len(b.schema) != 5:
+            return empty
+        nd = b["sum(n_docs)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = b["sum(n_tokens)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = b["sum(n_stopwords)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": pc.cast(b["source"], pa.string()),
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(nt),
+                "n_stopwords": pa.array(ns),
+                "n_chars": pc.cast(b["sum(n_chars)"], pa.int64()),
+                "mean_tokens": pa.array(np.round(nt / np.maximum(nd, 1), 6)),
+                "stopword_ratio": pa.array(
+                    np.round(ns / np.maximum(nt, 1), 6)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
