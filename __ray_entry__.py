@@ -328,6 +328,26 @@ def ft_waveform(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_stumptown(sf_dir: str) -> pa.Table:
+    """Stumptown answer (Stumptown.java:37-74): the newest-10 matching
+    activities chronologically descending, each carrying its hour bucket
+    and that bucket's total matching count (the waveform half)."""
+    from miru_ray import plugins
+    from miru_ray.transcripts import conv_to_doc_id
+
+    rows = plugins.stumptown(_engine(sf_dir, 4), "the", k=10)
+    ids = conv_to_doc_id([r[1] for r in rows])
+    return pa.table(
+        {
+            "rank": _i64([r[0] for r in rows]),
+            "doc_id": _i64(ids),
+            "ts_sec": _i64([r[3] // 1_000_000 for r in rows]),
+            "bucket_ts": _i64([r[4] for r in rows]),
+            "bucket_n": _i64([r[5] for r in rows]),
+        }
+    )
+
+
 def ft_latest_terms(sf_dir: str) -> pa.Table:
     """IndexFirst/IndexLatest analogue: first/last docId + df per probe term,
     straight from the posting metadata columns."""
@@ -910,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_agg_counts_inbox": ft_agg_counts_inbox,
         "ft_waveform": ft_waveform,
         "ft_latest_terms": ft_latest_terms,
+        "ft_stumptown": ft_stumptown,
         "ft_paired_latest": ft_paired_latest,
         "ev_waveform": ev_waveform,
         "ev_distinct_users": ev_distinct_users,
@@ -1246,6 +1267,18 @@ LIMIT {K_BM25}"""
   CAST(arg_min(CASE WHEN doc_id % 6 <> 0 THEN 1 ELSE 0 END, doc_id) AS BIGINT) AS oldest_unread
 FROM documents WHERE doc_id % 3 = 0 AND list_contains({_TOK}, 'scan')
 GROUP BY source"""
+        ),
+        "ft_stumptown": (
+            f"""WITH m AS (SELECT doc_id, CAST(1700000000 + doc_id AS BIGINT) AS ts_sec
+           FROM documents WHERE list_contains({_TOK}, 'the')),
+wf AS (SELECT (ts_sec // 3600) * 3600 AS bucket_ts,
+              CAST(count(*) AS BIGINT) AS bucket_n FROM m GROUP BY 1),
+newest AS (SELECT doc_id, ts_sec,
+             row_number() OVER (ORDER BY doc_id DESC) - 1 AS rank
+           FROM m ORDER BY doc_id DESC LIMIT 10)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       ts_sec, CAST((ts_sec // 3600) * 3600 AS BIGINT) AS bucket_ts, wf.bucket_n
+FROM newest JOIN wf ON (newest.ts_sec // 3600) * 3600 = wf.bucket_ts"""
         ),
         "ft_waveform": (
             # the derived transcripts' ts is epoch 1 700 000 000 s + doc_id s

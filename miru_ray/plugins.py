@@ -604,3 +604,24 @@ def _register_reco():
 
 
 _register_reco()
+
+
+def stumptown(engine, query: str, k: int = 10, bucket_us: int = 3_600_000_000):
+    """The stumptown answer (miru-stumptown-plugins/.../Stumptown.java:37-74
+    ``stumptowning``): the bucketed waveform of matching docs PLUS the
+    newest-k matching activities, chronologically descending — composed
+    from the waveform fan-out and the TIME strategy walk. Each returned
+    activity row carries its bucket and that bucket's total matching
+    count: [(rank, conv_id, turn_idx, ts_us, bucket_ts_sec, bucket_n)]."""
+    wf = waveform(engine, bucket_us, query)
+    hits, _found = engine.search(query, k=k, scoring="time")
+    out = []
+    for rank, h in enumerate(hits):
+        b = (h.ts // bucket_us) * bucket_us
+        out.append(
+            (rank, h.conv_id, h.turn_idx, h.ts, b // 1_000_000, wf.get(b, 0))
+        )
+    return out
+
+
+register_plugin("stumptown", stumptown)
