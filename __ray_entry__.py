@@ -384,6 +384,23 @@ def ft_paired_latest(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_match_composite(sf_dir: str) -> pa.Table:
+    """Composite-field match (MiruSchema.java:32 `composite`;
+    MiruActivityInternExtern.java:97-146): one posting lookup on the packed
+    (role, tool) = (source, lang) combination instead of an AND of two
+    field filters."""
+    return _match(sf_dir, "role_tool:src3^en")
+
+
+def ft_distinct_composite(sf_dir: str) -> pa.Table:
+    """Distinct composite terms present in the corpus, read from the
+    composite postings' term dictionary (display joiner '^')."""
+    from miru_ray import plugins
+
+    terms = plugins.distincts(_engine(sf_dir, 4), "role_tool")
+    return pa.table({"term": pa.array([t.replace("\x1e", "^") for t in terms], type=pa.string())})
+
+
 # ------------------------------------------------------ analytics callables
 
 
@@ -932,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_latest_terms": ft_latest_terms,
         "ft_stumptown": ft_stumptown,
         "ft_paired_latest": ft_paired_latest,
+        "ft_match_composite": ft_match_composite,
+        "ft_distinct_composite": ft_distinct_composite,
         "ev_waveform": ev_waveform,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
@@ -1297,6 +1316,13 @@ FROM newest JOIN wf ON (newest.ts_sec // 3600) * 3600 = wf.bucket_ts"""
             "SELECT source AS role, lang AS tool, CAST(max(doc_id) AS BIGINT) AS doc_id "
             "FROM documents WHERE coalesce(source, '') <> '' AND coalesce(lang, '') <> '' "
             "GROUP BY source, lang"
+        ),
+        "ft_match_composite": (
+            "SELECT doc_id FROM documents WHERE source = 'src3' AND lang = 'en'"
+        ),
+        "ft_distinct_composite": (
+            "SELECT DISTINCT source || '^' || lang AS term FROM documents "
+            "WHERE coalesce(source, '') <> '' AND coalesce(lang, '') <> ''"
         ),
         "ev_distinct_sketch": _hll_oracle_sql(),
         "ev_quantiles": (

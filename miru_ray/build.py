@@ -246,6 +246,17 @@ def meta_field_runs_multi(
 # declared here; the bundle is recomputed per partition at finalize time.
 PAIRED_LATEST_PAIRS = (("role", "tool"),)
 
+# schema-declared composite fields (MiruSchema.java:32 `composite` map): a
+# composite field's values are the cartesian product of its source fields'
+# values packed into one term (MiruActivityInternExtern.java:97-146), so a
+# filter on the combination is a single posting lookup. An activity missing
+# ANY source value gets NO composite term (the `accumFieldValues.clear()`
+# guard at :123-126). The pack joiner is "\x1e" (the reference packs with
+# the term composer's length-prefixed concat, MiruTermComposer.java:39-62 —
+# any injective packing works); queries spell it "^": `role_tool:tool^grep`.
+COMPOSITE_FIELDS: dict[str, tuple[str, ...]] = {"role_tool": ("role", "tool")}
+COMPOSITE_SEP = "\x1e"
+
 
 def paired_latest_field(a: str, b: str) -> str:
     """Field name of the pairedLatest index for pair (A, B) — the
@@ -308,6 +319,58 @@ def paired_latest_runs(
                 docs[o2],
                 np.ones(len(o2), dtype=np.int64),
                 dl[rows[sel[o2]]],
+                dict_terms,
+                codec,
+            )
+        )
+    return out
+
+
+def composite_runs(
+    part: int, doc_ids: np.ndarray, dl: np.ndarray, cols: dict, codec=VARBYTE
+) -> list[pa.Table]:
+    """Composite-field postings (MiruSchema.java:32 `composite`;
+    MiruActivityInternExtern.java:97-146): for each declared composite field,
+    one term per doc = its source fields' values joined by COMPOSITE_SEP,
+    tf = 1; docs missing any source value are skipped. Source columns are
+    single-valued strings here, so the reference's cartesian product is the
+    1-tuple per row. Derived from the partition forward columns at
+    finalize/extend — per-doc postings that never ride the exchange."""
+    out: list[pa.Table] = []
+    for name, sources in COMPOSITE_FIELDS.items():
+        vals = []
+        ok = None
+        for s in sources:
+            v = cols[s]
+            v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            m = pc.fill_null(pc.not_equal(pc.coalesce(v, ""), ""), False)
+            ok = m if ok is None else pc.and_(ok, m)
+            vals.append(v)
+        keep = ok.to_numpy(zero_copy_only=False)
+        if not keep.any():
+            continue
+        rows = np.flatnonzero(keep)
+        joined = vals[0].filter(ok)
+        for v in vals[1:]:
+            joined = pc.binary_join_element_wise(joined, v.filter(ok), COMPOSITE_SEP)
+        enc = joined.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = doc_ids[rows]
+        # rows arrive in docId order; stable grouping by code keeps each
+        # term's docs ascending
+        o = np.argsort(codes, kind="stable")
+        dict_terms = pc.binary_join_element_wise(
+            pa.scalar(name + "\x1f"), enc.dictionary, ""
+        )
+        from .codec import encode_codes_to_runs
+
+        out.append(
+            encode_codes_to_runs(
+                part,
+                codes[o],
+                docs[o],
+                np.ones(len(o), dtype=np.int64),
+                dl[rows[o]],
                 dict_terms,
                 codec,
             )
@@ -447,9 +510,12 @@ def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARB
 
     # meta fields (role/tool/conv_id): single-term postings, tf=1
     run_tables.extend(meta_field_runs(g, part, doc_ids, dl_all, codec))
-    # pairedLatest bundle (whole partition is in hand here)
+    # pairedLatest + composite bundles (whole partition is in hand here)
     run_tables.extend(
         paired_latest_runs(part, doc_ids, dl_all, {"role": g["role"], "tool": g["tool"]}, codec)
+    )
+    run_tables.extend(
+        composite_runs(part, doc_ids, dl_all, {"role": g["role"], "tool": g["tool"]}, codec)
     )
 
     postings = merge_runs(pa.concat_tables(run_tables), codec) if run_tables else RUNS_SCHEMA.empty_table()
@@ -636,6 +702,7 @@ def _build_index_sort(
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),
+        "composite_fields": {k: list(v) for k, v in COMPOSITE_FIELDS.items()},
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
         "totals": _totals_from_manifests(index_dir),
@@ -971,15 +1038,13 @@ def _finalize_partition(
         # pairedLatest is partition-global — computable only here, where the
         # merged forward exists (per-file partials would leave several
         # "latest" docs per pair)
-        pl = paired_latest_runs(
-            part,
-            forward["doc_id"].to_numpy().astype(np.int64),
-            forward["dl"].to_numpy().astype(np.int64),
-            {"role": forward["role"], "tool": forward["tool"]},
-            codec,
-        )
-        if pl:
-            postings = pa.concat_tables([postings] + pl).combine_chunks()
+        fdocs = forward["doc_id"].to_numpy().astype(np.int64)
+        fdl = forward["dl"].to_numpy().astype(np.int64)
+        fcols = {"role": forward["role"], "tool": forward["tool"]}
+        extra = paired_latest_runs(part, fdocs, fdl, fcols, codec)
+        extra += composite_runs(part, fdocs, fdl, fcols, codec)
+        if extra:
+            postings = pa.concat_tables([postings] + extra).combine_chunks()
     postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
     text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
     total_tokens = int(
@@ -1296,6 +1361,7 @@ def build_index_streaming(
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),
+        "composite_fields": {k: list(v) for k, v in COMPOSITE_FIELDS.items()},
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
         # committed global row count — range-mode extend derives its append
@@ -1363,14 +1429,15 @@ class SegmentExtender:
                 os.path.join(self.index_dir, f"part={part:05d}", "postings.parquet")
             )
             # pairedLatest rows are partition-global (latest-per-pair) —
-            # appended docs can displace them, so drop and recompute below
-            for a, b in PAIRED_LATEST_PAIRS:
+            # appended docs can displace them, so drop and recompute below.
+            # Composite rows are recomputed from the merged forward too (the
+            # extend runs don't carry them), so drop them as well.
+            derived_prefixes = [
+                paired_latest_field(a, b) + "\x1f" for a, b in PAIRED_LATEST_PAIRS
+            ] + [name + "\x1f" for name in COMPOSITE_FIELDS]
+            for prefix in derived_prefixes:
                 old_post = old_post.filter(
-                    pc.invert(
-                        pc.starts_with(
-                            old_post["term"], paired_latest_field(a, b) + "\x1f"
-                        )
-                    )
+                    pc.invert(pc.starts_with(old_post["term"], prefix))
                 )
             old_fwd = read_forward_table(self.index_dir, part)
             all_runs = pa.concat_tables([old_post, new_runs]) if new_runs.num_rows else old_post
@@ -1385,15 +1452,13 @@ class SegmentExtender:
             all_runs, forward, epochs, old_n = new_runs, new_fwd, [], 0
         postings = merge_runs(all_runs, self.codec)
         if forward is not None and forward.num_rows:
-            pl = paired_latest_runs(
-                part,
-                forward["doc_id"].to_numpy().astype(np.int64),
-                forward["dl"].to_numpy().astype(np.int64),
-                {"role": forward["role"], "tool": forward["tool"]},
-                self.codec,
-            )
-            if pl:
-                postings = pa.concat_tables([postings] + pl).combine_chunks()
+            fdocs = forward["doc_id"].to_numpy().astype(np.int64)
+            fdl = forward["dl"].to_numpy().astype(np.int64)
+            fcols = {"role": forward["role"], "tool": forward["tool"]}
+            extra = paired_latest_runs(part, fdocs, fdl, fcols, self.codec)
+            extra += composite_runs(part, fdocs, fdl, fcols, self.codec)
+            if extra:
+                postings = pa.concat_tables([postings] + extra).combine_chunks()
         postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
         text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
         total_tokens = int(

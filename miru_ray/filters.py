@@ -146,6 +146,14 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
         """Term atom → filter, running the ANALYZER on the term text the way
         Lucene's QueryParser does (terms must normalize identically on the
         build and query sides — TermTokenizer.java:34-54)."""
+        if field != default_field and "^" in tok and not tok.endswith("*"):
+            # composite-field value `f:va^vb` (MiruSchema.java:32 composite;
+            # display joiner '^' → the index's pack joiner). Source values
+            # are RAW field values — the term composer packs them unanalyzed
+            # (MiruActivityInternExtern.java:97-146), matching the build side.
+            parts = tok.split("^")
+            if all(parts):
+                return Filter("and", False, [FieldFilter(field, ["\x1e".join(parts)])], [])
         prefix = tok.endswith("*")
         body = tok[:-1] if prefix else tok
         toks = _scalar(body, use_stopwords=use_stopwords)

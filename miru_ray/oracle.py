@@ -91,6 +91,18 @@ class OraclePartition:
             for (x, _y), i in latest.items():
                 plp.setdefault(x, {})[i] = 1
             self.post[f"{a}^{b}"] = plp
+        # composite fields (MiruSchema.java:32; MiruActivityInternExtern.java
+        # :97-146): term = source values joined by \x1e, skipped when any
+        # source value is missing
+        for cname, sources in (("role_tool", ("role", "tool")),):
+            cols = [self.fields.get(s) for s in sources]
+            if any(c is None for c in cols):
+                continue
+            cp: dict[str, dict[int, int]] = {}
+            for i, vals in enumerate(zip(*cols)):
+                if all(vals):
+                    cp.setdefault("\x1e".join(vals), {})[i] = 1
+            self.post[cname] = cp
         self.sorted_terms = {f: sorted(p) for f, p in self.post.items()}
         # global Σtf per term (the reference's global cardinality row,
         # LabFieldIndex.java:473-476) and df

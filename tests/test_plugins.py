@@ -413,6 +413,76 @@ def test_paired_latest_merge_and_extend(ray_session, tiny_transcripts_dir, tiny_
     eng2.close()
 
 
+def test_composite_field_match(engine, tiny_oracle):
+    """Composite-field postings (MiruSchema.java:32 `composite`;
+    MiruActivityInternExtern.java:97-146): a `role_tool:va^vb` filter must
+    equal the brute-force role==va AND tool==vb scan, docs missing either
+    source value excluded; and the index's composite postings must equal
+    the oracle's composite posting dict term-for-term."""
+    # every composite term present in the corpus
+    all_terms = sorted(
+        {t for p in tiny_oracle.values() for t in p.post["role_tool"]}
+    )
+    assert all_terms, "fixture must produce composite terms"
+    assert plugins.distincts(engine, "role_tool") == all_terms
+    for term in all_terms[:3]:
+        va, vb = term.split("\x1e")
+        res = engine.match(f"role_tool:{va}^{vb}", parallel=False)
+        got = {(r["part"], int(d)) for r in res for d in r["doc_id"]}
+        exp = {
+            (p.part, i)
+            for p in tiny_oracle.values()
+            for i in p.post["role_tool"].get(term, {})
+        }
+        assert got == exp, term
+
+
+def test_composite_field_extend(ray_session, tiny_transcripts_dir, tiny_rows, tmp_path_factory):
+    """Appending rows via extend_index recomputes composite postings over
+    the merged forward — old docs keep their terms, new docs gain theirs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_ray.build import build_index, extend_index
+
+    d = str(tmp_path_factory.mktemp("idx_composite"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    last_turn = {}
+    for r in tiny_rows:
+        last_turn[r["conv_id"]] = max(last_turn.get(r["conv_id"], -1), r["turn_idx"])
+    convs = sorted(last_turn)[:3]
+    max_ts = max(r["ts"] for r in tiny_rows)
+    new = pa.table(
+        {
+            "conv_id": pa.array(convs, type=pa.string()),
+            "turn_idx": pa.array([last_turn[c] + 1 for c in convs], type=pa.int32()),
+            "role": pa.array(["comprole"] * len(convs)),
+            "text": pa.array(["composite extend turn"] * len(convs)),
+            "tool": pa.array(["comptool"] * len(convs)),
+            "ts": pa.array(
+                [max_ts + 1_000_000 * (i + 1) for i in range(len(convs))],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    src2 = str(tmp_path_factory.mktemp("composite_src2"))
+    pq.write_table(new, os.path.join(src2, "comp-e1.parquet"))
+    extend_index(src2, d)
+    eng = SearchEngine(d)
+    res = eng.match("role_tool:comprole^comptool", parallel=False)
+    got = sorted((c, t) for r in res for c, t in zip(r["conv_id"], r["turn_idx"]))
+    assert got == sorted((c, last_turn[c] + 1) for c in convs)
+    # pre-existing composite terms survive the recompute
+    from miru_ray.oracle import build_oracle_partitions
+
+    oracle = build_oracle_partitions(tiny_rows, n_parts=N_PARTS)
+    before = sorted({t for p in oracle.values() for t in p.post["role_tool"]})
+    assert set(plugins.distincts(eng, "role_tool")) == set(before) | {"comprole\x1ecomptool"}
+    eng.close()
+
+
 def test_strut_plugin_vs_scan(engine, tiny_rows):
     """Index-backed strut (postings gather) must equal a brute-force text
     scan: per turn, score = mean model weight over the turn's DISTINCT
