@@ -686,6 +686,12 @@ def txt_quality(sf_dir: str):
     return quality_ds(sf_dir)
 
 
+def txt_repetition(sf_dir: str):
+    from miru_ray.textstats import repetition_ds
+
+    return repetition_ds(sf_dir)
+
+
 def txt_langid(sf_dir: str):
     from miru_ray.textstats import langid_ds
 
@@ -976,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_clusters": dd_clusters,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "txt_quality": txt_quality,
+        "txt_repetition": txt_repetition,
         "txt_langid": txt_langid,
         "txt_fingerprints": txt_fingerprints,
         "txt_token_bpe": txt_token_bpe,
@@ -1667,6 +1674,29 @@ FROM documents"""
             / CAST(len({_TOK}) AS BIGINT)
        ELSE 0.0 END AS stopword_ratio
 FROM documents"""
+        ),
+        "txt_repetition": (
+            f"""WITH toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+              i -> tk[i] || ' ' || tk[i + 1])) AS g FROM toks),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g FROM toks),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS dist,
+              CAST(max(c) AS BIGINT) AS mx FROM c2 GROUP BY doc_id),
+s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS dist,
+              CAST(max(c) AS BIGINT) AS mx FROM c3 GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(s2.total, 0) AS n_bigrams,
+  COALESCE((s2.total - s2.dist) / s2.total, 0.0) AS dup_bigram_frac,
+  COALESCE(s2.mx / s2.total, 0.0) AS top_bigram_frac,
+  COALESCE(s3.total, 0) AS n_trigrams,
+  COALESCE((s3.total - s3.dist) / s3.total, 0.0) AS dup_trigram_frac,
+  COALESCE(s3.mx / s3.total, 0.0) AS top_trigram_frac
+FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)"""
         ),
         "txt_langid": (
             f"WITH h AS (SELECT doc_id, {lang_hit_cols} FROM documents) "

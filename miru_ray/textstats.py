@@ -243,6 +243,70 @@ def quality_ds(sf_dir: str):
     )
 
 
+# ------------------------------------------------- repetition quality rules
+
+
+def _ngram_doc_stats(
+    parents: np.ndarray, tokens: pa.Array, n_rows: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc token n-gram stats: (total, distinct, max_count), each an
+    int64[n_rows] array. Grams never span doc boundaries. Exact strings
+    (dictionary-encoded), not hashes — the SQL oracle mirrors them."""
+    total = np.zeros(n_rows, dtype=np.int64)
+    dist = np.zeros(n_rows, dtype=np.int64)
+    mx = np.zeros(n_rows, dtype=np.int64)
+    m = len(parents)
+    if m < k:
+        return total, dist, mx
+    valid = parents[k - 1 :] == parents[: m - k + 1]
+    if not valid.any():
+        return total, dist, mx
+    gram = tokens.slice(0, m - k + 1)
+    for i in range(1, k):
+        gram = pc.binary_join_element_wise(gram, tokens.slice(i, m - k + 1), " ")
+    vmask = pa.array(valid)
+    gp = parents[: m - k + 1][valid]
+    enc = gram.filter(vmask).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, gp))
+    sg, sc = gp[order], codes[order]
+    new = np.concatenate([[True], (sg[1:] != sg[:-1]) | (sc[1:] != sc[:-1])])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(sg)))
+    grp_doc = sg[starts]
+    total += np.bincount(gp, minlength=n_rows).astype(np.int64)
+    np.add.at(dist, grp_doc, 1)
+    np.maximum.at(mx, grp_doc, cnt)
+    return total, dist, mx
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    n_rows = batch.num_rows
+    parents, tokens = tokenize_flat(batch["text"])
+    cols = {"doc_id": pc.cast(_ids(batch), pa.int64())}
+    for k, name in ((2, "bigram"), (3, "trigram")):
+        total, dist, mx = _ngram_doc_stats(parents, tokens, n_rows, k)
+        safe = np.maximum(total, 1)
+        dup = np.where(total > 0, (total - dist) / safe, 0.0)
+        top = np.where(total > 0, mx / safe, 0.0)
+        cols[f"n_{name}s"] = pa.array(total)
+        cols[f"dup_{name}_frac"] = pa.array(dup, type=pa.float64())
+        cols[f"top_{name}_frac"] = pa.array(top, type=pa.float64())
+    return pa.table(cols)
+
+
+def repetition_ds(sf_dir: str):
+    """Gopher/MassiveText-style within-doc repetition signals (Rae et al.
+    2021 §A1.1 "repetitious text" filters, token-n-gram variant): per doc,
+    the fraction of duplicate n-grams and the share of the single most
+    frequent n-gram, for n ∈ {2, 3}. A pure per-doc map — no shuffle at any
+    scale; real pipelines threshold on these columns to drop loops and
+    boilerplate."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # -------------------------------------------------------------- language id
 
 

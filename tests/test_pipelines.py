@@ -492,6 +492,44 @@ def test_quality_empty_and_ratios():
     assert out["mean_token_len"][0] == (3 + 5 + 3) / 3
 
 
+def test_repetition_vs_brute():
+    """Gopher-style n-gram repetition stats vs a per-doc brute force
+    (collections.Counter over consecutive token grams)."""
+    from collections import Counter
+
+    from miru_ray.textstats import _repetition_batch
+    from miru_ray.tokenize import py_tokenize
+
+    texts = [
+        "the cat sat on the mat the cat sat again",
+        "loop loop loop loop loop",
+        "one two three four five",
+        "",
+        "x",
+        "a b a b a b a b",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = _repetition_batch(t).to_pydict()
+    for i, text in enumerate(texts):
+        toks = py_tokenize(text)
+        for k, name in ((2, "bigram"), (3, "trigram")):
+            grams = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+            c = Counter(grams)
+            total = len(grams)
+            assert out[f"n_{name}s"][i] == total
+            if total:
+                assert out[f"dup_{name}_frac"][i] == (total - len(c)) / total
+                assert out[f"top_{name}_frac"][i] == max(c.values()) / total
+            else:
+                assert out[f"dup_{name}_frac"][i] == 0.0
+                assert out[f"top_{name}_frac"][i] == 0.0
+
+
 def test_label_propagation_long_chain(ray_session):
     """A 64-hop path graph must converge well inside max_iter: pointer
     doubling makes rounds O(log diameter), so 8 rounds suffice where
