@@ -551,6 +551,15 @@ def dd_clusters(sf_dir: str):
     return minhash_clusters(sf_dir, threshold=0.9)
 
 
+def dd_keep_best(sf_dir: str):
+    """Canonicalizing near-dup dedup: per MinHash cluster keep the member
+    with the most tokens (ties → smallest doc_id); one corpus pass ships
+    only cluster-member token counts off the workers."""
+    from miru_ray.dedup import keep_best_ds
+
+    return keep_best_ds(sf_dir, threshold=0.9)
+
+
 SIMHASH_NEAR_MAXHAM = 3
 
 
@@ -561,6 +570,22 @@ def dd_simhash_near(sf_dir: str):
     from miru_ray.dedup import simhash_hamming_pairs_ds
 
     return simhash_hamming_pairs_ds(sf_dir, max_hamming=SIMHASH_NEAR_MAXHAM)
+
+
+PASSAGE_MIN_SHARED = 2
+PASSAGE_MAX_DF = 64
+
+
+def dd_passages(sf_dir: str):
+    """Cross-doc shared-passage pairs (dedup.shared_passage_pairs_ds):
+    winnowing fingerprints (k=3, w=4 — the chain already value-checked by
+    txt_fingerprints) → inverted fp index → pairs sharing ≥2 fingerprints,
+    hot-fp cap mirrored in SQL."""
+    from miru_ray.dedup import shared_passage_pairs_ds
+
+    return shared_passage_pairs_ds(
+        sf_dir, min_shared=PASSAGE_MIN_SHARED, max_df=PASSAGE_MAX_DF
+    )
 
 
 NGRAM_JACCARD_THRESHOLD = 0.5
@@ -980,6 +1005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_simhash_groups": dd_simhash_groups,
         "dd_simhash_near": dd_simhash_near,
         "dd_clusters": dd_clusters,
+        "dd_keep_best": dd_keep_best,
+        "dd_passages": dd_passages,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "txt_quality": txt_quality,
         "txt_repetition": txt_repetition,
@@ -1556,6 +1583,27 @@ reach(s, d) AS (SELECT s, d FROM edges
 SELECT CAST(s AS BIGINT) AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
 FROM reach GROUP BY s"""
         ),
+        "dd_keep_best": (
+            f"""WITH RECURSIVE {_minhash_pair_ctes()},
+sel AS (SELECT a, b FROM mh_pairs WHERE est_jaccard >= 0.9),
+edges AS (SELECT a AS s, b AS d FROM sel UNION SELECT b, a FROM sel),
+reach(s, d) AS (SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT CAST(s AS BIGINT) AS doc_id,
+                CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY s),
+kb_tok AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM comp)),
+kb_j AS (SELECT comp.doc_id, comp.cluster_id, kb_tok.n_tokens,
+             row_number() OVER (PARTITION BY comp.cluster_id
+                                ORDER BY kb_tok.n_tokens DESC, comp.doc_id ASC) AS rn
+      FROM comp JOIN kb_tok USING (doc_id)),
+kb_k AS (SELECT cluster_id, doc_id AS keep_id FROM kb_j WHERE rn = 1)
+SELECT kb_j.doc_id, kb_j.cluster_id, kb_k.keep_id, kb_j.n_tokens,
+       kb_j.doc_id = kb_k.keep_id AS kept
+FROM kb_j JOIN kb_k USING (cluster_id)"""
+        ),
         "dd_ngram_jaccard": (
             f"""WITH {_gram_ctes()},
 dg AS (SELECT DISTINCT doc_id, g FROM grams),
@@ -1589,6 +1637,26 @@ SELECT d.doc_id, COALESCE(ngr.n_grams, 0) AS n_grams,
        COALESCE(fpa.n_fingerprints, 0) AS n_fingerprints,
        {_i64view('COALESCE(fpa.fx, 0)')} AS fp_xor
 FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN fpa USING (doc_id)"""
+        ),
+        "dd_passages": (
+            f"""WITH {_gram_ctes()},
+wmin AS (SELECT doc_id, pos,
+           min(g) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+           count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         FROM grams),
+longdoc AS (SELECT DISTINCT doc_id FROM wmin WHERE wn = 4),
+fps AS (SELECT DISTINCT doc_id, wm AS fp FROM wmin WHERE wn = 4
+        UNION
+        SELECT doc_id, min(g) AS fp FROM grams
+        WHERE doc_id NOT IN (SELECT doc_id FROM longdoc) GROUP BY doc_id),
+inv AS (SELECT doc_id, fp FROM fps
+        WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                     HAVING count(*) BETWEEN 2 AND {PASSAGE_MAX_DF})),
+pr AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+       FROM inv x JOIN inv y USING (fp) WHERE x.doc_id < y.doc_id
+       GROUP BY x.doc_id, y.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, shared
+FROM pr WHERE shared >= {PASSAGE_MIN_SHARED}"""
         ),
         "txt_redact": _redact_oracle_sql(REDACT_PATTERNS),
         "txt_source_stats": (

@@ -44,7 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .hashing import fnv1a64, splitmix64
-from .textstats import gram_hashes
+from .textstats import gram_hashes, winnow
 from .tokenize import tokenize_flat
 
 # universal-hash parameters for minhash permutations (deterministic)
@@ -638,3 +638,140 @@ def _propagate_min_labels(edges, max_iter: int = 50, num_partitions: int = 8):
             f"minhash_clusters: label propagation did not converge in {max_iter} rounds"
         )
     return labels
+
+
+# ----------------------------------------------------------- keep-best dedup
+
+
+def keep_best_ds(sf_dir: str, threshold: float = 0.9) -> "pa.Table":
+    """Canonicalizing near-dup dedup: for every MinHash cluster
+    (``minhash_clusters``), KEEP the member with the most tokens (ties →
+    smallest doc_id) and mark the rest dropped — the standard
+    "keep the best copy" policy a training-data pipeline applies after
+    clustering (C4/RefinedWeb drop near-dups rather than exact-only).
+
+    Scale shape: the cluster table is answer-sized (it already lives on
+    the driver — it IS ``minhash_clusters``'s return value). Token counts
+    are gathered in ONE vectorized corpus pass that ships only
+    cluster-member (doc_id, n_tokens) rows off the workers: the member-id
+    set is broadcast via ray.put and each batch filters with a hash
+    ``isin`` before tokenizing only the surviving rows. The final argmax
+    join runs on two answer-sized arrays.
+
+    Returns one row per clustered doc:
+    (doc_id, cluster_id, keep_id, n_tokens, kept).
+    """
+    import ray
+
+    clusters = minhash_clusters(sf_dir, threshold=threshold)
+    if clusters.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "keep_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "kept": pa.array([], pa.bool_()),
+            }
+        )
+    member_ref = ray.put(clusters["doc_id"].to_numpy())
+
+    def count_members(batch: pa.Table) -> pa.Table:
+        members = ray.get(member_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.isin(ids, members)
+        if not hit.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64())}
+            )
+        sub = batch.filter(pa.array(hit))
+        parents, _ = tokenize_flat(sub["text"])
+        counts = np.bincount(parents, minlength=sub.num_rows).astype(np.int64)
+        return pa.table({"doc_id": sub["doc_id"], "n_tokens": pa.array(counts)})
+
+    counts = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(count_members, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    counts = pa.concat_tables([ray.get(r) for r in counts])
+
+    ids = clusters["doc_id"].to_numpy()
+    cids = clusters["cluster_id"].to_numpy()
+    cnt_ids = counts["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt_n = counts["n_tokens"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(cnt_ids[(o := np.argsort(cnt_ids))], ids)
+    n_tokens = cnt_n[o][pos]
+    # argmax per cluster by (n_tokens desc, doc_id asc): lexsort ascending
+    # on (cluster, -n_tokens, doc_id) → first row of each cluster wins
+    order = np.lexsort((ids, -n_tokens, cids))
+    first = np.concatenate([[True], cids[order][1:] != cids[order][:-1]])
+    keep_by_cluster = dict(zip(cids[order][first].tolist(), ids[order][first].tolist()))
+    keep = np.array([keep_by_cluster[c] for c in cids.tolist()], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "cluster_id": pa.array(cids),
+            "keep_id": pa.array(keep),
+            "n_tokens": pa.array(n_tokens),
+            "kept": pa.array(ids == keep),
+        }
+    )
+
+
+# ------------------------------------------------------ shared-passage pairs
+
+
+def shared_passage_pairs_ds(
+    sf_dir: str, shingle_k: int = 3, w: int = 4, min_shared: int = 2, max_df: int = 64
+):
+    """MOSS-style cross-document shared-passage detection (Schleimer et
+    al. 2003 §4): doc pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints, with the shared count. Where near-dup pairs ask "are
+    these documents mostly the same?", this asks "do they share a copied
+    PASSAGE?" — winnowing guarantees any shared run of ≥ w+k−1 tokens
+    leaves at least one common fingerprint, and fingerprints are ~1/w of
+    the gram stream, so the inverted index is w× smaller than the exact
+    n-gram one. Fingerprints in more than ``max_df`` docs contribute no
+    pair evidence (the hot-passage cap, mirrored in the SQL oracle — a
+    boilerplate passage in 10^6 docs would otherwise emit 10^12 pairs).
+    Only (fp, doc_id) ever shuffles. Returns (a, b, shared)."""
+    from ray.data.aggregate import Count
+
+    def fp_map(batch: pa.Table) -> pa.Table:
+        parents, tokens = tokenize_flat(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+        gp, gh = gram_hashes(parents, th, shingle_k)
+        fp_doc, fp_hash = winnow(gp, gh, w)
+        return pa.table(
+            {"fp": pa.array(fp_hash.view(np.int64)), "doc_id": pa.array(ids[fp_doc])}
+        )
+
+    rows = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        fp_map, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counted = (
+        rows.groupby("fp")
+        .map_groups(lambda g: _gram_bucket_pairs(g, max_df), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count())
+    )
+    empty = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("shared", pa.int64())]
+    ).empty_table()
+
+    def finish(b: pa.Table) -> pa.Table:
+        if len(b.schema) != 3:
+            return empty
+        shared = pc.cast(b[b.schema.names[-1]], pa.int64())
+        keep = pc.greater_equal(shared, min_shared)
+        return pa.table(
+            {
+                "a": pc.cast(b["a"], pa.int64()).filter(keep),
+                "b": pc.cast(b["b"], pa.int64()).filter(keep),
+                "shared": shared.filter(keep),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow")

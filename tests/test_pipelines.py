@@ -199,6 +199,35 @@ def test_fingerprints_vs_scalar(ray_session, doc_tokens):
         assert np.int64(df.loc[i, "fp_xor"]) == np.uint64(x).astype(np.int64), i
 
 
+def test_shared_passages_vs_brute(ray_session, doc_tokens):
+    """shared_passage_pairs_ds equals a full scalar recomputation: per-doc
+    winnowed fingerprint sets → inverted index with the hot-fp cap →
+    pair counts ≥ min_shared."""
+    from collections import Counter, defaultdict
+
+    from miru_ray.dedup import shared_passage_pairs_ds
+
+    MIN_SHARED, MAX_DF = 2, 64
+    fps = {i: scalar_winnow(scalar_gram_hashes(toks, 3), 4) for i, toks in doc_tokens.items()}
+    df = Counter(f for s in fps.values() for f in s)
+    pair_counts: dict[tuple[int, int], int] = defaultdict(int)
+    by_fp: dict[int, list[int]] = defaultdict(list)
+    for i, s in fps.items():
+        for f in s:
+            if 2 <= df[f] <= MAX_DF:
+                by_fp[f].append(i)
+    for members in by_fp.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pair_counts[(members[x], members[y])] += 1
+    expect = {p: c for p, c in pair_counts.items() if c >= MIN_SHARED}
+
+    got = shared_passage_pairs_ds(SF, min_shared=MIN_SHARED, max_df=MAX_DF).to_pandas()
+    got_map = {(int(r["a"]), int(r["b"])): int(r["shared"]) for _, r in got.iterrows()}
+    assert got_map == expect
+
+
 # --------------------------------------------------------------------- ANN
 
 
@@ -571,6 +600,25 @@ def test_minhash_clusters_transitive(ray_session, doc_tokens):
         for doc in grp["doc_id"]:
             if doc != cid:
                 assert exact_jaccard(doc_tokens[int(cid)], doc_tokens[int(doc)], 3) > 0.5, (cid, doc)
+
+
+def test_keep_best_policy(ray_session, doc_tokens):
+    """keep_best_ds: rows == the cluster table's rows; within each cluster
+    exactly one kept doc, and it maximizes (n_tokens, -doc_id); n_tokens
+    equals the scalar tokenizer's count."""
+    from miru_ray.dedup import keep_best_ds, minhash_clusters
+
+    kb = keep_best_ds(SF, threshold=0.9).to_pandas()
+    cl = minhash_clusters(SF, threshold=0.9).to_pandas()
+    assert sorted(kb["doc_id"]) == sorted(cl["doc_id"])
+    for _, r in kb.iterrows():
+        assert r["n_tokens"] == len(doc_tokens[int(r["doc_id"])])
+    for cid, grp in kb.groupby("cluster_id"):
+        kept = grp[grp["kept"]]
+        assert len(kept) == 1
+        best = grp.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).iloc[0]
+        assert kept.iloc[0]["doc_id"] == best["doc_id"]
+        assert (grp["keep_id"] == best["doc_id"]).all()
 
 
 def test_sessionize_vs_scalar(ray_session):
