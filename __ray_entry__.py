@@ -723,6 +723,19 @@ def txt_langid(sf_dir: str):
     return langid_ds(sf_dir)
 
 
+NB_VOCAB = 16
+
+
+def txt_nb_classify(sf_dir: str):
+    """Self-trained multinomial naive-Bayes source classifier
+    (textstats.nb_classify_ds): top-16 corpus tokens as the vocab,
+    add-one smoothing, argmax with class-asc tie-break — the full
+    train→broadcast→score chain mirrored in SQL."""
+    from miru_ray.textstats import nb_classify_ds
+
+    return nb_classify_ds(sf_dir, vocab_size=NB_VOCAB)
+
+
 def txt_fingerprints(sf_dir: str):
     from miru_ray.textstats import fingerprint_ds
 
@@ -1011,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_quality": txt_quality,
         "txt_repetition": txt_repetition,
         "txt_langid": txt_langid,
+        "txt_nb_classify": txt_nb_classify,
         "txt_fingerprints": txt_fingerprints,
         "txt_token_bpe": txt_token_bpe,
         "txt_charlm": txt_charlm,
@@ -1771,6 +1785,35 @@ FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)"""
             f"SELECT doc_id, "
             + ", ".join(f"{x}_hits" for x in LANG_ORDER)
             + f", {lang_pred_sql()} AS pred_lang FROM h"
+        ),
+        "txt_nb_classify": (
+            f"""WITH tok AS ({_TOKTAB}),
+gcnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+vocab AS (SELECT t FROM gcnt ORDER BY n DESC, t ASC LIMIT {NB_VOCAB}),
+cls AS (SELECT source, CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cnt AS (SELECT d.source, k.t, CAST(count(*) AS BIGINT) AS c
+        FROM tok k JOIN documents d USING (doc_id)
+        WHERE k.t IN (SELECT t FROM vocab)
+        GROUP BY d.source, k.t),
+ctot AS (SELECT cls.source, COALESCE(sum(cnt.c), 0) AS tc
+         FROM cls LEFT JOIN cnt USING (source) GROUP BY cls.source),
+lik AS (SELECT cls.source, v.t,
+               ln((COALESCE(cnt.c, 0) + 1.0) / (ctot.tc + {NB_VOCAB})) AS ll
+        FROM cls CROSS JOIN vocab v
+        JOIN ctot ON ctot.source = cls.source
+        LEFT JOIN cnt ON cnt.source = cls.source AND cnt.t = v.t),
+contrib AS (SELECT k.doc_id, l.source, sum(l.ll) AS s
+            FROM tok k JOIN lik l ON l.t = k.t GROUP BY k.doc_id, l.source),
+allsc AS (SELECT d.doc_id, d.source, cls.source AS cand,
+                 ln(CAST(cls.docs AS DOUBLE) / tot.n) + COALESCE(c.s, 0.0) AS score
+          FROM documents d CROSS JOIN cls CROSS JOIN tot
+          LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.source = cls.source),
+pred AS (SELECT doc_id, source, cand,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+         FROM allsc)
+SELECT doc_id, source, cand AS pred_source, cand = source AS hit
+FROM pred WHERE rn = 1"""
         ),
         "ann_topk": (
             f"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),

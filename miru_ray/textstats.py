@@ -970,3 +970,148 @@ def source_stats_ds(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------- naive-Bayes domain classifier
+
+# Self-trained multinomial naive-Bayes document classifier (the
+# domain/topic-classification stage of curation pipelines, fastText-style
+# but with exactly mirrorable math): classes = the corpus's own `source`
+# labels, features = the top-V corpus tokens (count desc, token asc — the
+# deterministic vocab cap; out-of-vocab tokens are ignored), add-one
+# smoothing over the restricted vocab. Training is two bounded passes —
+# (1) distinct-token partials → distributed sort+limit picks the vocab
+# (the driver never sees more than V rows), (2) per-(source, token)
+# counts filtered to the vocab (≤ C×V rows). Scoring broadcasts the
+# (C, V) log-likelihood matrix via ray.put and is one matmul per batch.
+
+
+def _class_token_partial(batch: pa.Table) -> pa.Table:
+    """(source, tok, n) occurrence counts for one batch."""
+    parents, tokens = tokenize_flat(batch["text"])
+    src = batch["source"].combine_chunks() if isinstance(batch["source"], pa.ChunkedArray) else batch["source"]
+    if len(parents) == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()), "tok": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    t = pa.table({"source": src.take(pa.array(parents)), "tok": tokens})
+    agg = t.group_by(["source", "tok"], use_threads=False).aggregate([([], "count_all")])
+    return pa.table(
+        {"source": agg["source"], "tok": agg["tok"],
+         "n": pc.cast(agg["count_all"], pa.int64())}
+    )
+
+
+def train_nb_model(sf_dir: str, vocab_size: int = 16):
+    """Returns (classes, class_ln_prior, vocab, ln_lik) — classes and vocab
+    sorted ascending; ln_lik is (C, V) float64."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    rows = _docs_ds(sf_dir, ["source", "text"]).map_batches(
+        _class_token_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vocab_rows = (
+        rows.groupby("tok")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: b.rename_columns(["tok", "n"]), batch_format="pyarrow"
+        )
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()
+    )
+    vocab = np.array(sorted(r["tok"] for r in vocab_rows))
+    cls_rows = (
+        _docs_ds(sf_dir, ["source"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "source": (g := b.group_by(["source"], use_threads=False)
+                               .aggregate([([], "count_all")]))["source"],
+                    "d": pc.cast(g["count_all"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(Sum("d"))
+        .take_all()
+    )
+    classes = np.array(sorted(r["source"] for r in cls_rows))
+    docs = {r["source"]: int(r["sum(d)"]) for r in cls_rows}
+    n_total = sum(docs.values())
+    ln_prior = np.log(np.array([docs[c] for c in classes], dtype=np.float64) / n_total)
+
+    vocab_pa = pa.array(vocab.tolist(), type=pa.string())
+    cond_rows = (
+        rows.map_batches(
+            lambda b: b.filter(pc.is_in(b["tok"], value_set=vocab_pa)),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "tok"])
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    C, V = len(classes), len(vocab)
+    cidx = {c: i for i, c in enumerate(classes.tolist())}
+    tidx = {t: i for i, t in enumerate(vocab.tolist())}
+    cnt = np.zeros((C, V), dtype=np.float64)
+    for r in cond_rows:
+        cnt[cidx[r["source"]], tidx[r["tok"]]] = float(r["sum(n)"])
+    ln_lik = np.log((cnt + 1.0) / (cnt.sum(axis=1, keepdims=True) + vocab_size))
+    return classes, ln_prior, vocab, ln_lik
+
+
+class NbScorer:
+    """Pass-2 stage: model from the object store once per actor; per doc
+    argmax_c [ln prior_c + Σ_tok∈vocab ln_lik_c,tok] (ties → class asc)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        m = ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref
+        self.classes, self.ln_prior, self.vocab, self.ln_lik = m
+        self.vocab_pa = pa.array(self.vocab.tolist(), type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        parents, tokens = tokenize_flat(batch["text"])
+        scores = np.broadcast_to(self.ln_prior, (n_rows, len(self.classes))).copy()
+        if len(parents):
+            toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+            idx = pc.fill_null(
+                pc.index_in(toks, value_set=self.vocab_pa), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = idx >= 0
+            if hit.any():
+                counts = np.zeros((n_rows, len(self.vocab)), dtype=np.float64)
+                np.add.at(counts, (parents[hit], idx[hit]), 1.0)
+                scores = scores + counts @ self.ln_lik.T
+        pred = self.classes[np.argmax(scores, axis=1)]
+        src = batch["source"].combine_chunks() if isinstance(batch["source"], pa.ChunkedArray) else batch["source"]
+        return pa.table(
+            {
+                "doc_id": pc.cast(_ids(batch), pa.int64()),
+                "source": src,
+                "pred_source": pa.array(pred),
+                "hit": pc.equal(src, pa.array(pred)),
+            }
+        )
+
+
+def nb_classify_ds(sf_dir: str, vocab_size: int = 16):
+    """(doc_id, source, pred_source, hit) under the corpus-trained
+    naive-Bayes source classifier."""
+    import ray
+
+    model = train_nb_model(sf_dir, vocab_size)
+    ref = ray.put(model)
+    return _docs_ds(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        NbScorer,
+        fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    )

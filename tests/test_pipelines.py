@@ -199,6 +199,44 @@ def test_fingerprints_vs_scalar(ray_session, doc_tokens):
         assert np.int64(df.loc[i, "fp_xor"]) == np.uint64(x).astype(np.int64), i
 
 
+def test_nb_classify_vs_brute(ray_session, docs, doc_tokens):
+    """nb_classify_ds equals a scalar naive-Bayes recomputation: top-V
+    vocab by (count desc, token asc), add-one smoothing, argmax with
+    class-asc tie-break."""
+    import math
+    from collections import Counter
+
+    from miru_ray.textstats import nb_classify_ds
+
+    V = 16
+    src_of = dict(zip(docs["doc_id"], docs["source"]))
+    gcnt = Counter(t for toks in doc_tokens.values() for t in toks)
+    vocab = sorted(sorted(gcnt), key=lambda t: (-gcnt[t], t))[:V]
+    vset = set(vocab)
+    classes = sorted(set(src_of.values()))
+    docs_per = Counter(src_of.values())
+    n_total = len(src_of)
+    cnt = {c: Counter() for c in classes}
+    for i, toks in doc_tokens.items():
+        for t in toks:
+            if t in vset:
+                cnt[src_of[i]][t] += 1
+    ll = {
+        c: {t: math.log((cnt[c][t] + 1.0) / (sum(cnt[c].values()) + V)) for t in vocab}
+        for c in classes
+    }
+    got = nb_classify_ds(SF, vocab_size=V).to_pandas().set_index("doc_id")
+    for i, toks in doc_tokens.items():
+        scores = {
+            c: math.log(docs_per[c] / n_total)
+            + sum(ll[c][t] for t in toks if t in vset)
+            for c in classes
+        }
+        pred = min(classes, key=lambda c: (-scores[c], c))
+        assert got.loc[i, "pred_source"] == pred, (i, scores)
+        assert got.loc[i, "hit"] == (pred == src_of[i])
+
+
 def test_shared_passages_vs_brute(ray_session, doc_tokens):
     """shared_passage_pairs_ds equals a full scalar recomputation: per-doc
     winnowed fingerprint sets → inverted index with the hot-fp cap →
