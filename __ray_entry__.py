@@ -213,6 +213,63 @@ def ft_topk_bm25(sf_dir: str) -> pa.Table:
     )
 
 
+MLT_DOC = 7
+MLT_K = 10
+MLT_TERMS = 5
+MLT_MIN_DF = 2
+
+
+def ft_mlt(sf_dir: str) -> pa.Table:
+    """More-like-this (plugins.more_like_this, Lucene MLT like(text) mode):
+    source = documents row MLT_DOC; top-5 terms by tf·ln(N/df), df ≥ 2,
+    ties term asc; disjunctive BM25 over the union of the selected terms'
+    postings in fp64 with a fixed term order, mirrored in SQL. (The
+    engine's fp32 plugin path is rank-identity pytest-gated.)"""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from miru_ray.plugins import term_dfs_partition
+    from miru_ray.search import PostingSource
+    from miru_ray.segments import forward_columns, read_manifest
+    from miru_ray.tokenize import py_tokenize
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    dt = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet"), format="parquet"
+    ).to_table(filter=pc.field("doc_id") == MLT_DOC, columns=["text"])
+    tf = Counter(py_tokenize(dt["text"][0].as_py()))
+    df = term_dfs_partition(index_dir, 0, "text", sorted(tf))
+    man = read_manifest(index_dir, 0)
+    n_docs = man["metrics"]["n_docs"]
+    avgdl = man["metrics"]["total_tokens"] / n_docs
+    cands = [t for t in tf if df.get(t, 0) >= MLT_MIN_DF]
+    cands.sort(key=lambda t: (-(tf[t] * math.log(n_docs / df[t])), t))
+    sel = cands[:MLT_TERMS]
+    src = PostingSource(index_dir, 0, [("text", t) for t in sel], 0)
+    answer = None
+    for t in sel:
+        d = src.docs("text", t)
+        answer = d if answer is None else np.union1d(answer, d)
+    dl_a = forward_columns(index_dir, 0)["dl"][answer].astype(np.float64)
+    knorm = 1.2 * (0.25 + 0.75 * (dl_a / avgdl))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for t in sorted(sel):
+        docs = src.docs("text", t)
+        tfs = src.tfs("text", t).astype(np.float64)
+        idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        pos = np.searchsorted(answer, docs)
+        contrib = np.zeros(len(answer), dtype=np.float64)
+        contrib[pos] = idf * (tfs / (tfs + knorm[pos]))
+        score = score + contrib
+    order = np.lexsort((-answer, -score))[:MLT_K]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 def ft_topk_time(sf_dir: str) -> pa.Table:
     """TIME strategy (FullText.java:222-251): newest K_TIME matching docs,
     score 0 — run through the real engine."""
@@ -984,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_range": ft_match_range,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
+        "ft_mlt": ft_mlt,
         "ft_topk_time": ft_topk_time,
         "ft_topk_time_range": ft_topk_time_range,
         "ft_distinct_roles": ft_distinct_roles,
@@ -1305,6 +1363,29 @@ SELECT doc_id, round(idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm))
 FROM ans
 ORDER BY idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) DESC, doc_id DESC
 LIMIT {K_BM25}"""
+        ),
+        "ft_mlt": (
+            f"""WITH tok AS ({_TOKTAB}),
+stf AS (SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE doc_id = {MLT_DOC} GROUP BY t),
+gdf AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY t),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens FROM documents),
+sel AS (SELECT stf.t, gdf.df FROM stf JOIN gdf USING (t) CROSS JOIN stats
+        WHERE gdf.df >= {MLT_MIN_DF}
+        ORDER BY stf.tf * ln(CAST(stats.n_docs AS DOUBLE) / gdf.df) DESC, stf.t ASC
+        LIMIT {MLT_TERMS}),
+dtf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE t IN (SELECT t FROM sel) GROUP BY doc_id, t),
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+contrib AS (SELECT dtf.doc_id,
+    sum(ln(1.0 + (stats.n_docs - sel.df + 0.5) / (sel.df + 0.5))
+        * (dtf.tf / (dtf.tf + 1.2 * (0.25 + 0.75 * (dl.dl
+             / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))))) AS score
+  FROM dtf JOIN sel USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY dtf.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM contrib
+ORDER BY score DESC, doc_id DESC LIMIT {MLT_K}"""
         ),
         "ft_topk_time": (
             f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "

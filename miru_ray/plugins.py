@@ -585,8 +585,75 @@ def _fan(engine, fn, kwargs: dict) -> list:
     return [fn(engine.index_dir, p, **kwargs) for p in engine.parts]
 
 
+def term_dfs_partition(
+    index_dir: str, part: int, field: str, terms: list[str]
+) -> dict[str, int]:
+    """term → df for the given terms of one partition (metadata columns
+    only — never touches posting bytes)."""
+    keys = [field + FIELD_SEP + t for t in terms]
+    dset = pads.dataset(
+        part_dir(index_dir, part) + "/postings.parquet", format="parquet"
+    )
+    t = dset.to_table(filter=pc.field("term").isin(keys), columns=["term", "df"])
+    sep = len(field) + 1
+    return {
+        k[sep:]: int(d)
+        for k, d in zip(t["term"].to_pylist(), t["df"].to_numpy(zero_copy_only=False))
+    }
+
+
+def mlt_select_terms(
+    engine, text: str, field: str = "text", n_terms: int = 5, min_df: int = 2
+) -> list[str]:
+    """Lucene MoreLikeThis term selection (like(text) mode): tokenize the
+    source text with the index's own tokenizer, gather GLOBAL df for its
+    distinct terms (one metadata-only pushdown read per partition, summed),
+    keep df ≥ min_df, rank by tf·ln(N/df) (ties → term asc), take the top
+    ``n_terms``. The candidate set is one document's vocabulary — the df
+    gather is O(doc terms), never O(corpus vocabulary)."""
+    import math
+    from collections import Counter
+
+    from .tokenize import py_tokenize
+
+    use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
+    tf = Counter(py_tokenize(text, use_stopwords=use_stop))
+    if not tf:
+        return []
+    res = _fan(engine, term_dfs_partition, dict(field=field, terms=sorted(tf)))
+    df: Counter = Counter()
+    for d in res:
+        df.update(d)
+    n_docs = engine.meta["totals"]["n_docs"]
+    cands = [t for t in tf if df[t] >= min_df]
+    cands.sort(key=lambda t: (-(tf[t] * math.log(n_docs / df[t])), t))
+    return cands[:n_terms]
+
+
+def more_like_this(
+    engine,
+    text: str,
+    k: int = 10,
+    field: str = "text",
+    n_terms: int = 5,
+    min_df: int = 2,
+    scoring: str = "bm25",
+):
+    """Find documents similar to ``text`` (the Lucene MoreLikeThis
+    operation): select the text's most characteristic terms by tf·idf,
+    then run them as one disjunctive query through the engine's normal
+    scored search (WAND pruning, removal/authz masks and the partition
+    merge all apply). Returns (hits, found, selected_terms)."""
+    terms = mlt_select_terms(engine, text, field, n_terms, min_df)
+    if not terms:
+        return [], 0, []
+    hits, found = engine.search(" OR ".join(terms), k=k, scoring=scoring)
+    return hits, found, terms
+
+
 # built-in plugin registrations (the shipped-plugin set)
 register_plugin("distincts", distincts)
+register_plugin("more_like_this", more_like_this)
 register_plugin("distinct_count", distinct_count)
 register_plugin("aggregate_counts", aggregate_counts)
 register_plugin("aggregate_counts_inbox", aggregate_counts_inbox)

@@ -511,3 +511,38 @@ def test_strut_plugin_vs_scan(engine, tiny_rows):
         if "t1" in py_tokenize(r["text"]) and set(py_tokenize(r["text"])) & set(model)
     }
     assert keys_q == expect_q
+
+
+def test_more_like_this_vs_oracle(engine, tiny_rows, tiny_oracle):
+    """MLT (like-text mode): term selection equals a scalar tf·ln(N/df)
+    recomputation over the oracle's postings, and the disjunctive search
+    ranks identically to the oracle engine."""
+    import math
+    from collections import Counter
+
+    from miru_ray.oracle import oracle_search
+    from miru_ray.tokenize import py_tokenize
+
+    src_row = tiny_rows[13]
+    hits, found, terms = plugins.more_like_this(engine, src_row["text"], k=10)
+
+    # scalar term selection from the oracle's postings
+    tf = Counter(py_tokenize(src_row["text"]))
+    n_docs = sum(p.n_docs for p in tiny_oracle.values())
+    df = {
+        t: sum(len(p.post["text"].get(t, ())) for p in tiny_oracle.values())
+        for t in tf
+    }
+    cands = [t for t in tf if df[t] >= 2]
+    cands.sort(key=lambda t: (-(tf[t] * math.log(n_docs / df[t])), t))
+    assert terms == cands[:5]
+
+    exp_hits, exp_found = oracle_search(tiny_oracle, " OR ".join(terms), 10, "bm25")
+    assert found == exp_found
+    assert [(h.conv_id, h.turn_idx) for h in hits] == [
+        (h.conv_id, h.turn_idx) for h in exp_hits
+    ]
+    assert np.allclose([h.score for h in hits], [h.score for h in exp_hits], rtol=1e-5)
+
+    # empty / no-selectable-terms inputs degrade cleanly
+    assert plugins.more_like_this(engine, "") == ([], 0, [])
