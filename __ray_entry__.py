@@ -534,6 +534,17 @@ def ev_sessionize_scaled(sf_dir: str):
     )
 
 
+def ev_hopping(sf_dir: str):
+    """Hopping windows (3 h width, 1 h hop) with a streaming watermark
+    (analytics.hopping_window_ds): arrival = event time + deterministic
+    splitmix jitter, watermark = max event time of completed 1 h arrival
+    epochs, events trailing it by >15 min dropped as late; live events
+    count into every covering window."""
+    from miru_ray.analytics import hopping_window_ds
+
+    return hopping_window_ds(sf_dir)
+
+
 def ev_metric_waveform(sf_dir: str):
     """Anomaly-plugin metricing waveforms (analytics.metric_waveform_ds —
     Anomaly.java:36-130): per (event_type, hour) the metric sum and count,
@@ -811,6 +822,32 @@ def txt_splits(sf_dir: str):
     return split_ds(sf_dir, dict(SPLIT_FRACTIONS))
 
 
+def _hopping_oracle_sql() -> str:
+    from miru_ray.analytics import (
+        HW_EPOCH_US, HW_HOP_US, HW_JITTER_US, HW_LATE_US, HW_NWIN,
+    )
+
+    sm, last = _sm_ctes("hw", "e0", "eid", "smv")
+    return f"""WITH e0 AS (SELECT event_type, epoch_us(ts) AS us,
+       CAST(round(value * 100.0) AS BIGINT) AS m,
+       CAST(event_id AS UBIGINT) AS eid FROM events),
+{sm},
+e AS (SELECT event_type, us, m,
+             us + CAST(smv % {2 * HW_JITTER_US} AS BIGINT) - {HW_JITTER_US} AS aus
+      FROM {last}),
+e2 AS (SELECT event_type, us, m, aus // {HW_EPOCH_US} AS ep FROM e),
+em AS (SELECT ep, max(us) AS mx FROM e2 GROUP BY ep),
+pf AS (SELECT ep, max(mx) OVER (ORDER BY ep
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM em),
+live AS (SELECT e2.event_type, e2.us, e2.m FROM e2 JOIN pf USING (ep)
+         WHERE pf.wm IS NULL OR e2.us >= pf.wm - {HW_LATE_US}),
+exp AS (SELECT event_type, m, ((us // {HW_HOP_US}) - j) * {HW_HOP_US} AS win
+        FROM live CROSS JOIN (SELECT unnest(range(0, {HW_NWIN})) AS j) AS js)
+SELECT CAST(win // 1000000 AS BIGINT) AS win_ts, event_type,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS sum_metric
+FROM exp GROUP BY win, event_type"""
+
+
 def _splits_oracle_sql() -> str:
     from miru_ray.textstats import split_bounds
 
@@ -1062,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessionize_scaled": ev_sessionize_scaled,
         "ev_retention": ev_retention,
         "ev_funnel": ev_funnel,
+        "ev_hopping": ev_hopping,
         "ev_metric_waveform": ev_metric_waveform,
         "ev_distinct_sketch": ev_distinct_sketch,
         "ev_quantiles": ev_quantiles,
@@ -1478,6 +1516,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sess"""
         ),
+        "ev_hopping": _hopping_oracle_sql(),
         "ev_metric_waveform": (
             """WITH e AS (SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
                   CAST(round(value * 100) AS BIGINT) AS m FROM events),

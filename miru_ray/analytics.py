@@ -902,3 +902,139 @@ def metric_waveform_ds(sf_dir: str):
     return agg.groupby("event_type").map_groups(
         lambda g: _metric_interp_group(g, lo, hi), batch_format="pyarrow"
     )
+
+
+# ----------------------------------- hopping windows with a watermark drop
+
+# Streaming-window semantics over the (batch-replayed) event stream: the
+# stream's ARRIVAL order is event time plus a deterministic per-event
+# jitter (splitmix64(event_id) — out-of-orderness is real but replayable),
+# the watermark is the max event time of all COMPLETED arrival epochs
+# (epoch = 1 h of arrival time — the batching granularity of a stream
+# consumer), and an event is dropped as late when its event time trails
+# the watermark by more than the allowed lateness. Live events then count
+# into every hopping window covering them (width = nwin × hop). The
+# watermark state is answer-sized (one max per arrival epoch): a tiny
+# per-epoch aggregate, an exclusive prefix max on the driver, one
+# broadcast lookup inside the scoring pass — no sort, no global scan.
+
+HW_HOP_US = 3_600_000_000  # 1 h hop
+HW_NWIN = 3  # window width = 3 h
+HW_JITTER_US = 1_800_000_000  # ±30 min arrival jitter
+HW_EPOCH_US = 3_600_000_000  # arrival-epoch granularity
+HW_LATE_US = 900_000_000  # allowed lateness 15 min
+
+
+def _arrival_us(event_id: np.ndarray, us: np.ndarray, jitter_us: int) -> np.ndarray:
+    from .hashing import splitmix64
+
+    j = (
+        splitmix64(event_id.astype(np.uint64)) % np.uint64(2 * jitter_us)
+    ).astype(np.int64) - jitter_us
+    return us + j
+
+
+def _hw_epoch_partial(batch: pa.Table, jitter_us: int, epoch_us: int) -> pa.Table:
+    us = _ts_us(batch)
+    eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ep = _arrival_us(eid, us, jitter_us) // epoch_us
+    t = pa.table({"ep": pa.array(ep), "us": pa.array(us)})
+    agg = t.group_by(["ep"], use_threads=False).aggregate([("us", "max")])
+    return pa.table({"ep": agg["ep"], "mx": pc.cast(agg["us_max"], pa.int64())})
+
+
+def hopping_window_ds(
+    sf_dir: str,
+    hop_us: int = HW_HOP_US,
+    nwin: int = HW_NWIN,
+    jitter_us: int = HW_JITTER_US,
+    epoch_us: int = HW_EPOCH_US,
+    late_us: int = HW_LATE_US,
+):
+    """(win_ts, event_type, n, sum_metric): hopping-window counts and
+    quantized-value sums over live (non-late) events — see module note
+    above for the watermark contract."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    ev = _events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
+    ep_rows = (
+        ev.map_batches(
+            lambda b: _hw_epoch_partial(b, jitter_us, epoch_us),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("ep")
+        .aggregate(Max("mx"))
+        .take_all()
+    )
+    eps = np.array(sorted(int(r["ep"]) for r in ep_rows), dtype=np.int64)
+    mx = {int(r["ep"]): int(r["max(mx)"]) for r in ep_rows}
+    # exclusive prefix max: watermark of epoch eps[i] = max event time of
+    # all earlier arrival epochs (-1 sentinel = no watermark yet)
+    pmax = np.full(len(eps), -1, dtype=np.int64)
+    run = -1
+    for i, e in enumerate(eps):
+        pmax[i] = run
+        run = max(run, mx[int(e)])
+    wm_ref = ray.put((eps, pmax))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        eps_a, pmax_a = ray.get(wm_ref)
+        us = _ts_us(batch)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = _arrival_us(eid, us, jitter_us) // epoch_us
+        wm = pmax_a[np.searchsorted(eps_a, ep)]
+        live = (wm < 0) | (us >= wm - late_us)
+        if not live.any():
+            return pa.schema(
+                [("win", pa.int64()), ("event_type", pa.string()),
+                 ("n", pa.int64()), ("s", pa.int64())]
+            ).empty_table()
+        us = us[live]
+        m = np.round(
+            batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)[live] * 100.0
+        ).astype(np.int64)
+        et = (batch["event_type"].combine_chunks()
+              if isinstance(batch["event_type"], pa.ChunkedArray)
+              else batch["event_type"]).filter(pa.array(live))
+        base = us // hop_us
+        j = np.tile(np.arange(nwin, dtype=np.int64), len(us))
+        win = (np.repeat(base, nwin) - j) * hop_us
+        t = pa.table(
+            {
+                "win": pa.array(win),
+                "event_type": et.take(pa.array(np.repeat(np.arange(len(us)), nwin))),
+                "m": pa.array(np.repeat(m, nwin)),
+            }
+        )
+        agg = t.group_by(["win", "event_type"], use_threads=False).aggregate(
+            [("m", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "win": agg["win"], "event_type": agg["event_type"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+                "s": pc.cast(agg["m_sum"], pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["win", "event_type"])
+        .aggregate(Sum("n"), Sum("s"))
+    )
+    empty = pa.schema(
+        [("win_ts", pa.int64()), ("event_type", pa.string()),
+         ("n", pa.int64()), ("sum_metric", pa.int64())]
+    ).empty_table()
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "win_ts": pc.cast(pc.divide(b["win"], 1_000_000), pa.int64()),
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "n": pc.cast(b["sum(n)"], pa.int64()),
+                "sum_metric": pc.cast(b["sum(s)"], pa.int64()),
+            }
+        ) if len(b.schema) == 4 else empty,
+        batch_format="pyarrow",
+    )

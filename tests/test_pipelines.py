@@ -1275,3 +1275,49 @@ def test_video_neardup_pairs_vs_brute(ray_session):
     # it was the tie-breaker — every copy must still pair with its original
     for k in range(3):
         assert want.get((k, 6 + k), 99) <= max_h
+
+
+def test_hopping_window_vs_brute(ray_session):
+    """hopping_window_ds equals a scalar replay: jittered arrival epochs,
+    exclusive prefix-max watermark, late drop, 3 windows per live event.
+    The jitter must produce real out-of-orderness (some late, most live)."""
+    from collections import defaultdict
+
+    from miru_ray.analytics import (
+        HW_EPOCH_US, HW_HOP_US, HW_JITTER_US, HW_LATE_US, HW_NWIN,
+        _arrival_us, hopping_window_ds,
+    )
+
+    t = pq.read_table(SF + "/events.parquet", columns=["event_id", "ts", "event_type", "value"])
+    us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+    eid = t["event_id"].to_numpy().astype(np.int64)
+    ep = _arrival_us(eid, us, HW_JITTER_US) // HW_EPOCH_US
+    mx: dict[int, int] = {}
+    for e, u in zip(ep.tolist(), us.tolist()):
+        mx[e] = max(mx.get(e, -1), u)
+    run, pm = -1, {}
+    for e in sorted(mx):
+        pm[e] = run
+        run = max(run, mx[e])
+    expect: dict[tuple[int, str], list[int]] = defaultdict(lambda: [0, 0])
+    n_late = 0
+    for e, u, et, v in zip(
+        ep.tolist(), us.tolist(), t["event_type"].to_pylist(), t["value"].to_pylist()
+    ):
+        if pm[e] >= 0 and u < pm[e] - HW_LATE_US:
+            n_late += 1
+            continue
+        m = int(np.round(v * 100.0))
+        for j in range(HW_NWIN):
+            win = (u // HW_HOP_US - j) * HW_HOP_US // 1_000_000
+            cell = expect[(win, et)]
+            cell[0] += 1
+            cell[1] += m
+    assert 0 < n_late < len(us) // 10  # real but minority lateness
+
+    got = hopping_window_ds(SF).to_pandas()
+    got_map = {
+        (int(r["win_ts"]), r["event_type"]): [int(r["n"]), int(r["sum_metric"])]
+        for _, r in got.iterrows()
+    }
+    assert got_map == dict(expect)
