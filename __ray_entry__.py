@@ -153,6 +153,43 @@ def ft_match_range(sf_dir: str):
     return _match(sf_dir, "turn_idx:[5 TO 12] scan")
 
 
+PHRASE_TERMS = ("table", "scan")
+PHRASE_Q = '"' + " ".join(PHRASE_TERMS) + '"'
+K_PHRASE = 20
+
+
+def ft_match_phrase(sf_dir: str):
+    """Exact phrase match via the positional index (codec.POS_FIELD
+    occurrence streams; candidates = AND of the terms, then a vectorized
+    position-adjacency intersect). Beyond-reference: the reference's Lucene
+    parser THROWS on PhraseQuery (LuceneBackedQueryParser.java:106-109)."""
+    return _match(sf_dir, PHRASE_Q)
+
+
+def ft_topk_phrase(sf_dir: str) -> pa.Table:
+    """TF-IDF top-k restricted to exact-phrase docs: the phrase acts as
+    the answer filter, scoring is the component terms' reference TF-IDF
+    (search._eval_phrase's collector contract) in fp64, mirrored in SQL."""
+    from miru_ray.codec import POS_FIELD
+    from miru_ray.filters import FieldFilter, Filter
+    from miru_ray.search import PostingSource, _eval_phrase
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    specs = [("text", w) for w in PHRASE_TERMS] + [(POS_FIELD, w) for w in PHRASE_TERMS]
+    src = PostingSource(index_dir, 0, specs, 0)
+    filt = Filter("phrase", False, [FieldFilter("text", list(PHRASE_TERMS))], [])
+    answer = _eval_phrase(filt, src, None)
+    t1, t2 = PHRASE_TERMS
+    score = (1.0 / src.ttf[("text", t1)]) * _tf_on(src, t1, answer) + (
+        1.0 / src.ttf[("text", t2)]
+    ) * _tf_on(src, t2, answer)
+    order = np.lexsort((-answer, -score))[:K_PHRASE]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 def _topk_answer(sf_dir: str):
     """AND-match the TOPK_TERMS on the 1-partition index; return
     (src, answer docIds, n_docs, avgdl, dl array) for fp64 scoring."""
@@ -1076,6 +1113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_prefix": ft_match_prefix,
         "ft_match_field": ft_match_field,
         "ft_match_range": ft_match_range,
+        "ft_match_phrase": ft_match_phrase,
+        "ft_topk_phrase": ft_topk_phrase,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
         "ft_mlt": ft_mlt,
@@ -1369,6 +1408,26 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         "ft_match_range": (
             f"SELECT doc_id FROM documents WHERE (doc_id % 41) BETWEEN 5 AND 12 "
             f"AND list_contains({_TOK}, 'scan')"
+        ),
+        # adjacency ≡ substring of the space-joined token stream (the
+        # tokenizer contract: tokens = regexp_extract_all(lower, '[a-z0-9]+'))
+        "ft_match_phrase": (
+            f"SELECT doc_id FROM documents WHERE ' ' || array_to_string({_TOK}, ' ') "
+            f"|| ' ' LIKE '% {' '.join(PHRASE_TERMS)} %'"
+        ),
+        "ft_topk_phrase": (
+            tf_cte
+            + f""",
+ph AS (SELECT doc_id FROM documents WHERE ' ' || array_to_string({_TOK}, ' ')
+       || ' ' LIKE '% {' '.join(PHRASE_TERMS)} %')
+SELECT a.doc_id AS doc_id,
+       round((1.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf, 6) AS score
+FROM tf a JOIN tf b ON a.doc_id = b.doc_id JOIN ph ON ph.doc_id = a.doc_id
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{PHRASE_TERMS[0]}') g1
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{PHRASE_TERMS[1]}') g2
+WHERE a.t = '{PHRASE_TERMS[0]}' AND b.t = '{PHRASE_TERMS[1]}'
+ORDER BY (1.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf DESC, a.doc_id DESC
+LIMIT {K_PHRASE}"""
         ),
         "ft_topk_tfidf": (
             tf_cte

@@ -42,6 +42,7 @@ def cmd_build(args) -> int:
         strategy=args.strategy,
         codec=args.codec,
         analyzer=args.analyzer,
+        positions=args.positions,
     )
     print(json.dumps(meta))
     return 0
@@ -186,6 +187,8 @@ def main(argv=None) -> int:
     b.add_argument("--strategy", choices=["auto", "stream", "sort"], default="auto")
     b.add_argument("--analyzer", default="default",
                    help="analyzer name (analyzers.register_analyzer; e.g. unicode)")
+    b.add_argument("--positions", action="store_true",
+                   help="also write the positional index (enables phrase queries)")
     b.add_argument("--codec", choices=["varbyte", "raw32"], default="varbyte",
                    help="posting value codec (recorded in the index manifest)")
     b.set_defaults(fn=cmd_build)

@@ -60,6 +60,7 @@ from .codec import (
     VARBYTE,
     get_codec,
     FWD_TERM,
+    POS_FIELD,
     RUNS_SCHEMA,
     encode_codes_to_runs,
     encode_multi_part_runs,
@@ -80,7 +81,7 @@ from .segments import (
     write_segment,
 )
 from .analyzers import tokenizer_meta as _tokenizer_meta
-from .tokenize import token_counts, tokenize_flat
+from .tokenize import token_counts, token_positions, tokenize_flat
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 CHUNK_DOCS = 65_536  # docs tokenized per in-task chunk (bounds triple memory)
@@ -127,6 +128,7 @@ def tokenize_chunk_to_runs(
     use_stopwords: bool = False,
     codec=VARBYTE,
     analyzer: str = "default",
+    positions: bool = False,
 ) -> pa.Table:
     """One bounded chunk of docs → encoded posting runs for the `text` field.
 
@@ -150,7 +152,15 @@ def tokenize_chunk_to_runs(
     denc = (tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens).dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     comp = (codes << np.int64(32)) | parents  # rows per chunk < 2^31
-    comp.sort()
+    if positions:
+        # stable argsort keeps equal (code, row) occurrences in token order —
+        # their within-row ordinals become the positional payload
+        tokpos = token_positions(parents)
+        o = np.argsort(comp, kind="stable")
+        comp = comp[o]
+        tokpos = tokpos[o]
+    else:
+        comp.sort()
     change = np.empty(len(comp), dtype=bool)
     change[0] = True
     change[1:] = comp[1:] != comp[:-1]
@@ -162,9 +172,23 @@ def tokenize_chunk_to_runs(
     dict_terms = pc.binary_join_element_wise(
         pa.scalar(TEXT_FIELD + "\x1f"), denc.dictionary, ""
     )
-    return encode_codes_to_runs(
+    out = encode_codes_to_runs(
         int(part), u_code, u_row + doc_base, tf, dl_out[u_row], dict_terms, codec
     )
+    if not positions:
+        return out
+    # positional runs: one entry per OCCURRENCE under POS_FIELD term keys —
+    # docIds repeat per occurrence (strict=False), tf slot = within-doc pos
+    occ_code = comp >> np.int64(32)
+    occ_row = comp & np.int64(0xFFFFFFFF)
+    pos_terms = pc.binary_join_element_wise(
+        pa.scalar(POS_FIELD + "\x1f"), denc.dictionary, ""
+    )
+    pos_runs = encode_codes_to_runs(
+        int(part), occ_code, occ_row + doc_base, tokpos, dl_out[occ_row],
+        pos_terms, codec, strict=False,
+    )
+    return pa.concat_tables([out, pos_runs])
 
 
 def _single_term_columns(t: pa.Table):
@@ -477,7 +501,7 @@ def runs_split_forward(group: pa.Table) -> tuple[pa.Table, pa.Table | None]:
 
 
 def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARBYTE,
-                        analyzer: str = "default"):
+                        analyzer: str = "default", positions: bool = False):
     """Pure function: one partition's rows → (postings:pa.Table(RUNS_SCHEMA),
     forward:pa.Table, stats:dict). Deterministic regardless of input row
     order or chunking (the parallelism-invariance contract, FIXTURES.md F4.6).
@@ -503,7 +527,7 @@ def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARB
         run_tables.append(
             tokenize_chunk_to_runs(
                 chunk["text"], part, lo, dl_all[lo:hi], use_stopwords=use_stopwords,
-                codec=codec, analyzer=analyzer,
+                codec=codec, analyzer=analyzer, positions=positions,
             )
         )
         total_tokens += int(dl_all[lo:hi].sum())
@@ -549,12 +573,13 @@ class SegmentBuilder:
     in __init__ (the actor-pool pattern for stateful stages)."""
 
     def __init__(self, index_dir: str, use_stopwords: bool = False, lineage: dict | None = None,
-                 codec: str = "varbyte", analyzer: str = "default"):
+                 codec: str = "varbyte", analyzer: str = "default", positions: bool = False):
         self.index_dir = index_dir
         self.use_stopwords = use_stopwords
         self.lineage = lineage or {}
         self.codec = get_codec(codec)
         self.analyzer = analyzer
+        self.positions = positions
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -562,7 +587,8 @@ class SegmentBuilder:
             return MANIFEST_ROW_SCHEMA.empty_table()
         part = int(group["part"][0].as_py())
         postings, forward, stats = build_segment_table(group, self.use_stopwords, self.codec,
-                                                       analyzer=self.analyzer)
+                                                       analyzer=self.analyzer,
+                                                       positions=self.positions)
         posting_bytes = sum(
             postings[c].nbytes for c in ("doc_bytes", "tf_bytes")
         ) if postings.num_rows else 0
@@ -616,8 +642,13 @@ def build_index(
     rows_per_part: int | None = None,
     codec: str = "varbyte",
     analyzer: str = "default",
+    positions: bool = False,
 ) -> dict:
     """Run the full build. Ray must already be initialised by the caller.
+
+    ``positions=True`` additionally writes the positional index (POS_FIELD
+    occurrence streams) that exact phrase queries need — opt-in: it costs a
+    stable argsort in phase 2 and roughly doubles posting bytes.
 
     ``strategy``:
     * ``"stream"`` / ``"auto"`` — the two-phase offset build (below): raw
@@ -639,20 +670,21 @@ def build_index(
             input_path, index_dir, n_parts,
             use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
             strict=True, partitioning="range", rows_per_part=rows_per_part,
-            codec=codec, analyzer=analyzer,
+            codec=codec, analyzer=analyzer, positions=positions,
         )
     if strategy in ("auto", "stream"):
         meta = build_index_streaming(
             input_path, index_dir, n_parts,
             use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
             strict=(strategy == "stream"), codec=codec, analyzer=analyzer,
+            positions=positions,
         )
         if meta is not None:
             return meta
     return _build_index_sort(
         input_path, index_dir, n_parts,
         use_stopwords=use_stopwords, resume=resume, concurrency=concurrency,
-        codec=codec, analyzer=analyzer,
+        codec=codec, analyzer=analyzer, positions=positions,
     )
 
 
@@ -665,6 +697,7 @@ def _build_index_sort(
     concurrency: int | None = None,
     codec: str = "varbyte",
     analyzer: str = "default",
+    positions: bool = False,
 ) -> dict:
     import ray.data as rd
 
@@ -678,7 +711,7 @@ def _build_index_sort(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    builder_kwargs = {"index_dir": index_dir, "use_stopwords": use_stopwords, "lineage": lineage, "codec": codec, "analyzer": analyzer}
+    builder_kwargs = {"index_dir": index_dir, "use_stopwords": use_stopwords, "lineage": lineage, "codec": codec, "analyzer": analyzer, "positions": positions}
     if concurrency is None:
         import ray
 
@@ -698,6 +731,7 @@ def _build_index_sort(
         "n_parts": n_parts,
         "partitioning": {"mode": "hash"},
         "codec": codec,
+        "positions": positions,
         "tokenizer": _tokenizer_meta(analyzer, use_stopwords),
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
@@ -806,10 +840,12 @@ class FileIndexer:
     def __init__(self, index_dir: str, n_parts: int, skip_parts: frozenset[int],
                  use_stopwords: bool = False, spill_dir: str | None = None,
                  bases_ref=None, rows_per_part: int | None = None,
-                 codec: str = "varbyte", analyzer: str = "default"):
+                 codec: str = "varbyte", analyzer: str = "default",
+                 positions: bool = False):
         from .analyzers import get_analyzer
 
         self._flat = get_analyzer(analyzer).flat
+        self.positions = positions
         self.index_dir = index_dir
         self.n_parts = n_parts
         self.skip = skip_parts
@@ -902,13 +938,20 @@ class FileIndexer:
             ).dictionary_encode()
             codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             rows = parents + lo
+            pos2 = token_positions(parents) if self.positions else None
             # ONE int64 sort over packed (part, code, in-file row) — row order
             # equals docId order within a partition, so the pack preserves the
             # (part, term, doc) grouping the encoder needs at ~1/4 the memory
-            # traffic of a 3-key lexsort
+            # traffic of a 3-key lexsort (positions=True pays a stable argsort
+            # instead: occurrence payloads must ride through the sort)
             if n < (1 << 21) and len(denc.dictionary) < (1 << 23) and self.n_parts < (1 << 20):
                 comp = (part[rows] << np.int64(44)) | (codes << np.int64(21)) | rows
-                comp.sort()
+                if pos2 is None:
+                    comp.sort()
+                else:
+                    o2 = np.argsort(comp, kind="stable")
+                    comp = comp[o2]
+                    pos2 = pos2[o2]
                 r2 = comp & np.int64((1 << 21) - 1)
                 c2 = (comp >> np.int64(21)) & np.int64((1 << 23) - 1)
                 p2 = comp >> np.int64(44)
@@ -917,8 +960,10 @@ class FileIndexer:
             else:  # huge-file fallback
                 p_tok = part[rows]
                 d_tok = docid_of_row[rows]
-                o2 = np.lexsort((d_tok, codes, p_tok))
+                o2 = np.lexsort((d_tok, codes, p_tok))  # stable per key
                 p2, c2, r2 = p_tok[o2], codes[o2], rows[o2]
+                if pos2 is not None:
+                    pos2 = pos2[o2]
                 same = np.zeros(len(o2), dtype=bool)
                 same[1:] = (p2[1:] == p2[:-1]) & (c2[1:] == c2[:-1]) & (r2[1:] == r2[:-1])
             starts = np.flatnonzero(~same)
@@ -933,6 +978,18 @@ class FileIndexer:
                     dl_all[rs], dict_terms, self.codec,
                 )
             )
+            if pos2 is not None:
+                # positional runs: one entry per occurrence (POS_FIELD keys),
+                # docIds repeating per occurrence, tf slot = within-doc pos
+                pos_terms = pc.binary_join_element_wise(
+                    pa.scalar(POS_FIELD + "\x1f"), denc.dictionary, ""
+                )
+                runs.append(
+                    encode_multi_part_runs(
+                        p2, c2, docid_of_row[r2], pos2, dl_all[r2],
+                        pos_terms, self.codec, strict=False,
+                    )
+                )
         # meta fields across all parts at once
         runs.extend(meta_field_runs_multi(t, part, docid_of_row, dl_all, self.codec))
         # forward slices per part, shipped as IPC pseudo-runs
@@ -1163,6 +1220,7 @@ def build_index_streaming(
     rows_per_part: int | None = None,
     codec: str = "varbyte",
     analyzer: str = "default",
+    positions: bool = False,
 ) -> dict | None:
     """The two-phase offset build (see module section comment). Returns None
     when the input violates the global (conv_id, turn_idx) sort order and
@@ -1306,6 +1364,7 @@ def build_index_streaming(
             "skip_parts": done, "use_stopwords": use_stopwords,
             "spill_dir": spill_dir, "bases_ref": bases_ref,
             "rows_per_part": R, "codec": codec, "analyzer": analyzer,
+            "positions": positions,
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1357,6 +1416,7 @@ def build_index_streaming(
         ),
         "strategy": "stream",
         "codec": codec,
+        "positions": positions,
         "tokenizer": _tokenizer_meta(analyzer, use_stopwords),
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
@@ -1619,6 +1679,7 @@ def extend_index(
             "bases_ref": bases_ref,
             "rows_per_part": R if part_mode == "range" else None,
             "codec": codec, "analyzer": analyzer,
+            "positions": bool(gmeta.get("positions")),
         },
         batch_size=group,
         batch_format="pyarrow",
@@ -1697,6 +1758,7 @@ def repair_partitions(
         build_kwargs.setdefault("partitioning", "range")
         build_kwargs.setdefault("rows_per_part", pmeta.get("rows_per_part"))
     build_kwargs.setdefault("codec", gmeta.get("codec", "varbyte"))
+    build_kwargs.setdefault("positions", bool(gmeta.get("positions")))
 
     def keys_of(fwd, ids) -> list[tuple[str, int]]:
         # vectorized gather of just the id rows (never to_pylist the full

@@ -44,6 +44,18 @@ DOCLEN_TERM = "\x01dl"
 # with real term keys ("<field>\x1f<term>") and sorts before them.
 FWD_TERM = "\x00fwd"
 
+# Pseudo-FIELD holding the positional index (opt-in, ``positions=True`` at
+# build time): term key "\x02pos\x1f<token>" carries one entry per token
+# OCCURRENCE — ``doc_bytes`` is the occurrence's docId stream (non-strict
+# increasing: a doc with tf occurrences repeats tf times, delta 0) and the
+# ``tf_bytes`` slot holds the token's within-doc position. Reuses the whole
+# run/block/merge machinery unchanged (``strict=False`` encode); never
+# enumerated by field scans (no real field starts with "\x02"). The
+# reference has NO positional index (its Lucene parser throws on
+# PhraseQuery, LuceneBackedQueryParser.java:106-109) — this is the
+# beyond-reference seam that makes exact phrase queries possible.
+POS_FIELD = "\x02pos"
+
 RUNS_SCHEMA = pa.schema(
     [
         ("part", pa.int32()),
@@ -266,11 +278,15 @@ def encode_codes_to_runs(
     dl: np.ndarray,
     dict_terms: pa.Array,
     codec=VARBYTE,
+    strict: bool = True,
 ) -> pa.Table:
     """Integer-coded fast path: triples sorted by (code, doc), one partition.
     ``dict_terms[code]`` is the full term key string (prefix already applied).
     Avoids all per-triple string work — term strings materialize once per RUN
-    via a dictionary take."""
+    via a dictionary take.
+
+    ``strict=False`` permits repeated docIds within a run (delta 0) — the
+    positional-index occurrence streams (POS_FIELD)."""
     n = len(doc)
     if n == 0:
         return RUNS_SCHEMA.empty_table()
@@ -291,6 +307,7 @@ def encode_codes_to_runs(
         new_run,
         run_starts,
         codec,
+        strict,
     )
 
 
@@ -302,6 +319,7 @@ def encode_multi_part_runs(
     dl: np.ndarray,
     dict_terms: pa.Array,
     codec=VARBYTE,
+    strict: bool = True,
 ) -> pa.Table:
     """Multi-partition fast path: triples sorted by (part, code, doc), doc
     strictly increasing within each (part, code). One call encodes a whole
@@ -326,6 +344,7 @@ def encode_multi_part_runs(
         new_run,
         run_starts,
         codec,
+        strict,
     )
 
 
@@ -338,6 +357,7 @@ def _encode_runs(
     new_run: np.ndarray,
     run_starts: np.ndarray,
     codec=VARBYTE,
+    strict: bool = True,
 ) -> pa.Table:
     n = len(doc)
     n_runs = len(run_starts)
@@ -360,8 +380,11 @@ def _encode_runs(
     deltas[block_starts] = 0  # block-relative: first doc of a block == blk_first
     if n > 1:
         inner = deltas[~new_block]
-        if len(inner) and inner.min() <= 0:
-            raise ValueError("doc ids must be strictly increasing within (part, term)")
+        # strict=False: occurrence streams (POS_FIELD) repeat a doc once per
+        # token occurrence — deltas of 0 are legal, regressions never are
+        floor = 0 if strict else -1
+        if len(inner) and inner.min() <= floor:
+            raise ValueError("doc ids must be increasing within (part, term)")
 
     doc_buf, doc_ends = codec.encode(deltas)
     tf_buf, tf_ends = codec.encode(tf)

@@ -30,6 +30,7 @@ repeated terms, prefix):
     and_exp := unary+                          # 'AND' optional between
     unary  := 'NOT' atom | atom
     atom   := TERM | TERM '*' | '(' expr ')' | field ':' TERM
+            | [field ':'] '"' TERM+ '"'            # exact phrase
 """
 
 from __future__ import annotations
@@ -102,7 +103,7 @@ class FieldFilter:
 class Filter:
     """MiruFilter (miru-api/.../filter/MiruFilter.java:9-33)."""
 
-    op: str  # 'and' | 'or' | 'pButNotQ'
+    op: str  # 'and' | 'or' | 'pButNotQ' | 'phrase' (beyond-reference)
     inclusive: bool = False
     field_filters: list[FieldFilter] = dfield(default_factory=list)
     sub_filters: list["Filter"] = dfield(default_factory=list)
@@ -112,7 +113,12 @@ def term_filter(field: str, *values: str) -> Filter:
     return Filter("and", False, [FieldFilter(field, list(values))], [])
 
 
-_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+# quoted phrases tokenize as ONE token (optionally carrying a field prefix:
+# `f:"a b"`); Lucene's QueryParser produces a PhraseQuery here, which the
+# reference REJECTS (LuceneBackedQueryParser.java:106-109 throws). The
+# rebuild accepts it — a beyond-reference feature backed by the opt-in
+# positional index (codec.POS_FIELD).
+_TOKEN_RE = re.compile(r'[^\s()"]*"[^"]*"|\(|\)|[^\s()"]+')
 
 
 class QueryParseError(ValueError):
@@ -129,6 +135,8 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
 
     _scalar = get_analyzer(analyzer).scalar
 
+    if query.count('"') % 2:
+        raise QueryParseError("unterminated phrase quote")
     raw = _TOKEN_RE.findall(query)
     if not raw:
         raise QueryParseError("empty query")
@@ -182,6 +190,22 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
             raise QueryParseError("unexpected )")
         take()
         field = default_field
+        if '"' in t:
+            # phrase atom `[field:]"tok tok ..."` → op="phrase" node (exact
+            # consecutive-token match; candidates AND + positional verify)
+            qi = t.index('"')
+            head = t[:qi]
+            if head:
+                if not head.endswith(":") or len(head) == 1:
+                    raise QueryParseError(f"malformed phrase atom: {t!r}")
+                field = head[:-1]
+            body = t[qi + 1 : -1]
+            toks = _scalar(body, use_stopwords=use_stopwords)
+            if not toks:
+                return None
+            if len(toks) == 1:  # one-token "phrase" is just the term
+                return Filter("and", False, [FieldFilter(field, [toks[0]])], [])
+            return Filter("phrase", False, [FieldFilter(field, toks)], [])
         if ":" in t and not t.startswith(":"):
             fld, rest = t.split(":", 1)
             if rest:

@@ -180,7 +180,26 @@ def eval_filter(
     term_in: bool = True,
     max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
 ) -> set[int]:
-    """filterInOut (MiruAggregateUtil.java:1123-1202), over python sets."""
+    """filterInOut (MiruAggregateUtil.java:1123-1202), over python sets.
+    The extra ``phrase`` op (beyond-reference) is a consecutive-subsequence
+    scan over the per-doc token lists."""
+    if filt.op == "phrase":
+        ff = filt.field_filters[0]
+        toks = ff.values
+        if collector is not None:
+            for t in toks:
+                key = (ff.field, t)
+                collector[key] = collector.get(key, 0) + (1 if term_in else -1)
+        if ff.field != "text":
+            return set()
+        m = len(toks)
+        out: set[int] = set()
+        for i, seq in enumerate(part.tokens):
+            for j in range(len(seq) - m + 1):
+                if seq[j : j + m] == toks:
+                    out.add(i)
+                    break
+        return out
     operands: list[set[int]] = []
     universe = set(range(part.n_docs))
     if filt.inclusive:

@@ -47,7 +47,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .codec import decode_posting, get_codec
+from .codec import POS_FIELD, decode_posting, get_codec
 from .filters import DEFAULT_MAX_WILDCARD_EXPANSION, Filter, parse_query
 from .segments import (
     FIELD_SEP,
@@ -88,8 +88,14 @@ def _collect_term_specs(filt: Filter, out: list[tuple[str, str]]):
     for ff in filt.field_filters:
         for v in ff.values:
             out.append((ff.field, v))
+            if filt.op == "phrase":
+                out.append((POS_FIELD, v))  # occurrence stream for verify
     for sub in filt.sub_filters:
         _collect_term_specs(sub, out)
+
+
+def _has_phrase(filt: Filter) -> bool:
+    return filt.op == "phrase" or any(_has_phrase(s) for s in filt.sub_filters)
 
 
 # per-process decoded-posting cache: (index_dir, part, epoch, "field\x1fterm")
@@ -144,6 +150,24 @@ def _index_codec(index_dir: str):
 # cache follow index.json instead of serving the first process-lifetime
 # answer forever
 _ANALYZER_CACHE: dict[tuple, str] = {}
+
+
+def _index_has_positions(index_dir: str) -> bool:
+    """Whether the index carries the positional occurrence streams
+    (``positions=True`` at build time) — phrase queries need them."""
+    try:
+        epoch = os.path.getmtime(os.path.join(index_dir, "index.json"))
+    except OSError:
+        epoch = -1.0
+    key = ("__positions__", index_dir, epoch)
+    hit = _ANALYZER_CACHE.get(key)
+    if hit is None:
+        from .segments import read_global_manifest
+
+        meta = read_global_manifest(index_dir) or {}
+        hit = "y" if meta.get("positions") else "n"
+        _ANALYZER_CACHE[key] = hit
+    return hit == "y"
 
 
 def _analyzer_name(index_dir: str) -> str:
@@ -336,6 +360,63 @@ class PostingSource:
         return tf_span[pos - base]
 
 
+# position packing for the adjacency intersect: doc<<21 | shifted-pos —
+# tokens past within-doc position 2^21-len(phrase) are not phrase-matchable
+# (a 2M-token doc; transcripts turns are ~100 tokens)
+_PHRASE_POS_BITS = np.int64(21)
+
+
+def _eval_phrase(
+    filt: Filter,
+    src: PostingSource,
+    collector: dict[tuple[str, str], int] | None,
+    term_in: bool = True,
+) -> np.ndarray:
+    """Exact phrase match: AND of the component-term postings for candidate
+    docs, then a vectorized adjacency intersect over the positional
+    occurrence streams (POS_FIELD) — occurrence i of token k matches when
+    (doc, pos-k) collides across every k. Each token contributes to the
+    signed collector exactly like an AND leaf, so scoring over the phrase
+    answer equals the AND query's scores restricted to adjacent docs (the
+    SQL-mirrorable contract). Partial tf decode (``tf_at``) keeps the
+    position reads proportional to the CANDIDATE docs, not the term's
+    occurrence count."""
+    ff = filt.field_filters[0]
+    toks = ff.values
+    inc = 1 if term_in else -1
+    if collector is not None:
+        for t in toks:
+            key = (ff.field, t)
+            collector[key] = collector.get(key, 0) + inc
+    cand: np.ndarray | None = None
+    for t in dict.fromkeys(toks):  # unique, order-preserving
+        d = src.docs(ff.field, t)
+        if len(d) == 0:
+            return _EMPTY
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if len(cand) == 0:
+            return _EMPTY
+    keys: np.ndarray | None = None
+    for i, t in enumerate(toks):
+        occ = src.docs(POS_FIELD, t)  # occurrence docs, non-strict increasing
+        if len(occ) == 0:
+            return _EMPTY
+        idx = np.searchsorted(cand, occ)
+        ok = (idx < len(cand)) & (cand[np.minimum(idx, len(cand) - 1)] == occ)
+        sel = np.flatnonzero(ok)
+        if len(sel) == 0:
+            return _EMPTY
+        pos = src.tf_at(POS_FIELD, t, sel).astype(np.int64)
+        adj = pos - i
+        fit = (adj >= 0) & (pos < (np.int64(1) << _PHRASE_POS_BITS))
+        k = (occ[sel[fit]] << _PHRASE_POS_BITS) | adj[fit]
+        # occurrence streams are (doc asc, pos asc) → k strictly increasing
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if len(keys) == 0:
+            return _EMPTY
+    return np.unique(keys >> _PHRASE_POS_BITS)
+
+
 def eval_filter_np(
     filt: Filter,
     src: PostingSource,
@@ -344,7 +425,11 @@ def eval_filter_np(
     term_in: bool = True,
 ) -> np.ndarray:
     """filterInOut over sorted int64 docId arrays
-    (MiruAggregateUtil.java:1123-1202)."""
+    (MiruAggregateUtil.java:1123-1202). The extra ``phrase`` op (no
+    reference analogue — LuceneBackedQueryParser.java:106-109 throws on
+    PhraseQuery) verifies token adjacency against the positional index."""
+    if filt.op == "phrase":
+        return _eval_phrase(filt, src, collector, term_in)
     operands: list[np.ndarray] = []
     if filt.inclusive:
         operands.append(np.arange(n_docs, dtype=np.int64))
@@ -454,6 +539,11 @@ def search_partition(
     )
     filt = parse_query(query, use_stopwords=use_stopwords,
                        analyzer=_analyzer_name(index_dir))
+    if _has_phrase(filt) and not _index_has_positions(index_dir):
+        raise ValueError(
+            'phrase queries ("...") need an index built with positions=True '
+            "(the positional occurrence streams are opt-in)"
+        )
     specs: list[tuple[str, str]] = []
     _collect_term_specs(filt, specs)
     if constraint is not None:

@@ -164,3 +164,17 @@ def tokenize_flat(
 def token_counts(parents: np.ndarray, n_rows: int) -> np.ndarray:
     """Per-row token counts (document lengths) from tokenize_flat output."""
     return np.bincount(parents, minlength=n_rows).astype(np.int32, copy=False)
+
+
+def token_positions(parents: np.ndarray) -> np.ndarray:
+    """Within-row ordinal of each token (0-based) from tokenize_flat output
+    — the positional-index payload. ``parents`` is non-decreasing (tokens
+    emit in row order), so positions are one boundary scan + a repeat."""
+    n = len(parents)
+    if n == 0:
+        return np.empty(0, np.int64)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = parents[1:] != parents[:-1]
+    starts = np.flatnonzero(new)
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, n)))

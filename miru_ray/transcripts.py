@@ -109,6 +109,9 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
             fn_constructor_kwargs={
                 "index_dir": index_dir,
                 "lineage": {"input": sf_dir, "derived": "documents→transcripts"},
+                # positional streams on: the driver's phrase oracles query
+                # this shared index; costs ~2x posting bytes at sf0.01 scale
+                "positions": True,
             },
             batch_format="pyarrow",
             # autoscaling (min 1): a FIXED 4-actor pool at ray.init(num_cpus=4)
@@ -123,6 +126,7 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
     meta = {
         "version": 1,
         "n_parts": n_parts,
+        "positions": True,
         "tokenizer": tokenizer_meta("default", False),
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
