@@ -166,6 +166,16 @@ def ft_match_phrase(sf_dir: str):
     return _match(sf_dir, PHRASE_Q)
 
 
+NEAR_SLOP = 2
+
+
+def ft_match_near(sf_dir: str):
+    """Ordered proximity (sloppy phrase, `"a b"~N`): the phrase terms in
+    order with at most NEAR_SLOP intervening tokens per gap — the windowed
+    chain over the positional occurrence streams (search._eval_phrase)."""
+    return _match(sf_dir, f'"{" ".join(PHRASE_TERMS)}"~{NEAR_SLOP}')
+
+
 def ft_topk_phrase(sf_dir: str) -> pa.Table:
     """TF-IDF top-k restricted to exact-phrase docs: the phrase acts as
     the answer filter, scoring is the component terms' reference TF-IDF
@@ -1114,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_field": ft_match_field,
         "ft_match_range": ft_match_range,
         "ft_match_phrase": ft_match_phrase,
+        "ft_match_near": ft_match_near,
         "ft_topk_phrase": ft_topk_phrase,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
@@ -1414,6 +1425,15 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         "ft_match_phrase": (
             f"SELECT doc_id FROM documents WHERE ' ' || array_to_string({_TOK}, ' ') "
             f"|| ' ' LIKE '% {' '.join(PHRASE_TERMS)} %'"
+        ),
+        # ordered proximity: ordinal self-join with a bounded forward window
+        "ft_match_near": (
+            f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d)
+SELECT DISTINCT a.doc_id AS doc_id FROM tok a JOIN tok b
+  ON b.doc_id = a.doc_id AND b.ord > a.ord AND b.ord <= a.ord + {NEAR_SLOP + 1}
+  AND b.t = '{PHRASE_TERMS[1]}'
+WHERE a.t = '{PHRASE_TERMS[0]}'"""
         ),
         "ft_topk_phrase": (
             tf_cte

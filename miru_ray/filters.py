@@ -107,6 +107,10 @@ class Filter:
     inclusive: bool = False
     field_filters: list[FieldFilter] = dfield(default_factory=list)
     sub_filters: list["Filter"] = dfield(default_factory=list)
+    # op='phrase' only: ordered proximity window (Lucene-style `"a b"~N`
+    # suffix) — each adjacent pair may be separated by up to `slop`
+    # intervening tokens; 0 = exact adjacency
+    slop: int = 0
 
 
 def term_filter(field: str, *values: str) -> Filter:
@@ -118,7 +122,7 @@ def term_filter(field: str, *values: str) -> Filter:
 # reference REJECTS (LuceneBackedQueryParser.java:106-109 throws). The
 # rebuild accepts it — a beyond-reference feature backed by the opt-in
 # positional index (codec.POS_FIELD).
-_TOKEN_RE = re.compile(r'[^\s()"]*"[^"]*"|\(|\)|[^\s()"]+')
+_TOKEN_RE = re.compile(r'[^\s()"]*"[^"]*"(?:~\d+)?|\(|\)|[^\s()"]+')
 
 
 class QueryParseError(ValueError):
@@ -191,21 +195,28 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
         take()
         field = default_field
         if '"' in t:
-            # phrase atom `[field:]"tok tok ..."` → op="phrase" node (exact
-            # consecutive-token match; candidates AND + positional verify)
+            # phrase atom `[field:]"tok tok ..."[~N]` → op="phrase" node
+            # (consecutive tokens, or ordered proximity with per-gap slop N;
+            # candidates AND + positional verify)
             qi = t.index('"')
             head = t[:qi]
             if head:
                 if not head.endswith(":") or len(head) == 1:
                     raise QueryParseError(f"malformed phrase atom: {t!r}")
                 field = head[:-1]
-            body = t[qi + 1 : -1]
+            slop = 0
+            body_end = len(t) - 1
+            tilde = t.rfind('"~')
+            if tilde > qi:
+                slop = int(t[tilde + 2 :])
+                body_end = tilde
+            body = t[qi + 1 : body_end]
             toks = _scalar(body, use_stopwords=use_stopwords)
             if not toks:
                 return None
             if len(toks) == 1:  # one-token "phrase" is just the term
                 return Filter("and", False, [FieldFilter(field, [toks[0]])], [])
-            return Filter("phrase", False, [FieldFilter(field, toks)], [])
+            return Filter("phrase", False, [FieldFilter(field, toks)], [], slop)
         if ":" in t and not t.startswith(":"):
             fld, rest = t.split(":", 1)
             if rest:

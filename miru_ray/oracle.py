@@ -192,13 +192,20 @@ def eval_filter(
                 collector[key] = collector.get(key, 0) + (1 if term_in else -1)
         if ff.field != "text":
             return set()
-        m = len(toks)
+        win = filt.slop + 1
         out: set[int] = set()
         for i, seq in enumerate(part.tokens):
-            for j in range(len(seq) - m + 1):
-                if seq[j : j + m] == toks:
-                    out.add(i)
+            state = [j for j, x in enumerate(seq) if x == toks[0]]
+            for t in toks[1:]:
+                prev = state
+                state = [
+                    j for j, x in enumerate(seq)
+                    if x == t and any(j - win <= q < j for q in prev)
+                ]
+                if not state:
                     break
+            if state:
+                out.add(i)
         return out
     operands: list[set[int]] = []
     universe = set(range(part.n_docs))

@@ -396,8 +396,13 @@ def _eval_phrase(
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if len(cand) == 0:
             return _EMPTY
-    keys: np.ndarray | None = None
-    for i, t in enumerate(toks):
+    # windowed chain over packed (doc<<21 | pos) keys: after term i, `state`
+    # holds the occurrences of toks[i] that END a valid ordered chain of
+    # toks[:i+1] with every adjacent gap ≤ slop+1 (slop=0 ≡ exact phrase).
+    # Each step is two searchsorted passes — no per-doc python.
+    win = np.int64(filt.slop + 1)
+    state: np.ndarray | None = None
+    for t in toks:
         occ = src.docs(POS_FIELD, t)  # occurrence docs, non-strict increasing
         if len(occ) == 0:
             return _EMPTY
@@ -407,14 +412,21 @@ def _eval_phrase(
         if len(sel) == 0:
             return _EMPTY
         pos = src.tf_at(POS_FIELD, t, sel).astype(np.int64)
-        adj = pos - i
-        fit = (adj >= 0) & (pos < (np.int64(1) << _PHRASE_POS_BITS))
-        k = (occ[sel[fit]] << _PHRASE_POS_BITS) | adj[fit]
+        fit = pos < (np.int64(1) << _PHRASE_POS_BITS)
         # occurrence streams are (doc asc, pos asc) → k strictly increasing
-        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
-        if len(keys) == 0:
+        k = (occ[sel[fit]] << _PHRASE_POS_BITS) | pos[fit]
+        if state is None:
+            state = k
+        else:
+            # a predecessor exists in [pos-win, pos-1] of the SAME doc:
+            # clamp the window's low edge at the doc's pos-0 key
+            lo = np.maximum(k - win, (k >> _PHRASE_POS_BITS) << _PHRASE_POS_BITS)
+            left = np.searchsorted(state, lo, side="left")
+            right = np.searchsorted(state, k, side="left")
+            state = k[right > left]
+        if len(state) == 0:
             return _EMPTY
-    return np.unique(keys >> _PHRASE_POS_BITS)
+    return np.unique(state >> _PHRASE_POS_BITS)
 
 
 def eval_filter_np(

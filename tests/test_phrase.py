@@ -91,6 +91,52 @@ def test_phrase_match_vs_brute(pos_engine, tiny_rows):
     assert got <= and_got
 
 
+def test_proximity_rank_identity(pos_engine, tiny_rows, tiny_oracle):
+    """Ordered proximity `"a b"~N`: every adjacent pair within N intervening
+    tokens. Rank identity vs the oracle's windowed-chain replay, and the
+    match sets grow monotonically with slop (slop 0 ≡ exact phrase)."""
+    big, tri, _ = _phrases(tiny_rows)
+    prev_found = None
+    for g in (0, 1, 2, 4):
+        for base in (big, tri):
+            q = f'"{base}"~{g}'
+            hits, found = pos_engine.search(q, k=10, scoring="bm25")
+            ohits, ofound = oracle_search(tiny_oracle, q, k=10, scoring="bm25")
+            assert found == ofound, (q, found, ofound)
+            assert [(h.part, h.doc_id) for h in hits] == [(h.part, h.doc_id) for h in ohits]
+            np.testing.assert_allclose(
+                [h.score for h in hits], [h.score for h in ohits], rtol=2e-5, atol=1e-7
+            )
+        if prev_found is not None:
+            assert found >= prev_found  # wider window never loses matches
+        prev_found = found
+    # slop 0 answers ARE the exact-phrase answers
+    a, fa = pos_engine.search(f'"{big}"~0', k=50, scoring="bm25")
+    b, fb = pos_engine.search(f'"{big}"', k=50, scoring="bm25")
+    assert fa == fb and [(h.part, h.doc_id) for h in a] == [(h.part, h.doc_id) for h in b]
+
+
+def test_proximity_vs_brute(pos_engine, tiny_rows):
+    big, _, _ = _phrases(tiny_rows)
+    seq, g = big.split(), 2
+    got = set()
+    for r in pos_engine.match(f'"{big}"~{g}'):
+        got.update(zip(r["conv_id"], r["turn_idx"]))
+    want = set()
+    for r in tiny_rows:
+        toks = py_tokenize(r["text"])
+        state = [j for j, x in enumerate(toks) if x == seq[0]]
+        for t in seq[1:]:
+            prev = state
+            state = [j for j, x in enumerate(toks)
+                     if x == t and any(j - g - 1 <= q < j for q in prev)]
+            if not state:
+                break
+        if state:
+            want.add((r["conv_id"], r["turn_idx"]))
+    assert got == want and got
+
+
 def test_phrase_requires_positions(ray_session, tiny_transcripts_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("nopos_idx"))
     build_index(tiny_transcripts_dir, d, n_parts=2)
