@@ -677,6 +677,16 @@ def _merge_sorted_runs(t: pa.Table, new_group: np.ndarray | None = None) -> pa.T
     )
 
 
+def _pos_rows_to_runs(p: int, term: str, docs: np.ndarray, pos: np.ndarray,
+                      dls: np.ndarray, codec=VARBYTE) -> pa.Table:
+    """Re-encode one POS_FIELD occurrence stream (repeated docIds legal)."""
+    n = len(docs)
+    return encode_codes_to_runs(
+        int(p), np.zeros(n, dtype=np.int64), docs, pos, dls,
+        pa.array([term], type=pa.large_string()), codec, strict=False,
+    )
+
+
 def _reencode_overlapping(t: pa.Table, codec=VARBYTE) -> pa.Table:
     """Decode overlapping runs to triples and re-encode (robustness path)."""
     parts_out = []
@@ -707,6 +717,16 @@ def _reencode_overlapping(t: pa.Table, codec=VARBYTE) -> pa.Table:
         docs = np.concatenate(docs_all)
         tfs = np.concatenate(tfs_all)
         dls = np.concatenate(dls_all)
+        if term.startswith(POS_FIELD):
+            # positional occurrence streams: repeated docIds are the DATA
+            # (one entry per occurrence, tf slot = position) — dedupe would
+            # destroy them. Re-sort by (doc, position) and keep everything.
+            order = np.lexsort((tfs, docs))
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            parts_out.append(
+                _pos_rows_to_runs(p, term, docs, tfs, dls, codec)
+            )
+            continue
         order = np.argsort(docs, kind="stable")
         docs, tfs, dls = docs[order], tfs[order], dls[order]
         # collapse duplicate docIds (keep max tf — upsert semantics)

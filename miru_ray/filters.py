@@ -179,6 +179,31 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
         # multi-token term text (e.g. "foo-bar") → AND of the parts
         return Filter("and", False, [], [term_filter(field, t) for t in toks])
 
+    def phrase_atom(t: str) -> Filter | None:
+        """Quoted atom `[field:]"tok tok ..."[~N]` → op="phrase" node
+        (consecutive tokens, or ordered proximity with per-gap slop N;
+        candidates AND + positional verify)."""
+        field = default_field
+        qi = t.index('"')
+        head = t[:qi]
+        if head:
+            if not head.endswith(":") or len(head) == 1:
+                raise QueryParseError(f"malformed phrase atom: {t!r}")
+            field = head[:-1]
+        slop = 0
+        body_end = len(t) - 1
+        tilde = t.rfind('"~')
+        if tilde > qi:
+            slop = int(t[tilde + 2 :])
+            body_end = tilde
+        body = t[qi + 1 : body_end]
+        toks = _scalar(body, use_stopwords=use_stopwords)
+        if not toks:
+            return None
+        if len(toks) == 1:  # one-token "phrase" is just the term
+            return Filter("and", False, [FieldFilter(field, [toks[0]])], [])
+        return Filter("phrase", False, [FieldFilter(field, toks)], [], slop)
+
     def parse_atom() -> Filter | None:
         t = peek()
         if t is None:
@@ -195,28 +220,7 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
         take()
         field = default_field
         if '"' in t:
-            # phrase atom `[field:]"tok tok ..."[~N]` → op="phrase" node
-            # (consecutive tokens, or ordered proximity with per-gap slop N;
-            # candidates AND + positional verify)
-            qi = t.index('"')
-            head = t[:qi]
-            if head:
-                if not head.endswith(":") or len(head) == 1:
-                    raise QueryParseError(f"malformed phrase atom: {t!r}")
-                field = head[:-1]
-            slop = 0
-            body_end = len(t) - 1
-            tilde = t.rfind('"~')
-            if tilde > qi:
-                slop = int(t[tilde + 2 :])
-                body_end = tilde
-            body = t[qi + 1 : body_end]
-            toks = _scalar(body, use_stopwords=use_stopwords)
-            if not toks:
-                return None
-            if len(toks) == 1:  # one-token "phrase" is just the term
-                return Filter("and", False, [FieldFilter(field, [toks[0]])], [])
-            return Filter("phrase", False, [FieldFilter(field, toks)], [], slop)
+            return phrase_atom(t)
         if ":" in t and not t.startswith(":"):
             fld, rest = t.split(":", 1)
             if rest:
@@ -266,13 +270,15 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
                 continue
             if t.startswith("-") and len(t) > 1:
                 take()
-                a = analyze(t[1:], default_field)
+                body = t[1:]
+                a = phrase_atom(body) if '"' in body else analyze(body, default_field)
                 if a is not None:
                     must_nots.append(a)
                 continue
             if t.startswith("+") and len(t) > 1:
                 take()
-                a = analyze(t[1:], default_field)
+                body = t[1:]
+                a = phrase_atom(body) if '"' in body else analyze(body, default_field)
                 if a is not None:
                     musts.append(a)
                 continue

@@ -191,7 +191,8 @@ def eval_filter(
                 key = (ff.field, t)
                 collector[key] = collector.get(key, 0) + (1 if term_in else -1)
         if ff.field != "text":
-            return set()
+            # matches the engine: meta fields have no positional streams
+            raise ValueError("phrase queries are supported on the 'text' field only")
         win = filt.slop + 1
         out: set[int] = set()
         for i, seq in enumerate(part.tokens):

@@ -238,6 +238,7 @@ class PostingSource:
             else:
                 keys.add(field + FIELD_SEP + v)
         self._codec = _index_codec(index_dir)
+        self.index_dir = index_dir
         self.post: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self.ttf: dict[tuple[str, str], int] = {}
         self.df: dict[tuple[str, str], int] = {}
@@ -383,6 +384,22 @@ def _eval_phrase(
     occurrence count."""
     ff = filt.field_filters[0]
     toks = ff.values
+    # positional streams exist for the text field only, and only when the
+    # index was built with positions=True — raise rather than silently
+    # matching nothing (covers plugin queries and constraint trees too,
+    # which never pass through search_partition's early guard)
+    from .filters import DEFAULT_FIELD
+
+    if ff.field != DEFAULT_FIELD:
+        raise ValueError(
+            f"phrase queries are supported on the {DEFAULT_FIELD!r} field only "
+            f"(got {ff.field!r}: meta fields have no positional streams)"
+        )
+    if not _index_has_positions(src.index_dir):
+        raise ValueError(
+            'phrase queries ("...") need an index built with positions=True '
+            "(the positional occurrence streams are opt-in)"
+        )
     inc = 1 if term_in else -1
     if collector is not None:
         for t in toks:

@@ -39,7 +39,10 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 FIELD_SEP = "\x1f"
-INDEX_VERSION = 5  # v2: numeric-lex; v3: pairedLatest; v4: composite; v5: positions
+# positions are NOT a version bump: the on-disk format is purely additive
+# (extra POS_FIELD rows), detected via the global manifest's "positions"
+# flag — a v4 index stays fully readable
+INDEX_VERSION = 4  # v2: numeric-lex postings; v3: pairedLatest; v4: composite fields
 
 # fields beside tokenized `text` indexed as single-term (tf=1) postings —
 # reference schema analogue: role/tool/conv_id are singleTerm fields

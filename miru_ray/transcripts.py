@@ -93,7 +93,9 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
         return hit
     tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
     # version in the dir name: a format bump invalidates stale /tmp caches
-    index_dir = os.path.join(base, f"{tag}_p{n_parts}_v{INDEX_VERSION}")
+    # "pos" tag: this cache dir carries the positional streams — older
+    # same-version cache dirs without them are simply not reused
+    index_dir = os.path.join(base, f"{tag}_p{n_parts}_v{INDEX_VERSION}pos")
     done = frozenset(completed_parts(index_dir))
     ds = transcripts_dataset(sf_dir)
     ds = ds.map_batches(

@@ -110,15 +110,18 @@ def test_split_bounds_cover_grid_when_total_one(n_labels):
 @given(st.integers(0, 2**32 - 1), st.integers(1, 40))
 @settings(max_examples=40, deadline=None)
 def test_ahash_brightness_invariance(seed, shift):
-    """aHash is invariant to a global brightness shift that doesn't clip:
-    the mean moves with every pixel, so the ≥-mean bit pattern is
-    unchanged."""
+    """aHash is NEAR-invariant to a global brightness shift that doesn't
+    clip: the mean moves with every pixel, so the ≥-mean bit pattern is
+    preserved — up to float rounding. The luma coefficients sum to 1.0
+    only in exact arithmetic, so a cell sitting on an rint/mean boundary
+    can flip by one ulp (hypothesis found seed=13, shift=1); bound the
+    flip count instead of asserting equality."""
     from miru_ray.multimodal import ahash64
 
     rng = np.random.default_rng(seed)
     img = rng.integers(40, 200, size=(11, 13, 3), dtype=np.uint8)  # no-clip range
     shifted = (img.astype(np.int64) + shift).astype(np.uint8)
-    assert ahash64(img) == ahash64(shifted)
+    assert bin(ahash64(img) ^ ahash64(shifted)).count("1") <= 2
 
 
 @given(st.integers(0, 2**32 - 1))

@@ -184,6 +184,55 @@ def test_parser_phrase_forms():
         parse_query('"unterminated')
 
 
+def test_phrase_field_restriction_and_prefixed_forms(pos_engine, tiny_rows, tiny_oracle):
+    """Phrase on a meta field raises in BOTH engines (no positional streams
+    for single-term fields), and Lucene's -/+ prefixes keep phrase
+    semantics instead of degrading to an AND of the terms."""
+    with pytest.raises(Exception, match="text"):
+        pos_engine.search('role:"user user"', k=5)
+    with pytest.raises(ValueError, match="text"):
+        oracle_search(tiny_oracle, 'role:"user user"', k=5)
+    big, _, _ = _phrases(tiny_rows)
+    # -"a b" ≡ NOT "a b"; +"a b" ≡ "a b" (rank identity via the oracle)
+    for q in (f'-"{big}" t1', f'+"{big}" t1', f'-"{big}"~1 t1'):
+        hits, found = pos_engine.search(q, k=10, scoring="bm25")
+        ohits, ofound = oracle_search(tiny_oracle, q, k=10, scoring="bm25")
+        assert found == ofound and [(h.part, h.doc_id) for h in hits] == [
+            (h.part, h.doc_id) for h in ohits
+        ], q
+    a, fa = pos_engine.search(f'-"{big}" t1', k=30, scoring="bm25")
+    b, fb = pos_engine.search(f'NOT "{big}" t1', k=30, scoring="bm25")
+    assert fa == fb and [(h.part, h.doc_id) for h in a] == [(h.part, h.doc_id) for h in b]
+
+
+def test_overlap_reencode_preserves_occurrences():
+    """merge_runs' overlapping-run fallback must NOT collapse repeated
+    docIds for POS_FIELD streams — duplicates are the per-occurrence data."""
+    import pyarrow as pa
+
+    from miru_ray.codec import merge_runs
+
+    dict_terms = pa.array([POS_FIELD + "\x1fterm"], type=pa.large_string())
+    # two runs covering the SAME doc range → forces _reencode_overlapping
+    d1 = np.array([3, 3, 7], dtype=np.int64)
+    p1 = np.array([0, 5, 2], dtype=np.int64)
+    d2 = np.array([3, 7, 7], dtype=np.int64)
+    p2 = np.array([9, 0, 4], dtype=np.int64)
+    dl = np.full(3, 10, dtype=np.int64)
+    z = np.zeros(3, dtype=np.int64)
+    r1 = encode_codes_to_runs(0, z, d1, p1, dl, dict_terms, VARBYTE, strict=False)
+    r2 = encode_codes_to_runs(0, z, d2, p2, dl, dict_terms, VARBYTE, strict=False)
+    merged = merge_runs(pa.concat_tables([r1, r2]), VARBYTE)
+    got_d, got_p = decode_posting(
+        merged["doc_bytes"][0].as_py(), merged["tf_bytes"][0].as_py(),
+        np.asarray(merged["blk_first"][0].as_py()),
+        np.asarray(merged["blk_count"][0].as_py()), VARBYTE,
+    )
+    assert list(zip(got_d.tolist(), got_p.tolist())) == [
+        (3, 0), (3, 5), (3, 9), (7, 0), (7, 2), (7, 4)
+    ]
+
+
 def test_codec_nonstrict_roundtrip():
     """The positional occurrence stream shape: repeated docIds (delta 0),
     payload in the tf slot — encode/decode and offset-subsampling merge."""
