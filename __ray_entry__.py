@@ -857,6 +857,20 @@ def txt_fingerprints(sf_dir: str):
     return fingerprint_ds(sf_dir)
 
 
+NGRAM_N = 3
+NGRAM_K = 20
+
+
+def txt_top_ngrams(sf_dir: str) -> pa.Table:
+    """Corpus-wide frequent n-grams (boilerplate detection,
+    textstats.top_ngrams_ds): top-20 token trigrams by total occurrence
+    count, (count desc, gram asc). Two-pass hash/recover — the driver only
+    ever sees answer-sized candidate sets."""
+    from miru_ray.textstats import top_ngrams_ds
+
+    return top_ngrams_ds(sf_dir, n=NGRAM_N, k=NGRAM_K)
+
+
 SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -1175,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_token_bpe": txt_token_bpe,
         "txt_charlm": txt_charlm,
         "txt_splits": txt_splits,
+        "txt_top_ngrams": txt_top_ngrams,
         "txt_decontam": txt_decontam,
         "txt_chunks": txt_chunks,
         "txt_packing": txt_packing,
@@ -1936,6 +1951,14 @@ SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
 FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
         "txt_splits": _splits_oracle_sql(),
+        "txt_top_ngrams": (
+            f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),
+g AS (SELECT t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS gram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g WHERE gram IS NOT NULL GROUP BY gram)
+SELECT gram, n FROM c ORDER BY n DESC, gram ASC LIMIT {NGRAM_K}"""
+        ),
         "txt_token_bpe": (
             """SELECT doc_id,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_pieces,

@@ -355,6 +355,123 @@ def gram_hashes(parents: np.ndarray, tok_hash: np.ndarray, k: int):
     return parents[: n - k + 1][valid], h[: n - k + 1][valid]
 
 
+def _gram_starts(parents: np.ndarray, tok_hash: np.ndarray, k: int):
+    """gram_hashes plus the flat START index of each valid gram (needed to
+    gather the gram's token strings in the recovery pass)."""
+    n = len(tok_hash)
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.int64)
+    gp, gh = gram_hashes(parents, tok_hash, k)
+    valid = parents[: n - k + 1] == parents[k - 1 :]
+    return gp, gh, np.flatnonzero(valid).astype(np.int64)
+
+
+# ----------------------------------------- corpus-wide frequent n-grams
+#
+# Boilerplate detection: the k most frequent token n-grams across the whole
+# corpus. Two-pass hash/recover so NOTHING vocabulary-sized ever reaches the
+# driver: pass 1 counts 64-bit rolling gram HASHES (per-batch partial counts
+# → one groupby sum → per-block top-k-with-ties, so the driver sees at most
+# k·n_blocks candidate rows); pass 2 broadcasts the winning hash set and
+# recovers the gram TEXT from a second scan. Assumes no 64-bit collisions
+# among the top grams (2^-64-scale risk; a collision would merge two gram
+# counts). Final order: (count desc, gram asc) — deterministic, mirrored in
+# the SQL oracle.
+
+
+def _gram_count_partial(batch: pa.Table, n: int) -> pa.Table:
+    parents, tokens = tokenize_flat(batch["text"])
+    if len(parents) == 0:
+        return pa.table({"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+    _, gh = gram_hashes(parents, th, n)
+    t = pa.table({"h": pa.array(gh.view(np.int64))})
+    agg = t.group_by(["h"], use_threads=False).aggregate([([], "count_all")])
+    return pa.table({"h": agg["h"], "n": pc.cast(agg["count_all"], pa.int64())})
+
+
+def _block_topk_ties(batch: pa.Table, k: int) -> pa.Table:
+    """Rows whose count is ≥ the block's k-th largest (ties kept): the union
+    over blocks is a superset of the global top-k after the groupby sum."""
+    n = batch["n"].to_numpy(zero_copy_only=False)
+    if len(n) <= k:
+        return batch
+    thr = np.partition(n, len(n) - k)[len(n) - k]
+    return batch.filter(pa.array(n >= thr))
+
+
+def _gram_recover(batch: pa.Table, n: int, want_ref) -> pa.Table:
+    import ray
+
+    want = ray.get(want_ref)  # sorted int64 hash array (answer-sized)
+    parents, tokens = tokenize_flat(batch["text"])
+    if len(parents) < n:
+        return pa.table({"h": pa.array([], pa.int64()), "gram": pa.array([], pa.string())})
+    tokens = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    th = fnv1a64(tokens)
+    _, gh, starts = _gram_starts(parents, th, n)
+    h = gh.view(np.int64)
+    idx = np.searchsorted(want, h)
+    sel = np.flatnonzero((idx < len(want)) & (want[np.minimum(idx, len(want) - 1)] == h))
+    if len(sel) == 0:
+        return pa.table({"h": pa.array([], pa.int64()), "gram": pa.array([], pa.string())})
+    s = starts[sel]
+    parts = [tokens.take(pa.array(s + j)) for j in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    t = pa.table({"h": pa.array(h[sel]), "gram": gram})
+    # dedupe within the batch (min == the string under the no-collision note)
+    agg = t.group_by(["h"], use_threads=False).aggregate([("gram", "min")])
+    return pa.table({"h": agg["h"], "gram": agg["gram_min"]})
+
+
+def top_ngrams_ds(sf_dir: str, n: int = 3, k: int = 20) -> pa.Table:
+    """(gram, n): the k most frequent token n-grams corpus-wide, count desc
+    then gram asc. Returns an answer-sized in-memory table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(_gram_count_partial, fn_kwargs={"n": n},
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n"))
+    )
+    cand = counts.map_batches(
+        lambda b: _block_topk_ties(
+            pa.table({"h": b["h"], "n": pc.cast(b["sum(n)"], pa.int64())}), k
+        ) if b.num_rows else pa.table({"h": pa.array([], pa.int64()),
+                                       "n": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).take_all()  # ≤ k(+ties) rows per block — answer-sized
+    if not cand:
+        return pa.table({"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    hs = np.array([r["h"] for r in cand], dtype=np.int64)
+    ns = np.array([r["n"] for r in cand], dtype=np.int64)
+    if len(ns) > k:
+        thr = np.partition(ns, len(ns) - k)[len(ns) - k]
+        keep = ns >= thr
+        hs, ns = hs[keep], ns[keep]
+    order = np.argsort(hs)
+    hs, ns = hs[order], ns[order]
+    want_ref = ray.put(hs)
+    rec = (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(_gram_recover, fn_kwargs={"n": n, "want_ref": want_ref},
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    text_of = {r["h"]: r["gram"] for r in rec}
+    rows = sorted(
+        ((text_of[int(h)], int(c)) for h, c in zip(hs, ns)),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    return pa.table(
+        {"gram": pa.array([g for g, _ in rows], pa.string()),
+         "n": pa.array([c for _, c in rows], pa.int64())}
+    )
+
+
 def winnow(gp: np.ndarray, gh: np.ndarray, w: int):
     """Winnowing (Schleimer, Wilkerson, Aiken 2003): per doc, the min hash of
     every window of ``w`` consecutive k-gram hashes, deduplicated. Returns

@@ -1321,3 +1321,22 @@ def test_hopping_window_vs_brute(ray_session):
         for _, r in got.iterrows()
     }
     assert got_map == dict(expect)
+
+
+def test_top_ngrams_vs_brute(ray_session):
+    """top_ngrams_ds (two-pass hash/recover) equals a scalar Counter over
+    the corpus trigrams, including the (count desc, gram asc) tie order."""
+    from collections import Counter
+
+    from miru_ray.textstats import top_ngrams_ds
+    from miru_ray.tokenize import py_tokenize
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for txt in t["text"].to_pylist():
+        toks = py_tokenize(txt)
+        for j in range(len(toks) - 2):
+            c[" ".join(toks[j : j + 3])] += 1
+    want = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:15]
+    got = top_ngrams_ds(SF, n=3, k=15)
+    assert list(zip(got["gram"].to_pylist(), got["n"].to_pylist())) == want
