@@ -110,6 +110,17 @@ _POSTING_CACHE: dict[tuple, tuple | None] = {}
 _POSTING_CACHE_CAP = 200_000
 _MANIFEST_CACHE: dict[tuple, dict] = {}
 
+# per-process wildcard/range expansion cache: (index_dir, part, epoch,
+# field, spec) → sorted matching terms. A prefix/range query re-scans the
+# term dictionary (one pushdown parquet read per partition) on EVERY
+# evaluation even when every expanded posting is already in
+# _POSTING_CACHE — the reference keeps its term dictionary resident in the
+# LAB leap cache, so repeated wildcard queries never re-walk storage
+# (LabInvertedIndex leap cache; TermIdStream re-use). Epoch-keyed like the
+# posting cache so extend/repair invalidate it.
+_EXPANSION_CACHE: dict[tuple, list] = {}
+_EXPANSION_CACHE_CAP = 50_000
+
 
 def _manifest_epoch(index_dir: str, part: int) -> float:
     import os
@@ -218,21 +229,31 @@ class PostingSource:
         from .filters import range_term_bounds
         from .segments import read_term_between
 
+        epoch = _manifest_epoch(index_dir, part)
+
+        def _expand(field: str, v: str) -> list[str]:
+            ck = (index_dir, part, epoch, field, v)
+            hit = _EXPANSION_CACHE.get(ck)
+            if hit is None:
+                bounds = range_term_bounds(v)
+                if bounds is not None:
+                    lo, hi, lo_inc, hi_inc = bounds
+                    hit = read_term_between(
+                        index_dir, part, field, lo, hi, lo_inc, hi_inc)
+                else:
+                    hit = read_term_range(index_dir, part, field, v[:-1])
+                if len(_EXPANSION_CACHE) > _EXPANSION_CACHE_CAP:
+                    _EXPANSION_CACHE.clear()
+                _EXPANSION_CACHE[ck] = hit
+            # the cache holds the UNTRIMMED expansion; the maxWildcardExpansion
+            # cap is per query (reference: FullTextQuery maxWildcardExpansion)
+            return hit[:max_wild] if max_wild > 0 else hit
+
         self.expansions: dict[tuple[str, str], list[str]] = {}
         keys = set()
         for field, v in specs:
-            bounds = range_term_bounds(v)
-            if bounds is not None:
-                lo, hi, lo_inc, hi_inc = bounds
-                terms = read_term_between(index_dir, part, field, lo, hi, lo_inc, hi_inc)
-                if max_wild > 0:
-                    terms = terms[:max_wild]
-                self.expansions[(field, v)] = terms
-                keys.update(field + FIELD_SEP + t for t in terms)
-            elif v.endswith("*"):
-                terms = read_term_range(index_dir, part, field, v[:-1])
-                if max_wild > 0:
-                    terms = terms[:max_wild]
+            if range_term_bounds(v) is not None or v.endswith("*"):
+                terms = _expand(field, v)
                 self.expansions[(field, v)] = terms
                 keys.update(field + FIELD_SEP + t for t in terms)
             else:
@@ -243,7 +264,6 @@ class PostingSource:
         self.ttf: dict[tuple[str, str], int] = {}
         self.df: dict[tuple[str, str], int] = {}
         self.blocks: dict[tuple[str, str], dict[str, np.ndarray]] = {}
-        epoch = _manifest_epoch(index_dir, part)
         misses = []
         for k in sorted(keys):
             hit = _POSTING_CACHE.get((index_dir, part, epoch, k))

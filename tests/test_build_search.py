@@ -585,3 +585,38 @@ def test_raw32_codec_index_equals_varbyte(ray_session, tiny_transcripts_dir, tmp
     assert pb_b > pb_a
     a.close()
     b.close()
+
+
+def test_wildcard_expansion_cache(engine, index_dir, monkeypatch):
+    """Wildcard/range expansions are cached per (partition, epoch): a
+    repeated prefix query re-reads NO term dictionary, and bumping a
+    partition's manifest epoch (what extend/repair do) invalidates only
+    that partition's entry. Results identical throughout."""
+    import miru_ray.search as S
+    from miru_ray.segments import manifest_path
+
+    S._EXPANSION_CACHE.clear()
+    calls = []
+    real = S.read_term_range
+
+    def counting(index_dir_, part, field, prefix):
+        calls.append(part)
+        return real(index_dir_, part, field, prefix)
+
+    monkeypatch.setattr(S, "read_term_range", counting)
+    hits1, found1 = engine.search("w004*", k=15, parallel=False)
+    assert found1 > 0
+    first_calls = len(calls)
+    assert first_calls > 0  # one dictionary scan per partition
+    hits2, found2 = engine.search("w004*", k=15, parallel=False)
+    assert len(calls) == first_calls  # all partitions served from cache
+    assert found2 == found1
+    assert [(h.doc_id, h.part) for h in hits2] == [(h.doc_id, h.part) for h in hits1]
+    # epoch bump on ONE partition (extend/repair rewrite the manifest):
+    # only that partition re-scans its dictionary
+    mp = manifest_path(index_dir, 0)
+    os.utime(mp, (os.path.getmtime(mp) + 2, os.path.getmtime(mp) + 2))
+    hits3, found3 = engine.search("w004*", k=15, parallel=False)
+    assert len(calls) == first_calls + 1 and calls[-1] == 0
+    assert found3 == found1
+    assert [(h.doc_id, h.part) for h in hits3] == [(h.doc_id, h.part) for h in hits1]
