@@ -167,6 +167,58 @@ def split_ds(sf_dir: str, fractions: dict[str, float] | None = None):
     )
 
 
+def _strat_partial(batch: pa.Table, by: str, n_per: int, seed: int) -> pa.Table:
+    """Per-batch partial for stratified sampling: the ≤ n_per smallest
+    (hash, doc_id) rows per stratum present in the batch — the combiner
+    that bounds the shuffle at n_per rows per (stratum, batch)."""
+    from .hashing import splitmix64
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(ids ^ np.uint64(seed))
+    t = pa.table(
+        {
+            "stratum": pc.cast(batch[by], pa.string()),
+            "h": pa.array(h),
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        }
+    )
+    idx = pc.sort_indices(
+        t, sort_keys=[("stratum", "ascending"), ("h", "ascending"), ("doc_id", "ascending")]
+    )
+    t = t.take(idx)
+    s = t["stratum"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+    rank = np.arange(len(s)) - np.repeat(starts, np.diff(np.append(starts, len(s))))
+    return t.filter(pa.array(rank < n_per))
+
+
+def _strat_top(group: pa.Table, n_per: int) -> pa.Table:
+    idx = pc.sort_indices(
+        group, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+    )[:n_per]
+    return group.take(idx)
+
+
+def stratified_sample_ds(sf_dir: str, by: str = "source", n_per: int = 50,
+                         seed: int = 0):
+    """(doc_id, stratum): exactly min(n_per, |stratum|) docs per stratum,
+    chosen as the n_per smallest splitmix64(doc_id ^ seed) — the
+    deterministic analogue of per-stratum uniform sampling (the "cap every
+    source/language at N docs" curation primitive). Hash-ranked selection
+    is stable under re-runs, re-partitioning and corpus growth *within* the
+    kept set (a kept doc is only ever displaced by a new smaller-hash doc,
+    never reshuffled). Per-batch partials bound the shuffle at n_per rows
+    per (stratum, batch); the groupby reduce sees answer-sized input."""
+    ds = _docs_ds(sf_dir, ["doc_id", by]).map_batches(
+        lambda b: _strat_partial(b, by, n_per, seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = ds.groupby("stratum").map_groups(
+        lambda g: _strat_top(g, n_per), batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "stratum"])
+
+
 # ---------------------------------------------------------------- term stats
 
 

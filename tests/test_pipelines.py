@@ -1340,3 +1340,30 @@ def test_top_ngrams_vs_brute(ray_session):
     want = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:15]
     got = top_ngrams_ds(SF, n=3, k=15)
     assert list(zip(got["gram"].to_pylist(), got["n"].to_pylist())) == want
+
+
+def test_stratified_sample_vs_brute(ray_session, docs):
+    """stratified_sample_ds == brute force: per stratum the n_per smallest
+    splitmix64(doc_id ^ seed), all kept when the stratum is smaller than
+    n_per; output exactly (doc_id, stratum)."""
+    from miru_ray.hashing import splitmix64
+    from miru_ray.textstats import stratified_sample_ds
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "source"])
+    ids = t["doc_id"].to_numpy().astype(np.uint64)
+    srcs = t["source"].to_pylist()
+    for n_per, seed in ((7, 0), (40, 7), (10_000, 3)):
+        h = splitmix64(ids ^ np.uint64(seed))
+        by_src: dict[str, list[tuple[int, int]]] = {}
+        for i, s in enumerate(srcs):
+            by_src.setdefault(s, []).append((int(h[i]), int(ids[i])))
+        exp = set()
+        for s, pairs in by_src.items():
+            for _hv, d in sorted(pairs)[:n_per]:
+                exp.add((d, s))
+        got = stratified_sample_ds(SF, by="source", n_per=n_per, seed=seed).to_pandas()
+        assert set(zip(got["doc_id"], got["stratum"])) == exp, (n_per, seed)
+        # exact per-stratum counts
+        counts = got.groupby("stratum").size().to_dict()
+        for s, pairs in by_src.items():
+            assert counts.get(s, 0) == min(n_per, len(pairs)), (s, n_per)
