@@ -153,6 +153,41 @@ def ft_match_range(sf_dir: str):
     return _match(sf_dir, "turn_idx:[5 TO 12] scan")
 
 
+FUZZY_TERM = "part"  # `part~2` expands to {fast, part, sort, spark} here
+K_FUZZY = 20
+
+
+def ft_match_fuzzy(sf_dir: str):
+    """FuzzyQuery (`term~N`, Lucene syntax): per-partition term-dictionary
+    scan + vectorized Levenshtein≤N expansion (search._fuzzy_filter), then
+    the normal OR evaluation — mirrored in SQL via levenshtein()."""
+    return _match(sf_dir, f"{FUZZY_TERM}~2")
+
+
+def ft_topk_fuzzy(sf_dir: str) -> pa.Table:
+    """Reference TF-IDF over the fuzzy expansion's union answer, fp64 with
+    a fixed sorted-term accumulation order, mirrored in SQL. (The engine's
+    fp32 scored path is rank-identity pytest-gated in test_build_search.)"""
+    from miru_ray.search import PostingSource
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    spec = f"{FUZZY_TERM}~2"
+    src = PostingSource(index_dir, 0, [("text", spec)], 0)
+    terms = src.expand("text", spec)
+    assert terms, "fuzzy expansion must not be empty on this corpus"
+    answer = np.unique(np.concatenate([src.docs("text", t) for t in terms]))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for t in sorted(terms):
+        docs = src.docs("text", t)
+        tfs = src.tfs("text", t).astype(np.float64)
+        score[np.searchsorted(answer, docs)] += (1.0 / src.ttf[("text", t)]) * tfs
+    order = np.lexsort((-answer, -score))[:K_FUZZY]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 PHRASE_TERMS = ("table", "scan")
 PHRASE_Q = '"' + " ".join(PHRASE_TERMS) + '"'
 K_PHRASE = 20
@@ -348,6 +383,23 @@ def ft_topk_time_range(sf_dir: str) -> pa.Table:
             f"{len(eng.parts)} range partitions"
         )
     ids = conv_to_doc_id([h.conv_id for h in hits])
+    return pa.table({"doc_id": _i64(ids)})
+
+
+def ft_topk_page2(sf_dir: str) -> pa.Table:
+    """Deep pagination (Lucene IndexSearcher.searchAfter analogue):
+    page 2 of the TIME-scored walk = the K_TIME hits strictly after page
+    1's last Hit, chained by the cursor across a 4-partition index.
+    Integer-ordered (ts/doc) → exact SQL mirror via OFFSET."""
+    from miru_ray.transcripts import conv_to_doc_id
+
+    eng = _engine(sf_dir, 4)
+    q = " ".join(TOPK_TERMS)
+    p1, _f1 = eng.search(q, k=K_TIME, scoring="time", early_exit=False)
+    p2, _f2 = eng.search(
+        q, k=K_TIME, scoring="time", after=p1[-1], early_exit=False
+    )
+    ids = conv_to_doc_id([h.conv_id for h in p2])
     return pa.table({"doc_id": _i64(ids)})
 
 
@@ -883,6 +935,34 @@ def txt_splits(sf_dir: str):
     return split_ds(sf_dir, dict(SPLIT_FRACTIONS))
 
 
+STRAT_N = 10
+STRAT_SEED = 7
+
+
+def txt_stratified_sample(sf_dir: str):
+    """Stratified fixed-n sampling (textstats.stratified_sample_ds): the
+    n_per smallest splitmix64(doc_id ^ seed) per source — the "cap every
+    source at N docs" curation primitive; selection chain mirrored in SQL
+    (row_number over the same hash)."""
+    from miru_ray.textstats import stratified_sample_ds
+
+    return stratified_sample_ds(
+        sf_dir, by="source", n_per=STRAT_N, seed=STRAT_SEED
+    )
+
+
+def _strat_oracle_sql() -> str:
+    sm, last = _sm_ctes("st", "d", "x", "h")
+    return f"""WITH d AS (SELECT doc_id, source,
+    xor(CAST(doc_id AS UBIGINT), CAST({STRAT_SEED} AS UBIGINT)) AS x FROM documents),
+{sm}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum FROM (
+  SELECT doc_id, source AS stratum,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM {last}
+) WHERE rn <= {STRAT_N}"""
+
+
 def _hopping_oracle_sql() -> str:
     from miru_ray.analytics import (
         HW_EPOCH_US, HW_HOP_US, HW_JITTER_US, HW_LATE_US, HW_NWIN,
@@ -1137,6 +1217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_prefix": ft_match_prefix,
         "ft_match_field": ft_match_field,
         "ft_match_range": ft_match_range,
+        "ft_match_fuzzy": ft_match_fuzzy,
+        "ft_topk_fuzzy": ft_topk_fuzzy,
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
         "ft_topk_phrase": ft_topk_phrase,
@@ -1144,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_bm25": ft_topk_bm25,
         "ft_mlt": ft_mlt,
         "ft_topk_time": ft_topk_time,
+        "ft_topk_page2": ft_topk_page2,
         "ft_topk_time_range": ft_topk_time_range,
         "ft_distinct_roles": ft_distinct_roles,
         "ft_agg_counts": ft_agg_counts,
@@ -1189,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_token_bpe": txt_token_bpe,
         "txt_charlm": txt_charlm,
         "txt_splits": txt_splits,
+        "txt_stratified_sample": txt_stratified_sample,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_decontam": txt_decontam,
         "txt_chunks": txt_chunks,
@@ -1435,6 +1519,20 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
             f"SELECT doc_id FROM documents WHERE (doc_id % 41) BETWEEN 5 AND 12 "
             f"AND list_contains({_TOK}, 'scan')"
         ),
+        "ft_match_fuzzy": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"len(list_filter({_TOK}, x -> levenshtein(x, '{FUZZY_TERM}') <= 2)) > 0"
+        ),
+        "ft_topk_fuzzy": (
+            tf_cte
+            + f""",
+fuzz AS (SELECT t, ttf FROM g WHERE levenshtein(t, '{FUZZY_TERM}') <= 2)
+SELECT tf.doc_id AS doc_id, round(sum((1.0 / fuzz.ttf) * tf.tf), 6) AS score
+FROM tf JOIN fuzz USING (t)
+GROUP BY tf.doc_id
+ORDER BY sum((1.0 / fuzz.ttf) * tf.tf) DESC, tf.doc_id DESC
+LIMIT {K_FUZZY}"""
+        ),
         # adjacency ≡ substring of the space-joined token stream (the
         # tokenizer contract: tokens = regexp_extract_all(lower, '[a-z0-9]+'))
         "ft_match_phrase": (
@@ -1522,6 +1620,11 @@ ORDER BY score DESC, doc_id DESC LIMIT {MLT_K}"""
         "ft_topk_time": (
             f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
             f"AND list_contains({_TOK}, '{t2}') ORDER BY doc_id DESC LIMIT {K_TIME}"
+        ),
+        "ft_topk_page2": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
+            f"AND list_contains({_TOK}, '{t2}') ORDER BY doc_id DESC "
+            f"LIMIT {K_TIME} OFFSET {K_TIME}"
         ),
         # same contract on the range-partitioned index: TIME answers are
         # partitioning-invariant (the early exit changes work, not results)
@@ -1951,6 +2054,7 @@ SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
 FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
         "txt_splits": _splits_oracle_sql(),
+        "txt_stratified_sample": _strat_oracle_sql(),
         "txt_top_ngrams": (
             f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),

@@ -29,7 +29,8 @@ repeated terms, prefix):
     expr   := and_exp ('OR' and_exp)*          # ≥2 → shoulds
     and_exp := unary+                          # 'AND' optional between
     unary  := 'NOT' atom | atom
-    atom   := TERM | TERM '*' | '(' expr ')' | field ':' TERM
+    atom   := TERM | TERM '*' | TERM '~' DIGIT? | '(' expr ')'
+            | field ':' TERM
             | [field ':'] '"' TERM+ '"'            # exact phrase
 """
 
@@ -52,6 +53,44 @@ DEFAULT_MAX_WILDCARD_EXPANSION = 500
 # :265-280).
 RANGE_RE = re.compile(r"^([\[\{])(\S+) TO (\S+)([\]\}])$")
 _INT_RE = re.compile(r"^-?\d+$")
+
+# Fuzzy terms: ``term~`` / ``term~N`` (Lucene FuzzyQuery syntax — the
+# reference's parser surface is Lucene's QueryParser, whose fuzzy atoms
+# resolve through the same per-field term-dictionary walk our wildcard
+# expansion uses, MiruAggregateUtil.java:1160-1168). N ∈ {0,1,2} like
+# Lucene's LevenshteinAutomata cap; bare ``term~`` → 2
+# (FuzzyQuery.defaultMaxEdits); ``~0`` is the exact term. Only an
+# all-digit suffix is fuzzy syntax — any other ``~`` is an analyzer
+# separator, matching the tokenizer contract. Stored verbatim as
+# ``body~N``; expansion is a per-partition dictionary scan + banded
+# byte-level Levenshtein filter (terms are ASCII by the tokenizer
+# contract, so byte ≡ character edits, and ≡ DuckDB ``levenshtein``).
+FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
+
+
+def fuzzy_value(v: str) -> tuple[str, int] | None:
+    """``"part~2"`` → ("part", 2); None if ``v`` is not a stored fuzzy
+    value. Only suffixes 1/2 are ever stored (0 collapses to the exact
+    term at parse time)."""
+    m = FUZZY_RE.match(v)
+    if m is None or m.group(2) not in ("1", "2"):
+        return None
+    return m.group(1), int(m.group(2))
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Scalar byte-level Levenshtein (highlighter-side fuzzy matching; the
+    engine's expansion path uses the vectorized DP in search.py)."""
+    xa, xb = a.encode(), b.encode()
+    if len(xa) < len(xb):
+        xa, xb = xb, xa
+    prev = list(range(len(xb) + 1))
+    for i, ca in enumerate(xa, 1):
+        cur = [i]
+        for j, cb in enumerate(xb, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def parse_range_value(v: str) -> tuple[str, str, bool, bool] | None:
@@ -166,6 +205,18 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
             parts = tok.split("^")
             if all(parts):
                 return Filter("and", False, [FieldFilter(field, ["\x1e".join(parts)])], [])
+        fz = FUZZY_RE.match(tok)
+        if fz is not None and not tok.endswith("*"):
+            # FuzzyQuery atom `body~[N]` (bare `~` → maxEdits 2; Lucene
+            # rejects maxEdits > 2 — LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE)
+            k = int(fz.group(2)) if fz.group(2) else 2
+            if k > 2:
+                raise QueryParseError(f"fuzzy distance > 2: {tok!r}")
+            toks = _scalar(fz.group(1), use_stopwords=use_stopwords)
+            if not toks:
+                return None
+            value = toks[-1] if k == 0 else f"{toks[-1]}~{k}"
+            return Filter("and", False, [FieldFilter(field, [value])], [])
         prefix = tok.endswith("*")
         body = tok[:-1] if prefix else tok
         toks = _scalar(body, use_stopwords=use_stopwords)

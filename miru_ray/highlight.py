@@ -45,12 +45,18 @@ def _positive_terms(filt: Filter, field: str, out: set[str], term_in: bool = Tru
 
 
 def _term_matches(token: str, values: set[str]) -> bool:
+    from .filters import fuzzy_value, levenshtein
+
     for v in values:
         if v.endswith("*"):
             if token.startswith(v[:-1]):
                 return True
         elif token == v:
             return True
+        else:
+            fz = fuzzy_value(v)
+            if fz is not None and levenshtein(token, fz[0]) <= fz[1]:
+                return True
     return False
 
 

@@ -144,11 +144,30 @@ def build_oracle_partitions(rows: list[dict], n_parts: int) -> dict[int, OracleP
 # ---------------------------------------------------------------- filter eval
 
 
+def _lev(a: str, b: str) -> int:
+    """Scalar byte-level Levenshtein — the oracle's own DP, independent of
+    the engine's vectorized expansion (search._fuzzy_filter)."""
+    xa, xb = a.encode(), b.encode()
+    prev = list(range(len(xb) + 1))
+    for i, ca in enumerate(xa, 1):
+        cur = [i]
+        for j, cb in enumerate(xb, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _expand_values(part: OraclePartition, ff: FieldFilter, max_wild: int) -> list[str]:
-    from .filters import range_term_bounds
+    from .filters import fuzzy_value, range_term_bounds
 
     terms: list[str] = []
     for v in ff.values:
+        fz = fuzzy_value(v)
+        if fz is not None:
+            body, k = fz
+            sel = [t for t in part.sorted_terms.get(ff.field, []) if _lev(t, body) <= k]
+            terms.extend(sel[:max_wild] if max_wild > 0 else sel)
+            continue
         bounds = range_term_bounds(v)
         if bounds is not None:
             b_lo, b_hi, lo_inc, hi_inc = bounds

@@ -122,6 +122,45 @@ _EXPANSION_CACHE: dict[tuple, list] = {}
 _EXPANSION_CACHE_CAP = 50_000
 
 
+def _fuzzy_filter(terms: list[str], q: str, k: int) -> list[str]:
+    """Sorted subset of ``terms`` within byte-level Levenshtein distance
+    ``k`` of ``q`` — the FuzzyQuery expansion (Lucene walks a Levenshtein
+    automaton over the FST term dictionary; this is the same set computed
+    as one vectorized DP over the partition dictionary: a length-window
+    prefilter, then a (n_cands, max_len) numpy edit-distance table swept
+    column-by-column — no per-candidate python loop)."""
+    if not terms:
+        return []
+    qb = np.frombuffer(q.encode(), dtype=np.uint8)
+    enc = [t.encode() for t in terms]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    cand = np.nonzero(np.abs(lens - len(qb)) <= k)[0]
+    if cand.size == 0:
+        return []
+    clens = lens[cand]
+    L = int(clens.max())
+    mat = np.zeros((cand.size, L), dtype=np.uint8)
+    data = np.frombuffer(b"".join(enc[i] for i in cand), dtype=np.uint8)
+    offs = np.zeros(cand.size + 1, dtype=np.int64)
+    np.cumsum(clens, out=offs[1:])
+    pos = np.arange(L)[None, :]
+    valid = pos < clens[:, None]
+    mat[valid] = data[(offs[:-1, None] + pos)[valid]]
+    prev = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int16), (cand.size, L + 1)
+    ).copy()
+    for i, qc in enumerate(qb, 1):
+        sub = prev[:, :-1] + (mat != qc)
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, L + 1):  # L ≤ len(q)+k: short inner sweep
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], sub[:, j - 1], out=cur[:, j])
+        prev = cur
+    dist = prev[np.arange(cand.size), clens]
+    return [terms[i] for i in cand[dist <= k]]
+
+
 def _manifest_epoch(index_dir: str, part: int) -> float:
     import os
 
@@ -226,17 +265,25 @@ class PostingSource:
 
     def __init__(self, index_dir: str, part: int, specs: list[tuple[str, str]],
                  max_wild: int):
-        from .filters import range_term_bounds
+        from .filters import fuzzy_value, range_term_bounds
         from .segments import read_term_between
 
         epoch = _manifest_epoch(index_dir, part)
 
-        def _expand(field: str, v: str) -> list[str]:
+        def _cached(field: str, v: str) -> list[str]:
+            """UNTRIMMED sorted expansion of spec ``v``, cached per
+            (partition, epoch)."""
             ck = (index_dir, part, epoch, field, v)
             hit = _EXPANSION_CACHE.get(ck)
             if hit is None:
-                bounds = range_term_bounds(v)
-                if bounds is not None:
+                fz = fuzzy_value(v)
+                bounds = range_term_bounds(v) if fz is None else None
+                if fz is not None:
+                    # fuzzy expansion: the field dictionary (≡ the "*" spec,
+                    # so repeated fuzzy queries share one cached scan) +
+                    # vectorized Levenshtein filter
+                    hit = _fuzzy_filter(_cached(field, "*"), fz[0], fz[1])
+                elif bounds is not None:
                     lo, hi, lo_inc, hi_inc = bounds
                     hit = read_term_between(
                         index_dir, part, field, lo, hi, lo_inc, hi_inc)
@@ -245,6 +292,10 @@ class PostingSource:
                 if len(_EXPANSION_CACHE) > _EXPANSION_CACHE_CAP:
                     _EXPANSION_CACHE.clear()
                 _EXPANSION_CACHE[ck] = hit
+            return hit
+
+        def _expand(field: str, v: str) -> list[str]:
+            hit = _cached(field, v)
             # the cache holds the UNTRIMMED expansion; the maxWildcardExpansion
             # cap is per query (reference: FullTextQuery maxWildcardExpansion)
             return hit[:max_wild] if max_wild > 0 else hit
@@ -252,7 +303,8 @@ class PostingSource:
         self.expansions: dict[tuple[str, str], list[str]] = {}
         keys = set()
         for field, v in specs:
-            if range_term_bounds(v) is not None or v.endswith("*"):
+            if (range_term_bounds(v) is not None or v.endswith("*")
+                    or fuzzy_value(v) is not None):
                 terms = _expand(field, v)
                 self.expansions[(field, v)] = terms
                 keys.update(field + FIELD_SEP + t for t in terms)
@@ -322,9 +374,11 @@ class PostingSource:
         self._ckey = (index_dir, part, epoch)
 
     def expand(self, field: str, value: str) -> list[str]:
+        from .filters import fuzzy_value
+
         if (field, value) in self.expansions:
             return self.expansions[(field, value)]
-        if value.endswith("*"):
+        if value.endswith("*") or fuzzy_value(value) is not None:
             return []
         return [value]
 
@@ -563,6 +617,26 @@ def authz_mask(index_dir: str, part: int, authz: tuple[str, tuple[str, ...]],
     return hit
 
 
+def _after_mask(part: int, answer: np.ndarray, scores: np.ndarray,
+                ts_all: np.ndarray, after: tuple) -> np.ndarray:
+    """Strictly-after-the-cursor mask in the realized total answer order
+    (score desc, ts desc, part desc, doc_id desc). The cursor's score is
+    compared in fp32 — the engine's own score dtype — so a Hit handed back
+    verbatim always resumes exactly where the page ended."""
+    a_s, a_ts, a_p, a_d = after
+    a_s = F32(a_s)
+    lt = scores < a_s
+    eq = scores == a_s
+    ts_lt = ts_all < a_ts
+    if part < a_p:
+        within = ts_all == a_ts
+    elif part == a_p:
+        within = (ts_all == a_ts) & (answer < a_d)
+    else:
+        within = np.zeros(len(answer), dtype=bool)
+    return lt | (eq & (ts_lt | within))
+
+
 def search_partition(
     index_dir: str,
     part: int,
@@ -577,10 +651,18 @@ def search_partition(
     authz: tuple[str, tuple[str, ...]] | None = None,
     min_score: float | None = None,
     below_min: int = 0,
+    after: tuple[float, int, int, int] | None = None,
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
     task friendly). ``prune=False`` forces the full-evaluation path (used by
-    tests to cross-check the block-max pruned path)."""
+    tests to cross-check the block-max pruned path).
+
+    ``after`` = (score, ts, part, doc_id) — deep-pagination cursor (Lucene
+    IndexSearcher.searchAfter): only docs strictly AFTER the cursor in the
+    engine's realized total answer order (score desc, ts desc, part desc,
+    doc_id desc — the per-partition heap tie-break plus the merge's
+    tie-to-current rule) are admitted to the top-k. ``found`` still counts
+    the full match set (Lucene reports totalHits the same way)."""
     manifest = _cached_manifest(index_dir, part)
     n_docs = manifest["metrics"]["n_docs"]
     avg_dl = manifest["metrics"].get("avg_dl") or (
@@ -611,6 +693,7 @@ def search_partition(
         and len(removed) == 0
         and k > 0
         and min_score is None
+        and after is None
     ):
         from .wand import conjunctive_terms, disjunctive_terms, wand_topk
 
@@ -673,7 +756,13 @@ def search_partition(
         return _gather(fwd, part, answer, np.zeros(len(answer), np.float32), found)
 
     if scoring == "time":
-        top = answer[-k:][::-1] if k > 0 else answer[:0]
+        sel = answer
+        if after is not None and len(sel):
+            keep = _after_mask(
+                part, sel, np.zeros(len(sel), np.float32), fwd["ts"][sel], after
+            )
+            sel = sel[keep]
+        top = sel[-k:][::-1] if k > 0 else sel[:0]
         scores = np.zeros(len(top), dtype=np.float32)
         return _gather(fwd, part, top, scores, found)
 
@@ -720,6 +809,11 @@ def search_partition(
             admit[np.flatnonzero(~above)[:budget]] = True
         answer = answer[admit]
         scores = scores[admit]
+
+    if after is not None and len(answer):
+        keep = _after_mask(part, answer, scores, fwd["ts"][answer], after)
+        answer = answer[keep]
+        scores = scores[keep]
 
     if k <= 0 or len(answer) == 0:
         return _gather(fwd, part, answer[:0], scores[:0], found)
@@ -920,19 +1014,27 @@ class SearchEngine:
         prune: bool = True,
         authz: tuple[str, list[str]] | None = None,
         early_exit: bool = True,
+        after: "Hit | tuple[float, int, int, int] | None" = None,
     ) -> tuple[list[Hit], int]:
         """``early_exit`` (TIME scoring only): stop the newest→oldest walk
         once the zone maps prove no remaining partition can contribute —
         the reference's evaluator short-circuit. Like the reference's,
         the returned ``found`` then counts only the partitions actually
-        asked; pass early_exit=False for an exhaustive ``found``."""
+        asked; pass early_exit=False for an exhaustive ``found``.
+
+        ``after`` — deep-pagination cursor (Lucene searchAfter): the last
+        Hit of the previous page (or its (score, ts, part, doc_id) tuple);
+        the returned page holds the k answers strictly after it in the
+        answer order. ``found`` still reports the full match count."""
         use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
         if authz is not None:
             authz = (authz[0], tuple(authz[1]))
+        if isinstance(after, Hit):
+            after = (after.score, after.ts, after.part, after.doc_id)
         kwargs = dict(
             query=query, k=k, scoring=scoring, time_range=time_range,
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
-            prune=prune, authz=authz,
+            prune=prune, authz=authz, after=after,
         )
         active = self._active_parts(time_range)
         if scoring == "time" and k > 0 and len(active) > 1 and early_exit:

@@ -40,6 +40,11 @@ QUERIES = [
     "turn_idx:{0 TO 5} t3",
     "turn_idx:[30 TO *]",
     "t1 AND NOT turn_idx:[0 TO 10]",
+    # fuzzy terms (Lucene FuzzyQuery syntax; dictionary + Levenshtein≤k)
+    "t1~1",
+    "w00042~1 t1",
+    "t1 AND NOT t9~1",
+    "w00042~2 OR t3",
 ]
 
 
@@ -620,3 +625,32 @@ def test_wildcard_expansion_cache(engine, index_dir, monkeypatch):
     assert len(calls) == first_calls + 1 and calls[-1] == 0
     assert found3 == found1
     assert [(h.doc_id, h.part) for h in hits3] == [(h.doc_id, h.part) for h in hits1]
+
+
+def test_search_after_pagination(engine):
+    """Deep pagination (Lucene searchAfter analogue): pages of size k
+    chained by the previous page's last Hit reassemble the big-k answer
+    exactly — including on all-tie score-0 pure-NOT queries (where the
+    order falls entirely to the ts/part/doc tie-break) and TIME scoring."""
+    for q, scoring in [
+        ("t1 t7", "ref_tfidf"),
+        ("t1 OR t2 OR t3", "bm25"),
+        ("NOT t2", "ref_tfidf"),
+        ("w004*", "bm25"),
+        ("t1", "time"),
+    ]:
+        big, found = engine.search(q, k=60, scoring=scoring, early_exit=False)
+        pages, after = [], None
+        for _ in range(6):
+            page, pfound = engine.search(
+                q, k=10, scoring=scoring, after=after, early_exit=False
+            )
+            assert pfound == found, (q, scoring)  # totalHits unaffected
+            if not page:
+                break
+            pages.extend(page)
+            after = page[-1]
+        assert [(h.doc_id, h.part) for h in pages] == [
+            (h.doc_id, h.part) for h in big
+        ][: len(pages)], (q, scoring)
+        assert len(pages) == min(60, found), (q, scoring)

@@ -1,0 +1,107 @@
+"""Fuzzy term queries (`term~N`, Lucene FuzzyQuery syntax).
+
+The engine expands a fuzzy value per partition by filtering the field's
+term dictionary with a vectorized Levenshtein DP (search._fuzzy_filter);
+the oracle uses its own scalar DP (oracle._lev). Rank identity across the
+fuzzy query families is asserted by the main rank-identity tests in
+test_build_search.py (QUERIES entries); this file covers the parser, the
+DP parity, and the highlighter.
+"""
+
+import random
+
+import pytest
+
+from miru_ray.filters import QueryParseError, fuzzy_value, levenshtein, parse_query
+from miru_ray.search import _fuzzy_filter
+
+
+def _leaf_values(f):
+    out = []
+    if f.field_filters:
+        for ff in f.field_filters:
+            out.extend((ff.field, v) for v in ff.values)
+    for s in f.sub_filters:
+        out.extend(_leaf_values(s))
+    return out
+
+
+def test_parser_fuzzy_atoms():
+    assert _leaf_values(parse_query("part~1")) == [("text", "part~1")]
+    # bare `~` → Lucene FuzzyQuery.defaultMaxEdits = 2
+    assert _leaf_values(parse_query("part~")) == [("text", "part~2")]
+    # ~0 collapses to the exact term at parse time
+    assert _leaf_values(parse_query("part~0")) == [("text", "part")]
+    # field-scoped
+    assert _leaf_values(parse_query("role:use~1")) == [("role", "use~1")]
+    # uppercase body analyzes like any term
+    assert _leaf_values(parse_query("PART~1")) == [("text", "part~1")]
+    with pytest.raises(QueryParseError):
+        parse_query("part~3")
+    # non-digit suffix is NOT fuzzy syntax: `~` is an analyzer separator
+    assert _leaf_values(parse_query("a~b")) == [("text", "a"), ("text", "b")]
+
+
+def test_fuzzy_value_recognizer():
+    assert fuzzy_value("part~1") == ("part", 1)
+    assert fuzzy_value("part~2") == ("part", 2)
+    assert fuzzy_value("part") is None
+    assert fuzzy_value("part~0") is None  # never stored
+    assert fuzzy_value("part~12") is None
+    assert fuzzy_value("*") is None
+    assert fuzzy_value("[3 TO 7]") is None
+
+
+def test_vectorized_dp_equals_scalar():
+    rng = random.Random(7)
+    alpha = "abcde"
+    vocab = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(1, 8))) for _ in range(400)}
+    )
+    for q in ("abc", "de", "abcde", "aaaa", "zzz"):
+        for k in (1, 2):
+            got = _fuzzy_filter(vocab, q, k)
+            want = [t for t in vocab if levenshtein(t, q) <= k]
+            assert got == want, (q, k)
+    assert _fuzzy_filter([], "abc", 1) == []
+    assert _fuzzy_filter(["zzzzzzzzzz"], "a", 1) == []  # length window empty
+
+
+def test_scalar_levenshtein_known_values():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("part", "spark") == 2
+    assert levenshtein("part", "sort") == 2
+
+
+def test_highlight_fuzzy_spans():
+    from miru_ray.highlight import highlight
+
+    out = highlight("part~1", "the parts of a plan", pre="[", post="]")
+    assert out is not None and "[parts]" in out  # parts is 1 edit from part
+    assert highlight("part~1", "nothing relevant here") is None
+
+
+def test_fuzzy_engine_expansion_matches_oracle(engine_fuzzy):
+    eng, oracle = engine_fuzzy
+    from miru_ray.oracle import oracle_search
+
+    for q in ("t1~1", "w00042~1", "w00042~2 OR t3"):
+        hits, found = eng.search(q, k=20)
+        ohits, ofound = oracle_search(oracle, q, k=20)
+        assert found == ofound, q
+        assert [(h.doc_id, h.part) for h in hits] == [
+            (h.doc_id, h.part) for h in ohits
+        ], q
+
+
+@pytest.fixture(scope="module")
+def engine_fuzzy(ray_session, tiny_transcripts_dir, tiny_rows, tmp_path_factory):
+    from miru_ray.build import build_index
+    from miru_ray.oracle import build_oracle_partitions
+    from miru_ray.search import SearchEngine
+
+    d = str(tmp_path_factory.mktemp("idx_fuzzy"))
+    build_index(tiny_transcripts_dir, d, n_parts=4)
+    return SearchEngine(d), build_oracle_partitions(tiny_rows, n_parts=4)
