@@ -164,6 +164,16 @@ def ft_match_fuzzy(sf_dir: str):
     return _match(sf_dir, f"{FUZZY_TERM}~2")
 
 
+REGEXP_PAT = "scan|merge|so.t"  # top-level alternation + dot class → {scan, merge, sort}
+
+
+def ft_match_regexp(sf_dir: str):
+    """RegexpQuery (`/pattern/`, Lucene syntax, anchored): dictionary
+    expansion via one vectorized anchored RE2 pass, then the normal OR
+    evaluation — DuckDB mirrors with regexp_full_match (also RE2)."""
+    return _match(sf_dir, f"/{REGEXP_PAT}/")
+
+
 def ft_topk_fuzzy(sf_dir: str) -> pa.Table:
     """Reference TF-IDF over the fuzzy expansion's union answer, fp64 with
     a fixed sorted-term accumulation order, mirrored in SQL. (The engine's
@@ -1218,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_field": ft_match_field,
         "ft_match_range": ft_match_range,
         "ft_match_fuzzy": ft_match_fuzzy,
+        "ft_match_regexp": ft_match_regexp,
         "ft_topk_fuzzy": ft_topk_fuzzy,
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
@@ -1522,6 +1533,10 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         "ft_match_fuzzy": (
             f"SELECT doc_id FROM documents WHERE "
             f"len(list_filter({_TOK}, x -> levenshtein(x, '{FUZZY_TERM}') <= 2)) > 0"
+        ),
+        "ft_match_regexp": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"len(list_filter({_TOK}, x -> regexp_full_match(x, '{REGEXP_PAT}'))) > 0"
         ),
         "ft_topk_fuzzy": (
             tf_cte

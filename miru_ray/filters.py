@@ -68,6 +68,21 @@ _INT_RE = re.compile(r"^-?\d+$")
 FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
 
+# Regexp terms: ``/pattern/`` (Lucene RegexpQuery syntax, anchored at both
+# ends like Lucene's automaton). The pattern is NOT analyzed (Lucene
+# behavior) — it matches against stored terms verbatim (lowercase by the
+# tokenizer contract). Whitespace/parens/quotes cannot appear in a pattern
+# (they are query-tokenizer separators — documented parse-level limit).
+# The engine expands with pyarrow's RE2 (match_substring_regex anchored),
+# DuckDB mirrors with regexp_full_match (also RE2); the pytest oracle uses
+# python re.fullmatch.
+def regexp_value(v: str) -> str | None:
+    """``"/s.*n/"`` → ``"s.*n"``; None if ``v`` is not a regexp value."""
+    if len(v) > 2 and v.startswith("/") and v.endswith("/"):
+        return v[1:-1]
+    return None
+
+
 def fuzzy_value(v: str) -> tuple[str, int] | None:
     """``"part~2"`` → ("part", 2); None if ``v`` is not a stored fuzzy
     value. Only suffixes 1/2 are ever stored (0 collapses to the exact
@@ -276,6 +291,19 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
             fld, rest = t.split(":", 1)
             if rest:
                 field, t = fld, rest
+        if t.startswith("/"):
+            # RegexpQuery atom `/pattern/` — not analyzed (Lucene behavior).
+            # Anything slash-led that is not a complete `/…/` atom is an
+            # error, not a silent re-parse (note `(`/`)`/whitespace/quotes
+            # split at the query tokenizer and so cannot appear in a
+            # pattern — use `[…]` classes and top-level `|` instead).
+            if regexp_value(t) is None:
+                raise QueryParseError(f"unterminated regexp: {t!r}")
+            try:
+                re.compile(t[1:-1])
+            except re.error as e:
+                raise QueryParseError(f"bad regexp {t!r}: {e}")
+            return Filter("and", False, [FieldFilter(field, [t])], [])
         if t and t[0] in "[{":
             # range atom: 'f:[lo TO hi]' tokenizes as 'f:[lo', 'TO', 'hi]'
             open_br, lo_tok = t[0], t[1:]

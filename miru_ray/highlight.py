@@ -45,15 +45,22 @@ def _positive_terms(filt: Filter, field: str, out: set[str], term_in: bool = Tru
 
 
 def _term_matches(token: str, values: set[str]) -> bool:
-    from .filters import fuzzy_value, levenshtein
+    import re
+
+    from .filters import fuzzy_value, levenshtein, regexp_value
 
     for v in values:
-        if v.endswith("*"):
+        if v.endswith("*") and regexp_value(v) is None:
             if token.startswith(v[:-1]):
                 return True
         elif token == v:
             return True
         else:
+            rx = regexp_value(v)
+            if rx is not None:
+                if re.fullmatch(rx, token):
+                    return True
+                continue
             fz = fuzzy_value(v)
             if fz is not None and levenshtein(token, fz[0]) <= fz[1]:
                 return True

@@ -158,10 +158,18 @@ def _lev(a: str, b: str) -> int:
 
 
 def _expand_values(part: OraclePartition, ff: FieldFilter, max_wild: int) -> list[str]:
-    from .filters import fuzzy_value, range_term_bounds
+    import re as _re
+
+    from .filters import fuzzy_value, range_term_bounds, regexp_value
 
     terms: list[str] = []
     for v in ff.values:
+        rx = regexp_value(v)
+        if rx is not None:
+            pat = _re.compile(rx)  # python re — independent of the engine's RE2
+            sel = [t for t in part.sorted_terms.get(ff.field, []) if pat.fullmatch(t)]
+            terms.extend(sel[:max_wild] if max_wild > 0 else sel)
+            continue
         fz = fuzzy_value(v)
         if fz is not None:
             body, k = fz

@@ -265,7 +265,7 @@ class PostingSource:
 
     def __init__(self, index_dir: str, part: int, specs: list[tuple[str, str]],
                  max_wild: int):
-        from .filters import fuzzy_value, range_term_bounds
+        from .filters import fuzzy_value, range_term_bounds, regexp_value
         from .segments import read_term_between
 
         epoch = _manifest_epoch(index_dir, part)
@@ -276,9 +276,24 @@ class PostingSource:
             ck = (index_dir, part, epoch, field, v)
             hit = _EXPANSION_CACHE.get(ck)
             if hit is None:
-                fz = fuzzy_value(v)
-                bounds = range_term_bounds(v) if fz is None else None
-                if fz is not None:
+                rx = regexp_value(v)
+                fz = fuzzy_value(v) if rx is None else None
+                bounds = range_term_bounds(v) if rx is None and fz is None else None
+                if rx is not None:
+                    # regexp expansion: the field dictionary + one anchored
+                    # RE2 pass (pyarrow match_substring_regex — vectorized)
+                    import pyarrow as pa
+                    import pyarrow.compute as pc
+
+                    cands = _cached(field, "*")
+                    if cands:
+                        m = pc.match_substring_regex(
+                            pa.array(cands, type=pa.string()), f"^(?:{rx})$"
+                        ).to_numpy(zero_copy_only=False)
+                        hit = [t for t, ok in zip(cands, m) if ok]
+                    else:
+                        hit = []
+                elif fz is not None:
                     # fuzzy expansion: the field dictionary (≡ the "*" spec,
                     # so repeated fuzzy queries share one cached scan) +
                     # vectorized Levenshtein filter
@@ -304,7 +319,7 @@ class PostingSource:
         keys = set()
         for field, v in specs:
             if (range_term_bounds(v) is not None or v.endswith("*")
-                    or fuzzy_value(v) is not None):
+                    or fuzzy_value(v) is not None or regexp_value(v) is not None):
                 terms = _expand(field, v)
                 self.expansions[(field, v)] = terms
                 keys.update(field + FIELD_SEP + t for t in terms)
@@ -374,11 +389,12 @@ class PostingSource:
         self._ckey = (index_dir, part, epoch)
 
     def expand(self, field: str, value: str) -> list[str]:
-        from .filters import fuzzy_value
+        from .filters import fuzzy_value, regexp_value
 
         if (field, value) in self.expansions:
             return self.expansions[(field, value)]
-        if value.endswith("*") or fuzzy_value(value) is not None:
+        if (value.endswith("*") or fuzzy_value(value) is not None
+                or regexp_value(value) is not None):
             return []
         return [value]
 

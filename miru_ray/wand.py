@@ -52,13 +52,13 @@ BM25_B = 0.75
 def _plain_leaf_values(f: Filter) -> list[tuple[str, str]] | None:
     """The (field, value) occurrences of a leaf AND filter with one plain
     (non-wildcard, non-range) field filter; None otherwise."""
-    from .filters import RANGE_RE, fuzzy_value
+    from .filters import RANGE_RE, fuzzy_value, regexp_value
 
     if f.inclusive or f.sub_filters or len(f.field_filters) != 1:
         return None
     ff = f.field_filters[0]
     if any(v.endswith("*") or RANGE_RE.match(v) or fuzzy_value(v) is not None
-           for v in ff.values):
+           or regexp_value(v) is not None for v in ff.values):
         return None
     return [(ff.field, v) for v in ff.values]
 

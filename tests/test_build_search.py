@@ -45,6 +45,10 @@ QUERIES = [
     "w00042~1 t1",
     "t1 AND NOT t9~1",
     "w00042~2 OR t3",
+    # regexp terms (Lucene RegexpQuery syntax; dictionary + anchored RE2)
+    "/t[13]/",
+    "/w00[45].*/ t1",
+    "t1 AND NOT /t[29]/",
 ]
 
 

@@ -105,3 +105,38 @@ def engine_fuzzy(ray_session, tiny_transcripts_dir, tiny_rows, tmp_path_factory)
     d = str(tmp_path_factory.mktemp("idx_fuzzy"))
     build_index(tiny_transcripts_dir, d, n_parts=4)
     return SearchEngine(d), build_oracle_partitions(tiny_rows, n_parts=4)
+
+
+def test_parser_regexp_atoms():
+    from miru_ray.filters import regexp_value
+
+    assert _leaf_values(parse_query("/s.*n/")) == [("text", "/s.*n/")]
+    assert _leaf_values(parse_query("role:/to.l/")) == [("role", "/to.l/")]
+    with pytest.raises(QueryParseError):
+        parse_query("/s(.*n/")  # '(' splits at the query tokenizer → missing )
+    with pytest.raises(QueryParseError):
+        parse_query("/s[a/")  # unbalanced class → re.error → parse error
+    assert regexp_value("/s.*n/") == "s.*n"
+    assert regexp_value("plain") is None
+    assert regexp_value("//") is None
+
+
+def test_regexp_engine_expansion_matches_oracle(engine_fuzzy):
+    eng, oracle = engine_fuzzy
+    from miru_ray.oracle import oracle_search
+
+    for q in ("/t[13]/", "/w00[45].*/", "/t[13]/ OR w00042"):
+        hits, found = eng.search(q, k=20)
+        ohits, ofound = oracle_search(oracle, q, k=20)
+        assert found == ofound, q
+        assert [(h.doc_id, h.part) for h in hits] == [
+            (h.doc_id, h.part) for h in ohits
+        ], q
+
+
+def test_highlight_regexp_spans():
+    from miru_ray.highlight import highlight
+
+    out = highlight("/pl.n/", "the plan of record", pre="[", post="]")
+    assert out is not None and "[plan]" in out
+    assert highlight("/pl.n/", "nothing here") is None
