@@ -174,6 +174,26 @@ def ft_match_regexp(sf_dir: str):
     return _match(sf_dir, f"/{REGEXP_PAT}/")
 
 
+SUGGEST_TERM = "sow"  # ≤2 edits from {row, slow, sort, ...} in this corpus
+SUGGEST_K = 5
+
+
+def ft_suggest(sf_dir: str) -> pa.Table:
+    """Did-you-mean (SearchEngine.suggest, Lucene DirectSpellChecker
+    analogue): dictionary candidates within 2 edits ranked by (corpus df
+    desc, distance asc, term asc); df summed over a 4-partition index —
+    must equal the corpus-level SQL."""
+    eng = _engine(sf_dir, 4)
+    rows = eng.suggest(SUGGEST_TERM, k=SUGGEST_K, max_dist=2)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "df": _i64([r[1] for r in rows]),
+            "dist": _i64([r[2] for r in rows]),
+        }
+    )
+
+
 def ft_topk_fuzzy(sf_dir: str) -> pa.Table:
     """Reference TF-IDF over the fuzzy expansion's union answer, fp64 with
     a fixed sorted-term accumulation order, mirrored in SQL. (The engine's
@@ -1229,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_range": ft_match_range,
         "ft_match_fuzzy": ft_match_fuzzy,
         "ft_match_regexp": ft_match_regexp,
+        "ft_suggest": ft_suggest,
         "ft_topk_fuzzy": ft_topk_fuzzy,
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
@@ -1537,6 +1558,14 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         "ft_match_regexp": (
             f"SELECT doc_id FROM documents WHERE "
             f"len(list_filter({_TOK}, x -> regexp_full_match(x, '{REGEXP_PAT}'))) > 0"
+        ),
+        "ft_suggest": (
+            f"WITH tok AS ({_TOKTAB}) "
+            f"SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+            f"CAST(levenshtein(t, '{SUGGEST_TERM}') AS BIGINT) AS dist "
+            f"FROM tok GROUP BY t "
+            f"HAVING levenshtein(t, '{SUGGEST_TERM}') <= 2 "
+            f"ORDER BY df DESC, dist, t LIMIT {SUGGEST_K}"
         ),
         "ft_topk_fuzzy": (
             tf_cte

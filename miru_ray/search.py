@@ -1207,6 +1207,40 @@ class SearchEngine:
         self.last_parts_asked = len(active)
         return self._fan_out(kwargs, parallel, parts=active)
 
+    def suggest(
+        self, term: str, k: int = 5, max_dist: int = 2, field: str = "text"
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean spell correction (Lucene DirectSpellChecker
+        analogue): dictionary terms within Levenshtein distance
+        ``max_dist`` of the analyzed ``term``, ranked by (global df desc,
+        distance asc, term asc) — Lucene's docFreq-then-score order.
+        Expansion reuses the per-partition fuzzy machinery (the epoch-keyed
+        expansion cache + vectorized DP); df sums across partitions, so
+        the rank reflects the whole corpus. The exact term itself (distance
+        0) is included when indexed — callers drop it for pure correction.
+        Interactive API: partitions are read serially (answer-sized
+        candidate sets; the posting-metadata read is column-pruned)."""
+        from .filters import levenshtein
+        from .tokenize import py_tokenize
+
+        toks = py_tokenize(term)
+        if not toks:
+            return []
+        body = toks[-1]
+        if not 1 <= max_dist <= 2:
+            raise ValueError("max_dist must be 1 or 2 (LevenshteinAutomata cap)")
+        spec = f"{body}~{max_dist}"
+        df: dict[str, int] = {}
+        for part in self.parts:
+            src = PostingSource(self.index_dir, part, [(field, spec)], 0)
+            for t in src.expansions.get((field, spec), []):
+                df[t] = df.get(t, 0) + src.df.get((field, t), 0)
+        ranked = sorted(
+            ((t, n, levenshtein(t, body)) for t, n in df.items()),
+            key=lambda x: (-x[1], x[2], x[0]),
+        )
+        return ranked[:k]
+
     def _fan_out(
         self, kwargs: dict, parallel: bool | None, parts: list[int] | None = None
     ) -> list[dict]:

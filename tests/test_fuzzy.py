@@ -140,3 +140,24 @@ def test_highlight_regexp_spans():
     out = highlight("/pl.n/", "the plan of record", pre="[", post="]")
     assert out is not None and "[plan]" in out
     assert highlight("/pl.n/", "nothing here") is None
+
+
+def test_suggest_vs_brute(engine_fuzzy):
+    """SearchEngine.suggest == brute force over the oracle's global df
+    (sum across partitions), ranked (df desc, dist asc, term asc)."""
+    eng, oracle = engine_fuzzy
+    gdf: dict[str, int] = {}
+    for part in oracle.values():
+        for t, n in part.df["text"].items():
+            gdf[t] = gdf.get(t, 0) + n
+    for term, k, d in (("t0", 5, 1), ("w0004", 8, 2), ("zzz", 3, 2)):
+        got = eng.suggest(term, k=k, max_dist=d)
+        exp = sorted(
+            ((t, n, levenshtein(t, term)) for t, n in gdf.items()
+             if levenshtein(t, term) <= d),
+            key=lambda x: (-x[1], x[2], x[0]),
+        )[:k]
+        assert got == exp, (term, k, d)
+    assert eng.suggest("", k=3) == []
+    with pytest.raises(ValueError):
+        eng.suggest("t1", max_dist=3)
