@@ -87,6 +87,14 @@ def cmd_extend(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    _ray_up()
+    from .build import compact_index
+
+    print(json.dumps(compact_index(args.index)))
+    return 0
+
+
 def cmd_plugin(args) -> int:
     _ray_up()
     from . import plugins
@@ -203,6 +211,12 @@ def main(argv=None) -> int:
                    help="serial partition walk with report carry-forward "
                         "(acceptableBelowMin admission; relevance scorers only)")
     s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser(
+        "compact", help="rewrite partitions in canonical posting form (LAB compactor analogue)"
+    )
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("extend", help="append new sorted files (sip analogue)")
     e.add_argument("--input", required=True)

@@ -1718,6 +1718,101 @@ def extend_index(
     return gmeta
 
 
+def compact_partition(index_dir: str, part: int) -> dict:
+    """Rewrite one partition's postings in CANONICAL form — the LAB
+    compactor analogue (the reference's LSM store periodically merges its
+    append deltas back into one clean generation; reference:
+    miru-service/.../lab/LabFieldIndex.java append/compaction paths).
+
+    Extends append epoch runs whose block boundaries follow epoch
+    arrival; compaction decodes every posting fully and re-encodes it as
+    ONE run with BLOCK_SIZE-aligned blocks and exact block metadata
+    (blk_min_dl from the true per-doc lengths, not the merged lower
+    bounds) — the unique normal form, independent of how many epochs
+    built the partition. DocIds are untouched (never reassigned — the
+    reference's contract); tombstones and stream state are untouched.
+    Answer-invariant; the manifest rewrite bumps the epoch so warm caches
+    refresh. Per-term decode work is numpy; the python loop is only over
+    posting ROWS (one per term), the same granularity the merge path
+    already pays."""
+    import json
+
+    import pyarrow.parquet as _pq
+
+    from .segments import (
+        forward_columns, manifest_path, part_dir, read_global_manifest,
+        read_manifest,
+    )
+
+    pdir = part_dir(index_dir, part)
+    t = _pq.read_table(os.path.join(pdir, "postings.parquet")).combine_chunks()
+    codec = get_codec((read_global_manifest(index_dir) or {}).get("codec"))
+    fwd_dl = np.asarray(forward_columns(index_dir, part)["dl"], dtype=np.int64)
+    terms = t["term"].to_pylist()
+    from .codec import decode_posting
+
+    norm: list[tuple[str, np.ndarray, np.ndarray]] = []
+    pos: list[tuple[str, np.ndarray, np.ndarray]] = []
+    for i in range(t.num_rows):
+        docs, tfs = decode_posting(
+            t["doc_bytes"][i].as_py(), t["tf_bytes"][i].as_py(),
+            np.asarray(t["blk_first"][i].as_py()),
+            np.asarray(t["blk_count"][i].as_py()), codec,
+        )
+        (pos if terms[i].startswith(POS_FIELD) else norm).append((terms[i], docs, tfs))
+
+    def _batch(entries, strict: bool) -> pa.Table:
+        if not entries:
+            return RUNS_SCHEMA.empty_table()
+        dict_terms = pa.array([e[0] for e in entries], type=pa.large_string())
+        codes = np.repeat(
+            np.arange(len(entries), dtype=np.int64),
+            [len(e[1]) for e in entries],
+        )
+        docs = np.concatenate([e[1] for e in entries])
+        tfs = np.concatenate([e[2] for e in entries])
+        return encode_codes_to_runs(
+            part, codes, docs, tfs, fwd_dl[docs], dict_terms, codec,
+            strict=strict,
+        )
+    out = pa.concat_tables([_batch(norm, True), _batch(pos, False)])
+    out = out.take(pc.sort_indices(out, sort_keys=[("term", "ascending")]))
+    tmp = os.path.join(pdir, "postings.parquet.tmp")
+    _pq.write_table(out, tmp, row_group_size=1024)
+    os.replace(tmp, os.path.join(pdir, "postings.parquet"))
+    man = read_manifest(index_dir, part)
+    man.setdefault("lineage", {})["compacted"] = True
+    mp = manifest_path(index_dir, part)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(man, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mp + ".tmp", mp)
+    return {"part": part, "rows": out.num_rows}
+
+
+def compact_index(index_dir: str, parts: list[int] | None = None) -> list[dict]:
+    """Compact partitions to canonical posting form (see
+    compact_partition), fanned out as Ray tasks when Ray is up (partitions
+    are independent; each task is one partition — the same unit the build
+    checkpoints on)."""
+    from .segments import completed_parts
+
+    todo = sorted(parts) if parts is not None else completed_parts(index_dir)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:
+        use_ray = False
+    if use_ray and len(todo) > 1:
+        import ray
+
+        fn = ray.remote(num_cpus=1)(compact_partition)
+        return ray.get([fn.remote(index_dir, p) for p in todo])
+    return [compact_partition(index_dir, p) for p in todo]
+
+
 def repair_partitions(
     index_dir: str,
     input_path: str | list[str],
