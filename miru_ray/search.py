@@ -55,6 +55,7 @@ from .segments import (
     read_global_manifest,
     read_manifest,
     read_postings_for_terms,
+    read_term_between,
     read_term_range,
     completed_parts,
 )
@@ -266,51 +267,11 @@ class PostingSource:
     def __init__(self, index_dir: str, part: int, specs: list[tuple[str, str]],
                  max_wild: int):
         from .filters import fuzzy_value, range_term_bounds, regexp_value
-        from .segments import read_term_between
 
         epoch = _manifest_epoch(index_dir, part)
 
-        def _cached(field: str, v: str) -> list[str]:
-            """UNTRIMMED sorted expansion of spec ``v``, cached per
-            (partition, epoch)."""
-            ck = (index_dir, part, epoch, field, v)
-            hit = _EXPANSION_CACHE.get(ck)
-            if hit is None:
-                rx = regexp_value(v)
-                fz = fuzzy_value(v) if rx is None else None
-                bounds = range_term_bounds(v) if rx is None and fz is None else None
-                if rx is not None:
-                    # regexp expansion: the field dictionary + one anchored
-                    # RE2 pass (pyarrow match_substring_regex — vectorized)
-                    import pyarrow as pa
-                    import pyarrow.compute as pc
-
-                    cands = _cached(field, "*")
-                    if cands:
-                        m = pc.match_substring_regex(
-                            pa.array(cands, type=pa.string()), f"^(?:{rx})$"
-                        ).to_numpy(zero_copy_only=False)
-                        hit = [t for t, ok in zip(cands, m) if ok]
-                    else:
-                        hit = []
-                elif fz is not None:
-                    # fuzzy expansion: the field dictionary (≡ the "*" spec,
-                    # so repeated fuzzy queries share one cached scan) +
-                    # vectorized Levenshtein filter
-                    hit = _fuzzy_filter(_cached(field, "*"), fz[0], fz[1])
-                elif bounds is not None:
-                    lo, hi, lo_inc, hi_inc = bounds
-                    hit = read_term_between(
-                        index_dir, part, field, lo, hi, lo_inc, hi_inc)
-                else:
-                    hit = read_term_range(index_dir, part, field, v[:-1])
-                if len(_EXPANSION_CACHE) > _EXPANSION_CACHE_CAP:
-                    _EXPANSION_CACHE.clear()
-                _EXPANSION_CACHE[ck] = hit
-            return hit
-
         def _expand(field: str, v: str) -> list[str]:
-            hit = _cached(field, v)
+            hit = expand_spec(index_dir, part, epoch, field, v)
             # the cache holds the UNTRIMMED expansion; the maxWildcardExpansion
             # cap is per query (reference: FullTextQuery maxWildcardExpansion)
             return hit[:max_wild] if max_wild > 0 else hit
@@ -630,6 +591,50 @@ def authz_mask(index_dir: str, part: int, authz: tuple[str, tuple[str, ...]],
         if len(_AUTHZ_CACHE) > 1024:
             _AUTHZ_CACHE.clear()
         _AUTHZ_CACHE[key] = hit
+    return hit
+
+
+def expand_spec(index_dir: str, part: int, epoch: float, field: str,
+                v: str) -> list[str]:
+    """UNTRIMMED sorted term expansion of spec ``v`` (prefix ``x*``, range
+    ``[lo TO hi]``, fuzzy ``x~N``, regexp ``/re/``), cached per
+    (partition, epoch) in _EXPANSION_CACHE. A fuzzy/regexp spec derives
+    from the cached field dictionary (≡ the "*" spec), so repeated
+    dictionary-walking queries share one storage scan per epoch."""
+    from .filters import fuzzy_value, range_term_bounds, regexp_value
+
+    ck = (index_dir, part, epoch, field, v)
+    hit = _EXPANSION_CACHE.get(ck)
+    if hit is None:
+        rx = regexp_value(v)
+        fz = fuzzy_value(v) if rx is None else None
+        bounds = range_term_bounds(v) if rx is None and fz is None else None
+        if rx is not None:
+            # regexp expansion: the field dictionary + one anchored RE2
+            # pass (pyarrow match_substring_regex — vectorized)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            cands = expand_spec(index_dir, part, epoch, field, "*")
+            if cands:
+                m = pc.match_substring_regex(
+                    pa.array(cands, type=pa.string()), f"^(?:{rx})$"
+                ).to_numpy(zero_copy_only=False)
+                hit = [t for t, ok in zip(cands, m) if ok]
+            else:
+                hit = []
+        elif fz is not None:
+            hit = _fuzzy_filter(
+                expand_spec(index_dir, part, epoch, field, "*"), fz[0], fz[1]
+            )
+        elif bounds is not None:
+            lo, hi, lo_inc, hi_inc = bounds
+            hit = read_term_between(index_dir, part, field, lo, hi, lo_inc, hi_inc)
+        else:
+            hit = read_term_range(index_dir, part, field, v[:-1])
+        if len(_EXPANSION_CACHE) > _EXPANSION_CACHE_CAP:
+            _EXPANSION_CACHE.clear()
+        _EXPANSION_CACHE[ck] = hit
     return hit
 
 
@@ -1218,9 +1223,12 @@ class SearchEngine:
         expansion cache + vectorized DP); df sums across partitions, so
         the rank reflects the whole corpus. The exact term itself (distance
         0) is included when indexed — callers drop it for pure correction.
-        Interactive API: partitions are read serially (answer-sized
-        candidate sets; the posting-metadata read is column-pruned)."""
+        Interactive API: partitions are read serially; the df read is a
+        metadata-only pushdown (term + df columns — posting BYTES are
+        never touched: a 2M-doc candidate posting costs the same as a
+        2-doc one)."""
         from .filters import levenshtein
+        from .segments import read_term_dfs
         from .tokenize import py_tokenize
 
         toks = py_tokenize(term)
@@ -1231,10 +1239,16 @@ class SearchEngine:
             raise ValueError("max_dist must be 1 or 2 (LevenshteinAutomata cap)")
         spec = f"{body}~{max_dist}"
         df: dict[str, int] = {}
+        sep_len = len(field) + 1
         for part in self.parts:
-            src = PostingSource(self.index_dir, part, [(field, spec)], 0)
-            for t in src.expansions.get((field, spec), []):
-                df[t] = df.get(t, 0) + src.df.get((field, t), 0)
+            epoch = _manifest_epoch(self.index_dir, part)
+            terms = expand_spec(self.index_dir, part, epoch, field, spec)
+            dfs = read_term_dfs(
+                self.index_dir, part, [field + FIELD_SEP + t for t in terms]
+            )
+            for key, n in dfs.items():
+                t = key[sep_len:]
+                df[t] = df.get(t, 0) + n
         ranked = sorted(
             ((t, n, levenshtein(t, body)) for t, n in df.items()),
             key=lambda x: (-x[1], x[2], x[0]),

@@ -272,6 +272,21 @@ def read_postings_for_terms(index_dir: str, part: int, keys: list[str]) -> pa.Ta
     return dset.to_table(filter=pc.field("term").isin(keys))
 
 
+def read_term_dfs(index_dir: str, part: int, keys: list[str]) -> dict[str, int]:
+    """term_key → df for ``keys`` — a metadata-only pushdown read (term + df
+    columns, row groups pruned by the sorted term stats). The suggester's
+    read path: document frequency without touching posting bytes."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    if not keys:
+        return {}
+    path = os.path.join(part_dir(index_dir, part), "postings.parquet")
+    dset = pads.dataset(path, format="parquet")
+    t = dset.to_table(filter=pc.field("term").isin(keys), columns=["term", "df"])
+    return dict(zip(t["term"].to_pylist(), (int(x) for x in t["df"].to_pylist())))
+
+
 def read_term_range(index_dir: str, part: int, field: str, prefix: str) -> list[str]:
     """Sorted terms of ``field`` starting with ``prefix`` (wildcard expansion —
     the reference's streamTermIdsForField range scan,
