@@ -965,6 +965,22 @@ def txt_splits(sf_dir: str):
     return split_ds(sf_dir, dict(SPLIT_FRACTIONS))
 
 
+WS_SCALE = 2.0
+WS_SEED = 11
+
+
+def txt_weighted_sample(sf_dir: str):
+    """Quality-weighted importance resampling (textstats.weighted_sample_ds):
+    keep prob = min(1, 2·stopword_ratio), decided by splitmix64(doc_id^seed)
+    unit draws — the whole chain (ratio, hash, unit compare) mirrored in
+    SQL."""
+    from miru_ray.textstats import weighted_sample_ds
+
+    return weighted_sample_ds(
+        sf_dir, weight="stopword_ratio", scale=WS_SCALE, seed=WS_SEED
+    )
+
+
 STRAT_N = 10
 STRAT_SEED = 7
 
@@ -979,6 +995,24 @@ def txt_stratified_sample(sf_dir: str):
     return stratified_sample_ds(
         sf_dir, by="source", n_per=STRAT_N, seed=STRAT_SEED
     )
+
+
+def _wsample_oracle_sql() -> str:
+    from miru_ray.tokenize import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    U64F = "18446744073709551616.0"
+    ratio = (
+        f"CASE WHEN len({_TOK}) > 0 "
+        f"THEN CAST(len(list_filter({_TOK}, x -> x IN ({stop_list}))) AS BIGINT) "
+        f"/ CAST(len({_TOK}) AS BIGINT) ELSE 0.0 END"
+    )
+    sm, last = _sm_ctes("ws", "d", "x", "h")
+    return f"""WITH d AS (SELECT doc_id, least(1.0, {WS_SCALE} * ({ratio})) AS kp,
+    xor(CAST(doc_id AS UBIGINT), CAST({WS_SEED} AS UBIGINT)) AS x FROM documents),
+{sm}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(kp, 6) AS keep_p
+FROM {last} WHERE CAST(h AS DOUBLE) / {U64F} < kp"""
 
 
 def _strat_oracle_sql() -> str:
@@ -1305,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_charlm": txt_charlm,
         "txt_splits": txt_splits,
         "txt_stratified_sample": txt_stratified_sample,
+        "txt_weighted_sample": txt_weighted_sample,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_decontam": txt_decontam,
         "txt_chunks": txt_chunks,
@@ -2099,6 +2134,7 @@ FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
         "txt_splits": _splits_oracle_sql(),
         "txt_stratified_sample": _strat_oracle_sql(),
+        "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_top_ngrams": (
             f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),

@@ -295,6 +295,39 @@ def quality_ds(sf_dir: str):
     )
 
 
+def _wsample_batch(batch: pa.Table, weight: str, scale: float,
+                   seed: int) -> pa.Table:
+    from .hashing import splitmix64, u64_to_unit
+
+    q = _quality_batch(batch)
+    w = q[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+    keep_p = np.minimum(1.0, scale * w)
+    ids = q["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    u = u64_to_unit(splitmix64(ids ^ np.uint64(seed)))
+    keep = u < keep_p
+    return pa.table(
+        {
+            "doc_id": q["doc_id"].filter(pa.array(keep)),
+            "keep_p": pa.array(np.round(keep_p[keep], 6), type=pa.float64()),
+        }
+    )
+
+
+def weighted_sample_ds(sf_dir: str, weight: str = "stopword_ratio",
+                       scale: float = 2.0, seed: int = 0):
+    """(doc_id, keep_p): quality-weighted importance resampling — keep a
+    doc with probability min(1, scale·weight) where ``weight`` is one of
+    the quality_ds signals, decided by the doc's own splitmix64 unit draw
+    (DCLM-style quality resampling made deterministic: re-runs, appends
+    and re-partitioning never flip a doc's fate). One map_batches pass —
+    quality features, the hash draw and the filter fuse; nothing
+    shuffles."""
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _wsample_batch(b, weight, scale, seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 # ------------------------------------------------- repetition quality rules
 
 

@@ -1367,3 +1367,27 @@ def test_stratified_sample_vs_brute(ray_session, docs):
         counts = got.groupby("stratum").size().to_dict()
         for s, pairs in by_src.items():
             assert counts.get(s, 0) == min(n_per, len(pairs)), (s, n_per)
+
+
+def test_weighted_sample_vs_brute(ray_session, docs, doc_tokens):
+    """weighted_sample_ds == brute force: keep iff unit(splitmix64(id^seed))
+    < min(1, scale·stopword_ratio); keep_p values exact."""
+    from miru_ray.hashing import splitmix64, u64_to_unit
+    from miru_ray.textstats import weighted_sample_ds
+    from miru_ray.tokenize import STOPWORDS
+
+    for scale, seed in ((2.0, 11), (0.5, 3)):
+        got = weighted_sample_ds(SF, scale=scale, seed=seed).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        exp = []
+        for i in docs["doc_id"]:
+            toks = doc_tokens[i]
+            ratio = (
+                sum(t in STOPWORDS for t in toks) / len(toks) if toks else 0.0
+            )
+            kp = min(1.0, scale * ratio)
+            u = u64_to_unit(splitmix64(np.uint64(i) ^ np.uint64(seed)))
+            if u < kp:
+                exp.append((i, round(kp, 6)))
+        assert list(zip(got["doc_id"], got["keep_p"])) == exp, (scale, seed)
+        assert 0 < len(exp) < len(docs["doc_id"])  # real selection both ways
