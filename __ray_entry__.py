@@ -416,6 +416,26 @@ def ft_topk_time_range(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": _i64(ids)})
 
 
+BOOST_N = 3
+
+
+def ft_topk_boost(sf_dir: str) -> pa.Table:
+    """Integer boost (`term^N`, Lucene syntax): the collector counts the
+    term N times so its score contribution multiplies by N
+    (FullText.java:118-127 c_t multipliers) — reference TF-IDF in fp64
+    over the AND answer with t1 boosted, mirrored in SQL with the literal
+    coefficient."""
+    src, answer, *_ = _topk_answer(sf_dir)
+    t1, t2 = TOPK_TERMS
+    score = (float(BOOST_N) / src.ttf[("text", t1)]) * _tf_on(src, t1, answer) + (
+        1.0 / src.ttf[("text", t2)]
+    ) * _tf_on(src, t2, answer)
+    order = np.lexsort((-answer, -score))[:K_TFIDF]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 def ft_topk_page2(sf_dir: str) -> pa.Table:
     """Deep pagination (Lucene IndexSearcher.searchAfter analogue):
     page 2 of the TIME-scored walk = the K_TIME hits strictly after page
@@ -1292,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_bm25": ft_topk_bm25,
         "ft_mlt": ft_mlt,
         "ft_topk_time": ft_topk_time,
+        "ft_topk_boost": ft_topk_boost,
         "ft_topk_page2": ft_topk_page2,
         "ft_topk_time_range": ft_topk_time_range,
         "ft_distinct_roles": ft_distinct_roles,
@@ -1651,6 +1672,18 @@ CROSS JOIN (SELECT ttf FROM g WHERE t = '{t1}') g1
 CROSS JOIN (SELECT ttf FROM g WHERE t = '{t2}') g2
 WHERE a.t = '{t1}' AND b.t = '{t2}'
 ORDER BY (1.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf DESC, a.doc_id DESC
+LIMIT {K_TFIDF}"""
+        ),
+        "ft_topk_boost": (
+            tf_cte
+            + f"""
+SELECT a.doc_id AS doc_id,
+       round(({BOOST_N}.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf, 6) AS score
+FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{t1}') g1
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{t2}') g2
+WHERE a.t = '{t1}' AND b.t = '{t2}'
+ORDER BY ({BOOST_N}.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf DESC, a.doc_id DESC
 LIMIT {K_TFIDF}"""
         ),
         "ft_topk_bm25": (

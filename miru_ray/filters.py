@@ -67,6 +67,17 @@ _INT_RE = re.compile(r"^-?\d+$")
 # contract, so byte ≡ character edits, and ≡ DuckDB ``levenshtein``).
 FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
+# Boosts: ``term^N`` (Lucene boost syntax, integer N ≥ 1 only). The signed
+# term collector counts duplicate occurrences (collectTerm,
+# MiruAggregateUtil.java:1204-1220) and the scorers multiply by that count
+# (FullText.java:118-127), so an integer boost is EXACTLY a term repeated
+# N times — the parser emits FieldFilter(field, [term]*N) and no evaluator
+# or scorer changes at all. Recognized on the default field only: on
+# field-scoped atoms ``^`` is the composite-field display joiner
+# (MiruSchema.java:32). Float boosts are rejected (the fp32 collector
+# contract is integer counts).
+BOOST_RE = re.compile(r"^(.+)\^(\d+)$")
+
 
 # Regexp terms: ``/pattern/`` (Lucene RegexpQuery syntax, anchored at both
 # ends like Lucene's automaton). The pattern is NOT analyzed (Lucene
@@ -220,6 +231,28 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
             parts = tok.split("^")
             if all(parts):
                 return Filter("and", False, [FieldFilter(field, ["\x1e".join(parts)])], [])
+        if field == default_field:
+            bm = BOOST_RE.match(tok)
+            if bm is None and re.match(r"^.+\^\d*\.\d+$", tok):
+                raise QueryParseError(f"only integer boosts are supported: {tok!r}")
+            if bm is not None:
+                n = int(bm.group(2))
+                if n < 1:
+                    raise QueryParseError(f"boost must be >= 1: {tok!r}")
+                body = bm.group(1)
+                if body.endswith("*") or body.startswith("/") or "~" in body:
+                    raise QueryParseError(
+                        f"boost is supported on plain terms only: {tok!r}")
+                toks_b = _scalar(body, use_stopwords=use_stopwords)
+                if not toks_b:
+                    return None
+                if len(toks_b) == 1:
+                    return Filter(
+                        "and", False, [FieldFilter(field, [toks_b[0]] * n)], [])
+                return Filter("and", False, [], [
+                    Filter("and", False, [FieldFilter(field, [t] * n)], [])
+                    for t in toks_b
+                ])
         fz = FUZZY_RE.match(tok)
         if fz is not None and not tok.endswith("*"):
             # FuzzyQuery atom `body~[N]` (bare `~` → maxEdits 2; Lucene

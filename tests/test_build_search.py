@@ -49,6 +49,9 @@ QUERIES = [
     "/t[13]/",
     "/w00[45].*/ t1",
     "t1 AND NOT /t[29]/",
+    # integer boosts (collector-count multiplication)
+    "t1^3 t7",
+    "t1^2 OR t2",
 ]
 
 

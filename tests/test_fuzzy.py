@@ -161,3 +161,43 @@ def test_suggest_vs_brute(engine_fuzzy):
     assert eng.suggest("", k=3) == []
     with pytest.raises(ValueError):
         eng.suggest("t1", max_dist=3)
+
+
+def test_parser_boost_atoms():
+    from miru_ray.filters import FieldFilter
+
+    assert _leaf_values(parse_query("t1^3")) == [("text", "t1")] * 3
+    assert _leaf_values(parse_query("scan^2 merge")) == [
+        ("text", "scan"), ("text", "scan"), ("text", "merge")
+    ]
+    with pytest.raises(QueryParseError):
+        parse_query("t1^0")
+    with pytest.raises(QueryParseError):
+        parse_query("t1^0.5")  # float boosts rejected
+    with pytest.raises(QueryParseError):
+        parse_query("w004*^2")  # boost on wildcard rejected
+    # field-scoped ^ stays the composite joiner
+    vals = _leaf_values(parse_query("role_tool:user^search"))
+    assert vals == [("role_tool", "user\x1esearch")]
+
+
+def test_boost_equals_repetition_engine(engine_fuzzy):
+    eng, oracle = engine_fuzzy
+    from miru_ray.oracle import oracle_search
+
+    for boosted, spelled in [
+        ("t1^3 t7", "t1 t1 t1 t7"),
+        ("t1^2 OR t2", "t1 t1 OR t2"),
+    ]:
+        for scoring in ("ref_tfidf", "bm25"):
+            hb, fb = eng.search(boosted, k=20, scoring=scoring)
+            hs, fs = eng.search(spelled, k=20, scoring=scoring)
+            assert fb == fs
+            assert [(h.doc_id, h.part, h.score) for h in hb] == [
+                (h.doc_id, h.part, h.score) for h in hs
+            ], (boosted, scoring)
+            ohits, ofound = oracle_search(oracle, boosted, k=20, scoring=scoring)
+            assert fb == ofound
+            assert [(h.doc_id, h.part) for h in hb] == [
+                (h.doc_id, h.part) for h in ohits
+            ], (boosted, scoring)
