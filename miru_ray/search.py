@@ -1212,6 +1212,68 @@ class SearchEngine:
         self.last_parts_asked = len(active)
         return self._fan_out(kwargs, parallel, parts=active)
 
+    def stats(self) -> dict:
+        """Index inspection (the reference's ops/inspection endpoints —
+        reader inspect UIs, MiruManage): global build config + totals +
+        per-partition metrics, all from manifests (no posting reads)."""
+        per_part = {
+            p: dict(_cached_manifest(self.index_dir, p).get("metrics", {}))
+            for p in self.parts
+        }
+        return {
+            "n_parts": len(self.parts),
+            "partitioning": self.meta.get("partitioning"),
+            "codec": self.meta.get("codec", "varbyte"),
+            "positions": bool(self.meta.get("positions")),
+            "analyzer": (self.meta.get("tokenizer") or {}).get("analyzer", "default"),
+            "n_epochs": len(self.meta.get("epochs", [])),
+            "totals": dict(self.meta.get("totals", {})),
+            "per_part": per_part,
+        }
+
+    def explain(self, query: str, scoring: str = "ref_tfidf",
+                part: int | None = None,
+                max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION) -> dict:
+        """Query debugging (Lucene IndexSearcher.explain spirit): the parsed
+        spec list, each spec's expansion on one partition (newest by
+        default), per-term posting stats (df, Σtf, block count, lazy-tf),
+        and which execution strategy the gate would choose."""
+        from .wand import conjunctive_terms, disjunctive_terms
+
+        p = self.parts[0] if part is None else part
+        use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        filt = parse_query(query, use_stopwords=use_stop,
+                           analyzer=_analyzer_name(self.index_dir))
+        specs: list[tuple[str, str]] = []
+        _collect_term_specs(filt, specs)
+        src = PostingSource(self.index_dir, p, specs, max_wild)
+        terms: dict[str, dict] = {}
+        for field, v in specs:
+            for t in src.expand(field, v):
+                blocks = src.blocks.get((field, t))
+                post = src.post.get((field, t))
+                terms[f"{field}:{t}"] = {
+                    "df": src.df.get((field, t), 0),
+                    "ttf": src.ttf.get((field, t), 0),
+                    "n_blocks": len(blocks["first"]) if blocks else 0,
+                    "lazy_tf": bool(post is not None and post[1] is None),
+                }
+        occ, mode = disjunctive_terms(filt), "or"
+        if occ is None:
+            occ, mode = conjunctive_terms(filt), "and"
+        wand_ok = occ is not None and scoring in ("ref_tfidf", "bm25")
+        return {
+            "part": p,
+            "query": query,
+            "scoring": scoring,
+            "strategy": f"block-max-wand-{mode}" if wand_ok else "full-eval",
+            "has_phrase": _has_phrase(filt),
+            "expansions": {
+                f"{f}:{v}": list(ts) for (f, v), ts in src.expansions.items()
+            },
+            "terms": terms,
+        }
+
     def suggest(
         self, term: str, k: int = 5, max_dist: int = 2, field: str = "text"
     ) -> list[tuple[str, int, int]]:

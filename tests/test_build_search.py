@@ -661,3 +661,20 @@ def test_search_after_pagination(engine):
             (h.doc_id, h.part) for h in big
         ][: len(pages)], (q, scoring)
         assert len(pages) == min(60, found), (q, scoring)
+
+
+def test_stats_and_explain(engine, index_dir, tiny_rows):
+    st = engine.stats()
+    assert st["n_parts"] == N_PARTS
+    assert st["totals"]["n_docs"] == len(tiny_rows)
+    assert sum(m["n_docs"] for m in st["per_part"].values()) == len(tiny_rows)
+    assert st["codec"] == "varbyte" and st["positions"] is False
+
+    ex = engine.explain("t1 t7")
+    assert ex["strategy"] == "block-max-wand-and"
+    assert ex["terms"]["text:t1"]["df"] > 0 and ex["terms"]["text:t7"]["ttf"] > 0
+    assert engine.explain("t1 OR t2")["strategy"] == "block-max-wand-or"
+    exw = engine.explain("w004* t1")
+    assert exw["strategy"] == "full-eval"
+    assert len(exw["expansions"]["text:w004*"]) > 1
+    assert engine.explain("t1", scoring="time")["strategy"] == "full-eval"
