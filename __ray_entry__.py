@@ -985,6 +985,43 @@ def txt_splits(sf_dir: str):
     return split_ds(sf_dir, dict(SPLIT_FRACTIONS))
 
 
+COLLOC_K = 15
+COLLOC_MIN = 5
+
+
+def txt_collocations(sf_dir: str):
+    """Bigram collocations by PMI (textstats.collocations_ds): top-k
+    within-doc adjacent bigrams with count ≥ min by ln((c_xy/N_bi) /
+    ((c_x/N_uni)·(c_y/N_uni))) — phrase mining; chain mirrored in SQL
+    (the declared cand_cap never binds at oracle scale: distinct bigrams
+    ≪ cap)."""
+    from miru_ray.textstats import collocations_ds
+
+    return collocations_ds(sf_dir, k=COLLOC_K, min_count=COLLOC_MIN)
+
+
+def _colloc_oracle_sql() -> str:
+    return f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),
+big0 AS (SELECT t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY ord) AS bg FROM tok),
+big AS (SELECT bg FROM big0 WHERE bg IS NOT NULL),
+bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg
+       HAVING count(*) >= {COLLOC_MIN}),
+uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM tok),
+totb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM big)
+SELECT bc.bg AS bigram, bc.n AS n,
+       round(ln((CAST(bc.n AS DOUBLE) / totb.nb) /
+                ((CAST(ux.c AS DOUBLE) / tot.nu) * (CAST(uy.c AS DOUBLE) / tot.nu))), 6) AS pmi
+FROM bc, tot, totb
+JOIN uc ux ON ux.t = split_part(bc.bg, ' ', 1)
+JOIN uc uy ON uy.t = split_part(bc.bg, ' ', 2)
+ORDER BY ln((CAST(bc.n AS DOUBLE) / totb.nb) /
+            ((CAST(ux.c AS DOUBLE) / tot.nu) * (CAST(uy.c AS DOUBLE) / tot.nu))) DESC,
+         bc.bg ASC
+LIMIT {COLLOC_K}"""
+
+
 WS_SCALE = 2.0
 WS_SEED = 11
 
@@ -1361,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_splits": txt_splits,
         "txt_stratified_sample": txt_stratified_sample,
         "txt_weighted_sample": txt_weighted_sample,
+        "txt_collocations": txt_collocations,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_decontam": txt_decontam,
         "txt_chunks": txt_chunks,
@@ -2168,6 +2206,7 @@ FROM documents d LEFT JOIN sc USING (doc_id)"""
         "txt_splits": _splits_oracle_sql(),
         "txt_stratified_sample": _strat_oracle_sql(),
         "txt_weighted_sample": _wsample_oracle_sql(),
+        "txt_collocations": _colloc_oracle_sql(),
         "txt_top_ngrams": (
             f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),

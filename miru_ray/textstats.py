@@ -557,6 +557,136 @@ def top_ngrams_ds(sf_dir: str, n: int = 3, k: int = 20) -> pa.Table:
     )
 
 
+def _colloc_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: within-doc adjacent token bigrams → (bigram, n).
+    The combiner: the shuffle carries one row per DISTINCT bigram per
+    batch, never one per occurrence — the term-stats scale story."""
+    parents, tokens = tokenize_flat(batch["text"])
+    m = len(parents)
+    empty = pa.table(
+        {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if m < 2:
+        return empty
+    valid = parents[1:] == parents[:-1]
+    big = pc.binary_join_element_wise(
+        tokens.slice(0, m - 1), tokens.slice(1, m), " "
+    ).filter(pa.array(valid))
+    if len(big) == 0:
+        return empty
+    agg = pa.table({"bigram": big}).group_by(
+        ["bigram"], use_threads=False
+    ).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "bigram": pc.cast(agg["bigram"], pa.string()),
+            "n": pc.cast(agg["count_all"], pa.int64()),
+        }
+    )
+
+
+def _colloc_block_cand(batch: pa.Table, min_count: int, cap: int) -> pa.Table:
+    """Per-block candidate cut: bigrams with n ≥ min_count, top-``cap`` by
+    (n desc, bigram asc) with ties kept — the union over blocks is a
+    superset of the global cut."""
+    t = pa.table(
+        {"bigram": pc.cast(batch["bigram"], pa.string()),
+         "n": pc.cast(batch["sum(n)"], pa.int64())}
+    )
+    t = t.filter(pc.greater_equal(t["n"], pa.scalar(min_count)))
+    return _block_topk_ties(t, cap)
+
+
+def collocations_ds(sf_dir: str, k: int = 20, min_count: int = 5,
+                    cand_cap: int = 100_000) -> pa.Table:
+    """(bigram, n, pmi): the k strongest within-doc adjacent-bigram
+    collocations by pointwise mutual information, PMI = ln((c_xy/N_bi) /
+    ((c_x/N_uni)·(c_y/N_uni))), among bigrams with count ≥ ``min_count``
+    — classic phrase mining over the corpus. Two corpus passes (bigram
+    partial counts → groupby; one cheap token-total pass) plus an
+    answer-sized unigram lookup for the candidate terms (broadcast isin
+    filter on the term-stats partials). Candidates are cut to the
+    ``cand_cap`` highest-count bigrams per block before PMI — a
+    deterministic, DECLARED cap (logged when it binds; mirror it in any
+    oracle), since PMI order isn't count order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # corpus totals: N_uni = Σ tokens, N_bi = Σ max(tokens-1, 0) per doc
+    tot = token_count_ds(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "u": pa.array([int(pc.sum(b["n_tokens"]).as_py() or 0)]),
+                "b": pa.array([int(
+                    pc.sum(pc.max_element_wise(
+                        pc.subtract(b["n_tokens"], pa.scalar(1, pa.int64())),
+                        pa.scalar(0, pa.int64()))).as_py() or 0)]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_uni = tot.sum("u")
+    n_bi = tot.sum("b")
+
+    cand_rows = (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(_colloc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: _colloc_block_cand(b, min_count, cand_cap)
+            if b.num_rows else pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    if not cand_rows:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "pmi": pa.array([], pa.float64())}
+        )
+    bigs = np.array([r["bigram"] for r in cand_rows], dtype=object)
+    ns = np.array([r["n"] for r in cand_rows], dtype=np.int64)
+    if len(ns) > cand_cap:
+        thr = np.partition(ns, len(ns) - cand_cap)[len(ns) - cand_cap]
+        keep = ns >= thr
+        dropped = int((~keep).sum())
+        print(f"[collocations] cand_cap={cand_cap} binding: dropped {dropped} bigrams")
+        bigs, ns = bigs[keep], ns[keep]
+
+    terms = sorted({t for b in bigs for t in b.split(" ")})
+    want_ref = ray.put(terms)
+
+    def _uni_filter(batch: pa.Table) -> pa.Table:
+        want = ray.get(want_ref)  # answer-sized broadcast, zero-copy per task
+        t = _term_partial(batch)
+        return t.filter(pc.is_in(t["term"], value_set=pa.array(want)))
+
+    uni = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_uni_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("ttf"))
+        .take_all()
+    )
+    c_uni = {r["term"]: int(r["sum(ttf)"]) for r in uni}
+    cx = np.array([c_uni[b.split(" ")[0]] for b in bigs], dtype=np.float64)
+    cy = np.array([c_uni[b.split(" ")[1]] for b in bigs], dtype=np.float64)
+    pmi = np.round(
+        np.log((ns.astype(np.float64) / n_bi) / ((cx / n_uni) * (cy / n_uni))), 6
+    )
+    order = np.lexsort((bigs, -pmi))[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([str(b) for b in bigs[order]], pa.string()),
+            "n": pa.array(ns[order], pa.int64()),
+            "pmi": pa.array(pmi[order], pa.float64()),
+        }
+    )
+
+
 def winnow(gp: np.ndarray, gh: np.ndarray, w: int):
     """Winnowing (Schleimer, Wilkerson, Aiken 2003): per doc, the min hash of
     every window of ``w`` consecutive k-gram hashes, deduplicated. Returns

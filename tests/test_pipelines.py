@@ -1391,3 +1391,34 @@ def test_weighted_sample_vs_brute(ray_session, docs, doc_tokens):
                 exp.append((i, round(kp, 6)))
         assert list(zip(got["doc_id"], got["keep_p"])) == exp, (scale, seed)
         assert 0 < len(exp) < len(docs["doc_id"])  # real selection both ways
+
+
+def test_collocations_vs_brute(ray_session, docs, doc_tokens):
+    """collocations_ds == brute-force PMI over within-doc adjacent bigrams
+    (count ≥ min, top-k by pmi desc then bigram asc)."""
+    import math
+    from collections import Counter
+
+    from miru_ray.textstats import collocations_ds
+
+    k, min_count = 12, 3
+    bc, uc = Counter(), Counter()
+    n_bi = 0
+    for i in docs["doc_id"]:
+        toks = doc_tokens[i]
+        uc.update(toks)
+        bc.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        n_bi += max(len(toks) - 1, 0)
+    n_uni = sum(uc.values())
+    exp = []
+    for bg, n in bc.items():
+        if n < min_count:
+            continue
+        x, y = bg.split(" ")
+        pmi = round(
+            math.log((n / n_bi) / ((uc[x] / n_uni) * (uc[y] / n_uni))), 6
+        )
+        exp.append((bg, n, pmi))
+    exp.sort(key=lambda r: (-r[2], r[0]))
+    got = collocations_ds(SF, k=k, min_count=min_count).to_pandas()
+    assert list(map(tuple, got.values)) == exp[:k]
