@@ -436,6 +436,43 @@ def ft_topk_boost(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_export(sf_dir: str) -> pa.Table:
+    """Match-export sink (SearchEngine.export_match): the full answer of a
+    filter query written as one parquet file per index partition
+    (atomic + resumable), read back and compared column-by-column against
+    the SQL answer (role/tool/turn_idx/ts are the documented deterministic
+    derivations of the documents row)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from miru_ray.transcripts import conv_to_doc_id
+
+    eng = _engine(sf_dir, 4)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"miru_ray_export_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    res = eng.export_match("scan AND NOT merge", out)
+    assert res["files"] == 4 and not res["skipped"]
+    t = pa.concat_tables(
+        [pq.read_table(os.path.join(out, f)) for f in sorted(os.listdir(out))]
+    )
+    ids = conv_to_doc_id(t["conv_id"].to_pylist())
+    return pa.table(
+        {
+            "doc_id": _i64(ids),
+            "turn_idx": _i64(t["turn_idx"]),
+            "role": pc.cast(t["role"], pa.string()),
+            "tool": pc.cast(t["tool"], pa.string()),
+            "ts": _i64(t["ts"]),
+        }
+    )
+
+
 def ft_topk_page2(sf_dir: str) -> pa.Table:
     """Deep pagination (Lucene IndexSearcher.searchAfter analogue):
     page 2 of the TIME-scored walk = the K_TIME hits strictly after page
@@ -1351,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_time": ft_topk_time,
         "ft_topk_boost": ft_topk_boost,
         "ft_topk_page2": ft_topk_page2,
+        "ft_export": ft_export,
         "ft_topk_time_range": ft_topk_time_range,
         "ft_distinct_roles": ft_distinct_roles,
         "ft_agg_counts": ft_agg_counts,
@@ -1775,6 +1813,13 @@ ORDER BY score DESC, doc_id DESC LIMIT {MLT_K}"""
             f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, '{t1}') "
             f"AND list_contains({_TOK}, '{t2}') ORDER BY doc_id DESC "
             f"LIMIT {K_TIME} OFFSET {K_TIME}"
+        ),
+        "ft_export": (
+            f"SELECT doc_id, CAST(doc_id % 41 AS BIGINT) AS turn_idx, "
+            f"source AS role, lang AS tool, "
+            f"CAST(1700000000000000 + doc_id * 1000000 AS BIGINT) AS ts "
+            f"FROM documents WHERE list_contains({_TOK}, 'scan') "
+            f"AND NOT list_contains({_TOK}, 'merge')"
         ),
         # same contract on the range-partitioned index: TIME answers are
         # partitioning-invariant (the early exit changes work, not results)

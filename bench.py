@@ -227,12 +227,25 @@ def main():
             best = None
             runs_all[n] = []
             for _ in range(args.repeat):
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--sub", "--cpus", str(n),
-                     "--parts", str(args.parts)],
-                    capture_output=True, text=True, check=True,
-                    env=dict(os.environ, GRAFT_SF_DIR=sf_dir),
-                )
+                # per-sub-run timeout + one retry: Ray can (rarely) stall
+                # scheduling under heavy co-tenant pressure — observed once
+                # as a driver blocked on a raylet socket with every worker
+                # IDLE. A wedged level must not hang the whole matrix.
+                for attempt in (1, 2):
+                    try:
+                        out = subprocess.run(
+                            [sys.executable, os.path.abspath(__file__), "--sub",
+                             "--cpus", str(n), "--parts", str(args.parts)],
+                            capture_output=True, text=True, check=True,
+                            timeout=900,
+                            env=dict(os.environ, GRAFT_SF_DIR=sf_dir),
+                        )
+                        break
+                    except subprocess.TimeoutExpired:
+                        if attempt == 2:
+                            raise
+                        subprocess.run(["ray", "stop", "--force"],
+                                       capture_output=True)
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 runs_all[n].append(
                     {"turns_per_sec": r["turns_per_sec"],

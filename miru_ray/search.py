@@ -876,6 +876,44 @@ def _gather(fwd: dict, part: int, docs: np.ndarray, scores: np.ndarray, found: i
     }
 
 
+def _export_match_partition(index_dir: str, query: str, out_dir: str,
+                            time_range, authz, use_stopwords: bool,
+                            part: int) -> dict:
+    """One partition of export_match: match → forward gather → one parquet
+    file, atomic and idempotent (present file == done)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(out_dir, f"part-{part:05d}.parquet")
+    if _os.path.exists(path):
+        return {"part": part, "rows": _pq.read_metadata(path).num_rows,
+                "skipped": True}
+    r = search_partition(
+        index_dir, part, query, k=0, scoring="match", time_range=time_range,
+        authz=authz, use_stopwords=use_stopwords,
+    )
+    fwd = forward_columns(index_dir, part)
+    docs = np.asarray(r["doc_id"], dtype=np.int64)
+    idx = pa.array(docs)
+    out = pa.table(
+        {
+            "part": pa.array(np.full(len(docs), part, dtype=np.int32)),
+            "doc_id": pa.array(docs),
+            "conv_id": fwd["conv_id"].take(idx),
+            "turn_idx": pa.array(np.asarray(fwd["turn_idx"])[docs], pa.int32()),
+            "role": fwd["role"].take(idx),
+            "tool": fwd["tool"].take(idx),
+            "ts": pa.array(np.asarray(fwd["ts"])[docs], pa.int64()),
+        }
+    )
+    tmp = path + ".tmp"
+    _pq.write_table(out, tmp)
+    _os.replace(tmp, path)
+    return {"part": part, "rows": out.num_rows, "skipped": False}
+
+
 # ----------------------------------------------------------------- the engine
 
 
@@ -1211,6 +1249,51 @@ class SearchEngine:
         active = self._active_parts(time_range)
         self.last_parts_asked = len(active)
         return self._fan_out(kwargs, parallel, parts=active)
+
+    def export_match(
+        self,
+        query: str,
+        out_dir: str,
+        time_range: tuple[int, int] | None = None,
+        authz: tuple[str, list[str]] | None = None,
+        parallel: bool | None = None,
+    ) -> dict:
+        """Materialize a filter query's FULL answer as partitioned parquet
+        — the corpus-extraction sink ("every turn matching Q" → a dataset
+        a training pipeline joins back to the raw text by (conv_id,
+        turn_idx); raw text itself never left the input files, by the
+        build's own design). One file per index partition, written
+        atomically (tmp+rename) and SKIPPED when already present — a
+        failed export resumes where it stopped, never rewrites finished
+        partitions. Columns: part, doc_id, conv_id, turn_idx, role, tool,
+        ts."""
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        if authz is not None:
+            authz = (authz[0], tuple(authz[1]))
+        active = self._active_parts(time_range)
+        args = (self.index_dir, query, out_dir, time_range, authz, use_stop)
+        try:
+            import ray
+
+            use_ray = ray.is_initialized() if parallel is None else parallel
+        except ImportError:
+            use_ray = False
+        if use_ray and len(active) > 1:
+            import ray
+
+            fn = ray.remote(num_cpus=1)(_export_match_partition)
+            results = ray.get([fn.remote(*args, p) for p in active])
+        else:
+            results = [_export_match_partition(*args, p) for p in active]
+        return {
+            "out_dir": out_dir,
+            "files": len(results),
+            "rows": sum(r["rows"] for r in results),
+            "skipped": sorted(r["part"] for r in results if r["skipped"]),
+        }
 
     def stats(self) -> dict:
         """Index inspection (the reference's ops/inspection endpoints —

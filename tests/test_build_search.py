@@ -678,3 +678,36 @@ def test_stats_and_explain(engine, index_dir, tiny_rows):
     assert exw["strategy"] == "full-eval"
     assert len(exw["expansions"]["text:w004*"]) > 1
     assert engine.explain("t1", scoring="time")["strategy"] == "full-eval"
+
+
+def test_export_match_resumable(engine, tmp_path_factory):
+    """export_match: full answer as one parquet per partition; atomic,
+    idempotent, and resumable (present files are skipped; a deleted file
+    is the only one rewritten)."""
+    import time as _time
+
+    out = str(tmp_path_factory.mktemp("export"))
+    res = engine.export_match("t1 AND NOT t9", out)
+    assert res["files"] == N_PARTS and res["skipped"] == []
+    match_rows = sum(len(r["doc_id"]) for r in engine.match("t1 AND NOT t9"))
+    assert res["rows"] == match_rows > 0
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{p:05d}.parquet" for p in range(N_PARTS)]
+    t = pa.concat_tables([pq.read_table(os.path.join(out, f)) for f in files])
+    assert t.num_rows == match_rows
+    assert t.column_names == ["part", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts"]
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in files}
+    res2 = engine.export_match("t1 AND NOT t9", out)
+    assert res2["skipped"] == list(range(N_PARTS)) and res2["rows"] == match_rows
+    assert all(os.path.getmtime(os.path.join(out, f)) == mtimes[f] for f in files)
+    victim = files[1]
+    os.remove(os.path.join(out, victim))
+    _time.sleep(0.02)
+    res3 = engine.export_match("t1 AND NOT t9", out)
+    assert res3["rows"] == match_rows
+    assert res3["skipped"] == [p for p in range(N_PARTS) if p != 1]
+    assert os.path.getmtime(os.path.join(out, victim)) > mtimes[victim]
+    assert all(
+        os.path.getmtime(os.path.join(out, f)) == mtimes[f]
+        for f in files if f != victim
+    )
