@@ -502,6 +502,27 @@ def ft_distinct_roles(sf_dir: str) -> pa.Table:
     return pa.table({"role": pa.array(vals, type=pa.string())})
 
 
+def ft_uniques(sf_dir: str) -> pa.Table:
+    """Uniques plugin analogue (UniquesInjectable.java:36-54: the distincts
+    question answered as a cardinality, inside the reference's MANDATORY
+    explicit time range): distinct tool (=lang) values among docs matching
+    'scan' in a ts window, plus distinct 'w004'-prefixed text terms in the
+    same window."""
+    from miru_ray import plugins
+
+    eng = _engine(sf_dir, 4)
+    lo = 1700000000000000 + 100 * 1_000_000
+    hi = 1700000000000000 + 400 * 1_000_000
+    u_tool = plugins.uniques(eng, "tool", (lo, hi), query="scan")
+    u_text = plugins.uniques(eng, "text", (lo, hi), prefix="w004")
+    return pa.table(
+        {
+            "field": pa.array(["text_w004", "tool"], type=pa.string()),
+            "uniques": pa.array([u_text, u_tool], type=pa.int64()),
+        }
+    )
+
+
 def ft_agg_counts(sf_dir: str) -> pa.Table:
     """AggregateCounts plugin analogue over the 1-partition index: per role,
     matching-doc count + newest matching docId."""
@@ -1391,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_export": ft_export,
         "ft_topk_time_range": ft_topk_time_range,
         "ft_distinct_roles": ft_distinct_roles,
+        "ft_uniques": ft_uniques,
         "ft_agg_counts": ft_agg_counts,
         "ft_agg_counts_inbox": ft_agg_counts_inbox,
         "ft_waveform": ft_waveform,
@@ -1830,6 +1852,20 @@ ORDER BY score DESC, doc_id DESC LIMIT {MLT_K}"""
         "ft_distinct_roles": (
             f"SELECT DISTINCT source AS role FROM documents "
             f"WHERE list_contains({_TOK}, 'scan')"
+        ),
+        # uniques = distincts cardinality inside the mandatory time range;
+        # ts is the documented derivation 1700000000000000 + doc_id*1e6, so
+        # the ts window [base+100e6, base+400e6] == doc_id BETWEEN 100 AND 400
+        "ft_uniques": (
+            f"SELECT * FROM ("
+            f"SELECT 'tool' AS field, CAST(COUNT(DISTINCT lang) AS BIGINT) "
+            f"AS uniques FROM documents WHERE list_contains({_TOK}, 'scan') "
+            f"AND doc_id BETWEEN 100 AND 400 "
+            f"UNION ALL "
+            f"SELECT 'text_w004', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM ("
+            f"SELECT unnest(list_filter({_TOK}, x -> x LIKE 'w004%')) AS tok "
+            f"FROM documents WHERE doc_id BETWEEN 100 AND 400)"
+            f") ORDER BY field"
         ),
         "ft_agg_counts": (
             f"SELECT source AS role, CAST(count(*) AS BIGINT) AS n, "

@@ -40,12 +40,17 @@ from .segments import FIELD_SEP, META_FIELDS, forward_columns, part_dir
 from .search import _cached_manifest
 
 
-def _answer(index_dir: str, part: int, query: str | None, use_stopwords: bool):
+def _answer(index_dir: str, part: int, query: str | None, use_stopwords: bool,
+            time_range: tuple[int, int] | None = None):
     """(answer docIds | None-for-all, n_docs, fwd) for one partition.
 
     Every plugin path ANDs the removal index out, exactly like the fulltext
     question (buildIndexMask, MiruBitmapsRoaring.java:492-503) — REMOVEd docs
-    must not surface in distincts/counts/waveforms either."""
+    must not surface in distincts/counts/waveforms either. ``time_range``
+    (inclusive lo..hi on ts) ANDs the same time mask the fulltext path
+    applies — a boolean mask over the forward ts column, not searchsorted,
+    because an extended partition may hold late-arrival epochs whose ts
+    overlaps earlier ones."""
     from .segments import read_tombstones
 
     man = _cached_manifest(index_dir, part)
@@ -53,9 +58,16 @@ def _answer(index_dir: str, part: int, query: str | None, use_stopwords: bool):
     fwd = forward_columns(index_dir, part)
     removed = read_tombstones(index_dir, part)
     if query is None:
-        if len(removed) == 0:
+        if time_range is None and len(removed) == 0:
             return None, n_docs, fwd
-        universe = np.setdiff1d(np.arange(n_docs, dtype=np.int64), removed, assume_unique=True)
+        if time_range is None:
+            universe = np.arange(n_docs, dtype=np.int64)
+        else:
+            lo, hi = time_range
+            ts = np.asarray(fwd["ts"])
+            universe = np.flatnonzero((ts >= lo) & (ts <= hi)).astype(np.int64)
+        if len(removed):
+            universe = np.setdiff1d(universe, removed, assume_unique=True)
         return universe, n_docs, fwd
     from .filters import parse_query
 
@@ -69,6 +81,10 @@ def _answer(index_dir: str, part: int, query: str | None, use_stopwords: bool):
     answer = eval_filter_np(filt, src, n_docs, None)
     if len(removed) and len(answer):
         answer = np.setdiff1d(answer, removed, assume_unique=True)
+    if time_range is not None and len(answer):
+        lo, hi = time_range
+        ts_a = np.asarray(fwd["ts"])[answer]
+        answer = answer[(ts_a >= lo) & (ts_a <= hi)]
     return answer, n_docs, fwd
 
 
@@ -110,9 +126,11 @@ def _range_overlap_idx(answer: np.ndarray, first: np.ndarray, last: np.ndarray) 
 def distincts_partition(
     index_dir: str, part: int, field: str, prefix: str = "",
     query: str | None = None, use_stopwords: bool = False,
+    time_range: tuple[int, int] | None = None,
 ) -> list[str]:
     """Distinct terms of ``field`` (with prefix) present among matching docs."""
-    answer, n_docs, fwd = _answer(index_dir, part, query, use_stopwords)
+    answer, n_docs, fwd = _answer(index_dir, part, query, use_stopwords,
+                                  time_range)
     if field in META_FIELDS and prefix == "":
         vals = fwd[field] if field != "conv_id" else fwd["conv_id"]
         if answer is None:
@@ -138,10 +156,13 @@ def distincts_partition(
     ]
 
 
-def distincts(engine, field: str, prefix: str = "", query: str | None = None) -> list[str]:
+def distincts(engine, field: str, prefix: str = "", query: str | None = None,
+              time_range: tuple[int, int] | None = None) -> list[str]:
     use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
     res = _fan(engine, distincts_partition,
-               dict(field=field, prefix=prefix, query=query, use_stopwords=use_stop))
+               dict(field=field, prefix=prefix, query=query,
+                    use_stopwords=use_stop, time_range=time_range),
+               parts=engine._active_parts(time_range))
     out: set[str] = set()
     for r in res:
         out.update(r)
@@ -150,6 +171,22 @@ def distincts(engine, field: str, prefix: str = "", query: str | None = None) ->
 
 def distinct_count(engine, field: str, prefix: str = "", query: str | None = None) -> int:
     return len(distincts(engine, field, prefix, query))
+
+
+def uniques(engine, field: str, time_range: tuple[int, int],
+            prefix: str = "", query: str | None = None) -> int:
+    """The uniques plugin: distinct-value COUNT of ``field`` among docs
+    matching the constraint filter inside an EXPLICIT time range — the
+    reference wraps the distincts question verbatim and keeps only the
+    cardinality (UniquesInjectable.java:36-54 builds a DistinctsQuery from
+    the UniquesQuery and answers gatherDistincts.answer.collectedDistincts).
+    The explicit-time-range requirement is the reference's own precondition
+    (UniquesQuery.java:32-33: "Requires an explicit time range")."""
+    if time_range is None:
+        raise ValueError("uniques requires an explicit time range "
+                         "(UniquesQuery.java:32-33)")
+    return len(distincts(engine, field, prefix=prefix, query=query,
+                         time_range=time_range))
 
 
 def aggregate_counts_partition(
@@ -562,15 +599,18 @@ def strut(engine, model: dict[str, float], strategy: str = "unit_weighted",
     return [row for rows in res for row in rows]
 
 
-def _fan(engine, fn, kwargs: dict) -> list:
+def _fan(engine, fn, kwargs: dict, parts: list[int] | None = None) -> list:
     """One task per partition (Ray when available), results in engine.parts
     order — the same scatter pattern as SearchEngine._fan_out. Remote
     handles are cached per function so the function is exported once per
-    session, not once per query."""
+    session, not once per query. ``parts`` narrows the fan-out (e.g. the
+    ts-zone-map-pruned active set for a time-ranged question)."""
+    if parts is None:
+        parts = engine.parts
     try:
         import ray
 
-        use_ray = ray.is_initialized() and len(engine.parts) > 1
+        use_ray = ray.is_initialized() and len(parts) > 1
     except ImportError:
         use_ray = False
     if use_ray:
@@ -580,9 +620,9 @@ def _fan(engine, fn, kwargs: dict) -> list:
         if rfn is None:
             rfn = ray.remote(num_cpus=1)(fn)
             _REMOTE_FNS[fn] = rfn
-        futs = [rfn.remote(engine.index_dir, p, **kwargs) for p in engine.parts]
+        futs = [rfn.remote(engine.index_dir, p, **kwargs) for p in parts]
         return ray.get(futs)
-    return [fn(engine.index_dir, p, **kwargs) for p in engine.parts]
+    return [fn(engine.index_dir, p, **kwargs) for p in parts]
 
 
 def term_dfs_partition(
@@ -653,6 +693,7 @@ def more_like_this(
 
 # built-in plugin registrations (the shipped-plugin set)
 register_plugin("distincts", distincts)
+register_plugin("uniques", uniques)
 register_plugin("more_like_this", more_like_this)
 register_plugin("distinct_count", distinct_count)
 register_plugin("aggregate_counts", aggregate_counts)

@@ -546,3 +546,46 @@ def test_more_like_this_vs_oracle(engine, tiny_rows, tiny_oracle):
 
     # empty / no-selectable-terms inputs degrade cleanly
     assert plugins.more_like_this(engine, "") == ([], 0, [])
+
+
+def test_uniques_time_range(engine, tiny_oracle):
+    """uniques = distincts cardinality inside a MANDATORY explicit time
+    range (UniquesInjectable.java:36-54 delegates to the distincts question;
+    UniquesQuery.java:32-33 rejects an absent range)."""
+    all_ts = sorted(t for p in tiny_oracle.values() for t in p.ts)
+    lo, hi = all_ts[len(all_ts) // 4], all_ts[(3 * len(all_ts)) // 4]
+
+    got = plugins.uniques(engine, "tool", (lo, hi), query="t1")
+    exp = set()
+    for p in tiny_oracle.values():
+        for i in oracle_answer(p, "t1"):
+            if lo <= p.ts[i] <= hi and p.fields["tool"][i]:
+                exp.add(p.fields["tool"][i])
+    assert got == len(exp) > 0
+
+    # text-prefix variant exercises the posting-metadata candidate path
+    got2 = plugins.uniques(engine, "text", (lo, hi), prefix="w004")
+    exp2 = {
+        t
+        for p in tiny_oracle.values()
+        for i in range(p.n_docs)
+        if lo <= p.ts[i] <= hi
+        for t in p.tokens[i]
+        if t.startswith("w004")
+    }
+    assert got2 == len(exp2) > 0
+
+    # the reference's precondition: no time range is an error
+    with pytest.raises(ValueError):
+        plugins.uniques(engine, "tool", None)
+
+    # registered on the plugin SPI
+    assert (
+        plugins.run_plugin(engine, "uniques", field="tool",
+                           time_range=(lo, hi), query="t1")
+        == got
+    )
+
+    # distincts itself honors the range (the question uniques reuses)
+    dv = plugins.distincts(engine, "tool", query="t1", time_range=(lo, hi))
+    assert sorted(exp) == dv
