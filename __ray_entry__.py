@@ -473,6 +473,71 @@ def ft_export(sf_dir: str) -> pa.Table:
     )
 
 
+_FED_CACHE: dict[str, Any] = {}
+FED_K = 25
+
+
+def _federated(sf_dir: str):
+    """Two independently built 2-part indexes over a doc-parity split of the
+    corpus, queried as one via FederatedEngine — the reader-tier fan-out
+    (MiruService.java:101-194 askAndMerge across hosts). Parity sharding
+    makes both shards span the full ts range, so the cross-index merge must
+    truly interleave. Cached on disk per sf_dir."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from miru_ray.build import build_index
+    from miru_ray.federate import FederatedEngine
+    from miru_ray.transcripts import docs_to_transcripts
+
+    key = os.path.abspath(sf_dir)
+    hit = _FED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tag = key.strip("/").replace("/", "_")
+    base = f"/tmp/miru_ray_fed_{tag}"
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    ids = t["doc_id"].to_numpy()
+    dirs = []
+    for parity in (0, 1):
+        idx = os.path.join(base, f"idx{parity}")
+        if not os.path.exists(os.path.join(idx, "index.json")):
+            tx = docs_to_transcripts(t.filter(pa.array(ids % 2 == parity)))
+            src = os.path.join(base, f"src{parity}")
+            os.makedirs(src, exist_ok=True)
+            pq.write_table(tx, os.path.join(src, "shard-00000.parquet"))
+            build_index(src, idx, n_parts=2)
+        dirs.append(idx)
+    eng = FederatedEngine(dirs)
+    _FED_CACHE[key] = eng
+    return eng
+
+
+def ft_federated_topk(sf_dir: str) -> pa.Table:
+    """Federated TIME top-k: the newest FED_K matches across BOTH parity
+    shards — answer identical to one index over the union (the federation
+    contract)."""
+    from miru_ray.transcripts import conv_to_doc_id
+
+    hits, _found = _federated(sf_dir).search("scan", k=FED_K, scoring="time")
+    return pa.table({"doc_id": _i64(conv_to_doc_id([h.conv_id for h in hits]))})
+
+
+def ft_federated_match(sf_dir: str) -> pa.Table:
+    """Federated filter-only answer: the union of every shard's matching
+    docs for a boolean query."""
+    from miru_ray.transcripts import conv_to_doc_id
+
+    out = []
+    for r in _federated(sf_dir).match("scan OR merge"):
+        out.extend(conv_to_doc_id(r["conv_id"]))
+    return pa.table({"doc_id": _i64(sorted(out))})
+
+
 def ft_topk_page2(sf_dir: str) -> pa.Table:
     """Deep pagination (Lucene IndexSearcher.searchAfter analogue):
     page 2 of the TIME-scored walk = the K_TIME hits strictly after page
@@ -1410,6 +1475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_boost": ft_topk_boost,
         "ft_topk_page2": ft_topk_page2,
         "ft_export": ft_export,
+        "ft_federated_topk": ft_federated_topk,
+        "ft_federated_match": ft_federated_match,
         "ft_topk_time_range": ft_topk_time_range,
         "ft_distinct_roles": ft_distinct_roles,
         "ft_uniques": ft_uniques,
@@ -1842,6 +1909,16 @@ ORDER BY score DESC, doc_id DESC LIMIT {MLT_K}"""
             f"CAST(1700000000000000 + doc_id * 1000000 AS BIGINT) AS ts "
             f"FROM documents WHERE list_contains({_TOK}, 'scan') "
             f"AND NOT list_contains({_TOK}, 'merge')"
+        ),
+        # federation contract: two parity-sharded indexes answered as one
+        # must equal the single-table SQL over the union
+        "ft_federated_topk": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, 'scan') "
+            f"ORDER BY doc_id DESC LIMIT {FED_K}"
+        ),
+        "ft_federated_match": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOK}, 'scan') "
+            f"OR list_contains({_TOK}, 'merge') ORDER BY doc_id"
         ),
         # same contract on the range-partitioned index: TIME answers are
         # partitioning-invariant (the early exit changes work, not results)

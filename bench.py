@@ -277,12 +277,13 @@ def main():
         )
         return
 
-    # 3 attempts, min: attempt 1 pays the session's one-time costs (worker
+    # 5 attempts, min: attempt 1 pays the session's one-time costs (worker
     # spawn + imports + first-touch), and this shared VM's co-tenant load
-    # swings effective DRAM bandwidth >30× between minutes — three samples
-    # materially improve the odds that one lands in a usable window. All
-    # attempts are reported (build_secs_all) beside the membw probes.
-    r = run_once(cpus, sf_dir, args.parts, build_attempts=3)
+    # swings effective DRAM bandwidth >30× between minutes — more samples
+    # materially improve the odds that one lands in a usable window (~40 s
+    # each; the whole default run stays under 5 min). All attempts are
+    # reported (build_secs_all) beside the membw probes.
+    r = run_once(cpus, sf_dir, args.parts, build_attempts=5)
     print(
         json.dumps(
             {
