@@ -95,6 +95,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    _ray_up()
+    from .sync import sync_index, verify_sync
+
+    if args.verify:
+        print(json.dumps(verify_sync(args.src, args.dst, checksum=args.checksum)))
+    else:
+        print(json.dumps(sync_index(args.src, args.dst, checksum=args.checksum)))
+    return 0
+
+
 def cmd_plugin(args) -> int:
     _ray_up()
     from . import plugins
@@ -222,6 +233,17 @@ def main(argv=None) -> int:
     e.add_argument("--input", required=True)
     e.add_argument("--index", required=True)
     e.set_defaults(fn=cmd_extend)
+
+    sy = sub.add_parser(
+        "sync", help="replicate a built index to another dir (miru-sync analogue)"
+    )
+    sy.add_argument("--src", required=True)
+    sy.add_argument("--dst", required=True)
+    sy.add_argument("--checksum", action="store_true",
+                    help="CRC-verify same-size files instead of trusting sizes")
+    sy.add_argument("--verify", action="store_true",
+                    help="read-only audit: report equal/differing partitions")
+    sy.set_defaults(fn=cmd_sync)
 
     p = sub.add_parser("plugin", help="run a registered plugin against an index")
     p.add_argument("--index", required=True)

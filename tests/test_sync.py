@@ -1,0 +1,111 @@
+"""Index replication (miru-sync analogue): incremental, partition-atomic,
+idempotent; replica answers are identical to the source, including
+mutation sidecars (tombstones)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from miru_ray.build import build_index
+from miru_ray.search import SearchEngine
+from miru_ray.segments import part_dir, remove_docs
+from miru_ray.sync import sync_index, sync_partition, verify_sync
+
+N_PARTS = 4
+
+
+@pytest.fixture()
+def src_idx(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sync_src"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    return d
+
+
+def _answers(idx, query="t1 t7", k=10):
+    eng = SearchEngine(idx)
+    hits, found = eng.search(query, k=k, scoring="bm25")
+    return found, [(h.conv_id, h.turn_idx, round(h.score, 5)) for h in hits]
+
+
+def test_sync_fresh_then_idempotent(src_idx, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sync_dst"))
+    res = sync_index(src_idx, dst)
+    assert res["copied"] == list(range(N_PARTS)) and res["skipped"] == []
+    assert res["bytes"] > 0 and os.path.exists(os.path.join(dst, "index.json"))
+    assert _answers(dst) == _answers(src_idx)
+
+    res2 = sync_index(src_idx, dst)
+    assert res2["copied"] == [] and res2["skipped"] == list(range(N_PARTS))
+    assert res2["bytes"] == 0
+
+    v = verify_sync(src_idx, dst)
+    assert v["differs"] == [] and v["missing_in_dst"] == []
+    assert v["equal"] == list(range(N_PARTS))
+
+
+def test_sync_propagates_mutations_incrementally(src_idx, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sync_dst2"))
+    sync_index(src_idx, dst)
+
+    eng = SearchEngine(src_idx)
+    hits, _ = eng.search("t1", k=3, scoring="bm25")
+    touched = remove_docs(src_idx, [(hits[0].conv_id, hits[0].turn_idx)])
+    assert touched
+    v = verify_sync(src_idx, dst)
+    assert v["differs"] == sorted(touched) or v["missing_in_dst"] == []
+
+    res = sync_index(src_idx, dst)
+    # only the tombstoned partition re-copied
+    assert res["copied"] == sorted(touched)
+    assert set(res["skipped"]) == set(range(N_PARTS)) - set(touched)
+    assert _answers(dst, "t1") == _answers(src_idx, "t1")
+
+
+def test_sync_removes_stale_partitions_and_survives_partial_copy(
+    src_idx, tmp_path_factory
+):
+    dst = str(tmp_path_factory.mktemp("sync_dst3"))
+    sync_index(src_idx, dst)
+    # fabricate a stale replica partition the source does not have
+    stale = part_dir(dst, 9)
+    shutil.copytree(part_dir(dst, 0), stale)
+    # and a crashed half-copy staging dir
+    tmp = os.path.join(dst, ".sync-tmp-00001")
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "postings.parquet"), "wb") as f:
+        f.write(b"partial")
+    res = sync_index(src_idx, dst)
+    assert res["removed"] == [9] and not os.path.exists(stale)
+    assert not os.path.exists(tmp)
+    assert _answers(dst) == _answers(src_idx)
+
+
+def test_sync_checksum_catches_same_size_drift(src_idx, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sync_dst4"))
+    sync_index(src_idx, dst)
+    # flip bytes in a replica file without changing its size
+    victim = os.path.join(part_dir(dst, 2), "forward.parquet")
+    with open(victim, "r+b") as f:
+        f.seek(100)
+        b = f.read(4)
+        f.seek(100)
+        f.write(bytes(x ^ 0xFF for x in b))
+    assert sync_index(src_idx, dst)["copied"] == []  # size-only trust misses it
+    assert verify_sync(src_idx, dst, checksum=True)["differs"] == [2]
+    res = sync_index(src_idx, dst, checksum=True)
+    assert res["copied"] == [2]
+    assert verify_sync(src_idx, dst, checksum=True)["differs"] == []
+
+
+def test_sync_cli(src_idx, tmp_path_factory, capsys):
+    from miru_ray.__main__ import main
+
+    dst = str(tmp_path_factory.mktemp("sync_dst5"))
+    assert main(["sync", "--src", src_idx, "--dst", dst]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["copied"] == list(range(N_PARTS))
+    assert main(["sync", "--src", src_idx, "--dst", dst, "--verify"]) == 0
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["differs"] == [] and audit["stale_in_dst"] == []
