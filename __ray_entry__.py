@@ -473,6 +473,46 @@ def ft_export(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_export_text(sf_dir: str) -> pa.Table:
+    """Corpus extraction with text rejoin (extract.export_corpus): the index
+    answer broadcast once, the raw source streamed through a vectorized
+    semi-join, written as parquet — the exported TEXT must equal the source
+    rows the SQL filter selects."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from miru_ray.extract import export_corpus
+    from miru_ray.transcripts import conv_to_doc_id, ensure_transcripts_parquet
+
+    eng = _engine(sf_dir, 4)
+    src = ensure_transcripts_parquet(sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"miru_ray_extract_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    export_corpus(eng, "merge AND NOT scan", src, out,
+                  columns=["conv_id", "turn_idx", "text"])
+    t = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(out + "/*.parquet"))
+    )
+    return pa.table(
+        {
+            "doc_id": _i64(conv_to_doc_id(t["conv_id"].to_pylist())),
+            "text": pc_cast_str(t["text"]),
+        }
+    )
+
+
+def pc_cast_str(col) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.string())
+
+
 _FED_CACHE: dict[str, Any] = {}
 FED_K = 25
 
@@ -1475,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_boost": ft_topk_boost,
         "ft_topk_page2": ft_topk_page2,
         "ft_export": ft_export,
+        "ft_export_text": ft_export_text,
         "ft_federated_topk": ft_federated_topk,
         "ft_federated_match": ft_federated_match,
         "ft_topk_time_range": ft_topk_time_range,
@@ -1909,6 +1950,11 @@ ORDER BY score DESC, doc_id DESC LIMIT {MLT_K}"""
             f"CAST(1700000000000000 + doc_id * 1000000 AS BIGINT) AS ts "
             f"FROM documents WHERE list_contains({_TOK}, 'scan') "
             f"AND NOT list_contains({_TOK}, 'merge')"
+        ),
+        "ft_export_text": (
+            f"SELECT doc_id, text FROM documents "
+            f"WHERE list_contains({_TOK}, 'merge') "
+            f"AND NOT list_contains({_TOK}, 'scan')"
         ),
         # federation contract: two parity-sharded indexes answered as one
         # must equal the single-table SQL over the union

@@ -1,0 +1,96 @@
+"""Corpus extraction: an index answer joined back to the RAW input rows.
+
+The index stores postings + forward metadata but never the text (the
+build's core invariant: raw text never shuffles). A training pipeline
+that wants "the text of every turn matching Q" therefore needs a join
+from the answer back to the source parquet. At 100 TB that join must be:
+
+- **answer-broadcast, not shuffle**: the matched key set is answer-sized
+  (thousands..millions of 16-byte keys), so it is ``ray.put`` ONCE and
+  each filter actor reads it once in ``__init__`` — the classic broadcast
+  semi-join; the 100-TB side streams through ``read_parquet →
+  map_batches`` untouched by any all-to-all.
+- **vectorized**: membership is one ``pyarrow.compute.is_in`` per batch
+  against the broadcast key array (hash set built once per actor).
+- **streaming to a partitioned sink**: ``write_parquet`` on the filtered
+  dataset; blocks flow with backpressure, nothing materializes.
+
+The reference ships answers as id lists and leaves the text join to the
+caller's store; this is that caller-side join done Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KEY_SEP = "\x1f"
+
+
+def _pack_keys(conv_id: pa.Array, turn_idx: pa.Array) -> pa.Array:
+    """(conv_id, turn_idx) → one binary key column (the engine's packed-key
+    idiom, vectorized)."""
+    return pc.binary_join_element_wise(
+        pc.cast(conv_id, pa.string()),
+        pc.cast(pc.cast(turn_idx, pa.int64()), pa.string()),
+        KEY_SEP,
+    )
+
+
+class SemiJoinStage:
+    """Actor-pool membership filter: the broadcast key set is fetched and
+    hashed ONCE per actor (``__init__``), then every batch is one
+    vectorized ``is_in`` + filter."""
+
+    def __init__(self, keys_ref, columns: list[str] | None):
+        import ray
+
+        self.keys = ray.get(keys_ref)  # pa.Array of packed keys
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            _pack_keys(batch["conv_id"], batch["turn_idx"]), value_set=self.keys
+        )
+        out = batch.filter(mask)
+        if self.columns is not None:
+            out = out.select(self.columns)
+        return out
+
+
+def export_corpus(
+    engine,
+    query: str,
+    source_dir: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
+    authz: tuple[str, list[str]] | None = None,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> dict:
+    """Write every source row whose (conv_id, turn_idx) matches ``query``
+    on ``engine`` to ``out_dir`` as parquet — text included. Returns
+    {'rows': matched, 'out_dir': ...}. Requires Ray (it IS the pipeline)."""
+    import ray
+    import ray.data as rd
+
+    key_strs: list[str] = []
+    for r in engine.match(query, time_range=time_range, authz=authz):
+        key_strs.extend(
+            f"{c}{KEY_SEP}{int(t)}" for c, t in zip(r["conv_id"], r["turn_idx"])
+        )
+    matched = len(key_strs)
+    keys_ref = ray.put(pa.array(key_strs, pa.string()))
+    ds = rd.read_parquet(source_dir)
+    ds = ds.map_batches(
+        SemiJoinStage,
+        fn_constructor_kwargs={"keys_ref": keys_ref, "columns": columns},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
+    ds.write_parquet(out_dir)
+    return {"rows": matched, "out_dir": out_dir}

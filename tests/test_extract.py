@@ -1,0 +1,88 @@
+"""Corpus extraction (index answer → raw-source semi-join → parquet):
+the exported rows must be exactly the matching (conv_id, turn_idx) source
+rows, text included."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from miru_ray.build import build_index
+from miru_ray.extract import export_corpus
+from miru_ray.filters import parse_query
+from miru_ray.oracle import eval_filter
+from miru_ray.search import SearchEngine
+
+N_PARTS = 4
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_extract"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    return SearchEngine(d)
+
+
+def test_export_corpus_rejoins_text(
+    engine, tiny_transcripts_dir, tiny_oracle, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("extract_out"))
+    res = export_corpus(engine, "t1 AND NOT t9", tiny_transcripts_dir, out)
+
+    t = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(out + "/*.parquet"))
+    )
+    assert t.num_rows == res["rows"] > 0
+    got = {
+        (c, int(i)): x
+        for c, i, x in zip(
+            t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["text"].to_pylist()
+        )
+    }
+    filt = parse_query("t1 AND NOT t9")
+    exp = {}
+    for p in tiny_oracle.values():
+        for d in eval_filter(p, filt, None):
+            exp[(p.conv_id[d], p.turn_idx[d])] = d
+    assert set(got) == set(exp)
+    # text is the SOURCE text (round-trips through nothing)
+    src = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))
+    )
+    src_text = {
+        (c, int(i)): x
+        for c, i, x in zip(
+            src["conv_id"].to_pylist(),
+            src["turn_idx"].to_pylist(),
+            src["text"].to_pylist(),
+        )
+    }
+    assert all(got[k] == src_text[k] for k in got)
+
+
+def test_export_corpus_column_projection(
+    engine, tiny_transcripts_dir, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("extract_cols"))
+    res = export_corpus(
+        engine, "t1 t7", tiny_transcripts_dir, out,
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    t = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(out + "/*.parquet"))
+    )
+    assert t.column_names == ["conv_id", "turn_idx", "text"]
+    assert t.num_rows == res["rows"] > 0
+
+
+def test_export_corpus_empty_answer(engine, tiny_transcripts_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("extract_empty"))
+    res = export_corpus(
+        engine, "t1 AND NOT t1", tiny_transcripts_dir, out
+    )
+    assert res["rows"] == 0
+    files = glob.glob(out + "/*.parquet")
+    assert sum(pq.read_metadata(f).num_rows for f in files) == 0
