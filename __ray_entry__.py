@@ -194,6 +194,21 @@ def ft_suggest(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_suggest_prefix(sf_dir: str) -> pa.Table:
+    """Autocomplete (SearchEngine.suggest_prefix, Lucene TermsComponent
+    analogue): 's'-prefixed dictionary terms ranked by (corpus df desc,
+    term asc); df summed over a 4-partition index — must equal the
+    corpus-level SQL."""
+    eng = _engine(sf_dir, 4)
+    rows = eng.suggest_prefix("s", k=10)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "df": _i64([r[1] for r in rows]),
+        }
+    )
+
+
 def ft_topk_fuzzy(sf_dir: str) -> pa.Table:
     """Reference TF-IDF over the fuzzy expansion's union answer, fp64 with
     a fixed sorted-term accumulation order, mirrored in SQL. (The engine's
@@ -1504,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_fuzzy": ft_match_fuzzy,
         "ft_match_regexp": ft_match_regexp,
         "ft_suggest": ft_suggest,
+        "ft_suggest_prefix": ft_suggest_prefix,
         "ft_topk_fuzzy": ft_topk_fuzzy,
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
@@ -1828,6 +1844,12 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
             f"FROM tok GROUP BY t "
             f"HAVING levenshtein(t, '{SUGGEST_TERM}') <= 2 "
             f"ORDER BY df DESC, dist, t LIMIT {SUGGEST_K}"
+        ),
+        "ft_suggest_prefix": (
+            f"WITH tok AS ({_TOKTAB}) "
+            f"SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+                        f"FROM tok WHERE t LIKE 's%' GROUP BY t "
+            f"ORDER BY df DESC, t LIMIT 10"
         ),
         "ft_topk_fuzzy": (
             tf_cte

@@ -1895,3 +1895,62 @@ def repair_partitions(
     for (kind, stream), keys in stream_keys.items():
         _mutate_stream_set(index_dir, kind, stream, keys, add=True)
     return meta
+
+
+def expire_partitions(
+    index_dir: str, older_than_ts: int, dry_run: bool = False
+) -> dict:
+    """Retention age-out: drop whole partitions whose ts zone map PROVES
+    every doc is older than ``older_than_ts`` (ts_max < cutoff).
+
+    The reference's partition lifecycle closes time-bounded partitions and
+    eventually destroys the oldest past retention (the capacity/age
+    rollover of MiruPartitioner.java:106-165 is what makes whole-partition
+    expiry possible). Here the same holds structurally: with
+    ``partitioning="range"`` (time segments) zones are disjoint and old
+    segments age out cleanly; under hash partitioning every zone spans the
+    whole timeline and nothing qualifies — expiry is then correctly a
+    no-op rather than an approximation (nothing is ever dropped unless the
+    zone map proves it).
+
+    Deletion is two-step (rename to a dot-prefixed tomb dir, then rmtree)
+    so a crash never leaves a half-deleted ``part=`` dir that
+    completed_parts would treat as live. Engines opened BEFORE the expiry
+    keep serving their snapshot (immutable segments); reopen to observe
+    the drop. NOTE: a later ``build_index(resume=True)`` over the original
+    input would rebuild expired partitions — expiry is a serving-index
+    operation, not a mid-build one (same contract as repair).
+
+    Returns {'expired': [...], 'kept': [...], 'freed_bytes': n}."""
+    import shutil
+
+    from .search import _cached_manifest
+    from .segments import completed_parts, part_dir
+
+    expired, kept, freed = [], [], 0
+    for p in sorted(completed_parts(index_dir)):
+        met = _cached_manifest(index_dir, p).get("metrics", {})
+        ts_max = met.get("ts_max")
+        if ts_max is not None and int(ts_max) < older_than_ts:
+            d = part_dir(index_dir, p)
+            size = sum(
+                os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+            )
+            if not dry_run:
+                tomb = os.path.join(index_dir, f".expired-{p:05d}")
+                if os.path.exists(tomb):
+                    shutil.rmtree(tomb)
+                os.rename(d, tomb)
+                shutil.rmtree(tomb, ignore_errors=True)
+            expired.append(p)
+            freed += size
+        else:
+            kept.append(p)
+    if expired and not dry_run:
+        from .segments import read_global_manifest, write_global_manifest
+
+        meta = read_global_manifest(index_dir)
+        hist = list(meta.get("expired", []))
+        hist.append({"older_than_ts": int(older_than_ts), "parts": expired})
+        write_global_manifest(index_dir, dict(meta, expired=hist))
+    return {"expired": expired, "kept": kept, "freed_bytes": freed}

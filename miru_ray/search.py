@@ -1400,6 +1400,34 @@ class SearchEngine:
         )
         return ranked[:k]
 
+    def suggest_prefix(
+        self, prefix: str, k: int = 10, field: str = "text"
+    ) -> list[tuple[str, int]]:
+        """Autocomplete (Lucene TermsComponent / prefix TermsEnum
+        analogue): dictionary terms starting with ``prefix``, ranked by
+        (global df desc, term asc). Same interactive-path discipline as
+        ``suggest``: the per-(partition, epoch) expansion cache feeds a
+        metadata-only df pushdown — posting bytes are never read."""
+        from .segments import read_term_dfs
+        from .tokenize import py_tokenize
+
+        toks = py_tokenize(prefix)
+        if not toks:
+            return []
+        body = toks[-1]
+        df: dict[str, int] = {}
+        sep_len = len(field) + 1
+        for part in self.parts:
+            epoch = _manifest_epoch(self.index_dir, part)
+            terms = expand_spec(self.index_dir, part, epoch, field, body + "*")
+            dfs = read_term_dfs(
+                self.index_dir, part, [field + FIELD_SEP + t for t in terms]
+            )
+            for key, n in dfs.items():
+                t = key[sep_len:]
+                df[t] = df.get(t, 0) + n
+        return sorted(df.items(), key=lambda x: (-x[1], x[0]))[:k]
+
     def _fan_out(
         self, kwargs: dict, parallel: bool | None, parts: list[int] | None = None
     ) -> list[dict]:

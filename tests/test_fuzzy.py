@@ -201,3 +201,21 @@ def test_boost_equals_repetition_engine(engine_fuzzy):
             assert [(h.doc_id, h.part) for h in hb] == [
                 (h.doc_id, h.part) for h in ohits
             ], (boosted, scoring)
+
+
+def test_suggest_prefix_vs_brute(engine_fuzzy):
+    """SearchEngine.suggest_prefix == brute force over the oracle's global
+    df restricted to the prefix, ranked (df desc, term asc)."""
+    eng, oracle = engine_fuzzy
+    gdf: dict[str, int] = {}
+    for part in oracle.values():
+        for t, n in part.df["text"].items():
+            gdf[t] = gdf.get(t, 0) + n
+    for prefix, k in (("w004", 10), ("t", 5), ("w00042", 3), ("zzz", 4)):
+        got = eng.suggest_prefix(prefix, k=k)
+        exp = sorted(
+            ((t, n) for t, n in gdf.items() if t.startswith(prefix)),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        assert got == exp, (prefix, k)
+    assert eng.suggest_prefix("", k=3) == []

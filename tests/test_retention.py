@@ -1,0 +1,72 @@
+"""Partition retention (age-out): whole-partition expiry gated on the ts
+zone map — effective under range (time-segment) partitioning, provably a
+no-op under hash partitioning."""
+
+import os
+
+import pytest
+
+from miru_ray.build import build_index, expire_partitions
+from miru_ray.search import SearchEngine
+from miru_ray.segments import completed_parts
+
+N_PARTS = 4
+
+
+@pytest.fixture()
+def range_idx(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_retention"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS, partitioning="range")
+    return d
+
+
+def _bounds(idx):
+    eng = SearchEngine(idx)
+    return {p: eng._ts_bounds(p) for p in eng.parts}
+
+
+def test_expire_range_partitions(range_idx):
+    b = _bounds(range_idx)
+    assert all(v is not None for v in b.values())
+    # range partitions are time-disjoint; cut at the second-oldest boundary
+    order = sorted(b, key=lambda p: b[p][0])
+    cutoff = b[order[2]][0]
+    old_parts = sorted(p for p in b if b[p][1] < cutoff)
+    assert old_parts == sorted(order[:2])
+
+    dry = expire_partitions(range_idx, cutoff, dry_run=True)
+    assert dry["expired"] == old_parts and dry["freed_bytes"] > 0
+    assert sorted(completed_parts(range_idx)) == sorted(b)  # nothing deleted
+
+    res = expire_partitions(range_idx, cutoff)
+    assert res["expired"] == old_parts and res["freed_bytes"] == dry["freed_bytes"]
+    assert sorted(completed_parts(range_idx)) == sorted(order[2:])
+
+    # the surviving index answers only in-retention docs
+    eng = SearchEngine(range_idx)
+    for r in eng.match("t1"):
+        assert all(int(t) >= cutoff for t in r["ts"])
+    hits, found = eng.search("t1", k=5, scoring="time")
+    assert found > 0 and all(h.ts >= cutoff for h in hits)
+
+    # idempotent; audit trail in the global manifest
+    res2 = expire_partitions(range_idx, cutoff)
+    assert res2["expired"] == [] and sorted(res2["kept"]) == sorted(order[2:])
+    from miru_ray.segments import read_global_manifest
+
+    hist = read_global_manifest(range_idx)["expired"]
+    assert hist[-1]["parts"] == old_parts
+    # no half-deleted tomb dirs remain
+    assert not [n for n in os.listdir(range_idx) if n.startswith(".expired-")]
+
+
+def test_expire_hash_partitions_is_noop(ray_session, tiny_transcripts_dir,
+                                        tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_retention_hash"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)  # hash partitioning
+    b = _bounds(d)
+    mid = sorted(v[0] for v in b.values())[N_PARTS // 2]
+    # hash zones all span the timeline: nothing provably expired
+    res = expire_partitions(d, mid)
+    assert res["expired"] == [] and sorted(res["kept"]) == sorted(b)
+    assert sorted(completed_parts(d)) == sorted(b)
