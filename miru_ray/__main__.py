@@ -95,6 +95,29 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    from .build import expire_partitions
+
+    print(json.dumps(expire_partitions(args.index, args.older_than,
+                                       dry_run=args.dry_run)))
+    return 0
+
+
+def cmd_export(args) -> int:
+    _ray_up()
+    from .search import SearchEngine
+
+    eng = SearchEngine(args.index)
+    if args.source:
+        from .extract import export_corpus
+
+        res = export_corpus(eng, args.query, args.source, args.out)
+    else:
+        res = eng.export_match(args.query, args.out)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_sync(args) -> int:
     _ray_up()
     from .sync import sync_index, verify_sync
@@ -233,6 +256,26 @@ def main(argv=None) -> int:
     e.add_argument("--input", required=True)
     e.add_argument("--index", required=True)
     e.set_defaults(fn=cmd_extend)
+
+    ex = sub.add_parser(
+        "expire", help="drop partitions older than a ts cutoff (retention)"
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--older-than", type=int, required=True,
+                    help="microsecond ts cutoff; partitions with ts_max below it drop")
+    ex.add_argument("--dry-run", action="store_true")
+    ex.set_defaults(fn=cmd_expire)
+
+    xp = sub.add_parser(
+        "export", help="materialize a filter query's full answer as parquet"
+    )
+    xp.add_argument("--index", required=True)
+    xp.add_argument("--query", required=True)
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--source", default=None,
+                    help="source parquet dir: rejoin raw rows (text included) "
+                         "instead of exporting index metadata only")
+    xp.set_defaults(fn=cmd_export)
 
     sy = sub.add_parser(
         "sync", help="replicate a built index to another dir (miru-sync analogue)"

@@ -86,3 +86,25 @@ def test_export_corpus_empty_answer(engine, tiny_transcripts_dir, tmp_path_facto
     assert res["rows"] == 0
     files = glob.glob(out + "/*.parquet")
     assert sum(pq.read_metadata(f).num_rows for f in files) == 0
+
+
+def test_export_cli(engine, tiny_transcripts_dir, tmp_path_factory, capsys):
+    import json
+
+    from miru_ray.__main__ import main
+
+    out_meta = str(tmp_path_factory.mktemp("cli_export"))
+    assert main(["export", "--index", engine.index_dir, "--query", "t1 t7",
+                 "--out", out_meta]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["files"] == N_PARTS and res["rows"] > 0
+
+    out_text = str(tmp_path_factory.mktemp("cli_export_text"))
+    assert main(["export", "--index", engine.index_dir, "--query", "t1 t7",
+                 "--out", out_text, "--source", tiny_transcripts_dir]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["rows"] == res["rows"]
+    t = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(out_text + "/*.parquet"))
+    )
+    assert "text" in t.column_names and t.num_rows == res["rows"]

@@ -70,3 +70,17 @@ def test_expire_hash_partitions_is_noop(ray_session, tiny_transcripts_dir,
     res = expire_partitions(d, mid)
     assert res["expired"] == [] and sorted(res["kept"]) == sorted(b)
     assert sorted(completed_parts(d)) == sorted(b)
+
+
+def test_expire_cli(range_idx, capsys):
+    import json
+
+    from miru_ray.__main__ import main
+
+    b = _bounds(range_idx)
+    cutoff = sorted(v[0] for v in b.values())[1]
+    assert main(["expire", "--index", range_idx, "--older-than", str(cutoff),
+                 "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["expired"]) == 1 and out["freed_bytes"] > 0
+    assert sorted(completed_parts(range_idx)) == sorted(b)  # dry run
