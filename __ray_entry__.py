@@ -473,8 +473,10 @@ def ft_export(sf_dir: str) -> pa.Table:
     shutil.rmtree(out, ignore_errors=True)
     res = eng.export_match("scan AND NOT merge", out)
     assert res["files"] == 4 and not res["skipped"]
+    import glob
+
     t = pa.concat_tables(
-        [pq.read_table(os.path.join(out, f)) for f in sorted(os.listdir(out))]
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(out, "part-*.parquet")))]
     )
     ids = conv_to_doc_id(t["conv_id"].to_pylist())
     return pa.table(

@@ -123,7 +123,11 @@ def cmd_sync(args) -> int:
     from .sync import sync_index, verify_sync
 
     if args.verify:
-        print(json.dumps(verify_sync(args.src, args.dst, checksum=args.checksum)))
+        # the audit keeps verify_sync's checksum=True default — a size-only
+        # "verify" cannot catch same-size content drift, which is the one
+        # thing an audit exists to catch; --no-checksum opts out explicitly
+        print(json.dumps(verify_sync(args.src, args.dst,
+                                     checksum=not args.no_checksum)))
     else:
         print(json.dumps(sync_index(args.src, args.dst, checksum=args.checksum)))
     return 0
@@ -283,9 +287,13 @@ def main(argv=None) -> int:
     sy.add_argument("--src", required=True)
     sy.add_argument("--dst", required=True)
     sy.add_argument("--checksum", action="store_true",
-                    help="CRC-verify same-size files instead of trusting sizes")
+                    help="sync mode: CRC-verify same-size files instead of "
+                         "trusting sizes")
     sy.add_argument("--verify", action="store_true",
-                    help="read-only audit: report equal/differing partitions")
+                    help="read-only audit: report equal/differing partitions "
+                         "(CRC-checked by default)")
+    sy.add_argument("--no-checksum", action="store_true",
+                    help="with --verify: downgrade the audit to size-only")
     sy.set_defaults(fn=cmd_sync)
 
     p = sub.add_parser("plugin", help="run a registered plugin against an index")

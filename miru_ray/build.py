@@ -1927,6 +1927,13 @@ def expire_partitions(
     from .search import _cached_manifest
     from .segments import completed_parts, part_dir
 
+    # sweep tomb dirs left by a crash between rename and rmtree: their
+    # partitions are already gone from completed_parts, so this entry-time
+    # sweep is the ONLY path that ever reclaims those bytes
+    for name in os.listdir(index_dir):
+        if name.startswith(".expired-"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
     expired, kept, freed = [], [], 0
     for p in sorted(completed_parts(index_dir)):
         met = _cached_manifest(index_dir, p).get("metrics", {})

@@ -71,10 +71,25 @@ def export_corpus(
 ) -> dict:
     """Write every source row whose (conv_id, turn_idx) matches ``query``
     on ``engine`` to ``out_dir`` as parquet — text included. Returns
-    {'rows': matched, 'out_dir': ...}. Requires Ray (it IS the pipeline)."""
+    {'matched': index answer size, 'rows': rows actually written,
+    'out_dir': ...} — the two differ when the source holds duplicate or
+    missing keys relative to what was indexed. Requires Ray (it IS the
+    pipeline). ``out_dir`` must be empty/absent: Ray's parquet sink emits
+    uniquely named files, so writing into a dir holding an earlier
+    export's files would silently serve the union of both answers."""
+    import glob as _glob
+    import os as _os
+
     import ray
     import ray.data as rd
+    import pyarrow.parquet as _pq
 
+    out_dir = _os.path.abspath(out_dir)
+    if _glob.glob(_os.path.join(out_dir, "*.parquet")):
+        raise FileExistsError(
+            f"{out_dir} already holds parquet files — exports never append; "
+            f"use a fresh out_dir"
+        )
     key_strs: list[str] = []
     for r in engine.match(query, time_range=time_range, authz=authz):
         key_strs.extend(
@@ -92,5 +107,12 @@ def export_corpus(
         num_cpus=1,
         zero_copy_batch=True,
     )
-    ds.write_parquet(out_dir)
-    return {"rows": matched, "out_dir": out_dir}
+    # local:// + abspath: relative paths would resolve in each Ray worker's
+    # cwd and multi-node runs would scatter blocks across nodes (the repo's
+    # established sink convention, __main__.cmd_pipeline)
+    ds.write_parquet("local://" + out_dir)
+    written = sum(
+        _pq.read_metadata(f).num_rows
+        for f in _glob.glob(_os.path.join(out_dir, "*.parquet"))
+    )
+    return {"matched": matched, "rows": written, "out_dir": out_dir}

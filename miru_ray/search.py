@@ -66,6 +66,10 @@ BM25_B = 0.75
 
 _EMPTY = np.empty(0, dtype=np.int64)
 
+# per-process cache of ray.remote-wrapped helpers (exported to the cluster
+# once per session, not once per call — same pattern as plugins._REMOTE_FNS)
+_REMOTE_FNS: dict = {}
+
 
 @dataclass
 class Hit:
@@ -1266,13 +1270,36 @@ class SearchEngine:
         atomically (tmp+rename) and SKIPPED when already present — a
         failed export resumes where it stopped, never rewrites finished
         partitions. Columns: part, doc_id, conv_id, turn_idx, role, tool,
-        ts."""
+        ts.
+
+        Resume is gated on a ``_EXPORT.json`` marker recording the exact
+        (query, time_range, authz) the dir holds — re-exporting a DIFFERENT
+        question into the same dir raises instead of silently serving the
+        old answer under the new name."""
+        import json as _json
         import os as _os
 
         _os.makedirs(out_dir, exist_ok=True)
         use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
         if authz is not None:
             authz = (authz[0], tuple(authz[1]))
+        spec = {"query": query,
+                "time_range": list(time_range) if time_range else None,
+                "authz": [authz[0], list(authz[1])] if authz else None}
+        marker = _os.path.join(out_dir, "_EXPORT.json")
+        if _os.path.exists(marker):
+            with open(marker) as f:
+                prev = _json.load(f)
+            if prev != spec:
+                raise ValueError(
+                    f"{out_dir} holds the export of {prev!r}; refusing to "
+                    f"resume it as {spec!r} — use a fresh out_dir"
+                )
+        else:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(spec, f)
+            _os.replace(tmp, marker)
         active = self._active_parts(time_range)
         args = (self.index_dir, query, out_dir, time_range, authz, use_stop)
         try:
@@ -1284,7 +1311,10 @@ class SearchEngine:
         if use_ray and len(active) > 1:
             import ray
 
-            fn = ray.remote(num_cpus=1)(_export_match_partition)
+            fn = _REMOTE_FNS.get(_export_match_partition)
+            if fn is None:
+                fn = ray.remote(num_cpus=1)(_export_match_partition)
+                _REMOTE_FNS[_export_match_partition] = fn
             results = ray.get([fn.remote(*args, p) for p in active])
         else:
             results = [_export_match_partition(*args, p) for p in active]
@@ -1373,7 +1403,6 @@ class SearchEngine:
         never touched: a 2M-doc candidate posting costs the same as a
         2-doc one)."""
         from .filters import levenshtein
-        from .segments import read_term_dfs
         from .tokenize import py_tokenize
 
         toks = py_tokenize(term)
@@ -1382,18 +1411,7 @@ class SearchEngine:
         body = toks[-1]
         if not 1 <= max_dist <= 2:
             raise ValueError("max_dist must be 1 or 2 (LevenshteinAutomata cap)")
-        spec = f"{body}~{max_dist}"
-        df: dict[str, int] = {}
-        sep_len = len(field) + 1
-        for part in self.parts:
-            epoch = _manifest_epoch(self.index_dir, part)
-            terms = expand_spec(self.index_dir, part, epoch, field, spec)
-            dfs = read_term_dfs(
-                self.index_dir, part, [field + FIELD_SEP + t for t in terms]
-            )
-            for key, n in dfs.items():
-                t = key[sep_len:]
-                df[t] = df.get(t, 0) + n
+        df = self._global_dfs(field, f"{body}~{max_dist}")
         ranked = sorted(
             ((t, n, levenshtein(t, body)) for t, n in df.items()),
             key=lambda x: (-x[1], x[2], x[0]),
@@ -1408,25 +1426,32 @@ class SearchEngine:
         (global df desc, term asc). Same interactive-path discipline as
         ``suggest``: the per-(partition, epoch) expansion cache feeds a
         metadata-only df pushdown — posting bytes are never read."""
-        from .segments import read_term_dfs
         from .tokenize import py_tokenize
 
         toks = py_tokenize(prefix)
         if not toks:
             return []
-        body = toks[-1]
+        df = self._global_dfs(field, toks[-1] + "*")
+        return sorted(df.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    def _global_dfs(self, field: str, spec: str) -> dict[str, int]:
+        """Corpus-level df per dictionary term matching ``spec``: the
+        epoch-cached expansion + the term+df-only pushdown read, df summed
+        across partitions (shared by suggest / suggest_prefix)."""
+        from .segments import read_term_dfs
+
         df: dict[str, int] = {}
         sep_len = len(field) + 1
         for part in self.parts:
             epoch = _manifest_epoch(self.index_dir, part)
-            terms = expand_spec(self.index_dir, part, epoch, field, body + "*")
+            terms = expand_spec(self.index_dir, part, epoch, field, spec)
             dfs = read_term_dfs(
                 self.index_dir, part, [field + FIELD_SEP + t for t in terms]
             )
             for key, n in dfs.items():
                 t = key[sep_len:]
                 df[t] = df.get(t, 0) + n
-        return sorted(df.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return df
 
     def _fan_out(
         self, kwargs: dict, parallel: bool | None, parts: list[int] | None = None

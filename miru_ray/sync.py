@@ -13,10 +13,14 @@ file sync:
   ``checksum=True`` upgrades the equality test to a streaming CRC of
   every same-size file (catches same-size content drift at the cost of
   reading the replica).
-- **Partition-atomic**: a changed partition is staged as a sibling tmp
-  dir and swapped in with two renames — a reader of the replica sees the
-  old segment or the new one, never a half-copied mix (same discipline
-  as the build's tmp+rename manifest protocol, segments.py).
+- **Partition-atomic (two renames)**: a changed partition is staged as a
+  sibling tmp dir and swapped in by renaming the old dir aside and the
+  staged dir in — a reader never sees a half-copied mix. The swap is NOT
+  a single atomic exchange: between the two renames (and after a crash
+  there) the partition is briefly absent from the replica; ``sync_index``
+  repairs that state on its next run by restoring the set-aside dir
+  before anything else, and serving replicas should be re-synced before
+  being handed to readers after a crashed sync.
 - **Resumable / idempotent**: re-running after a crash copies only what
   still differs; nothing is ever rewritten in place.
 - **Parallel**: one Ray task per partition when Ray is up (the 100-TB
@@ -36,6 +40,9 @@ import shutil
 import zlib
 
 from .segments import completed_parts, part_dir
+
+# ray.remote-wrapped helpers, exported once per session (plugins pattern)
+_REMOTE_FNS: dict = {}
 
 
 def _inventory(d: str) -> dict[str, int] | None:
@@ -115,10 +122,20 @@ def sync_index(src_dir: str, dst_dir: str, parallel: bool | None = None,
     src_parts = sorted(completed_parts(src_dir))
     if not src_parts and not os.path.exists(os.path.join(src_dir, "index.json")):
         raise FileNotFoundError(f"not a built index: {src_dir}")
-    # crashed staging/backup dirs from an interrupted earlier sync
-    for name in os.listdir(dst_dir):
-        if name.startswith((".sync-tmp-", ".sync-old-")):
-            shutil.rmtree(os.path.join(dst_dir, name), ignore_errors=True)
+    # crashed staging/backup dirs from an interrupted earlier sync: a
+    # .sync-old-NNNNN whose part= dir is MISSING marks a crash between the
+    # two swap renames — restore it (the partition must never stay absent);
+    # everything else is droppable garbage
+    for name in sorted(os.listdir(dst_dir)):
+        p = os.path.join(dst_dir, name)
+        if name.startswith(".sync-old-"):
+            live = part_dir(dst_dir, int(name.rsplit("-", 1)[1]))
+            if not os.path.exists(live):
+                os.rename(p, live)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        elif name.startswith(".sync-tmp-"):
+            shutil.rmtree(p, ignore_errors=True)
     # stale replica partitions next (a repair can retire an epoch's files;
     # never leave segments the source no longer has)
     removed = []
@@ -135,7 +152,10 @@ def sync_index(src_dir: str, dst_dir: str, parallel: bool | None = None,
     if use_ray:
         import ray
 
-        fn = ray.remote(num_cpus=1)(sync_partition)
+        fn = _REMOTE_FNS.get(sync_partition)
+        if fn is None:
+            fn = ray.remote(num_cpus=1)(sync_partition)
+            _REMOTE_FNS[sync_partition] = fn
         results = ray.get(
             [fn.remote(src_dir, dst_dir, p, checksum) for p in src_parts]
         )

@@ -691,8 +691,13 @@ def test_export_match_resumable(engine, tmp_path_factory):
     assert res["files"] == N_PARTS and res["skipped"] == []
     match_rows = sum(len(r["doc_id"]) for r in engine.match("t1 AND NOT t9"))
     assert res["rows"] == match_rows > 0
-    files = sorted(os.listdir(out))
+    files = sorted(f for f in os.listdir(out) if f.startswith("part-"))
     assert files == [f"part-{p:05d}.parquet" for p in range(N_PARTS)]
+    # a DIFFERENT question must not silently reuse this dir's files
+    with pytest.raises(ValueError):
+        engine.export_match("t1 AND NOT t7", out)
+    with pytest.raises(ValueError):
+        engine.export_match("t1 AND NOT t9", out, time_range=(0, 1))
     t = pa.concat_tables([pq.read_table(os.path.join(out, f)) for f in files])
     assert t.num_rows == match_rows
     assert t.column_names == ["part", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts"]

@@ -108,3 +108,12 @@ def test_export_cli(engine, tiny_transcripts_dir, tmp_path_factory, capsys):
         pq.read_table(f) for f in sorted(glob.glob(out_text + "/*.parquet"))
     )
     assert "text" in t.column_names and t.num_rows == res["rows"]
+
+
+def test_export_corpus_refuses_nonempty_dir(
+    engine, tiny_transcripts_dir, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("extract_refuse"))
+    export_corpus(engine, "t1 t7", tiny_transcripts_dir, out)
+    with pytest.raises(FileExistsError):
+        export_corpus(engine, "t1 AND NOT t9", tiny_transcripts_dir, out)

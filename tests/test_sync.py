@@ -54,7 +54,7 @@ def test_sync_propagates_mutations_incrementally(src_idx, tmp_path_factory):
     touched = remove_docs(src_idx, [(hits[0].conv_id, hits[0].turn_idx)])
     assert touched
     v = verify_sync(src_idx, dst)
-    assert v["differs"] == sorted(touched) or v["missing_in_dst"] == []
+    assert v["differs"] == sorted(touched) and v["missing_in_dst"] == []
 
     res = sync_index(src_idx, dst)
     # only the tombstoned partition re-copied
@@ -109,3 +109,18 @@ def test_sync_cli(src_idx, tmp_path_factory, capsys):
     assert main(["sync", "--src", src_idx, "--dst", dst, "--verify"]) == 0
     audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert audit["differs"] == [] and audit["stale_in_dst"] == []
+
+
+def test_sync_recovers_crashed_swap(src_idx, tmp_path_factory):
+    """A crash between the two swap renames leaves part= missing and
+    .sync-old- present; the next sync restores the partition before doing
+    anything else (a replica partition must never stay absent)."""
+    dst = str(tmp_path_factory.mktemp("sync_dst6"))
+    sync_index(src_idx, dst)
+    os.rename(part_dir(dst, 2), os.path.join(dst, ".sync-old-00002"))
+    res = sync_index(src_idx, dst)
+    # restored (equal content) → skipped, not re-copied
+    assert 2 in res["skipped"] and res["copied"] == []
+    assert os.path.exists(part_dir(dst, 2))
+    assert not os.path.exists(os.path.join(dst, ".sync-old-00002"))
+    assert _answers(dst) == _answers(src_idx)
