@@ -194,6 +194,21 @@ def ft_suggest(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_match_synonyms(sf_dir: str) -> pa.Table:
+    """Query-time synonym expansion (Lucene SynonymQuery spirit,
+    filters.expand_synonyms): 'fast' also matches 'slow'/'quick' via the
+    multi-valued-FieldFilter union — identical to the OR the user could
+    have typed, mirrored as OR in SQL."""
+    from miru_ray.transcripts import conv_to_doc_id
+
+    eng = _engine(sf_dir, 4)
+    out = []
+    for r in eng.match("fast AND NOT batch",
+                       synonyms={"fast": ["slow", "quick"]}):
+        out.extend(conv_to_doc_id(r["conv_id"]))
+    return pa.table({"doc_id": _i64(sorted(out))})
+
+
 def ft_suggest_prefix(sf_dir: str) -> pa.Table:
     """Autocomplete (SearchEngine.suggest_prefix, Lucene TermsComponent
     analogue): 's'-prefixed dictionary terms ranked by (corpus df desc,
@@ -1522,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_regexp": ft_match_regexp,
         "ft_suggest": ft_suggest,
         "ft_suggest_prefix": ft_suggest_prefix,
+        "ft_match_synonyms": ft_match_synonyms,
         "ft_topk_fuzzy": ft_topk_fuzzy,
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
@@ -1846,6 +1862,12 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
             f"FROM tok GROUP BY t "
             f"HAVING levenshtein(t, '{SUGGEST_TERM}') <= 2 "
             f"ORDER BY df DESC, dist, t LIMIT {SUGGEST_K}"
+        ),
+        "ft_match_synonyms": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"(list_contains({_TOK}, 'fast') OR list_contains({_TOK}, 'slow') "
+            f"OR list_contains({_TOK}, 'quick')) "
+            f"AND NOT list_contains({_TOK}, 'batch') ORDER BY doc_id"
         ),
         "ft_suggest_prefix": (
             f"WITH tok AS ({_TOKTAB}) "

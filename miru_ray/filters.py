@@ -435,3 +435,60 @@ def _wrap(musts: list[Filter], shoulds: list[Filter], must_nots: list[Filter]) -
     if must_nots:
         return Filter("pButNotQ", True, [], must_nots)
     raise QueryParseError("nothing to filter")
+
+
+def expand_synonyms(
+    filt: Filter,
+    synonyms: dict[str, list[str]],
+    field: str = DEFAULT_FIELD,
+    analyzer: str = "default",
+) -> Filter:
+    """Query-time synonym expansion (Lucene SynonymQuery /
+    SynonymGraphFilter spirit, applied at search time so the index never
+    changes): every plain term of ``field`` that has an entry in
+    ``synonyms`` also matches its synonyms. The rewrite just appends the
+    analyzed synonyms to the leaf's value list — multi-valued
+    ``MiruFieldFilter`` values are unioned by the evaluator already
+    (MiruFieldFilter.java:14-27), so the result is EXACTLY the query the
+    user could have typed with ORs (and is SQL-mirrorable the same way).
+
+    Wildcard/range/fuzzy/regexp specs and phrase subtrees are left
+    untouched (a spec string can never equal an analyzed dictionary key).
+    Keys and synonyms must analyze to ONE token each — a multi-token
+    synonym would need a phrase rewrite, which the evaluator treats as a
+    different (positional) operator; rejected loudly instead of silently
+    narrowing."""
+    from .analyzers import get_analyzer
+
+    scalar = get_analyzer(analyzer).scalar
+    norm: dict[str, list[str]] = {}
+    for k, vs in synonyms.items():
+        kt = scalar(k)
+        if len(kt) != 1:
+            raise ValueError(f"synonym key must analyze to one token: {k!r}")
+        outs = []
+        for v in vs:
+            vt = scalar(v)
+            if len(vt) != 1:
+                raise ValueError(f"synonym must analyze to one token: {v!r}")
+            outs.append(vt[0])
+        norm[kt[0]] = outs
+
+    def rewrite(f: Filter) -> Filter:
+        if f.op == "phrase":
+            return f
+        ffs = []
+        for ff in f.field_filters:
+            if ff.field != field:
+                ffs.append(ff)
+                continue
+            vals = list(ff.values)
+            for v in ff.values:
+                for s in norm.get(v, ()):
+                    if s not in vals:
+                        vals.append(s)
+            ffs.append(FieldFilter(ff.field, vals))
+        return Filter(f.op, f.inclusive, ffs,
+                      [rewrite(s) for s in f.sub_filters], f.slop)
+
+    return rewrite(filt)

@@ -677,6 +677,7 @@ def search_partition(
     min_score: float | None = None,
     below_min: int = 0,
     after: tuple[float, int, int, int] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
     task friendly). ``prune=False`` forces the full-evaluation path (used by
@@ -695,6 +696,11 @@ def search_partition(
     )
     filt = parse_query(query, use_stopwords=use_stopwords,
                        analyzer=_analyzer_name(index_dir))
+    if synonyms:
+        from .filters import expand_synonyms
+
+        filt = expand_synonyms(filt, synonyms,
+                               analyzer=_analyzer_name(index_dir))
     if _has_phrase(filt) and not _index_has_positions(index_dir):
         raise ValueError(
             'phrase queries ("...") need an index built with positions=True '
@@ -1078,6 +1084,7 @@ class SearchEngine:
         authz: tuple[str, list[str]] | None = None,
         early_exit: bool = True,
         after: "Hit | tuple[float, int, int, int] | None" = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> tuple[list[Hit], int]:
         """``early_exit`` (TIME scoring only): stop the newest→oldest walk
         once the zone maps prove no remaining partition can contribute —
@@ -1097,7 +1104,7 @@ class SearchEngine:
         kwargs = dict(
             query=query, k=k, scoring=scoring, time_range=time_range,
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
-            prune=prune, authz=authz, after=after,
+            prune=prune, authz=authz, after=after, synonyms=synonyms,
         )
         active = self._active_parts(time_range)
         if scoring == "time" and k > 0 and len(active) > 1 and early_exit:
@@ -1239,6 +1246,7 @@ class SearchEngine:
         max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
         parallel: bool | None = None,
         authz: tuple[str, list[str]] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> list[dict]:
         """Filter-only evaluation: every matching doc from every partition
         (no top-k, no scores). Returns the raw per-partition result dicts."""
@@ -1248,7 +1256,7 @@ class SearchEngine:
         kwargs = dict(
             query=query, k=0, scoring="match", time_range=time_range,
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
-            authz=authz,
+            authz=authz, synonyms=synonyms,
         )
         active = self._active_parts(time_range)
         self.last_parts_asked = len(active)

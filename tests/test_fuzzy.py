@@ -219,3 +219,44 @@ def test_suggest_prefix_vs_brute(engine_fuzzy):
         )[:k]
         assert got == exp, (prefix, k)
     assert eng.suggest_prefix("", k=3) == []
+
+
+def test_synonym_expansion_rank_identity(engine_fuzzy):
+    """search(q, synonyms=...) ≡ the OR query the user could have typed:
+    identical hits, scores and found counts (the rewrite only widens leaf
+    value lists, which the evaluator unions natively)."""
+    import numpy as np
+
+    from miru_ray.oracle import oracle_search
+
+    eng, oracle = engine_fuzzy
+    syn = {"t1": ["t2"], "t7": ["w00042"]}
+    for q, q_or in (
+        ("t1 AND NOT t9", "(t1 OR t2) AND NOT t9"),
+        ("t1 t7", "(t1 OR t2) (t7 OR w00042)"),
+        ("role:tool t7", "role:tool (t7 OR w00042)"),
+    ):
+        for scoring in ("bm25", "time"):
+            # early_exit=False: the oracle's found counts every partition
+            hits, found = eng.search(q, k=20, scoring=scoring, synonyms=syn,
+                                     early_exit=False)
+            ohits, ofound = oracle_search(oracle, q_or, 20, scoring)
+            assert found == ofound, (q, scoring)
+            assert [(h.doc_id, h.part) for h in hits] == [
+                (h.doc_id, h.part) for h in ohits
+            ], (q, scoring)
+            if scoring == "bm25":
+                assert np.allclose([h.score for h in hits],
+                                   [h.score for h in ohits], rtol=1e-5)
+    # no-op when no leaf matches a key
+    h1, f1 = eng.search("t3", k=10, synonyms={"zzz": ["t1"]})
+    h2, f2 = eng.search("t3", k=10)
+    assert f1 == f2 and [(h.doc_id, h.part) for h in h1] == [
+        (h.doc_id, h.part) for h in h2
+    ]
+    # wildcard leaves untouched; multi-token synonyms rejected
+    hw, _ = eng.search("w004*", k=5, synonyms={"w004*": ["t1"]})
+    hw2, _ = eng.search("w004*", k=5)
+    assert [(h.doc_id, h.part) for h in hw] == [(h.doc_id, h.part) for h in hw2]
+    with pytest.raises(ValueError):
+        eng.search("t1", synonyms={"t1": ["two words"]})
