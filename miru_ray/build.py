@@ -992,11 +992,15 @@ class FileIndexer:
                 )
         # meta fields across all parts at once
         runs.extend(meta_field_runs_multi(t, part, docid_of_row, dl_all, self.codec))
-        # forward slices per part, shipped as IPC pseudo-runs
+        # forward slices per part, shipped as IPC pseudo-runs. Select the
+        # forward columns ONCE before the per-part takes: taking from the
+        # full table would copy the text column (the corpus's largest) per
+        # group for rows the forward table never carries.
+        tmeta = t.select(["conv_id", "turn_idx", "role", "tool", "ts"])
         for gi, gs in enumerate(grp_starts):
             rows_p = order[gs : gs + grp_counts[gi]]
             p = int(sp[gs])
-            sub = t.take(pa.array(rows_p))
+            sub = tmeta.take(pa.array(rows_p))
             doc_ids = docid_of_row[rows_p]
             forward = pa.table(
                 {
