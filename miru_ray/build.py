@@ -84,7 +84,14 @@ from .analyzers import tokenizer_meta as _tokenizer_meta
 from .tokenize import token_counts, token_positions, tokenize_flat
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-CHUNK_DOCS = 65_536  # docs tokenized per in-task chunk (bounds triple memory)
+# Docs tokenized per in-task chunk (bounds triple memory). NOTE: chunk
+# boundaries are part of the index's byte-level identity — run fragmentation
+# feeds the merge's block-offset subsampling, and repair_partitions asserts
+# a rebuilt partition byte-equals the original — so this must be a fixed
+# constant, never input- or environment-dependent. (A cache-sizing A/B that
+# varied it by text bytes measured no win above this box's co-tenant noise
+# and broke repair byte-identity; see BASELINE.md.)
+CHUNK_DOCS = 65_536
 
 MANIFEST_ROW_SCHEMA = pa.schema(
     [
