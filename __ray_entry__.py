@@ -1349,6 +1349,32 @@ def txt_decontam(sf_dir: str):
     return decontaminate_ds(sf_dir, DECONTAM_EVAL_MAX_DOC_ID, k=DECONTAM_K)
 
 
+CURATE_EVAL_MAX = 25
+CURATE_K = 4
+CURATE_MIN_TOKENS = 20
+CURATE_MAX_DUP = 0.08
+CURATE_LANG = "en"
+
+
+def pipe_curate(sf_dir: str):
+    """The composed curation pipeline (curate.curate_ds): quality →
+    language → repetition → k=4-gram decontamination → exact dedup, as ONE
+    streaming pass (one read, one tokenize per doc) plus one row-sized
+    dedup exchange. Per-doc verdict = first failing gate. The full chain —
+    signals, the gate order, the k=4 rolling-hash contamination test and
+    the min-doc_id dedup keeper — is mirrored in SQL."""
+    from miru_ray.curate import curate_ds
+
+    return curate_ds(
+        sf_dir,
+        eval_max_doc_id=CURATE_EVAL_MAX,
+        k=CURATE_K,
+        min_tokens=CURATE_MIN_TOKENS,
+        max_dup_bigram_frac=CURATE_MAX_DUP,
+        lang=CURATE_LANG,
+    )
+
+
 CHUNK_MAX_TOKENS = 64
 PACK_BUDGET = 512
 
@@ -1603,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_collocations": txt_collocations,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_decontam": txt_decontam,
+        "pipe_curate": pipe_curate,
         "txt_chunks": txt_chunks,
         "txt_packing": txt_packing,
         "txt_redact": txt_redact,
@@ -1689,6 +1716,40 @@ g1 AS (SELECT *, xor(sm1, h1) AS x1 FROM {sm1_last} WHERE h1 IS NOT NULL),
 gm2 AS (SELECT *, {_mul64('x1', FNV_PRIME)} AS m2 FROM g1),
 {sm2},
 grams AS (SELECT doc_id, pos, xor(sm2, h2) AS g FROM {sm2_last} WHERE h2 IS NOT NULL)"""
+
+
+def _gram_ctes_k(k: int) -> str:
+    """documents → grams(doc_id, pos, g): the rolling k-token-gram hash for
+    arbitrary k (textstats.gram_hashes generalized — k−1 rounds of
+    h ← splitmix64(h·FNV_PRIME) ⊕ next-token-hash; grams spanning doc
+    boundaries dropped by the per-doc lead window)."""
+    leads = ", ".join(
+        f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS h{j}"
+        for j in range(1, k)
+    )
+    parts = [
+        f"""tok AS (SELECT doc_id, unnest(toks) AS t, unnest(range(len(toks))) AS pos
+       FROM (SELECT doc_id, {_TOK} AS toks FROM documents)),
+th AS (SELECT doc_id, pos, {_fnv_sql('t')} AS h FROM tok),
+thl AS (SELECT doc_id, pos, h, {leads} FROM th)"""
+    ]
+    prev, src = "h", "thl"
+    for j in range(1, k):
+        sm, last = _sm_ctes(f"sgk{j}", f"gmk{j}", f"mk{j}", f"smk{j}")
+        parts.append(f"gmk{j} AS (SELECT *, {_mul64(prev, FNV_PRIME)} AS mk{j} FROM {src})")
+        parts.append(sm)
+        if j < k - 1:
+            parts.append(
+                f"gxk{j} AS (SELECT *, xor(smk{j}, h{j}) AS xk{j} FROM {last} "
+                f"WHERE h{j} IS NOT NULL)"
+            )
+            prev, src = f"xk{j}", f"gxk{j}"
+        else:
+            parts.append(
+                f"grams AS (SELECT doc_id, pos, xor(smk{j}, h{j}) AS g FROM {last} "
+                f"WHERE h{j} IS NOT NULL)"
+            )
+    return ",\n".join(parts)
 
 
 def _perm_values() -> str:
@@ -2436,6 +2497,40 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id >= {DECONTAM_EVAL_MAX_DOC_ID}"""
+        ),
+        "pipe_curate": (
+            f"""WITH {_gram_ctes_k(CURATE_K)},
+eg AS (SELECT DISTINCT g FROM grams WHERE doc_id < {CURATE_EVAL_MAX}),
+tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= {CURATE_EVAL_MAX}),
+ch AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh FROM tg JOIN eg USING (g) GROUP BY doc_id),
+d AS (SELECT doc_id, text, {_TOK} AS tk FROM documents WHERE doc_id >= {CURATE_EVAL_MAX}),
+hl AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tokens, """
+            + ", ".join(
+                "CAST(len(list_filter(tk, x -> x IN ({mk}))) AS BIGINT) AS {lang}_hits".format(
+                    mk=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang
+                )
+                for lang in LANG_ORDER
+            )
+            + f""" FROM d),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g FROM d),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS dist FROM c2 GROUP BY 1),
+sig AS (SELECT hl.doc_id, hl.text, n_tokens, {lang_pred_sql()} AS pred_lang,
+          COALESCE((s2.total - s2.dist) / s2.total, 0.0) AS dup_bigram_frac,
+          COALESCE(ch.nh, 0) AS n_contam_hits
+        FROM hl LEFT JOIN s2 USING (doc_id) LEFT JOIN ch USING (doc_id)),
+gate AS (SELECT *, CASE WHEN n_tokens < {CURATE_MIN_TOKENS} THEN 'quality'
+                        WHEN pred_lang <> '{CURATE_LANG}' THEN 'language'
+                        WHEN dup_bigram_frac > {CURATE_MAX_DUP} THEN 'repetition'
+                        WHEN n_contam_hits > 0 THEN 'contaminated'
+                        ELSE 'pass' END AS g0 FROM sig),
+win AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id
+        FROM gate WHERE g0 = 'pass' GROUP BY text)
+SELECT g.doc_id, n_tokens, pred_lang, dup_bigram_frac, n_contam_hits,
+       CASE WHEN g.g0 <> 'pass' THEN g.g0
+            WHEN g.doc_id = w.keep_id THEN 'kept'
+            ELSE 'duplicate' END AS verdict
+FROM gate g LEFT JOIN win w ON g.g0 = 'pass' AND g.text = w.text"""
         ),
         "txt_charlm": (
             f"""WITH norm AS (SELECT doc_id, array_to_string({_TOK}, ' ') AS s FROM documents),

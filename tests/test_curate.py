@@ -1,0 +1,176 @@
+"""Composed curation pipeline (curate.curate_ds) vs an independent scalar
+reference over an ENGINEERED corpus in which every verdict class is
+non-empty and the duplicate pair spans two parquet files (two Ray blocks),
+so the cross-batch dedup group resolution is actually exercised."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+EVAL_MAX = 25
+K = 4
+MIN_TOKENS = 20
+MAX_DUP = 0.08
+LANG = "en"
+
+
+def _doc(doc_id: int, text: str) -> dict:
+    return {"doc_id": doc_id, "text": text}
+
+
+@pytest.fixture(scope="module")
+def curate_dir(tmp_path_factory):
+    """documents.parquet as a DIRECTORY of two files: the duplicate pair is
+    split across them so neither batch-local partial can resolve it."""
+    base = " ".join(f"u{i:02d}" for i in range(18))  # 18 unique filler tokens
+    eval_doc = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    dup_text = "the " + base + " mirror copy"  # 21 tokens, english, clean
+    docs_a = [
+        _doc(3, eval_doc),  # eval slice (not curated; feeds the gram set)
+        _doc(30, "the tiny one"),  # quality: 3 tokens
+        _doc(31, "der der " + " ".join(f"g{i:02d}" for i in range(20)) + " und das ist"),  # language
+        _doc(32, "the cat sat " * 12 + "on the mat"),  # repetition: dup bigrams
+        _doc(33, "the " + base + " alpha bravo charlie delta"),  # contaminated (k=4 gram)
+        _doc(35, dup_text),  # duplicate LOSER (larger id, file A)
+        _doc(36, "the " + " ".join(f"k{i:02d}" for i in range(22))),  # kept
+    ]
+    docs_b = [
+        _doc(34, dup_text),  # duplicate WINNER (smaller id, file B)
+        _doc(37, "the " + " ".join(f"m{i:02d}" for i in range(22))),  # kept
+    ]
+    d = tmp_path_factory.mktemp("curate") / "sf"
+    os.makedirs(d / "documents.parquet")
+    for name, rows in (("a", docs_a), ("b", docs_b)):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                    "text": pa.array([r["text"] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet" / f"{name}.parquet"),
+        )
+    return str(d)
+
+
+def scalar_curate(path: str):
+    """Independent scalar reference: python loops + the scalar tokenizer."""
+    from miru_ray.hashing import fnv1a64_str
+    from miru_ray.tokenize import py_tokenize
+
+    def splitmix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    def grams(tokens: list[str], k: int) -> set[int]:
+        th = [fnv1a64_str(t) for t in tokens]
+        n = len(th)
+        if n < k:
+            return set()
+        h = list(th)
+        for j in range(1, k):
+            h = [splitmix((x * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF) for x in h]
+            for i in range(n - j):
+                h[i] ^= th[i + j]
+        return set(h[: n - k + 1])
+
+    import glob
+
+    docs = []
+    for f in sorted(glob.glob(os.path.join(path, "documents.parquet", "*.parquet"))):
+        t = pq.read_table(f).to_pydict()
+        docs += list(zip(t["doc_id"], t["text"]))
+
+    from miru_ray.textstats import LANG_MARKERS, LANG_ORDER
+
+    eval_grams = set()
+    for i, text in docs:
+        if i < EVAL_MAX:
+            eval_grams |= grams(py_tokenize(text), K)
+
+    rows = {}
+    for i, text in docs:
+        if i < EVAL_MAX:
+            continue
+        toks = py_tokenize(text)
+        nt = len(toks)
+        hits = [sum(t in LANG_MARKERS[l] for t in toks) for l in LANG_ORDER]
+        pred = "und" if max(hits) == 0 else LANG_ORDER[hits.index(max(hits))]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        dup = (len(bigrams) - len(set(bigrams))) / len(bigrams) if bigrams else 0.0
+        nh = len(grams(toks, K) & eval_grams)
+        if nt < MIN_TOKENS:
+            v = "quality"
+        elif pred != LANG:
+            v = "language"
+        elif dup > MAX_DUP:
+            v = "repetition"
+        elif nh > 0:
+            v = "contaminated"
+        else:
+            v = "pass"
+        rows[i] = {
+            "n_tokens": nt,
+            "pred_lang": pred,
+            "dup_bigram_frac": dup,
+            "n_contam_hits": nh,
+            "verdict": v,
+            "text": text,
+        }
+    winners = {}
+    for i, r in rows.items():
+        if r["verdict"] == "pass":
+            winners[r["text"]] = min(winners.get(r["text"], i), i)
+    for i, r in rows.items():
+        if r["verdict"] == "pass":
+            r["verdict"] = "kept" if winners[r["text"]] == i else "duplicate"
+        del r["text"]
+    return rows
+
+
+def test_curate_vs_scalar(ray_session, curate_dir):
+    from miru_ray.curate import CURATE_VERDICTS, curate_ds
+
+    got = curate_ds(
+        curate_dir,
+        eval_max_doc_id=EVAL_MAX,
+        k=K,
+        min_tokens=MIN_TOKENS,
+        max_dup_bigram_frac=MAX_DUP,
+        lang=LANG,
+    ).to_pandas()
+    want = scalar_curate(curate_dir)
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        w = want[row["doc_id"]]
+        assert row["n_tokens"] == w["n_tokens"], row["doc_id"]
+        assert row["pred_lang"] == w["pred_lang"], row["doc_id"]
+        assert row["dup_bigram_frac"] == pytest.approx(w["dup_bigram_frac"])
+        assert row["n_contam_hits"] == w["n_contam_hits"], row["doc_id"]
+        assert row["verdict"] == w["verdict"], row["doc_id"]
+    # the engineered corpus exercises EVERY verdict class
+    assert set(got["verdict"]) == set(CURATE_VERDICTS)
+    # the cross-file duplicate pair resolved to (winner kept, loser dup)
+    byid = got.set_index("doc_id")["verdict"]
+    assert byid[34] == "kept" and byid[35] == "duplicate"
+
+
+def test_curate_sf_corpus(ray_session):
+    """On the real sf0.001 fixture corpus: verdicts total, non-curated eval
+    slice excluded, and the per-doc signal columns match the standalone
+    operators they fuse (quality_ds / langid_ds)."""
+    from miru_ray.curate import curate_ds
+    from miru_ray.textstats import langid_ds, quality_ds
+
+    sf = "/root/testdata/sf0.001"
+    got = curate_ds(sf).to_pandas().set_index("doc_id").sort_index()
+    assert (got.index >= 25).all()
+    q = quality_ds(sf).to_pandas().set_index("doc_id").sort_index()
+    l = langid_ds(sf).to_pandas().set_index("doc_id").sort_index()
+    q, l = q[q.index >= 25], l[l.index >= 25]
+    assert (got["n_tokens"] == q["n_tokens"]).all()
+    assert (got["pred_lang"] == l["pred_lang"]).all()
