@@ -355,6 +355,47 @@ def ft_topk_bm25(sf_dir: str) -> pa.Table:
     )
 
 
+K_COLLAPSE = 10
+
+
+def ft_topk_collapse(sf_dir: str) -> pa.Table:
+    """Field-collapsed BM25 top-k (SearchEngine.search(collapse="role"),
+    the Lucene CollapsingTopDocsCollector analogue): one best doc per role
+    (= documents.source) value, reps ranked (score desc, doc_id desc), in
+    fp64 with the fixed ft_topk_bm25 expression order mirrored in SQL.
+    (The engine's fp32 collapse path — per-partition per-key bests +
+    dedup merge — is rank-identity pytest-gated in tests/test_collapse.py.)"""
+    from miru_ray.segments import forward_columns
+    from miru_ray.transcripts import ensure_index
+
+    src, answer, n_docs, avgdl, dl = _topk_answer(sf_dir)
+    dl_a = dl[answer].astype(np.float64)
+    knorm = 1.2 * (0.25 + 0.75 * (dl_a / avgdl))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for w in TOPK_TERMS:
+        df = src.df[("text", w)]
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = _tf_on(src, w, answer)
+        score = score + idf * (tf / (tf + knorm))
+    fwd = forward_columns(ensure_index(sf_dir, 1), 0)
+    roles = fwd["role"].take(pa.array(answer)).dictionary_encode()
+    codes = roles.combine_chunks().indices.to_numpy(zero_copy_only=False) if isinstance(
+        roles, pa.ChunkedArray
+    ) else roles.indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((-answer, -score, codes))
+    first = np.concatenate([[True], codes[order][1:] != codes[order][:-1]])
+    reps = order[first]
+    top = reps[np.lexsort((-answer[reps], -score[reps]))][:K_COLLAPSE]
+    role_strs = fwd["role"].take(pa.array(answer[top])).to_pylist()
+    return pa.table(
+        {
+            "doc_id": _i64(answer[top]),
+            "role": pa.array(role_strs, type=pa.string()),
+            "score": pa.array(np.round(score[top], 6)),
+        }
+    )
+
+
 MLT_DOC = 7
 MLT_K = 10
 MLT_TERMS = 5
@@ -1570,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_phrase": ft_topk_phrase,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
+        "ft_topk_collapse": ft_topk_collapse,
         "ft_mlt": ft_mlt,
         "ft_topk_time": ft_topk_time,
         "ft_topk_boost": ft_topk_boost,
@@ -2018,6 +2060,30 @@ SELECT doc_id, round(idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm))
 FROM ans
 ORDER BY idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) DESC, doc_id DESC
 LIMIT {K_BM25}"""
+        ),
+        "ft_topk_collapse": (
+            tf_cte
+            + f""",
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+ans AS (
+  SELECT a.doc_id, a.tf AS tf1, b.tf AS tf2, dl.dl,
+         1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))) AS knorm,
+         ln(1.0 + (stats.n_docs - g1.df + 0.5) / (g1.df + 0.5)) AS idf1,
+         ln(1.0 + (stats.n_docs - g2.df + 0.5) / (g2.df + 0.5)) AS idf2
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t1}') g1
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t2}') g2
+  CROSS JOIN stats
+  WHERE a.t = '{t1}' AND b.t = '{t2}'),
+scored AS (SELECT ans.doc_id, d2.source AS role,
+                  idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) AS score
+           FROM ans JOIN documents d2 USING (doc_id)),
+best AS (SELECT doc_id, role, score,
+                row_number() OVER (PARTITION BY role ORDER BY score DESC, doc_id DESC) AS rn
+         FROM scored)
+SELECT doc_id, role, round(score, 6) AS score FROM best
+WHERE rn = 1 ORDER BY score DESC, doc_id DESC LIMIT {K_COLLAPSE}"""
         ),
         "ft_mlt": (
             f"""WITH tok AS ({_TOKTAB}),

@@ -678,10 +678,20 @@ def search_partition(
     below_min: int = 0,
     after: tuple[float, int, int, int] | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    collapse: str | None = None,
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
     task friendly). ``prune=False`` forces the full-evaluation path (used by
     tests to cross-check the block-max pruned path).
+
+    ``collapse`` — field collapsing (Lucene CollapsingTopDocsCollector):
+    at most one hit per distinct value of the named forward field
+    (``conv_id`` or ``role``), each group represented by its best-ordered
+    doc — (score desc, docId desc) under relevance scorers, the newest doc
+    under TIME. The partition returns its top-k DISTINCT keys; the engine
+    merge dedups keys across partitions (the better-ordered occurrence
+    wins, so the survivor is the per-key global best). ``found`` still
+    counts the uncollapsed match set, like Lucene's totalHits.
 
     ``after`` = (score, ts, part, doc_id) — deep-pagination cursor (Lucene
     IndexSearcher.searchAfter): only docs strictly AFTER the cursor in the
@@ -689,6 +699,14 @@ def search_partition(
     doc_id desc — the per-partition heap tie-break plus the merge's
     tie-to-current rule) are admitted to the top-k. ``found`` still counts
     the full match set (Lucene reports totalHits the same way)."""
+    if collapse is not None:
+        if collapse not in ("conv_id", "role"):
+            raise ValueError("collapse supports the forward fields 'conv_id'/'role'")
+        if scoring == "match":
+            raise ValueError("collapse applies to ranked queries, not match")
+        if after is not None or min_score is not None:
+            raise ValueError("collapse composes with neither searchAfter nor "
+                             "the serial report mode")
     manifest = _cached_manifest(index_dir, part)
     n_docs = manifest["metrics"]["n_docs"]
     avg_dl = manifest["metrics"].get("avg_dl") or (
@@ -725,6 +743,7 @@ def search_partition(
         and k > 0
         and min_score is None
         and after is None
+        and collapse is None  # group reps may rank below the global top-k
     ):
         from .wand import conjunctive_terms, disjunctive_terms, wand_topk
 
@@ -793,6 +812,8 @@ def search_partition(
                 part, sel, np.zeros(len(sel), np.float32), fwd["ts"][sel], after
             )
             sel = sel[keep]
+        if collapse is not None and len(sel):
+            sel = sel[_collapse_pick(sel, np.zeros(len(sel), np.float32), fwd, collapse)]
         top = sel[-k:][::-1] if k > 0 else sel[:0]
         scores = np.zeros(len(top), dtype=np.float32)
         return _gather(fwd, part, top, scores, found)
@@ -846,6 +867,11 @@ def search_partition(
         answer = answer[keep]
         scores = scores[keep]
 
+    if collapse is not None and len(answer):
+        keep = _collapse_pick(answer, scores, fwd, collapse)
+        answer = answer[keep]
+        scores = scores[keep]
+
     if k <= 0 or len(answer) == 0:
         return _gather(fwd, part, answer[:0], scores[:0], found)
     # top-k by (score desc, docId desc); answer is doc-ascending so lexsort
@@ -866,6 +892,24 @@ def search_partition(
     ts_top = fwd["ts"][top_docs]
     final = np.lexsort((-ts_top, -top_scores))
     return _gather(fwd, part, top_docs[final], top_scores[final], found)
+
+
+def _collapse_pick(answer: np.ndarray, scores: np.ndarray, fwd: dict,
+                   key: str) -> np.ndarray:
+    """Ascending index subset keeping the best doc per collapse-key value:
+    (score desc, docId desc) — the in-heap tie-break, which under TIME's
+    all-zero scores degenerates to the newest doc. One vectorized gather +
+    dictionary encode + lexsort; no per-row Python."""
+    import pyarrow as pa
+
+    col = fwd[key].take(pa.array(answer))
+    codes = col.dictionary_encode()
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    codes = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-answer, -scores, codes))
+    first = np.concatenate([[True], codes[order][1:] != codes[order][:-1]])
+    return np.sort(order[first])
 
 
 def _gather(fwd: dict, part: int, docs: np.ndarray, scores: np.ndarray, found: int) -> dict:
@@ -940,6 +984,34 @@ def _merge_two(merged: list[Hit], cur: list[Hit], k: int) -> list[Hit]:
             out.append(merged[i]); i += 1
         else:
             out.append(cur[j]); j += 1
+    return out
+
+
+def _merge_collapse_two(merged: list[Hit], cur: list[Hit], k: int, key: str) -> list[Hit]:
+    """The ordered two-pointer merge with collapse-key dedup: the
+    better-ordered occurrence of a key wins and later ones are skipped
+    without consuming k. Each input list carries its partitions' per-key
+    BEST rep (search_partition collapses first), so the survivor of a
+    cross-partition dup is the key's global best — and a key outside one
+    partition's top-k is dominated there by k distinct better keys, so the
+    merged top-k-distinct-keys answer is exact."""
+    out: list[Hit] = []
+    seen: set = set()
+    i = j = 0
+    while (i < len(merged) or j < len(cur)) and len(out) < k:
+        if i >= len(merged):
+            h = cur[j]; j += 1
+        elif j >= len(cur):
+            h = merged[i]; i += 1
+        elif _sort_key(merged[i]) < _sort_key(cur[j]):
+            h = merged[i]; i += 1
+        else:
+            h = cur[j]; j += 1
+        kv = getattr(h, key)
+        if kv in seen:
+            continue
+        seen.add(kv)
+        out.append(h)
     return out
 
 
@@ -1085,8 +1157,14 @@ class SearchEngine:
         early_exit: bool = True,
         after: "Hit | tuple[float, int, int, int] | None" = None,
         synonyms: dict[str, list[str]] | None = None,
+        collapse: str | None = None,
     ) -> tuple[list[Hit], int]:
-        """``early_exit`` (TIME scoring only): stop the newest→oldest walk
+        """``collapse`` — field collapsing (one best hit per distinct
+        ``conv_id`` or ``role`` value; see search_partition). Exact across
+        partitions: partitions return per-key bests, the merge dedups keys
+        keeping the better-ordered occurrence. ``found`` stays uncollapsed.
+
+        ``early_exit`` (TIME scoring only): stop the newest→oldest walk
         once the zone maps prove no remaining partition can contribute —
         the reference's evaluator short-circuit. Like the reference's,
         the returned ``found`` then counts only the partitions actually
@@ -1105,6 +1183,7 @@ class SearchEngine:
             query=query, k=k, scoring=scoring, time_range=time_range,
             constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
             prune=prune, authz=authz, after=after, synonyms=synonyms,
+            collapse=collapse,
         )
         active = self._active_parts(time_range)
         if scoring == "time" and k > 0 and len(active) > 1 and early_exit:
@@ -1120,6 +1199,8 @@ class SearchEngine:
             if first:
                 merged = hits[:k]
                 first = False
+            elif collapse is not None:
+                merged = _merge_collapse_two(merged, hits, k, collapse)
             else:
                 merged = _merge_two(merged, hits, k)
         return merged, found
@@ -1146,6 +1227,10 @@ class SearchEngine:
             rest_max[i] = run
             run = max(run, bmax[i])
         wave = max(1, self._wave_width(parallel, len(active)))
+        # collapse keeps the exit sound: remaining partitions' hits have
+        # strictly older ts, so they can neither enter the top-k nor win a
+        # key dedup against a kept (newer) rep
+        collapse = kwargs.get("collapse")
         merged: list[Hit] = []
         found = 0
         first = True
@@ -1158,6 +1243,8 @@ class SearchEngine:
                 if first:
                     merged = hits[:k]
                     first = False
+                elif collapse is not None:
+                    merged = _merge_collapse_two(merged, hits, k, collapse)
                 else:
                     merged = _merge_two(merged, hits, k)
             asked += len(chunk)

@@ -1,0 +1,75 @@
+"""Field-collapsing search (one best hit per conv_id / role — Lucene
+CollapsingTopDocsCollector analogue): collapsed top-k must equal the
+first-occurrence-per-key prefix of the FULL uncollapsed answer order, for
+every scorer, across a multi-partition index."""
+
+import pytest
+
+from miru_ray.build import build_index
+from miru_ray.search import SearchEngine
+
+N_PARTS = 4
+QUERIES = ["t1 t7", "t1 OR w00042", "t1 AND NOT t9", "role:tool t3"]
+BIG_K = 100_000
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_collapse"))
+    build_index(tiny_transcripts_dir, d, n_parts=N_PARTS)
+    return SearchEngine(d)
+
+
+def brute_collapse(full_hits, key, k):
+    """First occurrence per key in the realized total answer order — with
+    BIG_K no list is truncated anywhere, so this IS the collapsed truth."""
+    out, seen = [], set()
+    for h in full_hits:
+        kv = getattr(h, key)
+        if kv in seen:
+            continue
+        seen.add(kv)
+        out.append(h)
+        if len(out) == k:
+            break
+    return out
+
+
+@pytest.mark.parametrize("scoring", ["ref_tfidf", "bm25", "time"])
+@pytest.mark.parametrize("key", ["conv_id", "role"])
+def test_collapse_rank_identity(engine, scoring, key):
+    for q in QUERIES:
+        full, found_full = engine.search(q, k=BIG_K, scoring=scoring)
+        for k in (1, 5, 20):
+            # early_exit=False: under TIME the exit legitimately shrinks
+            # ``found`` to the partitions asked (documented); the exactness
+            # of the exit itself is covered below
+            got, found = engine.search(q, k=k, scoring=scoring, collapse=key,
+                                       early_exit=False)
+            want = brute_collapse(full, key, k)
+            assert [
+                (h.part, h.doc_id, h.score) for h in got
+            ] == [(h.part, h.doc_id, h.score) for h in want], (q, scoring, key, k)
+            # found stays uncollapsed (Lucene totalHits semantics)
+            assert found == found_full, (q, scoring, key)
+            # keys are distinct
+            assert len({getattr(h, key) for h in got}) == len(got)
+
+
+def test_collapse_validation(engine):
+    with pytest.raises(ValueError):
+        engine.search("t1", k=5, collapse="tool")
+    with pytest.raises(ValueError):
+        engine.search("t1", k=5, scoring="match", collapse="role")
+    with pytest.raises(ValueError):
+        engine.search("t1", k=5, collapse="role",
+                      after=(1.0, 0, 0, 0))
+
+
+def test_collapse_time_early_exit(engine):
+    """The TIME walk's zone-map exit stays exact under collapse."""
+    full, _ = engine.search("t1", k=BIG_K, scoring="time", early_exit=False)
+    want = brute_collapse(full, "conv_id", 5)
+    got, _ = engine.search("t1", k=5, scoring="time", collapse="conv_id",
+                           early_exit=True)
+    assert [(h.part, h.doc_id) for h in got] == [(h.part, h.doc_id) for h in want]
