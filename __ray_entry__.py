@@ -396,6 +396,55 @@ def ft_topk_collapse(sf_dir: str) -> pa.Table:
     )
 
 
+GROUP_N = 3
+GROUP_M = 2
+
+
+def ft_group_topk(sf_dir: str) -> pa.Table:
+    """Grouped top-k (SearchEngine.group_topk, Lucene grouping / ES
+    top_hits): the GROUP_N best roles by their best BM25 hit, each with its
+    GROUP_M best docs — fp64 with the ft_topk_bm25 expression order,
+    mirrored in SQL window functions. (The engine's two-pass fp32 path is
+    rank-identity pytest-gated in tests/test_collapse.py.)"""
+    from miru_ray.segments import forward_columns
+    from miru_ray.transcripts import ensure_index
+
+    src, answer, n_docs, avgdl, dl = _topk_answer(sf_dir)
+    dl_a = dl[answer].astype(np.float64)
+    knorm = 1.2 * (0.25 + 0.75 * (dl_a / avgdl))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for w in TOPK_TERMS:
+        df = src.df[("text", w)]
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = _tf_on(src, w, answer)
+        score = score + idf * (tf / (tf + knorm))
+    fwd = forward_columns(ensure_index(sf_dir, 1), 0)
+    roles = np.array(fwd["role"].take(pa.array(answer)).to_pylist(), dtype=object)
+    # group reps ranked (score desc, doc desc); top GROUP_N roles = the
+    # first GROUP_N distinct roles in that order
+    order = np.lexsort((-answer, -score))
+    top_roles: list = []
+    for i in order:
+        if roles[i] not in top_roles:
+            top_roles.append(roles[i])
+            if len(top_roles) == GROUP_N:
+                break
+    rows_doc, rows_role, rows_score = [], [], []
+    for r in top_roles:
+        idx = np.flatnonzero(roles == r)
+        best = idx[np.lexsort((-answer[idx], -score[idx]))][:GROUP_M]
+        rows_doc += list(answer[best])
+        rows_role += [r] * len(best)
+        rows_score += list(np.round(score[best], 6))
+    return pa.table(
+        {
+            "doc_id": _i64(np.array(rows_doc, dtype=np.int64)),
+            "role": pa.array(rows_role, type=pa.string()),
+            "score": pa.array(rows_score, type=pa.float64()),
+        }
+    )
+
+
 MLT_DOC = 7
 MLT_K = 10
 MLT_TERMS = 5
@@ -1612,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
         "ft_topk_collapse": ft_topk_collapse,
+        "ft_group_topk": ft_group_topk,
         "ft_mlt": ft_mlt,
         "ft_topk_time": ft_topk_time,
         "ft_topk_boost": ft_topk_boost,
@@ -2084,6 +2134,32 @@ best AS (SELECT doc_id, role, score,
          FROM scored)
 SELECT doc_id, role, round(score, 6) AS score FROM best
 WHERE rn = 1 ORDER BY score DESC, doc_id DESC LIMIT {K_COLLAPSE}"""
+        ),
+        "ft_group_topk": (
+            tf_cte
+            + f""",
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+ans AS (
+  SELECT a.doc_id, a.tf AS tf1, b.tf AS tf2, dl.dl,
+         1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))) AS knorm,
+         ln(1.0 + (stats.n_docs - g1.df + 0.5) / (g1.df + 0.5)) AS idf1,
+         ln(1.0 + (stats.n_docs - g2.df + 0.5) / (g2.df + 0.5)) AS idf2
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t1}') g1
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t2}') g2
+  CROSS JOIN stats
+  WHERE a.t = '{t1}' AND b.t = '{t2}'),
+scored AS (SELECT ans.doc_id, d2.source AS role,
+                  idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) AS score
+           FROM ans JOIN documents d2 USING (doc_id)),
+ranked AS (SELECT doc_id, role, score,
+                  row_number() OVER (PARTITION BY role ORDER BY score DESC, doc_id DESC) AS rn
+           FROM scored),
+top_roles AS (SELECT role FROM ranked WHERE rn = 1
+              ORDER BY score DESC, doc_id DESC LIMIT {GROUP_N})
+SELECT doc_id, role, round(score, 6) AS score FROM ranked
+WHERE rn <= {GROUP_M} AND role IN (SELECT role FROM top_roles)"""
         ),
         "ft_mlt": (
             f"""WITH tok AS ({_TOKTAB}),

@@ -182,11 +182,94 @@ def run_once(num_cpus: int, sf_dir: str, n_parts: int, build_attempts: int = 1) 
     }
 
 
+def run_qps(num_cpus: int, sf_dir: str, n_parts: int, clients: int = 8,
+            seconds: float = 10.0) -> dict:
+    """Concurrent-query throughput against the partition-pinned actor
+    engine: ``clients`` driver threads issue the reference query mix
+    back-to-back for ``seconds``; reports aggregate QPS and latency
+    percentiles (the reader-tier serving story, complementing the
+    single-query p50 of the default mode)."""
+    import threading
+
+    import ray
+
+    from miru_ray.build import build_index
+    from miru_ray.fixtures import ensure_transcripts
+    from miru_ray.search import SearchEngine
+
+    src = ensure_transcripts(scale_for(sf_dir))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        index_dir = f"/tmp/miru_ray_bench_qps_{os.getpid()}"
+        manifest = build_index(src, index_dir, n_parts=n_parts, resume=False)
+        eng = SearchEngine(index_dir, use_actors=True)
+        queries = list(QUERY_SET.items())
+        for _, q in queries:  # warm actors + posting caches once
+            eng.search(q, k=K, scoring="bm25")
+        lat: list[tuple[str, float]] = []
+        lock = threading.Lock()
+        t_start = time.monotonic()
+        stop_at = t_start + seconds
+
+        def client(cid: int):
+            i = cid  # deterministic stagger so clients interleave families
+            local = []
+            while time.monotonic() < stop_at:
+                name, q = queries[i % len(queries)]
+                t0 = time.monotonic()
+                eng.search(q, k=K, scoring="bm25")
+                local.append((name, time.monotonic() - t0))
+                i += 1
+            with lock:
+                lat.extend(local)
+
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.monotonic() - t_start
+        times = sorted(s for _, s in lat)
+
+        def pct(p):
+            return round(times[min(len(times) - 1, int(p * len(times)))], 4)
+
+        per_q = {}
+        for name, _ in queries:
+            qs = sorted(s for n, s in lat if n == name)
+            if qs:
+                per_q[name] = round(qs[len(qs) // 2], 4)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        return {
+            "num_cpus": num_cpus,
+            "clients": clients,
+            "seconds": round(elapsed, 2),
+            "n_queries": len(times),
+            "qps": round(len(times) / elapsed, 1),
+            "p50_sec": pct(0.50),
+            "p95_sec": pct(0.95),
+            "p99_sec": pct(0.99),
+            "per_query_p50": per_q,
+            "n_turns": manifest["totals"]["n_docs"],
+            "membw_gbs": membw_probe(),
+        }
+    finally:
+        ray.shutdown()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--membw", action="store_true",
                     help="pure-memory-traffic scaling control (no Ray)")
+    ap.add_argument("--qps", action="store_true",
+                    help="concurrent-query throughput against the actor engine")
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--sub", action="store_true", help="internal: single scaling run")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--parts", type=int, default=32)
@@ -202,6 +285,15 @@ def main():
                        "(non-circular scaling control: no Ray, no pipeline)",
              "unit": "GB/s"},
             **membw_scaling(),
+        )))
+        return
+
+    if args.qps:
+        print(json.dumps(dict(
+            {"metric": "BM25 top-10 QPS, concurrent clients vs the "
+                       "partition-pinned actor engine", "unit": "qps",
+             "sf": sf_dir},
+            **run_qps(cpus, sf_dir, args.parts, args.clients, args.seconds),
         )))
         return
 

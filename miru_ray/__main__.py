@@ -56,7 +56,8 @@ def cmd_search(args) -> int:
     if getattr(args, "serial", False):
         hits, found = eng.search_serial(args.query, k=args.k, scoring=args.scoring)
     else:
-        hits, found = eng.search(args.query, k=args.k, scoring=args.scoring)
+        hits, found = eng.search(args.query, k=args.k, scoring=args.scoring,
+                                 collapse=getattr(args, "collapse", None))
     print(
         json.dumps(
             {
@@ -248,6 +249,8 @@ def main(argv=None) -> int:
     s.add_argument("--serial", action="store_true",
                    help="serial partition walk with report carry-forward "
                         "(acceptableBelowMin admission; relevance scorers only)")
+    s.add_argument("--collapse", choices=["conv_id", "role"], default=None,
+                   help="field collapsing: one best hit per key value")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser(

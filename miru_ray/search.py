@@ -679,6 +679,7 @@ def search_partition(
     after: tuple[float, int, int, int] | None = None,
     synonyms: dict[str, list[str]] | None = None,
     collapse: str | None = None,
+    group_by: tuple[str, tuple, int] | None = None,
 ) -> dict:
     """One partition's answer with absent report. Returns plain arrays (ray
     task friendly). ``prune=False`` forces the full-evaluation path (used by
@@ -707,6 +708,11 @@ def search_partition(
         if after is not None or min_score is not None:
             raise ValueError("collapse composes with neither searchAfter nor "
                              "the serial report mode")
+    if group_by is not None:
+        if collapse is not None or scoring == "match" or after is not None \
+                or min_score is not None:
+            raise ValueError("group_by composes with ranked scorers only "
+                             "(no collapse/match/after/serial report)")
     manifest = _cached_manifest(index_dir, part)
     n_docs = manifest["metrics"]["n_docs"]
     avg_dl = manifest["metrics"].get("avg_dl") or (
@@ -744,6 +750,7 @@ def search_partition(
         and min_score is None
         and after is None
         and collapse is None  # group reps may rank below the global top-k
+        and group_by is None
     ):
         from .wand import conjunctive_terms, disjunctive_terms, wand_topk
 
@@ -812,6 +819,14 @@ def search_partition(
                 part, sel, np.zeros(len(sel), np.float32), fwd["ts"][sel], after
             )
             sel = sel[keep]
+        if group_by is not None:
+            gkey, gkeys, gm = group_by
+            pos, gvals = _group_pick(
+                sel, np.zeros(len(sel), np.float32), fwd, gkey, gkeys, gm
+            )
+            res = _gather(fwd, part, sel[pos], np.zeros(len(pos), np.float32), found)
+            res["group"] = gvals
+            return res
         if collapse is not None and len(sel):
             sel = sel[_collapse_pick(sel, np.zeros(len(sel), np.float32), fwd, collapse)]
         top = sel[-k:][::-1] if k > 0 else sel[:0]
@@ -867,6 +882,13 @@ def search_partition(
         answer = answer[keep]
         scores = scores[keep]
 
+    if group_by is not None:
+        gkey, gkeys, gm = group_by
+        pos, gvals = _group_pick(answer, scores, fwd, gkey, gkeys, gm)
+        res = _gather(fwd, part, answer[pos], scores[pos], found)
+        res["group"] = gvals
+        return res
+
     if collapse is not None and len(answer):
         keep = _collapse_pick(answer, scores, fwd, collapse)
         answer = answer[keep]
@@ -892,6 +914,33 @@ def search_partition(
     ts_top = fwd["ts"][top_docs]
     final = np.lexsort((-ts_top, -top_scores))
     return _gather(fwd, part, top_docs[final], top_scores[final], found)
+
+
+def _group_pick(answer: np.ndarray, scores: np.ndarray, fwd: dict,
+                key: str, keys: tuple, m: int) -> tuple[np.ndarray, list]:
+    """Positions (into ``answer``) of each selected key's top-m docs by
+    (score desc, docId desc — zero scores degenerate to newest-first), plus
+    the key value per kept row. One gather + dictionary encode + lexsort +
+    run-rank; no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = fwd[key].take(pa.array(answer))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mask = pc.is_in(col, value_set=pa.array(list(keys))).to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return idx, []
+    enc = col.take(pa.array(idx)).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-answer[idx], -scores[idx], codes))
+    c = codes[order]
+    starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+    rank = np.arange(len(c)) - np.repeat(starts, np.diff(np.append(starts, len(c))))
+    sel = order[rank < m]
+    pos = idx[sel]
+    return pos, col.take(pa.array(pos)).to_pylist()
 
 
 def _collapse_pick(answer: np.ndarray, scores: np.ndarray, fwd: dict,
@@ -1324,6 +1373,61 @@ class SearchEngine:
                 min((h.score for h in merged), default=float("inf")),
             )
         return merged, found
+
+    def group_topk(
+        self,
+        query: str,
+        n_groups: int = 5,
+        per_group: int = 3,
+        key: str = "role",
+        scoring: str = "ref_tfidf",
+        time_range: tuple[int, int] | None = None,
+        constraint: Filter | None = None,
+        max_wild: int = DEFAULT_MAX_WILDCARD_EXPANSION,
+        parallel: bool | None = None,
+        authz: tuple[str, list[str]] | None = None,
+    ) -> tuple[list[tuple[str, list[Hit]]], int]:
+        """Two-pass grouped top-k (Lucene grouping / Solr group=true / ES
+        top_hits): the top ``n_groups`` key values each with their top
+        ``per_group`` hits. Pass 1 selects the group keys via the collapse
+        machinery (exact across partitions); pass 2 broadcasts the selected
+        keys in the query plan and every partition returns its per-key top
+        ``per_group`` docs, merged per key by the ordered two-pointer rule
+        — the classic distributed top-k argument applied within each key,
+        so the per-group lists are exact too. A single-pass grouped fan-out
+        cannot be exact: a key outside one partition's local group ranking
+        may still own globally ranked docs there, which is why Solr/ES
+        distributed grouping use the same two round trips. Returns
+        ([(key_value, [Hit...]) in group rank order], uncollapsed found)."""
+        if authz is not None:
+            authz = (authz[0], tuple(authz[1]))
+        reps, found = self.search(
+            query, k=n_groups, scoring=scoring, time_range=time_range,
+            constraint=constraint, max_wild=max_wild, parallel=parallel,
+            authz=authz, collapse=key, early_exit=False,
+        )
+        key_order = [getattr(h, key) for h in reps]
+        if not key_order:
+            return [], found
+        use_stop = bool(self.meta.get("tokenizer", {}).get("stopwords"))
+        kwargs = dict(
+            query=query, k=per_group, scoring=scoring, time_range=time_range,
+            constraint=constraint, max_wild=max_wild, use_stopwords=use_stop,
+            authz=authz, group_by=(key, tuple(key_order), per_group),
+        )
+        active = self._active_parts(time_range)
+        per_key: dict[str, list[Hit]] = {kv: [] for kv in key_order}
+        for r in self._fan_out(kwargs, parallel, parts=active):
+            hits = _hits_of(r)
+            by: dict[str, list[Hit]] = {}
+            for g, h in zip(r["group"], hits):
+                by.setdefault(g, []).append(h)
+            for kv, lst in by.items():
+                cur = per_key.get(kv)
+                if cur is None:
+                    continue
+                per_key[kv] = lst[:per_group] if not cur else _merge_two(cur, lst, per_group)
+        return [(kv, per_key[kv]) for kv in key_order], found
 
     def match(
         self,

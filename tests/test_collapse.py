@@ -66,6 +66,39 @@ def test_collapse_validation(engine):
                       after=(1.0, 0, 0, 0))
 
 
+def brute_group_topk(full_hits, key, n_groups, per_group):
+    """Group truth from the untruncated answer order: groups in
+    first-occurrence (= best-rep) order, each with its first per_group
+    occurrences."""
+    order, groups = [], {}
+    for h in full_hits:
+        kv = getattr(h, key)
+        if kv not in groups:
+            if len(order) == n_groups:
+                if kv not in groups:
+                    continue
+            order.append(kv)
+            groups[kv] = []
+        if len(groups[kv]) < per_group:
+            groups[kv].append(h)
+    return [(kv, groups[kv]) for kv in order[:n_groups]]
+
+
+@pytest.mark.parametrize("scoring", ["ref_tfidf", "bm25", "time"])
+@pytest.mark.parametrize("key", ["conv_id", "role"])
+def test_group_topk_vs_brute(engine, scoring, key):
+    for q in QUERIES:
+        full, found_full = engine.search(q, k=BIG_K, scoring=scoring,
+                                         early_exit=False)
+        got, found = engine.group_topk(q, n_groups=4, per_group=3, key=key,
+                                       scoring=scoring)
+        want = brute_group_topk(full, key, 4, 3)
+        assert [(kv, [(h.part, h.doc_id, h.score) for h in hs]) for kv, hs in got] == [
+            (kv, [(h.part, h.doc_id, h.score) for h in hs]) for kv, hs in want
+        ], (q, scoring, key)
+        assert found == found_full
+
+
 def test_collapse_time_early_exit(engine):
     """The TIME walk's zone-map exit stays exact under collapse."""
     full, _ = engine.search("t1", k=BIG_K, scoring="time", early_exit=False)
