@@ -445,6 +445,22 @@ def ft_group_topk(sf_dir: str) -> pa.Table:
     )
 
 
+MMR_K = 5
+MMR_NCAND = 20
+
+
+def ft_mmr(sf_dir: str) -> pa.Table:
+    """MMR-diversified reranking (ann.mmr_rerank_docs; Carbonell &
+    Goldstein 1998): top-20 BM25 AND-query candidates (the ft_topk_bm25
+    fp64 chain), then greedy λ·rel − μ·max-cosine-to-selected against the
+    documents' embedding vectors (rel rounded 1e-6, cosine 1e-4, ties →
+    larger doc_id). The whole chain — candidate cut, rounding contract,
+    five greedy stages — is mirrored in SQL (_mmr_oracle_sql)."""
+    from miru_ray.ann import mmr_rerank_docs
+
+    return mmr_rerank_docs(sf_dir, TOPK_TERMS, k=MMR_K, n_candidates=MMR_NCAND)
+
+
 MLT_DOC = 7
 MLT_K = 10
 MLT_TERMS = 5
@@ -1662,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_bm25": ft_topk_bm25,
         "ft_topk_collapse": ft_topk_collapse,
         "ft_group_topk": ft_group_topk,
+        "ft_mmr": ft_mmr,
         "ft_mlt": ft_mlt,
         "ft_topk_time": ft_topk_time,
         "ft_topk_boost": ft_topk_boost,
@@ -1842,6 +1859,65 @@ thl AS (SELECT doc_id, pos, h, {leads} FROM th)"""
                 f"WHERE h{j} IS NOT NULL)"
             )
     return ",\n".join(parts)
+
+
+def _mmr_oracle_sql() -> str:
+    """ft_mmr mirror: the ft_topk_bm25 candidate chain (top MMR_NCAND by
+    raw fp64 score), pairwise rounded cosines over the candidate set, then
+    MMR_K chained greedy stages — stage i picks argmax(λ·rel − μ·max sim
+    to sel_{i−1}) with ties → doc_id desc, exactly ann.mmr_select's
+    contract (λ and μ are independent literals on both sides)."""
+    from miru_ray.ann import MMR_LAMBDA as lam
+    from miru_ray.ann import MMR_MU as mu
+
+    t1, t2 = TOPK_TERMS
+    parts = [
+        f"""tok AS ({_TOKTAB}),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+g AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(len({_TOK}) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents),
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+ans AS (
+  SELECT a.doc_id,
+         ln(1.0 + (stats.n_docs - g1.df + 0.5) / (g1.df + 0.5))
+           * (a.tf / (a.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))))
+         + ln(1.0 + (stats.n_docs - g2.df + 0.5) / (g2.df + 0.5))
+           * (b.tf / (b.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))))) AS raw
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t1}') g1
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t2}') g2
+  CROSS JOIN stats
+  WHERE a.t = '{t1}' AND b.t = '{t2}'),
+cand AS (SELECT doc_id, round(raw, 6) AS rel FROM ans
+         ORDER BY raw DESC, doc_id DESC LIMIT {MMR_NCAND}),
+sim AS (SELECT a.doc_id AS x, b.doc_id AS y,
+               round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS s
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+        JOIN embeddings ea ON ea.vec_id = a.doc_id
+        JOIN embeddings eb ON eb.vec_id = b.doc_id)"""
+    ]
+    parts.append(
+        f"s1 AS (SELECT doc_id, rel FROM cand ORDER BY {lam} * rel DESC, doc_id DESC LIMIT 1)"
+    )
+    parts.append("sel1 AS (SELECT doc_id FROM s1)")
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f"""s{i} AS (SELECT c.doc_id, c.rel FROM cand c
+  JOIN sim ON sim.x = c.doc_id AND sim.y IN (SELECT doc_id FROM sel{i - 1})
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+  GROUP BY c.doc_id, c.rel
+  ORDER BY {lam} * c.rel - {mu} * max(sim.s) DESC, c.doc_id DESC LIMIT 1)"""
+        )
+        parts.append(
+            f"sel{i} AS (SELECT doc_id FROM sel{i - 1} UNION ALL SELECT doc_id FROM s{i})"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT doc_id, rel AS score, CAST({i} AS BIGINT) AS rank FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
 
 
 def _perm_values() -> str:
@@ -2161,6 +2237,7 @@ top_roles AS (SELECT role FROM ranked WHERE rn = 1
 SELECT doc_id, role, round(score, 6) AS score FROM ranked
 WHERE rn <= {GROUP_M} AND role IN (SELECT role FROM top_roles)"""
         ),
+        "ft_mmr": _mmr_oracle_sql(),
         "ft_mlt": (
             f"""WITH tok AS ({_TOKTAB}),
 stf AS (SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tok

@@ -514,3 +514,123 @@ def ann_lsh_topk(
         concurrency=(1, 2),
     )
     return _merge_topk_ds(partials, k)
+
+
+# ------------------------------------------------ MMR diversified reranking
+
+MMR_LAMBDA = 0.7
+# the diversity weight is an INDEPENDENT literal, not 1-λ: python's
+# 1 - 0.7 = 0.30000000000000004 while a SQL oracle writes 0.3 — both sides
+# must multiply by the same double for selection parity
+MMR_MU = 0.3
+
+
+def load_embeddings_for(sf_dir: str, ids: np.ndarray) -> np.ndarray:
+    """Embedding rows for an answer-sized id set, in the order of ``ids``
+    (row-filter pushdown read — only the candidate rows leave the file)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin([int(i) for i in ids]),
+    )
+    vid, m = _to_matrix(t)
+    order = np.argsort(vid)
+    pos = order[np.searchsorted(vid[order], np.asarray(ids, dtype=np.int64))]
+    if not np.array_equal(vid[pos], np.asarray(ids, dtype=np.int64)):
+        raise KeyError("embeddings missing for some candidate ids")
+    return m[pos]
+
+
+def mmr_select(
+    ids: np.ndarray,
+    rel: np.ndarray,
+    vecs: np.ndarray,
+    k: int,
+    lam: float = MMR_LAMBDA,
+    mu: float = MMR_MU,
+) -> np.ndarray:
+    """Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): repeatedly pick argmax(λ·rel − μ·max_cosine_to_selected) among
+    the remaining candidates. Returns positions into ``ids`` in selection
+    order. Deterministic contract (mirrored in the ft_mmr SQL oracle):
+    relevance rounded to 1e-6, pairwise cosine rounded to 1e-4 (the
+    ann_topk fp32 drift-absorption convention), fp64 score arithmetic,
+    ties → larger id. O(n²) sims + O(k·n) selection on an answer-sized
+    candidate set — strictly driver-side; the corpus-scale work is the
+    relevance search that produced the candidates."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    k = min(k, n)
+    v = _normalize(vecs.astype(np.float64))
+    sims = np.round(v @ v.T, 4)
+    r = np.round(np.asarray(rel, dtype=np.float64), 6)
+    # the diversity term is the TRUE max cosine over the selected set —
+    # it can be negative, so it must start from the first pick's column,
+    # not from zero (a zero floor would erase anti-correlated candidates'
+    # diversity bonus); with nothing selected the term is absent (stage 1
+    # ranks by λ·rel alone)
+    maxsim: np.ndarray | None = None
+    avail = np.ones(n, dtype=bool)
+    picked: list[int] = []
+    for _ in range(k):
+        mmr = lam * r if maxsim is None else lam * r - mu * maxsim
+        mmr[~avail] = -np.inf
+        best = np.lexsort((-ids, -mmr))[0]
+        picked.append(int(best))
+        avail[best] = False
+        col = sims[:, best]
+        maxsim = col.copy() if maxsim is None else np.maximum(maxsim, col)
+    return np.asarray(picked, dtype=np.int64)
+
+
+def mmr_rerank_docs(
+    sf_dir: str,
+    terms: tuple[str, ...],
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = MMR_LAMBDA,
+    mu: float = MMR_MU,
+) -> pa.Table:
+    """Diversified top-k over the documents corpus: BM25 AND-query
+    candidates (fp64, the ft_topk_bm25 expression order —
+    FullText.java:99-220's scorer shape with Robertson idf), then greedy
+    MMR against the documents' embedding vectors. Returns (doc_id, score
+    = the BM25 relevance rounded 1e-6, rank = 1-based selection order)."""
+    import math
+
+    from .search import PostingSource
+    from .segments import forward_columns, read_manifest
+    from .transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    man = read_manifest(index_dir, 0)
+    n_docs = man["metrics"]["n_docs"]
+    avgdl = man["metrics"]["total_tokens"] / n_docs
+    src = PostingSource(index_dir, 0, [("text", w) for w in terms], 0)
+    answer = None
+    for w in terms:
+        d = src.docs("text", w)
+        answer = d if answer is None else np.intersect1d(d, answer, assume_unique=True)
+    dl = forward_columns(index_dir, 0)["dl"][answer].astype(np.float64)
+    knorm = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for w in terms:
+        df = src.df[("text", w)]
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        docs = src.docs("text", w)
+        tf = src.tfs("text", w)[np.searchsorted(docs, answer)].astype(np.float64)
+        score = score + idf * (tf / (tf + knorm))
+    cand = np.lexsort((-answer, -score))[:n_candidates]
+    cand_ids, cand_rel = answer[cand], score[cand]
+    vecs = load_embeddings_for(sf_dir, cand_ids)
+    sel = mmr_select(cand_ids, cand_rel, vecs, k, lam=lam, mu=mu)
+    return pa.table(
+        {
+            "doc_id": pa.array(cand_ids[sel], type=pa.int64()),
+            "score": pa.array(np.round(cand_rel[sel], 6), type=pa.float64()),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+        }
+    )

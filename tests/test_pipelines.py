@@ -1422,3 +1422,39 @@ def test_collocations_vs_brute(ray_session, docs, doc_tokens):
     exp.sort(key=lambda r: (-r[2], r[0]))
     got = collocations_ds(SF, k=k, min_count=min_count).to_pandas()
     assert list(map(tuple, got.values)) == exp[:k]
+
+
+def test_mmr_select_vs_brute(ray_session, emb):
+    """ann.mmr_select vs a from-scratch scalar re-derivation (recompute the
+    argmax over the remaining set each round with python loops), including
+    anti-correlated vectors where max-sim-to-selected is NEGATIVE."""
+    import numpy as np
+
+    from miru_ray.ann import MMR_LAMBDA, MMR_MU, mmr_select
+
+    ids_all, m = emb
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        pick = rng.choice(len(ids_all), size=20, replace=False)
+        ids = ids_all[pick].astype(np.int64)
+        vecs = m[pick]
+        rel = np.round(rng.random(20), 6)
+        got = mmr_select(ids, rel, vecs, k=6)
+        # scalar brute force
+        v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = np.round(v @ v.T, 4)
+        remaining = list(range(20))
+        sel: list[int] = []
+        for _ in range(6):
+            best, best_key = None, None
+            for i in remaining:
+                ms = max((sims[i][j] for j in sel), default=None)
+                mmr = MMR_LAMBDA * rel[i] if ms is None else (
+                    MMR_LAMBDA * rel[i] - MMR_MU * ms
+                )
+                key = (mmr, ids[i])
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            sel.append(best)
+            remaining.remove(best)
+        assert list(got) == sel, trial
