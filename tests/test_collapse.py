@@ -106,3 +106,27 @@ def test_collapse_time_early_exit(engine):
     got, _ = engine.search("t1", k=5, scoring="time", collapse="conv_id",
                            early_exit=True)
     assert [(h.part, h.doc_id) for h in got] == [(h.part, h.doc_id) for h in want]
+
+
+def test_collapse_edges(engine):
+    # no matches → empty, found 0
+    hits, found = engine.search("zzqqxx", k=5, collapse="role")
+    assert hits == [] and found == 0
+    # k larger than distinct keys → every key once
+    full, _ = engine.search("t1", k=BIG_K, scoring="bm25", early_exit=False)
+    distinct_roles = {h.role for h in full}
+    hits, _ = engine.search("t1", k=1000, scoring="bm25", collapse="role")
+    assert len(hits) == len(distinct_roles)
+    assert {h.role for h in hits} == distinct_roles
+
+
+def test_group_topk_edges(engine):
+    got, found = engine.group_topk("zzqqxx", n_groups=3, per_group=2)
+    assert got == [] and found == 0
+    # more groups than distinct keys → all keys, still exact
+    full, _ = engine.search("t1", k=BIG_K, scoring="ref_tfidf", early_exit=False)
+    want = brute_group_topk(full, "role", 1000, 2)
+    got, _ = engine.group_topk("t1", n_groups=1000, per_group=2, key="role")
+    assert [(kv, [(h.part, h.doc_id) for h in hs]) for kv, hs in got] == [
+        (kv, [(h.part, h.doc_id) for h in hs]) for kv, hs in want
+    ]
