@@ -1373,6 +1373,19 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, round(kp, 6) AS keep_p
 FROM {last} WHERE CAST(h AS DOUBLE) / {U64F} < kp"""
 
 
+def _budget_oracle_sql() -> str:
+    sm, last = _sm_ctes("tb", "d", "x", "h")
+    return f"""WITH d AS (SELECT doc_id, source, CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+    xor(CAST(doc_id AS UBIGINT), CAST({TB_SEED} AS UBIGINT)) AS x FROM documents),
+{sm},
+pre AS (SELECT doc_id, source, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        FROM {last})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens, tokens_before
+FROM pre WHERE tokens_before < {TB_BUDGET}"""
+
+
 def _strat_oracle_sql() -> str:
     sm, last = _sm_ctes("st", "d", "x", "h")
     return f"""WITH d AS (SELECT doc_id, source,
@@ -1453,6 +1466,21 @@ def txt_decontam(sf_dir: str):
     from miru_ray.textstats import decontaminate_ds
 
     return decontaminate_ds(sf_dir, DECONTAM_EVAL_MAX_DOC_ID, k=DECONTAM_K)
+
+
+TB_BUDGET = 600
+TB_SEED = 5
+
+
+def txt_budget_sample(sf_dir: str):
+    """Token-budget corpus mixing (textstats.token_budget_sample_ds): per
+    source, keep docs in splitmix64(doc_id ^ seed) order until the
+    cumulative token count reaches 600 (the crossing doc kept) — the
+    "N tokens of source X" pre-training mixing primitive; the bucketed
+    two-phase prefix-sum chain is mirrored as one SQL window cumsum."""
+    from miru_ray.textstats import token_budget_sample_ds
+
+    return token_budget_sample_ds(sf_dir, budget=TB_BUDGET, seed=TB_SEED)
 
 
 CURATE_EVAL_MAX = 25
@@ -1734,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_charlm": txt_charlm,
         "txt_splits": txt_splits,
         "txt_stratified_sample": txt_stratified_sample,
+        "txt_budget_sample": txt_budget_sample,
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
         "txt_top_ngrams": txt_top_ngrams,
@@ -2768,6 +2797,7 @@ SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
 FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
         "txt_splits": _splits_oracle_sql(),
+        "txt_budget_sample": _budget_oracle_sql(),
         "txt_stratified_sample": _strat_oracle_sql(),
         "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_collocations": _colloc_oracle_sql(),

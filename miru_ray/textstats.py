@@ -219,6 +219,125 @@ def stratified_sample_ds(sf_dir: str, by: str = "source", n_per: int = 50,
     return out.select_columns(["doc_id", "stratum"])
 
 
+def _budget_rows(batch: pa.Table, seed: int, bits: int) -> pa.Table:
+    """Fixed-width sampling rows: (source, bucket, h, doc_id, n_tokens).
+    bucket = the TOP ``bits`` bits of the doc's splitmix64 draw, so
+    (bucket asc, h asc) ≡ global hash order — bucket boundaries can never
+    change the selection, only the exchange's group sizes."""
+    from .hashing import splitmix64
+
+    ids = pc.cast(_ids(batch), pa.int64()).to_numpy(zero_copy_only=False)
+    h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    parents, _ = tokenize_flat(batch["text"])
+    ntok = token_counts(parents, batch.num_rows).astype(np.int64)
+    return pa.table(
+        {
+            "source": pc.cast(batch["source"], pa.string()),
+            "bucket": pa.array((h >> np.uint64(64 - bits)).astype(np.int64)),
+            "h": pa.array(h),
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(ntok),
+        }
+    )
+
+
+def _budget_bucket_partial(batch: pa.Table, seed: int, bits: int) -> pa.Table:
+    rows = _budget_rows(batch, seed, bits)
+    idx = pc.sort_indices(rows, sort_keys=[("source", "ascending"), ("bucket", "ascending")])
+    rows = rows.take(idx)
+    key = rows["source"].to_numpy(zero_copy_only=False)
+    bkt = rows["bucket"].to_numpy(zero_copy_only=False)
+    new = np.concatenate(([True], (key[1:] != key[:-1]) | (bkt[1:] != bkt[:-1])))
+    starts = np.flatnonzero(new)
+    tok = rows["n_tokens"].to_numpy(zero_copy_only=False)
+    sums = np.add.reduceat(tok, starts)
+    return pa.table(
+        {
+            "source": rows["source"].take(pa.array(starts)),
+            "bucket": rows["bucket"].take(pa.array(starts)),
+            "n_tokens": pa.array(sums.astype(np.int64)),
+        }
+    )
+
+
+def _budget_cut(group: pa.Table, bases: dict, budget: int) -> pa.Table:
+    """One (source, bucket) group: within-bucket exclusive prefix in
+    (h, doc_id) order + the bucket's broadcast base = the doc's exact
+    global tokens-before; keep while it is under the budget (the crossing
+    doc is kept — the pack_ds convention)."""
+    if group.num_rows == 0:
+        return group.drop_columns(["h", "bucket"])
+    src = group["source"][0].as_py()
+    bkt = int(group["bucket"][0].as_py())
+    base = bases.get((src, bkt), 0)
+    h = group["h"].to_numpy(zero_copy_only=False)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    tok = group["n_tokens"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h))
+    before = base + np.concatenate(([0], np.cumsum(tok[order])[:-1]))
+    keep_pos = order[before < budget]
+    out = group.take(pa.array(np.sort(keep_pos)))
+    tb = np.empty(len(order), dtype=np.int64)
+    tb[order] = before
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "source": out["source"],
+            "n_tokens": out["n_tokens"],
+            "tokens_before": pa.array(tb[np.sort(keep_pos)]),
+        }
+    )
+
+
+def token_budget_sample_ds(sf_dir: str, budget: int = 600, seed: int = 5,
+                           bucket_bits: int = 8):
+    """(doc_id, source, n_tokens, tokens_before): token-budget corpus
+    mixing — for every source, keep documents in deterministic
+    splitmix64(doc_id ^ seed) order until the source's cumulative token
+    count reaches ``budget`` (the doc crossing the boundary is kept; its
+    exclusive prefix is still under budget). This is the data-mixing
+    primitive of pre-training runs ("N tokens of source X"), made
+    deterministic and exact.
+
+    Scale story (the pack_ds two-phase offset pattern, keyed by hash
+    buckets instead of files): pass 1 streams one per-(source, bucket)
+    token sum per batch to a tiny groupby (source × 2^bucket_bits rows on
+    the driver — bucket = the hash's top bits, so bucket order IS hash
+    order and the boundaries cannot affect selection); the driver takes
+    exclusive prefixes over buckets; pass 2 exchanges fixed-width sampling
+    rows grouped by (source, bucket) — group size is corpus/(sources ×
+    buckets), tunable via ``bucket_bits`` — and each group resolves its
+    members' exact global tokens-before locally. Nothing text-sized ever
+    shuffles; the corpus is read twice (like decontaminate_ds), tokenized
+    twice, held nowhere."""
+    ds1 = _docs_ds(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        lambda b: _budget_bucket_partial(b, seed, bucket_bits),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    sums: dict[tuple[str, int], int] = {}
+    for b in ds1.groupby(["source", "bucket"]).sum("n_tokens").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, k, n in zip(
+            b["source"].to_pylist(), b["bucket"].to_pylist(),
+            b["sum(n_tokens)"].to_pylist(),
+        ):
+            sums[(s, int(k))] = int(n)
+    bases: dict[tuple[str, int], int] = {}
+    for s in {k[0] for k in sums}:
+        run = 0
+        for k in sorted(b for (s2, b) in sums if s2 == s):
+            bases[(s, k)] = run
+            run += sums[(s, k)]
+    rows = _docs_ds(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        lambda b: _budget_rows(b, seed, bucket_bits),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return rows.groupby(["source", "bucket"]).map_groups(
+        lambda g: _budget_cut(g, bases, budget), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------- term stats
 
 

@@ -1458,3 +1458,40 @@ def test_mmr_select_vs_brute(ray_session, emb):
             sel.append(best)
             remaining.remove(best)
         assert list(got) == sel, trial
+
+
+def test_token_budget_sample_vs_brute(ray_session, docs, doc_tokens):
+    """token_budget_sample_ds vs a scalar cumsum in hash order, and
+    bucket-bits invariance (bucket = hash prefix, so boundaries must never
+    change the selection)."""
+    from miru_ray.textstats import token_budget_sample_ds
+
+    BUDGET, SEED = 400, 5
+    got = (
+        token_budget_sample_ds(SF, budget=BUDGET, seed=SEED, bucket_bits=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # brute: per source, docs in (splitmix64(id^seed), id) order, exclusive
+    # cumsum < budget keeps
+    per_source: dict = {}
+    for i, s in zip(docs["doc_id"], docs["source"]):
+        per_source.setdefault(s, []).append(i)
+    want = {}
+    for s, ids in per_source.items():
+        ids = sorted(ids, key=lambda i: (scalar_splitmix(i ^ SEED), i))
+        run = 0
+        for i in ids:
+            nt = len(doc_tokens[i])
+            if run < BUDGET:
+                want[i] = (s, nt, run)
+            run += nt
+    assert set(got.index) == set(want)
+    for i, row in got.iterrows():
+        s, nt, tb = want[i]
+        assert (row["source"], row["n_tokens"], row["tokens_before"]) == (s, nt, tb)
+    # bucket boundaries are selection-invariant
+    got4 = (
+        token_budget_sample_ds(SF, budget=BUDGET, seed=SEED, bucket_bits=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert got4.equals(got)
