@@ -174,3 +174,51 @@ def test_curate_sf_corpus(ray_session):
     q, l = q[q.index >= 25], l[l.index >= 25]
     assert (got["n_tokens"] == q["n_tokens"]).all()
     assert (got["pred_lang"] == l["pred_lang"]).all()
+
+
+def test_curate_append_stability(ray_session, curate_dir, tmp_path_factory):
+    """Appending new documents (larger doc_ids) never changes an existing
+    doc's verdict: gates are per-doc, the eval slice is fixed, and a dedup
+    keeper is the MINIMUM doc_id — later arrivals can only lose. This is
+    the property that makes the pipeline incrementally re-runnable."""
+    import glob
+    import shutil
+
+    from miru_ray.curate import curate_ds
+
+    base = curate_ds(
+        curate_dir, eval_max_doc_id=EVAL_MAX, k=K, min_tokens=MIN_TOKENS,
+        max_dup_bigram_frac=MAX_DUP, lang=LANG,
+    ).to_pandas().set_index("doc_id").sort_index()
+
+    d2 = tmp_path_factory.mktemp("curate_append") / "sf"
+    os.makedirs(d2 / "documents.parquet")
+    for f in glob.glob(os.path.join(curate_dir, "documents.parquet", "*.parquet")):
+        shutil.copy(f, d2 / "documents.parquet" / os.path.basename(f))
+    # appended batch: another copy of the dup text (loses to doc 34), a new
+    # kept doc, a new quality-fail
+    dup_text = None
+    t = pq.read_table(os.path.join(curate_dir, "documents.parquet", "a.parquet"))
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if i == 35:
+            dup_text = txt
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([50, 51, 52], pa.int64()),
+                "text": pa.array(
+                    [dup_text, "the " + " ".join(f"z{i:02d}" for i in range(22)), "tiny"],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(d2 / "documents.parquet" / "c.parquet"),
+    )
+    ext = curate_ds(
+        str(d2), eval_max_doc_id=EVAL_MAX, k=K, min_tokens=MIN_TOKENS,
+        max_dup_bigram_frac=MAX_DUP, lang=LANG,
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert ext.loc[base.index].equals(base)
+    assert ext.loc[50, "verdict"] == "duplicate"
+    assert ext.loc[51, "verdict"] == "kept"
+    assert ext.loc[52, "verdict"] == "quality"
