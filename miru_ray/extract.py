@@ -116,3 +116,60 @@ def export_corpus(
         for f in _glob.glob(_os.path.join(out_dir, "*.parquet"))
     )
     return {"matched": matched, "rows": written, "out_dir": out_dir}
+
+
+def highlight_hits(
+    engine,
+    query: str,
+    hits,
+    source_dir: str,
+    pre: str = "<b>",
+    post: str = "</b>",
+    **hl_kwargs,
+) -> dict:
+    """Preview fragments for a PAGE of search hits — the reference's
+    stored-field summary + highlighter composed
+    (LuceneBackedQueryParser.java:56-74 over FullText.java:253-280's
+    gathered fields). The engine's forward tables deliberately store no
+    text, so the raw text is fetched from the source corpus with ONE
+    filtered parquet read (the hit page is k-sized — driver-side, no Ray),
+    then ``highlight.highlight`` runs per hit with the INDEX's analyzer
+    and stopword setting (query/content analysis must match the build —
+    the tokenizer equality contract). Returns {(conv_id, turn_idx):
+    fragment-or-None} — None for hits whose terms don't highlight (blank
+    summary) or whose source row is gone."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from .highlight import highlight
+    from .search import _analyzer_name
+
+    keys = [(h.conv_id, int(h.turn_idx)) for h in hits]
+    if not keys:
+        return {}
+    convs = sorted({c for c, _ in keys})
+    dset = pads.dataset(source_dir, format="parquet")
+    t = dset.to_table(
+        columns=["conv_id", "turn_idx", "text"],
+        filter=pc.field("conv_id").isin(convs),
+    )
+    lut = {
+        (c, int(i)): s
+        for c, i, s in zip(
+            t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["text"].to_pylist()
+        )
+    }
+    analyzer = _analyzer_name(engine.index_dir)
+    use_stop = bool(engine.meta.get("tokenizer", {}).get("stopwords"))
+    out = {}
+    for k in keys:
+        content = lut.get(k)
+        out[k] = (
+            None
+            if content is None
+            else highlight(
+                query, content, pre=pre, post=post, analyzer=analyzer,
+                use_stopwords=use_stop, **hl_kwargs,
+            )
+        )
+    return out

@@ -117,3 +117,29 @@ def test_export_corpus_refuses_nonempty_dir(
     export_corpus(engine, "t1 t7", tiny_transcripts_dir, out)
     with pytest.raises(FileExistsError):
         export_corpus(engine, "t1 AND NOT t9", tiny_transcripts_dir, out)
+
+
+def test_highlight_hits(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    """highlight_hits: one filtered source read per hit page, fragments
+    carry the markers around the query terms, missing source rows → None."""
+    from miru_ray.build import build_index
+    from miru_ray.extract import highlight_hits
+    from miru_ray.search import Hit, SearchEngine
+
+    d = str(tmp_path_factory.mktemp("idx_hl"))
+    build_index(tiny_transcripts_dir, d, n_parts=2)
+    eng = SearchEngine(d)
+    hits, _ = eng.search("t1 t7", k=5, scoring="bm25")
+    assert hits
+    frags = highlight_hits(eng, "t1 t7", hits, tiny_transcripts_dir)
+    assert set(frags) == {(h.conv_id, h.turn_idx) for h in hits}
+    for frag in frags.values():
+        assert frag is not None and ("<b>t1</b>" in frag or "<b>t7</b>" in frag)
+    # a hit whose source row vanished → None, others unaffected
+    ghost = Hit(score=0.0, ts=0, doc_id=0, part=0, conv_id="no-such-conv",
+                turn_idx=0, role="")
+    frags2 = highlight_hits(eng, "t1 t7", hits + [ghost], tiny_transcripts_dir)
+    assert frags2[("no-such-conv", 0)] is None
+    assert frags2[(hits[0].conv_id, hits[0].turn_idx)] == frags[
+        (hits[0].conv_id, hits[0].turn_idx)
+    ]
