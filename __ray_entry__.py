@@ -1386,6 +1386,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens, tokens_before
 FROM pre WHERE tokens_before < {TB_BUDGET}"""
 
 
+def _budget_epochs_oracle_sql() -> str:
+    sm, last = _sm_ctes("te", "d", "x", "h")
+    return f"""WITH d AS (SELECT doc_id, source, CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+    xor(CAST(doc_id AS UBIGINT), CAST({TB_SEED} AS UBIGINT)) AS x FROM documents),
+{sm},
+tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM d GROUP BY source),
+pre AS (SELECT doc_id, source, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        FROM {last}),
+e AS (SELECT pre.doc_id, pre.source, pre.n_tokens,
+        CAST({TB_EPOCH_BUDGET} // tot.total AS BIGINT)
+          + CASE WHEN pre.tokens_before < {TB_EPOCH_BUDGET} % tot.total THEN 1 ELSE 0 END AS n_epochs
+      FROM pre JOIN tot USING (source))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens, n_epochs
+FROM e WHERE n_epochs > 0"""
+
+
 def _strat_oracle_sql() -> str:
     sm, last = _sm_ctes("st", "d", "x", "h")
     return f"""WITH d AS (SELECT doc_id, source,
@@ -1481,6 +1499,19 @@ def txt_budget_sample(sf_dir: str):
     from miru_ray.textstats import token_budget_sample_ds
 
     return token_budget_sample_ds(sf_dir, budget=TB_BUDGET, seed=TB_SEED)
+
+
+TB_EPOCH_BUDGET = 2000
+
+
+def txt_budget_epochs(sf_dir: str):
+    """Epoch-aware mixing (textstats.token_budget_epochs_ds): budget 2000
+    exceeds every source's total, so each doc gets ⌊budget/total⌋ epochs
+    plus one more inside the hash-order remainder prefix — the >1-epoch
+    over-sampling of small high-quality sources."""
+    from miru_ray.textstats import token_budget_epochs_ds
+
+    return token_budget_epochs_ds(sf_dir, budget=TB_EPOCH_BUDGET, seed=TB_SEED)
 
 
 CURATE_EVAL_MAX = 25
@@ -1763,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_splits": txt_splits,
         "txt_stratified_sample": txt_stratified_sample,
         "txt_budget_sample": txt_budget_sample,
+        "txt_budget_epochs": txt_budget_epochs,
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
         "txt_top_ngrams": txt_top_ngrams,
@@ -2798,6 +2830,7 @@ FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
         "txt_splits": _splits_oracle_sql(),
         "txt_budget_sample": _budget_oracle_sql(),
+        "txt_budget_epochs": _budget_epochs_oracle_sql(),
         "txt_stratified_sample": _strat_oracle_sql(),
         "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_collocations": _colloc_oracle_sql(),

@@ -289,6 +289,87 @@ def _budget_cut(group: pa.Table, bases: dict, budget: int) -> pa.Table:
     )
 
 
+def _epoch_cut(group: pa.Table, bases: dict, totals: dict, budget: int) -> pa.Table:
+    """Epoch variant of _budget_cut: the whole source repeats
+    ⌊budget/total⌋ times, plus one more for the hash-order prefix covering
+    the remainder. Emits (doc_id, source, n_tokens, n_epochs) for docs
+    with n_epochs > 0."""
+    if group.num_rows == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_epochs": pa.array([], pa.int64()),
+        })
+    src = group["source"][0].as_py()
+    bkt = int(group["bucket"][0].as_py())
+    total = totals.get(src, 0)
+    full = budget // total if total else 0
+    rem = budget % total if total else 0
+    base = bases.get((src, bkt), 0)
+    h = group["h"].to_numpy(zero_copy_only=False)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    tok = group["n_tokens"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h))
+    before = base + np.concatenate(([0], np.cumsum(tok[order])[:-1]))
+    n_epochs = np.full(len(order), full, dtype=np.int64)
+    n_epochs[before < rem] += 1
+    keep = n_epochs > 0
+    pos = order[keep]
+    ne = n_epochs[keep]
+    back = np.argsort(pos, kind="stable")
+    srt = np.sort(pos)
+    out = group.take(pa.array(srt))
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "source": out["source"],
+            "n_tokens": out["n_tokens"],
+            "n_epochs": pa.array(ne[back]),
+        }
+    )
+
+
+def token_budget_epochs_ds(sf_dir: str, budget: int = 2000, seed: int = 5,
+                           bucket_bits: int = 8):
+    """(doc_id, source, n_tokens, n_epochs): epoch-aware token-budget
+    mixing — when a source's budget exceeds its total token count, every
+    doc repeats ⌊budget/total⌋ times and the deterministic hash-order
+    prefix covering the remainder gets one repeat more (how real mixing
+    configs over-sample small high-quality sources at >1 epoch). Same
+    two-phase bucketed prefix machinery and scale story as
+    token_budget_sample_ds; with budget ≤ total it degenerates to that
+    selection with n_epochs=1."""
+    ds1 = _docs_ds(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        lambda b: _budget_bucket_partial(b, seed, bucket_bits),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    sums: dict[tuple[str, int], int] = {}
+    for b in ds1.groupby(["source", "bucket"]).sum("n_tokens").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, k, n in zip(
+            b["source"].to_pylist(), b["bucket"].to_pylist(),
+            b["sum(n_tokens)"].to_pylist(),
+        ):
+            sums[(s, int(k))] = int(n)
+    bases: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for s in {k[0] for k in sums}:
+        run = 0
+        for k in sorted(b for (s2, b) in sums if s2 == s):
+            bases[(s, k)] = run
+            run += sums[(s, k)]
+        totals[s] = run
+    rows = _docs_ds(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        lambda b: _budget_rows(b, seed, bucket_bits),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return rows.groupby(["source", "bucket"]).map_groups(
+        lambda g: _epoch_cut(g, bases, totals, budget), batch_format="pyarrow"
+    )
+
+
 def token_budget_sample_ds(sf_dir: str, budget: int = 600, seed: int = 5,
                            bucket_bits: int = 8):
     """(doc_id, source, n_tokens, tokens_before): token-budget corpus

@@ -1495,3 +1495,43 @@ def test_token_budget_sample_vs_brute(ray_session, docs, doc_tokens):
         .to_pandas().set_index("doc_id").sort_index()
     )
     assert got4.equals(got)
+
+
+def test_token_budget_epochs_vs_brute(ray_session, docs, doc_tokens):
+    """Epoch mixing vs scalar: full epochs + remainder prefix; degenerates
+    to plain budget sampling (n_epochs=1) when budget <= total."""
+    from miru_ray.textstats import token_budget_epochs_ds, token_budget_sample_ds
+
+    SEED = 5
+    per_source: dict = {}
+    for i, s in zip(docs["doc_id"], docs["source"]):
+        per_source.setdefault(s, []).append(i)
+
+    BUDGET = 3000
+    got = (
+        token_budget_epochs_ds(SF, budget=BUDGET, seed=SEED)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    want = {}
+    for s, ids in per_source.items():
+        total = sum(len(doc_tokens[i]) for i in ids)
+        full, rem = BUDGET // total, BUDGET % total
+        run = 0
+        for i in sorted(ids, key=lambda i: (scalar_splitmix(i ^ SEED), i)):
+            ne = full + (1 if run < rem else 0)
+            if ne > 0:
+                want[i] = (s, len(doc_tokens[i]), ne)
+            run += len(doc_tokens[i])
+    assert set(got.index) == set(want)
+    for i, row in got.iterrows():
+        assert (row["source"], row["n_tokens"], row["n_epochs"]) == want[i], i
+    # at least one source must actually repeat (>1 epoch) for the test to bite
+    assert (got["n_epochs"] > 1).any()
+
+    # degenerate equivalence: budget under every total ⇒ selection ==
+    # token_budget_sample_ds with n_epochs all 1
+    SMALL = 300
+    e = token_budget_epochs_ds(SF, budget=SMALL, seed=SEED).to_pandas()
+    b = token_budget_sample_ds(SF, budget=SMALL, seed=SEED).to_pandas()
+    assert sorted(e["doc_id"]) == sorted(b["doc_id"])
+    assert (e["n_epochs"] == 1).all()
