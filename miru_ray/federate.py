@@ -30,7 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from .search import Hit, SearchEngine, _merge_two
+from .search import Hit, SearchEngine, _merge_collapse_two, _merge_two
 
 _INF = (1 << 63) - 1
 
@@ -99,11 +99,19 @@ class FederatedEngine:
         if scoring == "time" and early_exit and k > 0 and len(active) > 1:
             return self._time_walk(query, kw, active, bounds, k)
         results = self._ask_all(query, kw, active)
+        collapse = kw.get("collapse")
         merged: list[Hit] = []
         found = 0
         for n, (hits, f) in enumerate(results):
             found += f
-            merged = hits[:k] if n == 0 else _merge_two(merged, hits, k)
+            if n == 0:
+                merged = hits[:k]
+            elif collapse is not None:
+                # per-engine answers are already one-per-key; dedup keys
+                # ACROSS engines too (better-ordered occurrence wins)
+                merged = _merge_collapse_two(merged, hits, k, collapse)
+            else:
+                merged = _merge_two(merged, hits, k)
         self.last_engines_asked = len(active)
         self.last_parts_asked = sum(self.engines[i].last_parts_asked for i in active)
         return merged, found
@@ -128,6 +136,7 @@ class FederatedEngine:
         for j in range(len(active) - 1, -1, -1):
             rest_max[j] = run
             run = max(run, (bounds[active[j]] or (0, _INF))[1])
+        collapse = kw.get("collapse")
         merged: list[Hit] = []
         found = 0
         asked = parts = 0
@@ -136,7 +145,12 @@ class FederatedEngine:
             found += f
             asked += 1
             parts += self.engines[i].last_parts_asked
-            merged = hits[:k] if j == 0 else _merge_two(merged, hits, k)
+            if j == 0:
+                merged = hits[:k]
+            elif collapse is not None:
+                merged = _merge_collapse_two(merged, hits, k, collapse)
+            else:
+                merged = _merge_two(merged, hits, k)
             if len(merged) >= k and merged[k - 1].ts > rest_max[j]:
                 break
         self.last_engines_asked = asked

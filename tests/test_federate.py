@@ -183,3 +183,24 @@ def test_federated_zone_pruning(fed_time):
         "t1", k=5, scoring="bm25", time_range=(b_new[0], b_new[1])
     )
     assert eng.last_engines_asked == 1 and len(hits) > 0
+
+
+def test_federated_collapse(fed):
+    """Cross-index collapse: one best hit per key over the federation —
+    equals the first-per-key prefix of the federated uncollapsed order."""
+    eng, _ = fed
+    full, found_full = eng.search("t1", k=100_000, scoring="bm25")
+    seen, want = set(), []
+    for h in full:
+        if h.role in seen:
+            continue
+        seen.add(h.role)
+        want.append(h)
+        if len(want) == 3:
+            break
+    got, found = eng.search("t1", k=3, scoring="bm25", collapse="role")
+    assert [(h.part, h.doc_id, h.score) for h in got] == [
+        (h.part, h.doc_id, h.score) for h in want
+    ]
+    assert found == found_full
+    assert len({h.role for h in got}) == len(got)
