@@ -1374,6 +1374,25 @@ class SearchEngine:
             )
         return merged, found
 
+    def count(
+        self,
+        query: str,
+        time_range: tuple[int, int] | None = None,
+        constraint: Filter | None = None,
+        authz: tuple[str, list[str]] | None = None,
+        parallel: bool | None = None,
+    ) -> int:
+        """Match count without gathering any rows (Lucene
+        IndexSearcher.count): the k=0 TIME path evaluates the filter +
+        masks per partition and returns only ``found`` — no scoring, no
+        forward gather, no tf decode (the lazy-tf postings never touch tf
+        bytes on this path)."""
+        return self.search(
+            query, k=0, scoring="time", time_range=time_range,
+            constraint=constraint, authz=authz, parallel=parallel,
+            early_exit=False,
+        )[1]
+
     def group_topk(
         self,
         query: str,

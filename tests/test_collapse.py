@@ -130,3 +130,10 @@ def test_group_topk_edges(engine):
     assert [(kv, [(h.part, h.doc_id) for h in hs]) for kv, hs in got] == [
         (kv, [(h.part, h.doc_id) for h in hs]) for kv, hs in want
     ]
+
+
+def test_count_matches_found(engine):
+    for q in QUERIES + ["zzqqxx"]:
+        full, found = engine.search(q, k=100_000, scoring="bm25",
+                                    early_exit=False)
+        assert engine.count(q) == found == len(full)
