@@ -187,6 +187,14 @@ def cmd_pipeline(args) -> int:
         from .analytics import trending_strategies_ds
 
         out = trending_strategies_ds(args.sf_dir)
+    elif name == "curate":
+        from .curate import curate_ds
+
+        out = curate_ds(args.sf_dir)
+    elif name == "mix":
+        from .textstats import token_budget_epochs_ds
+
+        out = token_budget_epochs_ds(args.sf_dir, budget=args.budget)
     else:
         raise SystemExit(f"unknown pipeline {name!r}")
 
@@ -308,9 +316,12 @@ def main(argv=None) -> int:
     pl = sub.add_parser("pipeline", help="run a training-data pipeline over an sf dir")
     pl.add_argument("--name", required=True,
                     choices=["reco", "strut", "bloom", "dedup", "ngram_jaccard",
-                             "simhash_near", "embed_neardup", "ann", "trending"])
+                             "simhash_near", "embed_neardup", "ann", "trending",
+                             "curate", "mix"])
     pl.add_argument("--sf-dir", required=True)
     pl.add_argument("--user", type=int, default=3, help="reco: user id")
+    pl.add_argument("--budget", type=int, default=2000,
+                    help="mix: per-source token budget")
     pl.add_argument("--terms", default="scan,merge,join", help="strut: feature terms")
     pl.add_argument("-k", type=int, default=10)
     pl.add_argument("--out", help="write the result as partitioned parquet under this dir instead of printing")
