@@ -490,21 +490,33 @@ def unpack_group(group: pa.Table) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks() if tables else RUNS_SCHEMA.empty_table()
 
 
+def assemble_forward(fwd_rows: pa.Table) -> pa.Table | None:
+    """FWD pseudo-rows → the partition's forward table (slices concatenated
+    in first_doc order). Payload buffers are read zero-copy
+    (``as_buffer``); only the final forward table (a few MB per partition —
+    no text) is materialized contiguously."""
+    if fwd_rows.num_rows == 0:
+        return None
+    order = np.argsort(
+        fwd_rows["first_doc"].to_numpy(zero_copy_only=False), kind="stable"
+    )
+    col = fwd_rows["doc_bytes"]
+    tables = [
+        pa.ipc.open_stream(col[int(i)].as_buffer()).read_all() for i in order
+    ]
+    return pa.concat_tables(tables).combine_chunks()
+
+
 def runs_split_forward(group: pa.Table) -> tuple[pa.Table, pa.Table | None]:
     """Split a partition's shuffled runs into (posting runs, forward table).
-    Forward slices concatenate in first_doc order."""
+    Forward slices concatenate in first_doc order. (The spill path avoids
+    this filter — see finalize_spilled_partition's zero-copy suffix split;
+    this stays for the groupby exchange, whose packs arrive pre-unpacked.)"""
     is_fwd = pc.equal(group["term"], FWD_TERM)
     if not pc.any(is_fwd).as_py():
         return group, None
-    fwd_rows = group.filter(is_fwd)
     rest = group.filter(pc.invert(is_fwd))
-    idx = pc.sort_indices(fwd_rows, sort_keys=[("first_doc", "ascending")])
-    fwd_rows = fwd_rows.take(idx)
-    tables = []
-    for i in range(fwd_rows.num_rows):
-        buf = fwd_rows["doc_bytes"][i].as_py()
-        tables.append(pa.ipc.open_stream(buf).read_all())
-    return rest, pa.concat_tables(tables).combine_chunks()
+    return rest, assemble_forward(group.filter(is_fwd))
 
 
 def build_segment_table(group: pa.Table, use_stopwords: bool = False, codec=VARBYTE,
@@ -882,13 +894,13 @@ class FileIndexer:
         pa.set_io_thread_count(2)
 
     def _one_file(self, path: str, fidx: int, bases: np.ndarray | None,
-                  goff: int | None = None) -> list[pa.Table]:
+                  goff: int | None = None) -> tuple[list[pa.Table], list[pa.Table]]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=INPUT_COLUMNS, use_threads=False)
         n = t.num_rows
         if n == 0:
-            return []
+            return [], []
         if self.rows_per_part is not None:
             # range mode: global row g = file offset + row; part = g // R,
             # docId = g - part·R. Rows arrive already grouped by part
@@ -929,6 +941,7 @@ class FileIndexer:
                 grp_counts = np.diff(np.append(grp_starts, n))
 
         runs: list[pa.Table] = []
+        fwds: list[pa.Table] = []
         dl_all = np.zeros(n, dtype=np.int32)
         # tokenize the WHOLE file chunk-wise (vectorization over all parts at
         # once), then one lexsort groups triples by (part, term, doc)
@@ -1021,35 +1034,39 @@ class FileIndexer:
                 },
                 schema=FORWARD_SCHEMA,
             )
-            runs.append(forward_to_run_row(p, int(doc_ids[0]), int(doc_ids[-1]), forward))
-        return runs
+            fwds.append(forward_to_run_row(p, int(doc_ids[0]), int(doc_ids[-1]), forward))
+        return runs, fwds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         runs: list[pa.Table] = []
+        fwds: list[pa.Table] = []
         for i in range(batch.num_rows):
             fidx = int(batch["fidx"][i].as_py())
             if self.rows_per_part is not None:
                 goff = int(batch["goff"][i].as_py())
-                runs.extend(self._one_file(batch["path"][i].as_py(), fidx, None, goff))
-                continue
-            if self._bases is not None:
-                bases = np.asarray(self._bases[fidx], dtype=np.int64)
+                r, f = self._one_file(batch["path"][i].as_py(), fidx, None, goff)
             else:
-                bases = np.asarray(batch["bases"][i].as_py(), dtype=np.int64)
-            runs.extend(self._one_file(batch["path"][i].as_py(), fidx, bases))
+                if self._bases is not None:
+                    bases = np.asarray(self._bases[fidx], dtype=np.int64)
+                else:
+                    bases = np.asarray(batch["bases"][i].as_py(), dtype=np.int64)
+                r, f = self._one_file(batch["path"][i].as_py(), fidx, bases)
+            runs.extend(r)
+            fwds.extend(f)
         runs = [r for r in runs if r.num_rows]
-        if not runs:
+        if not runs and not fwds:
             return PACK_SCHEMA.empty_table() if self.spill_dir is None else SPILL_ROW_SCHEMA.empty_table()
-        t = pa.concat_tables(runs)
-        if batch.num_rows > 1:
+        t = pa.concat_tables(runs) if runs else RUNS_SCHEMA.empty_table()
+        if batch.num_rows > 1 and t.num_rows:
             # in-task combiner: merge the files' runs per (part, term) BEFORE
             # the shuffle (offset subsampling, no decode) — shrinks the
-            # exchange by ~the files-per-task factor. FWD rows must stay
-            # un-merged (each is a self-contained IPC stream).
-            is_fwd = pc.equal(t["term"], FWD_TERM)
-            fwd_rows = t.filter(is_fwd)
-            merged = merge_runs(t.filter(pc.invert(is_fwd)), self.codec)
-            t = pa.concat_tables([merged, fwd_rows]) if fwd_rows.num_rows else merged
+            # exchange by ~the files-per-task factor. FWD rows are tracked
+            # separately (never filtered out of the byte stream) and stay
+            # a per-part SUFFIX after the stable pack sort — the finalize
+            # splits packs by zero-copy slices instead of a filter copy.
+            t = merge_runs(t, self.codec)
+        if fwds:
+            t = pa.concat_tables([t] + fwds)
         packs = pack_runs_by_part(t)
         if self.spill_dir is None:
             return packs
@@ -1096,12 +1113,23 @@ def _finalize_partition(
     lineage: dict,
     t0: float,
     codec=VARBYTE,
+    fwd_rows: pa.Table | None = None,
 ) -> dict:
     """Shared phase-3 core: one partition's unpacked runs → merged postings
     + forward + manifest (written last: checkpoint atomicity). Returns the
-    manifest row as a dict."""
-    run_rows, forward = runs_split_forward(runs_table)
+    manifest row as a dict. When the caller already separated the FWD
+    pseudo-rows (the spill path's zero-copy pack slicing), pass them via
+    ``fwd_rows`` and ``runs_table`` must hold posting runs only — the
+    filter split (one full copy of every posting byte) is skipped."""
+    timing = bool(os.environ.get("MIRU_RAY_TIMING"))
+    tmarks = [("start", time.monotonic())]
+    if fwd_rows is not None:
+        run_rows, forward = runs_table, assemble_forward(fwd_rows)
+    else:
+        run_rows, forward = runs_split_forward(runs_table)
+    tmarks.append(("split", time.monotonic()))
     postings = merge_runs(run_rows, codec)
+    tmarks.append(("merge", time.monotonic()))
     if forward is not None and forward.num_rows:
         # pairedLatest is partition-global — computable only here, where the
         # merged forward exists (per-file partials would leave several
@@ -1113,7 +1141,9 @@ def _finalize_partition(
         extra += composite_runs(part, fdocs, fdl, fcols, codec)
         if extra:
             postings = pa.concat_tables([postings] + extra).combine_chunks()
+    tmarks.append(("derived", time.monotonic()))
     postings = postings.take(pc.sort_indices(postings, sort_keys=[("term", "ascending")]))
+    tmarks.append(("sort", time.monotonic()))
     text_mask = pc.starts_with(postings["term"], TEXT_FIELD + "\x1f")
     total_tokens = int(
         pc.sum(pc.if_else(text_mask, postings["ttf"], pa.scalar(0, pa.int64()))).as_py() or 0
@@ -1132,6 +1162,13 @@ def _finalize_partition(
     }
     metrics.update(_ts_bounds(forward))
     finalize_segment(index_dir, part, postings, dict(lineage), metrics, forward)
+    if timing:
+        tmarks.append(("write", time.monotonic()))
+        steps = " ".join(
+            f"{name}={t - prev:.2f}s"
+            for (name, t), (_, prev) in zip(tmarks[1:], tmarks[:-1])
+        )
+        print(f"[timing] finalize part={part} {steps}", flush=True)
     return {
         "part": part,
         "n_docs": n_docs,
@@ -1194,14 +1231,29 @@ def finalize_spilled_partition(
 
     t0 = time.monotonic()
     d = os.path.join(spill_dir, f"part={part:05d}")
-    tables = []
+    posts, fwds = [], []
     for p in sorted(_glob.glob(os.path.join(d, "pack-*.arrow"))):
-        with open(p, "rb") as f:
-            tables.append(pa.ipc.open_stream(f.read()).read_all())
+        # memory-map (zero-copy from /dev/shm — a read() would copy every
+        # posting byte into python bytes first); the map object stays
+        # referenced by the Arrow buffers until the table is dropped
+        t = pa.ipc.open_stream(pa.memory_map(p)).read_all()
+        # FWD pseudo-rows are a per-pack SUFFIX (FileIndexer appends them
+        # after the combined posting runs; the pack sort is stable) —
+        # split by zero-copy slices, never a filter copy of posting bytes
+        is_fwd = pc.equal(t["term"], FWD_TERM).to_numpy(zero_copy_only=False)
+        n_post = int(is_fwd.argmax()) if is_fwd.any() else t.num_rows
+        if not is_fwd[n_post:].all():
+            raise AssertionError(f"pack {p}: FWD rows are not a suffix")
+        if n_post:
+            posts.append(t.slice(0, n_post))
+        if n_post < t.num_rows:
+            fwds.append(t.slice(n_post))
     # no combine_chunks here: merge_runs consolidates once internally —
     # combining twice would copy every posting byte an extra time
-    runs = pa.concat_tables(tables) if tables else RUNS_SCHEMA.empty_table()
-    row = _finalize_partition(index_dir, part, runs, n_docs, lineage, t0, get_codec(codec))
+    runs = pa.concat_tables(posts) if posts else RUNS_SCHEMA.empty_table()
+    fwd_rows = pa.concat_tables(fwds) if fwds else None
+    row = _finalize_partition(index_dir, part, runs, n_docs, lineage, t0,
+                              get_codec(codec), fwd_rows=fwd_rows)
     shutil.rmtree(d, ignore_errors=True)
     return row
 
