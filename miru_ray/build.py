@@ -1077,7 +1077,9 @@ class FileIndexer:
         out_parts, out_bytes = [], []
         for i in range(packs.num_rows):
             part = int(packs["part"][i].as_py())
-            payload = packs["payload"][i].as_py()
+            # zero-copy buffer view of the payload (as_py would copy every
+            # posting byte into python bytes before the write)
+            payload = packs["payload"][i].as_buffer()
             d = os.path.join(self.spill_dir, f"part={part:05d}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"pack-{task_tag:06d}.arrow")
@@ -1085,7 +1087,7 @@ class FileIndexer:
                 f.write(payload)
             os.replace(path + ".tmp", path)
             out_parts.append(part)
-            out_bytes.append(len(payload))
+            out_bytes.append(payload.size)
         return pa.table(
             {"part": pa.array(out_parts, pa.int32()), "bytes": pa.array(out_bytes, pa.int64())},
             schema=SPILL_ROW_SCHEMA,
