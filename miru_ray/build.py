@@ -1067,27 +1067,36 @@ class FileIndexer:
             t = merge_runs(t, self.codec)
         if fwds:
             t = pa.concat_tables([t] + fwds)
-        packs = pack_runs_by_part(t)
         if self.spill_dir is None:
-            return packs
-        # spill mode: write each part's pack into its runs dir (atomic
-        # tmp+rename; task retries rewrite identical bytes) and return one
-        # tiny marker row per pack
+            return pack_runs_by_part(t)
+        # spill mode: stream each part's slice STRAIGHT into its runs-dir
+        # file (atomic tmp+rename; task retries rewrite identical bytes) —
+        # no in-memory IPC payload is ever built (pack_runs_by_part's
+        # _ipc_bytes pass existed only to ride a groupby exchange). Returns
+        # one tiny marker row per pack.
+        parts_np = t["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(parts_np, kind="stable")
+        ts = t.take(pa.array(order))
+        sp = parts_np[order]
+        starts = (
+            np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+            if len(sp) else np.empty(0, np.int64)
+        )
         task_tag = int(batch["fidx"][0].as_py())
         out_parts, out_bytes = [], []
-        for i in range(packs.num_rows):
-            part = int(packs["part"][i].as_py())
-            # zero-copy buffer view of the payload (as_py would copy every
-            # posting byte into python bytes before the write)
-            payload = packs["payload"][i].as_buffer()
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(sp)
+            part = int(sp[s])
             d = os.path.join(self.spill_dir, f"part={part:05d}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"pack-{task_tag:06d}.arrow")
+            sl = ts.slice(s, e - s)
             with open(path + ".tmp", "wb") as f:
-                f.write(payload)
+                with pa.ipc.new_stream(f, sl.schema) as w:
+                    w.write_table(sl)
             os.replace(path + ".tmp", path)
             out_parts.append(part)
-            out_bytes.append(payload.size)
+            out_bytes.append(os.path.getsize(path))
         return pa.table(
             {"part": pa.array(out_parts, pa.int32()), "bytes": pa.array(out_bytes, pa.int64())},
             schema=SPILL_ROW_SCHEMA,
