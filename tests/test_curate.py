@@ -222,3 +222,13 @@ def test_curate_append_stability(ray_session, curate_dir, tmp_path_factory):
     assert ext.loc[50, "verdict"] == "duplicate"
     assert ext.loc[51, "verdict"] == "kept"
     assert ext.loc[52, "verdict"] == "quality"
+
+
+def test_curate_empty_train_side(ray_session, curate_dir):
+    """eval_max above every doc_id → nothing to curate, empty table with
+    the right schema."""
+    from miru_ray.curate import curate_ds
+
+    got = curate_ds(curate_dir, eval_max_doc_id=10_000).to_pandas()
+    # (schema is not asserted: Ray's groupby drops it on zero input rows)
+    assert len(got) == 0

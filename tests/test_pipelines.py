@@ -1535,3 +1535,20 @@ def test_token_budget_epochs_vs_brute(ray_session, docs, doc_tokens):
     b = token_budget_sample_ds(SF, budget=SMALL, seed=SEED).to_pandas()
     assert sorted(e["doc_id"]) == sorted(b["doc_id"])
     assert (e["n_epochs"] == 1).all()
+
+
+def test_token_budget_zero_and_mmr_small(ray_session, emb):
+    """budget=0 keeps nothing; mmr_select with k >= n returns every
+    candidate exactly once (a permutation)."""
+    import numpy as np
+
+    from miru_ray.ann import mmr_select
+    from miru_ray.textstats import token_budget_sample_ds
+
+    assert token_budget_sample_ds(SF, budget=0).to_pandas().empty
+    ids_all, m = emb
+    ids, vecs = ids_all[:4].astype(np.int64), m[:4]
+    rel = np.array([0.1, 0.9, 0.5, 0.5])
+    sel = mmr_select(ids, rel, vecs, k=10)
+    assert sorted(sel) == [0, 1, 2, 3]
+    assert sel[0] == 1  # highest relevance first
