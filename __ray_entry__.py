@@ -1486,6 +1486,62 @@ def txt_decontam(sf_dir: str):
     return decontaminate_ds(sf_dir, DECONTAM_EVAL_MAX_DOC_ID, k=DECONTAM_K)
 
 
+PERC_QUERIES = {
+    "q_and": "scan merge",
+    "q_or": "scan OR join",
+    "q_not": "scan AND NOT merge",
+    "q_field": "role:src3 scan",
+    "q_nested": "(scan OR join) AND table",
+}
+
+
+def ft_percolate(sf_dir: str):
+    """Percolation (percolate.percolate_ds — the Elasticsearch percolator /
+    the reference's realtimeDelivery intent, MiruActivity.java:34-60):
+    five standing boolean queries matched against the document stream in
+    one pass, queries compiled once per actor, boolean vector algebra over
+    a docs×terms presence matrix. The oracle SQL is GENERATED from the
+    same parsed ASTs (list_contains conjunctions in the evaluator's
+    operand order), so both sides answer the identical tree."""
+    from miru_ray.percolate import percolate_ds
+
+    return percolate_ds(sf_dir, PERC_QUERIES)
+
+
+def _percolate_oracle_sql() -> str:
+    from miru_ray.filters import parse_query
+    from miru_ray.percolate import FIELD_COLS
+
+    def bexpr(filt) -> str:
+        ops = []
+        if filt.inclusive:
+            ops.append("TRUE")
+        for ff in filt.field_filters:
+            cs = []
+            for v in ff.values:
+                if ff.field == "text":
+                    cs.append(f"list_contains({_TOK}, '{v}')")
+                else:
+                    cs.append(f"{FIELD_COLS[ff.field]} = '{v}'")
+            ops.append("(" + " OR ".join(cs) + ")")
+        for sub in filt.sub_filters:
+            ops.append("(" + bexpr(sub) + ")")
+        if not ops:
+            return "FALSE"
+        if filt.op == "and":
+            return " AND ".join(ops)
+        if filt.op == "or":
+            return " OR ".join(ops)
+        return ops[0] + "".join(f" AND NOT {o}" for o in ops[1:])
+
+    selects = [
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, '{qid}' AS query_id "
+        f"FROM documents WHERE {bexpr(parse_query(PERC_QUERIES[qid]))}"
+        for qid in sorted(PERC_QUERIES)
+    ]
+    return "\nUNION ALL ".join(selects)
+
+
 TB_BUDGET = 600
 TB_SEED = 5
 
@@ -1795,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_stratified_sample": txt_stratified_sample,
         "txt_budget_sample": txt_budget_sample,
         "txt_budget_epochs": txt_budget_epochs,
+        "ft_percolate": ft_percolate,
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
         "txt_top_ngrams": txt_top_ngrams,
@@ -2831,6 +2888,7 @@ FROM documents d LEFT JOIN sc USING (doc_id)"""
         "txt_splits": _splits_oracle_sql(),
         "txt_budget_sample": _budget_oracle_sql(),
         "txt_budget_epochs": _budget_epochs_oracle_sql(),
+        "ft_percolate": _percolate_oracle_sql(),
         "txt_stratified_sample": _strat_oracle_sql(),
         "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_collocations": _colloc_oracle_sql(),
