@@ -195,6 +195,12 @@ def cmd_pipeline(args) -> int:
         from .textstats import token_budget_epochs_ds
 
         out = token_budget_epochs_ds(args.sf_dir, budget=args.budget)
+    elif name == "percolate":
+        from .percolate import percolate_ds
+
+        if not args.queries:
+            raise SystemExit('percolate needs --queries \'{"qid": "query", ...}\'')
+        out = percolate_ds(args.sf_dir, json.loads(args.queries))
     else:
         raise SystemExit(f"unknown pipeline {name!r}")
 
@@ -317,11 +323,12 @@ def main(argv=None) -> int:
     pl.add_argument("--name", required=True,
                     choices=["reco", "strut", "bloom", "dedup", "ngram_jaccard",
                              "simhash_near", "embed_neardup", "ann", "trending",
-                             "curate", "mix"])
+                             "curate", "mix", "percolate"])
     pl.add_argument("--sf-dir", required=True)
     pl.add_argument("--user", type=int, default=3, help="reco: user id")
     pl.add_argument("--budget", type=int, default=2000,
                     help="mix: per-source token budget")
+    pl.add_argument("--queries", help='percolate: {"qid": "query", ...} JSON')
     pl.add_argument("--terms", default="scan,merge,join", help="strut: feature terms")
     pl.add_argument("-k", type=int, default=10)
     pl.add_argument("--out", help="write the result as partitioned parquet under this dir instead of printing")
