@@ -537,11 +537,18 @@ def load_embeddings_for(sf_dir: str, ids: np.ndarray) -> np.ndarray:
         filter=pc.field("vec_id").isin([int(i) for i in ids]),
     )
     vid, m = _to_matrix(t)
+    want = np.asarray(ids, dtype=np.int64)
     order = np.argsort(vid)
-    pos = order[np.searchsorted(vid[order], np.asarray(ids, dtype=np.int64))]
-    if not np.array_equal(vid[pos], np.asarray(ids, dtype=np.int64)):
-        raise KeyError("embeddings missing for some candidate ids")
-    return m[pos]
+    ss = np.searchsorted(vid[order], want)
+    if len(order) == 0 or ss.max(initial=-1) >= len(order) or not np.array_equal(
+        vid[order][np.minimum(ss, len(order) - 1)], want
+    ):
+        missing = set(want.tolist()) - set(vid.tolist())
+        raise KeyError(
+            f"embeddings missing for candidate ids (e.g. {sorted(missing)[:5]}) — "
+            "the embedding table must cover every candidate doc"
+        )
+    return m[order[ss]]
 
 
 def mmr_select(
