@@ -1486,6 +1486,23 @@ def txt_decontam(sf_dir: str):
     return decontaminate_ds(sf_dir, DECONTAM_EVAL_MAX_DOC_ID, k=DECONTAM_K)
 
 
+HH_FRAC = (1, 100)
+HH_CAP = 400
+
+
+def txt_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters from a bounded-memory sketch
+    (textstats.heavy_hitters_ds): terms with corpus frequency > 1% via a
+    two-pass Misra-Gries pipeline — ≤ cap counter rows per batch (the
+    merged underestimate ≤ N/(cap+1) guarantees a candidate superset),
+    then an exact broadcast-candidate count. Answers are exact, so the
+    oracle is the plain frequency-threshold SQL."""
+    from miru_ray.textstats import heavy_hitters_ds
+
+    return heavy_hitters_ds(sf_dir, frac_num=HH_FRAC[0], frac_den=HH_FRAC[1],
+                            cap=HH_CAP)
+
+
 PERC_QUERIES = {
     "q_and": "scan merge",
     "q_or": "scan OR join",
@@ -1852,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_budget_sample": txt_budget_sample,
         "txt_budget_epochs": txt_budget_epochs,
         "ft_percolate": ft_percolate,
+        "txt_heavy_hitters": txt_heavy_hitters,
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
         "txt_top_ngrams": txt_top_ngrams,
@@ -2889,6 +2907,13 @@ FROM documents d LEFT JOIN sc USING (doc_id)"""
         "txt_budget_sample": _budget_oracle_sql(),
         "txt_budget_epochs": _budget_epochs_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
+        "txt_heavy_hitters": (
+            f"""WITH tok AS ({_TOKTAB}),
+c AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS count FROM tok GROUP BY t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT term, count FROM c, tot
+WHERE count * {HH_FRAC[1]} > tot.n * {HH_FRAC[0]}"""
+        ),
         "txt_stratified_sample": _strat_oracle_sql(),
         "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_collocations": _colloc_oracle_sql(),

@@ -419,6 +419,96 @@ def token_budget_sample_ds(sf_dir: str, budget: int = 600, seed: int = 5,
     )
 
 
+def _hh_partial(batch: pa.Table, cap: int) -> pa.Table:
+    """Per-batch Misra-Gries compression: exact within-batch counts, then
+    subtract the (cap+1)-th largest and drop non-positives — ≤ cap counter
+    rows leave the batch, and the per-term underestimate across the whole
+    corpus is bounded by Σ_b n_b/(cap+1) = N/(cap+1). A reserved ""-term
+    row carries the batch's exact token total (no token is empty)."""
+    parents, tokens = tokenize_flat(batch["text"])
+    n_tok = len(parents)
+    if n_tok == 0:
+        return pa.table({"term": pa.array([""]), "n": pa.array([0], pa.int64())})
+    vc = pc.value_counts(tokens)
+    vals, cnt = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+    if len(cnt) > cap:
+        s = np.partition(cnt, -cap - 1)[-cap - 1]
+        keep = cnt - s > 0
+        vals = vals.filter(pa.array(keep))
+        cnt = cnt[keep] - s
+    return pa.table(
+        {
+            "term": pa.concat_arrays([pc.cast(vals, pa.string()).combine_chunks()
+                                      if isinstance(vals, pa.ChunkedArray) else
+                                      pc.cast(vals, pa.string()), pa.array([""])]),
+            "n": pa.array(np.concatenate([cnt.astype(np.int64), [n_tok]])),
+        }
+    )
+
+
+def _hh_exact_partial(batch: pa.Table, cand_ref) -> pa.Table:
+    import ray
+
+    cand = ray.get(cand_ref)
+    parents, tokens = tokenize_flat(batch["text"])
+    if len(parents) == 0:
+        return pa.table({"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    sel = pc.is_in(tokens, value_set=cand)
+    vc = pc.value_counts(tokens.filter(sel))
+    return pa.table(
+        {
+            "term": pc.cast(vc.field("values"), pa.string()),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def heavy_hitters_ds(sf_dir: str, frac_num: int = 1, frac_den: int = 100,
+                     cap: int = 400) -> pa.Table:
+    """(term, count) for every token whose corpus frequency strictly
+    exceeds frac_num/frac_den of all tokens — EXACT answers from a
+    bounded-memory sketch pipeline (the 100-TB path where a full
+    term-stats groupby is unnecessary):
+
+    pass 1 streams ≤ ``cap`` Misra-Gries counter rows per batch to a tiny
+    groupby; the merged counters' underestimate is ≤ N/(cap+1), so with
+    cap+1 > frac_den/frac_num every true heavy hitter survives as a
+    candidate (guaranteed superset — the classic two-pass heavy-hitters
+    argument). pass 2 broadcasts the candidate set and counts it exactly.
+    The exchanges carry O(cap) rows per batch and O(candidates) total —
+    never vocabulary-sized."""
+    if cap + 1 <= frac_den / max(1, frac_num):
+        raise ValueError("cap must exceed frac_den/frac_num for the superset guarantee")
+    import ray
+
+    agg: dict[str, int] = {}
+    ds1 = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _hh_partial(b, cap), batch_format="pyarrow", zero_copy_batch=True,
+    )
+    for b in ds1.groupby("term").sum("n").iter_batches(batch_format="pyarrow"):
+        for t, n in zip(b["term"].to_pylist(), b["sum(n)"].to_pylist()):
+            agg[t] = agg.get(t, 0) + int(n)
+    total = agg.pop("", 0)
+    cand = pa.array(sorted(agg), type=pa.string())
+    if len(cand) == 0 or total == 0:
+        return pa.table({"term": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
+    ref = ray.put(cand)
+    exact: dict[str, int] = {}
+    ds2 = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _hh_exact_partial(b, ref), batch_format="pyarrow", zero_copy_batch=True,
+    )
+    for b in ds2.groupby("term").sum("n").iter_batches(batch_format="pyarrow"):
+        for t, n in zip(b["term"].to_pylist(), b["sum(n)"].to_pylist()):
+            exact[t] = exact.get(t, 0) + int(n)
+    terms = [t for t, n in sorted(exact.items()) if n * frac_den > total * frac_num]
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "count": pa.array([exact[t] for t in terms], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------- term stats
 
 

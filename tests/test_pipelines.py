@@ -1552,3 +1552,28 @@ def test_token_budget_zero_and_mmr_small(ray_session, emb):
     sel = mmr_select(ids, rel, vecs, k=10)
     assert sorted(sel) == [0, 1, 2, 3]
     assert sel[0] == 1  # highest relevance first
+
+
+def test_heavy_hitters_vs_brute(ray_session, doc_tokens):
+    """heavy_hitters_ds vs brute exact counts — including a tight cap just
+    above the superset bound (the Misra-Gries guarantee's edge) and a low
+    threshold that forces real per-batch counter compression."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from miru_ray.textstats import heavy_hitters_ds
+
+    counts = Counter()
+    for toks in doc_tokens.values():
+        counts.update(toks)
+    total = sum(counts.values())
+
+    for num, den, cap in ((1, 100, 400), (1, 50, 51), (1, 200, 2000)):
+        want = {t: n for t, n in counts.items() if n * den > total * num}
+        got = heavy_hitters_ds(SF, frac_num=num, frac_den=den, cap=cap)
+        got_d = dict(zip(got["term"].to_pylist(), got["count"].to_pylist()))
+        assert got_d == want, (num, den, cap)
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_ds(SF, frac_num=1, frac_den=100, cap=99)
