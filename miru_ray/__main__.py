@@ -53,6 +53,22 @@ def cmd_search(args) -> int:
     from .search import SearchEngine
 
     eng = SearchEngine(args.index, use_actors=args.actors)
+    if getattr(args, "group_by", None):
+        groups, found = eng.group_topk(
+            args.query, n_groups=args.k, per_group=args.per_group,
+            key=args.group_by, scoring=args.scoring,
+        )
+        print(json.dumps({
+            "query": args.query, "found": found,
+            "groups": [
+                {"key": kv, "hits": [
+                    {"conv_id": h.conv_id, "turn_idx": h.turn_idx,
+                     "doc_id": h.doc_id, "part": h.part,
+                     "score": round(h.score, 6)} for h in hs
+                ]} for kv, hs in groups
+            ],
+        }))
+        return 0
     if getattr(args, "serial", False):
         hits, found = eng.search_serial(args.query, k=args.k, scoring=args.scoring)
     else:
@@ -265,6 +281,9 @@ def main(argv=None) -> int:
                         "(acceptableBelowMin admission; relevance scorers only)")
     s.add_argument("--collapse", choices=["conv_id", "role"], default=None,
                    help="field collapsing: one best hit per key value")
+    s.add_argument("--group-by", choices=["conv_id", "role"], default=None,
+                   help="grouped top-k: -k groups × --per-group hits each")
+    s.add_argument("--per-group", type=int, default=3)
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser(
