@@ -137,3 +137,28 @@ def test_count_matches_found(engine):
         full, found = engine.search(q, k=100_000, scoring="bm25",
                                     early_exit=False)
         assert engine.count(q) == found == len(full)
+
+
+def test_collapse_composes_with_masks(engine):
+    """collapse under a time_range and an authz mask: equals the collapsed
+    prefix of the masked full answer."""
+    full, _ = engine.search("t1", k=BIG_K, scoring="bm25", early_exit=False)
+    ts_vals = sorted(h.ts for h in full)
+    lo, hi = ts_vals[len(ts_vals) // 4], ts_vals[3 * len(ts_vals) // 4]
+    fullr, foundr = engine.search("t1", k=BIG_K, scoring="bm25",
+                                  time_range=(lo, hi), early_exit=False)
+    got, found = engine.search("t1", k=5, scoring="bm25", collapse="role",
+                               time_range=(lo, hi))
+    assert [(h.part, h.doc_id) for h in got] == [
+        (h.part, h.doc_id) for h in brute_collapse(fullr, "role", 5)
+    ]
+    assert found == foundr
+
+    fulla, founda = engine.search("t1", k=BIG_K, scoring="bm25",
+                                  authz=("role", ["user"]), early_exit=False)
+    gota, found_a = engine.search("t1", k=5, scoring="bm25", collapse="conv_id",
+                                  authz=("role", ["user"]))
+    assert [(h.part, h.doc_id) for h in gota] == [
+        (h.part, h.doc_id) for h in brute_collapse(fulla, "conv_id", 5)
+    ]
+    assert found_a == founda
