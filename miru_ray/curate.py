@@ -207,6 +207,9 @@ def curate_ds(
     scale story."""
     import ray
 
+    # autoscale the stage to the cluster: a fixed small cap would serialize
+    # the one corpus pass on big boxes
+    max_actors = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
     ref = ray.put(eval_gram_set(sf_dir, eval_max_doc_id, k))
     sig = (
         _docs_ds(sf_dir, ["doc_id", "text"])
@@ -222,7 +225,7 @@ def curate_ds(
             },
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 4),
+            concurrency=(1, max_actors),
         )
     )
     return sig.groupby(["cand", "gkey"]).map_groups(

@@ -195,6 +195,9 @@ def percolate_ds(sf_dir: str, queries: dict[str, str],
             parse_query(queries[qid], use_stopwords=use_stopwords, analyzer=analyzer),
             qid,
         )
+    import ray
+
+    max_actors = max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source", "lang"],
@@ -207,5 +210,5 @@ def percolate_ds(sf_dir: str, queries: dict[str, str],
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=(1, max_actors),
     )
