@@ -1743,6 +1743,16 @@ def dd_embed_cosine(sf_dir: str):
     )
 
 
+def ann_knn(sf_dir: str) -> pa.Table:
+    """kNN majority-vote labeling (ann.knn_classify): brute cosine top-k
+    neighbors per query (the ann_topk machinery + 4-dp rounded rerank), then
+    the majority label among them (tie → votes desc, label asc). The weak-
+    labeling primitive; fully mirrored in SQL."""
+    from miru_ray.ann import knn_classify
+
+    return knn_classify(sf_dir, n_queries=ANN_NQ, k=ANN_K)
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-hyperplane LSH ANN. The hash chain is fully deterministic
     (splitmix64-seeded hyperplanes), so the DuckDB oracle mirrors it END TO
@@ -1880,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_redact": txt_redact,
         "txt_source_stats": txt_source_stats,
         "ann_topk": ann_topk,
+        "ann_knn": ann_knn,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "dd_embed_cosine": dd_embed_cosine,
@@ -3014,6 +3025,25 @@ ranked AS (
          row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
   FROM scored)
 SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
+        ),
+        "ann_knn": (
+            f"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),
+scored AS (
+  SELECT q.qid AS q, e.vec_id AS neighbor,
+         round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT q, neighbor,
+         row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
+  FROM scored),
+votes AS (
+  SELECT r.q, CAST(e.label AS BIGINT) AS label, count(*) AS n
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor
+  WHERE r.rn <= {ANN_K} GROUP BY r.q, e.label),
+best AS (SELECT q, label, n,
+                row_number() OVER (PARTITION BY q ORDER BY n DESC, label ASC) AS rn
+         FROM votes)
+SELECT q, label AS pred_label, n AS votes FROM best WHERE rn = 1"""
         ),
         "ann_lsh": _lsh_oracle_sql(),
         "ann_ivf": (

@@ -641,3 +641,81 @@ def mmr_rerank_docs(
             "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
         }
     )
+
+
+# -------------------------------------------------------- kNN classification
+
+
+def _rounded_rerank(t: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query top-k on 4-decimal-rounded cosine (tie → neighbor asc) —
+    the ann_topk drift-absorption convention, so an fp64 SQL mirror selects
+    the identical neighbor sets. Returns (q, neighbor) arrays."""
+    cs = np.round(t["cos"].to_numpy(zero_copy_only=False), 4)
+    q = t["q"].to_numpy(zero_copy_only=False)
+    nb = t["neighbor"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nb, -cs, q))
+    q, nb = q[order], nb[order]
+    starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
+    rank = np.arange(len(q)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(q)]]))
+    )
+    keep = rank < k
+    return q[keep], nb[keep]
+
+
+def load_labels_for(sf_dir: str, ids: np.ndarray) -> np.ndarray:
+    """Labels for an answer-sized id set, aligned with ``ids`` (row-filter
+    pushdown read — only the neighbor rows leave the file)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    t = dset.to_table(
+        columns=["vec_id", "label"],
+        filter=pc.field("vec_id").isin([int(i) for i in np.unique(ids)]),
+    )
+    vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vid)
+    want = np.asarray(ids, dtype=np.int64)
+    ss = np.searchsorted(vid[order], want)
+    if len(order) == 0 or not np.array_equal(
+        vid[order][np.minimum(ss, len(order) - 1)], want
+    ):
+        missing = set(want.tolist()) - set(vid.tolist())
+        raise KeyError(
+            f"labels missing for neighbor ids (e.g. {sorted(missing)[:5]})"
+        )
+    return lab[order[ss]]
+
+
+def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
+    """kNN majority-vote label prediction for each query vector (vec_id <
+    n_queries): exact brute cosine top-k over the whole embeddings table
+    (the distributed ann_brute_topk machinery — ray.put broadcast query
+    matrix, per-batch partial top-k, groupby(q) reduce), neighbors fixed by
+    the 4-dp rounded rerank, then the majority label among the k neighbors
+    (tie → votes desc, label asc). The vote is answer-sized driver work
+    (nq×k rows); neighbor labels arrive via one pushdown read. Returns
+    (q, pred_label, votes).
+
+    The weak-labeling / label-propagation primitive of a training-data
+    pipeline: the corpus-scale cost is the brute scan, identical to
+    ann_topk's."""
+    t = ann_brute_topk(sf_dir, n_queries=n_queries, k=k)
+    q, nb = _rounded_rerank(t, k)
+    lab = load_labels_for(sf_dir, nb)
+    # vote: count (q, label) pairs, pick per q by (votes desc, label asc)
+    key = q * 1_000_003 + lab  # labels are small ints; collision-free pairing
+    uk, counts = np.unique(key, return_counts=True)
+    uq, ul = uk // 1_000_003, uk % 1_000_003
+    order = np.lexsort((ul, -counts, uq))
+    uq, ul, counts = uq[order], ul[order], counts[order]
+    first = np.flatnonzero(np.concatenate([[True], uq[1:] != uq[:-1]]))
+    return pa.table(
+        {
+            "q": pa.array(uq[first], type=pa.int64()),
+            "pred_label": pa.array(ul[first], type=pa.int64()),
+            "votes": pa.array(counts[first].astype(np.int64), type=pa.int64()),
+        }
+    )

@@ -388,6 +388,34 @@ def test_embed_neardup_pairs(ray_session, emb):
         assert rec >= 0.5, (rec, len(strong))
 
 
+def test_knn_classify_vs_brute(ray_session, emb):
+    """From-scratch scalar re-derivation: rounded-4dp cosine rank (tie →
+    neighbor asc), top-k neighbor set, majority label vote (tie → votes
+    desc, label asc)."""
+    from miru_ray.ann import knn_classify
+
+    ids, m = emb
+    t = pq.read_table(SF + "/embeddings.parquet")
+    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    NQ, K = 6, 7
+    got = knn_classify(SF, n_queries=NQ, k=K).to_pandas().set_index("q")
+    assert len(got) == NQ
+    for q in range(NQ):
+        sims = np.round(mn @ mn[idx[q]], 4)
+        cand = sorted(
+            (int(v) for v in ids if int(v) != q),
+            key=lambda v: (-sims[idx[v]], v),
+        )[:K]
+        votes: dict[int, int] = {}
+        for v in cand:
+            votes[labels[v]] = votes.get(labels[v], 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert int(got.loc[q, "pred_label"]) == best[0], q
+        assert int(got.loc[q, "votes"]) == best[1], q
+
+
 def test_multimodal_plumbing(ray_session):
     from miru_ray.multimodal import DecodeStage, FEATURE_DIM, feature_extract_ds, synth_media_table
 
