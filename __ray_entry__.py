@@ -1669,6 +1669,18 @@ def txt_redact(sf_dir: str):
     return redact_ds(sf_dir, REDACT_PATTERNS)
 
 
+KEYWORDS_K = 3
+
+
+def txt_keywords(sf_dir: str):
+    """Per-doc TF-IDF keywords (textstats.keywords_ds): top-3 terms by
+    tf·ln(N/df), score rounded 1e-6, ties → term asc. Exact global df via a
+    groupby(term) exchange of batch-aggregated (doc, term, tf) rows."""
+    from miru_ray.textstats import keywords_ds
+
+    return keywords_ds(sf_dir, k=KEYWORDS_K)
+
+
 def txt_source_stats(sf_dir: str):
     """Per-source corpus quality report (textstats.source_stats_ds): exact
     integer sums (docs/tokens/stopwords/chars) per source through the
@@ -1888,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_chunks": txt_chunks,
         "txt_packing": txt_packing,
         "txt_redact": txt_redact,
+        "txt_keywords": txt_keywords,
         "txt_source_stats": txt_source_stats,
         "ann_topk": ann_topk,
         "ann_knn": ann_knn,
@@ -2817,6 +2830,19 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, shared
 FROM pr WHERE shared >= {PASSAGE_MIN_SHARED}"""
         ),
         "txt_redact": _redact_oracle_sql(REDACT_PATTERNS),
+        "txt_keywords": (
+            f"""WITH tok AS ({_TOKTAB}),
+tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term,
+              round(CAST(tf.tf AS DOUBLE) * ln(n.n / df.df), 6) AS score
+       FROM tf JOIN df USING (term) CROSS JOIN n),
+rk AS (SELECT doc_id, term, score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+       FROM sc)
+SELECT doc_id, term, score FROM rk WHERE rn <= {KEYWORDS_K}"""
+        ),
         "txt_source_stats": (
             f"""WITH q AS (SELECT source,
         CAST(len({_TOK}) AS BIGINT) AS ntok,

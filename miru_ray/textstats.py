@@ -1046,6 +1046,64 @@ class FingerprintStage:
         )
 
 
+def _doc_term_tf(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) per batch — exact per doc (batches never split a
+    row), the same combiner shape as the index build's posting compose."""
+    parents, tokens = tokenize_flat(batch["text"])
+    ids = pc.cast(_ids(batch), pa.int64()).to_numpy(zero_copy_only=False)
+    t = pa.table({"doc_id": pa.array(ids[parents]), "term": tokens})
+    agg = t.group_by(["doc_id", "term"], use_threads=False).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "doc_id": agg["doc_id"],
+            "term": pc.cast(agg["term"], pa.string()),
+            "tf": pc.cast(agg["count_all"], pa.int64()),
+        }
+    )
+
+
+def keywords_ds(sf_dir: str, k: int = 3):
+    """Per-doc TF-IDF keyword extraction: the top-k terms of each document
+    by tf·ln(N/df) (score rounded 1e-6, ties → term asc). The doc-tagging /
+    topic-labeling primitive of a curation pipeline.
+
+    Two exchanges, both over (doc_id, term, tf) rows pre-aggregated per
+    batch: groupby(term) attaches the exact global df (df = the group's row
+    count — one row per containing doc), then groupby(doc_id) ranks. Skew
+    note: a term present in every doc makes its df group corpus-sized; at
+    true 100-TB vocabularies pre-drop stopword-class terms (they can never
+    be keywords) with a df cap before the first exchange — kept exact here
+    for the SQL oracle."""
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(os.path.join(sf_dir, "documents.parquet")).count_rows()
+
+    def _attach_df(g: pa.Table) -> pa.Table:
+        return g.append_column(
+            "df", pa.array(np.full(g.num_rows, g.num_rows, dtype=np.int64))
+        )
+
+    def _topk(g: pa.Table) -> pa.Table:
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tf * np.log(float(n_docs) / df), 6)
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        order = sorted(range(len(score)), key=lambda i: (-score[i], terms[i]))[:k]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].take(pa.array(order)),
+                "term": g["term"].take(pa.array(order)),
+                "score": pa.array(score[order], type=pa.float64()),
+            }
+        )
+
+    triples = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _doc_term_tf, batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_df = triples.groupby("term").map_groups(_attach_df, batch_format="pyarrow")
+    return with_df.groupby("doc_id").map_groups(_topk, batch_format="pyarrow")
+
+
 def fingerprint_ds(sf_dir: str, k: int = 3, w: int = 4):
     """(doc_id, n_grams, n_fingerprints, fp_xor) winnowing summary."""
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(

@@ -587,6 +587,42 @@ def test_quality_empty_and_ratios():
     assert out["mean_token_len"][0] == (3 + 5 + 3) / 3
 
 
+def test_keywords_vs_brute(ray_session):
+    """Per-doc TF-IDF keywords vs a from-scratch scalar re-derivation
+    (Counter tf, dict df, tf·ln(N/df) rounded 6dp, tie → term asc) over the
+    real sf0.001 documents table."""
+    from collections import Counter
+
+    from miru_ray.textstats import keywords_ds
+    from miru_ray.tokenize import py_tokenize
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    toks = {int(d): py_tokenize(t) for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    n = len(toks)
+    df: dict[str, int] = {}
+    for tt in toks.values():
+        for term in set(tt):
+            df[term] = df.get(term, 0) + 1
+    expect: dict[int, list[tuple[str, float]]] = {}
+    for d, tt in toks.items():
+        if not tt:
+            continue
+        tf = Counter(tt)
+        scored = sorted(
+            ((round(c * np.log(n / df[t]), 6), t) for t, c in tf.items()),
+            key=lambda st: (-st[0], st[1]),
+        )[:3]
+        expect[d] = [(t, s) for s, t in scored]
+
+    got = keywords_ds(SF, k=3).to_pandas()
+    mine: dict[int, list[tuple[str, float]]] = {}
+    for _, r in got.iterrows():
+        mine.setdefault(int(r["doc_id"]), []).append((r["term"], float(r["score"])))
+    assert set(mine) == set(expect)
+    for d in expect:
+        assert mine[d] == expect[d], d
+
+
 def test_repetition_vs_brute():
     """Gopher-style n-gram repetition stats vs a per-doc brute force
     (collections.Counter over consecutive token grams)."""
