@@ -1765,6 +1765,16 @@ def ann_knn(sf_dir: str) -> pa.Table:
     return knn_classify(sf_dir, n_queries=ANN_NQ, k=ANN_K)
 
 
+def ann_centroid(sf_dir: str) -> pa.Table:
+    """Nearest-centroid (Rocchio) labeling (ann.centroid_classify): per-label
+    mean embedding from one distributed partial-sum pass, then argmax rounded
+    cosine per query (tie → label asc). Mirrored end-to-end in SQL (unnest →
+    per-position mean → list_cosine_similarity)."""
+    from miru_ray.ann import centroid_classify
+
+    return centroid_classify(sf_dir, n_queries=ANN_NQ, dim=ANN_DIM)
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-hyperplane LSH ANN. The hash chain is fully deterministic
     (splitmix64-seeded hyperplanes), so the DuckDB oracle mirrors it END TO
@@ -1904,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_source_stats": txt_source_stats,
         "ann_topk": ann_topk,
         "ann_knn": ann_knn,
+        "ann_centroid": ann_centroid,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "dd_embed_cosine": dd_embed_cosine,
@@ -3070,6 +3081,22 @@ best AS (SELECT q, label, n,
                 row_number() OVER (PARTITION BY q ORDER BY n DESC, label ASC) AS rn
          FROM votes)
 SELECT q, label AS pred_label, n AS votes FROM best WHERE rn = 1"""
+        ),
+        "ann_centroid": (
+            f"""WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+cent AS (SELECT label, pos, sum(v) / count(*) AS cv FROM ex GROUP BY label, pos),
+cv AS (SELECT label, list(cv ORDER BY pos) AS c FROM cent GROUP BY label),
+q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),
+sc AS (SELECT q.qid AS q, CAST(cv.label AS BIGINT) AS label,
+              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cv.c), 4) AS cos
+       FROM q CROSS JOIN cv),
+best AS (SELECT q, label, cos,
+                row_number() OVER (PARTITION BY q ORDER BY cos DESC, label ASC) AS rn
+         FROM sc)
+SELECT q, label AS pred_label, cos FROM best WHERE rn = 1"""
         ),
         "ann_lsh": _lsh_oracle_sql(),
         "ann_ivf": (

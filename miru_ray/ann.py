@@ -719,3 +719,73 @@ def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
             "votes": pa.array(counts[first].astype(np.int64), type=pa.int64()),
         }
     )
+
+
+def label_centroids(sf_dir: str, dim: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Per-label mean embedding (Rocchio prototype) via ONE streaming pass:
+    per-batch partial (label → raw-vector sum, count) rows, a tiny
+    groupby(label) fold, and a labels×dim driver matrix. Raw (unnormalized)
+    fp64 sums — the SQL-mirrorable definition of a centroid."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table, _dim=dim) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = (
+            batch["embedding"].combine_chunks()
+            if isinstance(batch["embedding"], pa.ChunkedArray)
+            else batch["embedding"]
+        )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(lab), _dim)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), _dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        cols = {"label": pa.array(ulab)}
+        for d in range(_dim):
+            cols[f"s{d}"] = pa.array(sums[:, d])
+        cols["n"] = pa.array(counts)
+        return pa.table(cols)
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby("label").aggregate(*([Sum(f"s{d}") for d in range(dim)] + [Sum("n")]))
+    rows = agg.take_all()  # ≤ n_labels — answer-sized
+    names = agg.schema().names
+    labels = np.array(sorted(int(r[names[0]]) for r in rows), dtype=np.int64)
+    cents = np.zeros((len(labels), dim), dtype=np.float64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    for r in rows:
+        vec = np.array([r[nm] for nm in names[1 : dim + 1]], dtype=np.float64)
+        cents[pos[int(r[names[0]])]] = vec / float(r[names[-1]])
+    return labels, cents
+
+
+def centroid_classify(sf_dir: str, n_queries: int = 8, dim: int = 64) -> pa.Table:
+    """Nearest-centroid (Rocchio) label prediction for each query vector
+    (vec_id < n_queries): per-label mean embedding from the distributed
+    partial-sum pass, then argmax cosine to a centroid (rounded 4 dp, tie →
+    label asc). Returns (q, pred_label, cos). Complements knn_classify —
+    one prototype per class instead of k votes; the corpus-scale cost is
+    one streaming pass emitting labels×dim partials per batch."""
+    labels, cents = label_centroids(sf_dir, dim=dim)
+    qids, qm = load_queries(sf_dir, n_queries)
+    cn = np.linalg.norm(cents, axis=1)
+    qn = np.linalg.norm(qm, axis=1)
+    denom = np.outer(qn, cn)
+    denom[denom == 0] = 1.0
+    cos = np.round((qm @ cents.T) / denom, 4)
+    best = np.zeros(len(qids), dtype=np.int64)
+    for i in range(len(qids)):  # nq rows — answer-sized
+        order = np.lexsort((labels, -cos[i]))
+        best[i] = order[0]
+    return pa.table(
+        {
+            "q": pa.array(qids, type=pa.int64()),
+            "pred_label": pa.array(labels[best], type=pa.int64()),
+            "cos": pa.array(cos[np.arange(len(qids)), best], type=pa.float64()),
+        }
+    )

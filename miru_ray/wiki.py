@@ -76,8 +76,15 @@ def iter_pages(path: str):
     def local(tag: str) -> str:
         return tag.rsplit("}", 1)[-1]
 
-    for _, elem in ET.iterparse(path, events=("end",)):
-        if local(elem.tag) != "page":
+    # track the root: cleared <page> elements stay attached to it, so a
+    # multi-million-page dump would accumulate millions of empty children —
+    # detach them as we go to keep memory truly constant
+    it = ET.iterparse(path, events=("start", "end"))
+    root = None
+    for event, elem in it:
+        if root is None:
+            root = elem
+        if event != "end" or local(elem.tag) != "page":
             continue
         pid, ns, title, text = None, 0, "", ""
         for child in elem:
@@ -94,6 +101,10 @@ def iter_pages(path: str):
                         text = rc.text or ""
         yield pid, ns, title, text
         elem.clear()
+        if root is not None and len(root):
+            # drop completed top-level children (pages, siteinfo)
+            for done in list(root)[:-1]:
+                root.remove(done)
 
 
 def parse_dump_file(path: str) -> pa.Table:

@@ -416,6 +416,30 @@ def test_knn_classify_vs_brute(ray_session, emb):
         assert int(got.loc[q, "votes"]) == best[1], q
 
 
+def test_centroid_classify_vs_brute(ray_session, emb):
+    """Rocchio nearest-centroid vs a scalar re-derivation: per-label raw
+    mean vector, rounded-4dp cosine, argmax (tie → label asc)."""
+    from miru_ray.ann import centroid_classify
+
+    ids, m = emb
+    t = pq.read_table(SF + "/embeddings.parquet")
+    lab = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    labels = np.unique(lab)
+    cents = np.stack([m[lab == L].mean(axis=0) for L in labels])
+    NQ = 5
+    got = centroid_classify(SF, n_queries=NQ).to_pandas().set_index("q")
+    assert len(got) == NQ
+    for q in range(NQ):
+        v = m[idx[q]]
+        cos = np.round(
+            (cents @ v) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(v)), 4
+        )
+        best = sorted(zip(-cos, labels))[0]
+        assert int(got.loc[q, "pred_label"]) == int(best[1]), q
+        assert abs(float(got.loc[q, "cos"]) - float(-best[0])) < 1e-9, q
+
+
 def test_multimodal_plumbing(ray_session):
     from miru_ray.multimodal import DecodeStage, FEATURE_DIM, feature_extract_ds, synth_media_table
 
