@@ -156,3 +156,53 @@ def test_tokenizer_edge_scalars():
     assert py_tokenize("Füße") == ["f", "e"]
     assert py_tokenize("a" * 10) == ["a" * 10]
     assert py_tokenize("\x00x\x1fy\tz") == ["x", "y", "z"]
+
+
+def test_knn_classify_k_exceeds_corpus(ray_session):
+    """k larger than the table: every non-self row is a neighbor, the vote
+    covers the whole corpus (votes sum to n-1 per query)."""
+    from miru_ray.ann import knn_classify
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id"])
+    n = t.num_rows
+    got = knn_classify("/root/testdata/sf0.001", n_queries=2, k=n + 50).to_pandas()
+    assert len(got) == 2
+    # with every row voting, the winner is the corpus-wide modal label
+    lab = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    labels = lab["label"].to_pylist()
+    ids = lab["vec_id"].to_pylist()
+    for q in (0, 1):
+        counts: dict[int, int] = {}
+        for v, L in zip(ids, labels):
+            if v != q:
+                counts[L] = counts.get(L, 0) + 1
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        row = got[got["q"] == q].iloc[0]
+        assert int(row["pred_label"]) == best[0]
+        assert int(row["votes"]) == best[1]
+
+
+def test_keywords_k_exceeds_doc_terms(ray_session):
+    """k larger than any doc's distinct-term count returns every term of
+    the doc, still ranked (score desc, term asc)."""
+    from miru_ray.textstats import keywords_ds
+    from miru_ray.tokenize import py_tokenize
+
+    got = keywords_ds("/root/testdata/sf0.001", k=10**6).to_pandas()
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_terms = {
+        int(d): len(set(py_tokenize(t)))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    per_doc = got.groupby("doc_id").size().to_dict()
+    assert set(per_doc) == {d for d, n in n_terms.items() if n > 0}
+    for d, cnt in per_doc.items():
+        assert cnt == n_terms[int(d)], d
+    # ranked within each doc
+    for d, g in got.groupby("doc_id"):
+        s = g["score"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all(), d
