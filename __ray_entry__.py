@@ -1755,6 +1755,16 @@ def dd_embed_cosine(sf_dir: str):
     )
 
 
+def dd_cross_source(sf_dir: str):
+    """Cross-source duplicate leakage (dedup.cross_source_pairs_ds): the
+    MinHash-LSH near-dup pairs (the dd_minhash chain, est_jaccard ≥ 0.5)
+    rolled up by (source_a ≤ source_b) — the pre-training-mix contamination
+    audit. SQL mirror reuses the exact dd_minhash CTE chain."""
+    from miru_ray.dedup import cross_source_pairs_ds
+
+    return cross_source_pairs_ds(sf_dir)
+
+
 def ann_knn(sf_dir: str) -> pa.Table:
     """kNN majority-vote labeling (ann.knn_classify): brute cosine top-k
     neighbors per query (the ann_topk machinery + 4-dp rounded rerank), then
@@ -1912,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_redact": txt_redact,
         "txt_keywords": txt_keywords,
         "txt_source_stats": txt_source_stats,
+        "dd_cross_source": dd_cross_source,
         "ann_topk": ann_topk,
         "ann_knn": ann_knn,
         "ann_centroid": ann_centroid,
@@ -3062,6 +3073,16 @@ ranked AS (
          row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
   FROM scored)
 SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
+        ),
+        "dd_cross_source": (
+            f"""WITH {_minhash_pair_ctes()},
+sel AS (SELECT a, b FROM mh_pairs WHERE est_jaccard >= 0.5),
+lab AS (SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b
+        FROM sel JOIN documents da ON da.doc_id = sel.a
+                 JOIN documents db ON db.doc_id = sel.b)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY source_a, source_b"""
         ),
         "ann_knn": (
             f"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),

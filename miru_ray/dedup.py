@@ -234,6 +234,69 @@ def minhash_pairs_ds(
     )
 
 
+def cross_source_pairs_ds(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 256,
+) -> pa.Table:
+    """(source_a ≤ source_b, n_pairs): near-duplicate leakage between corpus
+    sources — how many MinHash-LSH duplicate pairs (est. Jaccard ≥
+    ``threshold``) stay within one source vs cross source boundaries. The
+    audit a multi-source pre-training mix runs before fixing sampling
+    weights: cross-source mass means the mix double-counts content.
+
+    Corpus-scale cost is exactly minhash_pairs_ds's (the banded LSH
+    exchange); the pair list is answer-sized, sources arrive via ONE
+    pushdown read of the paired doc ids, and the roll-up is answer-sized
+    driver work."""
+    import pyarrow.dataset as pads
+
+    pairs = pa.Table.from_pylist(
+        minhash_pairs_ds(
+            sf_dir, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            threshold=threshold, max_bucket=max_bucket,
+        ).take_all()
+    )
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+    a = pairs["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    want = np.unique(np.concatenate([a, b]))
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"), format="parquet")
+    t = dset.to_table(
+        columns=["doc_id", "source"],
+        filter=pc.field("doc_id").isin([int(i) for i in want]),
+    )
+    lut = dict(zip(t["doc_id"].to_pylist(), t["source"].to_pylist()))
+    s1 = np.array([lut[int(x)] for x in a], dtype=object)
+    s2 = np.array([lut[int(x)] for x in b], dtype=object)
+    lo = np.where(s1 <= s2, s1, s2)
+    hi = np.where(s1 <= s2, s2, s1)
+    agg = (
+        pa.table({"source_a": pa.array(lo, pa.string()), "source_b": pa.array(hi, pa.string())})
+        .group_by(["source_a", "source_b"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    out = pa.table(
+        {
+            "source_a": agg["source_a"],
+            "source_b": agg["source_b"],
+            "n_pairs": pc.cast(agg["count_all"], pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("source_a", "ascending"), ("source_b", "ascending")]))
+
+
 def exact_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
     """Brute-force token-k-gram Jaccard (test oracle / pair verification)."""
     ga = {tuple(tokens_a[i : i + k]) for i in range(len(tokens_a) - k + 1)}

@@ -388,6 +388,30 @@ def test_embed_neardup_pairs(ray_session, emb):
         assert rec >= 0.5, (rec, len(strong))
 
 
+def test_cross_source_pairs_vs_rollup(ray_session):
+    """The near-dup leakage report must equal a plain-python roll-up of the
+    (independently tested) minhash pair list by (source_a ≤ source_b)."""
+    from collections import Counter
+
+    from miru_ray.dedup import cross_source_pairs_ds, minhash_pairs_ds
+
+    pairs = minhash_pairs_ds(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "source"])
+    src = dict(zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist()))
+    expect = Counter(
+        tuple(sorted((src[int(a)], src[int(b)]))) for a, b in zip(pairs["a"], pairs["b"])
+    )
+    assert expect  # the fixture corpus has near-dup pairs — a vacuous pass hides bugs
+    got = cross_source_pairs_ds(SF).to_pandas()
+    mine = {
+        (r["source_a"], r["source_b"]): int(r["n_pairs"]) for _, r in got.iterrows()
+    }
+    assert mine == dict(expect)
+    # output is sorted (source_a, source_b)
+    keys = list(zip(got["source_a"], got["source_b"]))
+    assert keys == sorted(keys)
+
+
 def test_knn_classify_vs_brute(ray_session, emb):
     """From-scratch scalar re-derivation: rounded-4dp cosine rank (tie →
     neighbor asc), top-k neighbor set, majority label vote (tie → votes
