@@ -1765,6 +1765,19 @@ def dd_cross_source(sf_dir: str):
     return cross_source_pairs_ds(sf_dir)
 
 
+SEMDEDUP_T = 0.35
+
+
+def dd_semdedup(sf_dir: str):
+    """Semantic dedup (ann.semdedup_ds, SemDeDup-style): nearest-coarse-
+    centroid clustering (the ann_ivf assignment convention) then one
+    survivor per within-cluster ε-ball (drop any vector with a smaller-id
+    neighbor at rounded cosine ≥ t). Fully mirrored in SQL."""
+    from miru_ray.ann import semdedup_ds
+
+    return semdedup_ds(sf_dir, stride=IVF_STRIDE, threshold=SEMDEDUP_T)
+
+
 def ann_knn(sf_dir: str) -> pa.Table:
     """kNN majority-vote labeling (ann.knn_classify): brute cosine top-k
     neighbors per query (the ann_topk machinery + 4-dp rounded rerank), then
@@ -1923,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_keywords": txt_keywords,
         "txt_source_stats": txt_source_stats,
         "dd_cross_source": dd_cross_source,
+        "dd_semdedup": dd_semdedup,
         "ann_topk": ann_topk,
         "ann_knn": ann_knn,
         "ann_centroid": ann_centroid,
@@ -3102,6 +3116,26 @@ best AS (SELECT q, label, n,
                 row_number() OVER (PARTITION BY q ORDER BY n DESC, label ASC) AS rn
          FROM votes)
 SELECT q, label AS pred_label, n AS votes FROM best WHERE rn = 1"""
+        ),
+        "dd_semdedup": (
+            f"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+               WHERE vec_id % {IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 8) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT y.vec_id AS j
+  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE round(list_cosine_similarity(ex.embedding, ey.embedding), 4) >= {SEMDEDUP_T})
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       a.vec_id NOT IN (SELECT j FROM dropped) AS keep
+FROM assign a"""
         ),
         "ann_centroid": (
             f"""WITH ex AS (

@@ -789,3 +789,58 @@ def centroid_classify(sf_dir: str, n_queries: int = 8, dim: int = 64) -> pa.Tabl
             "cos": pa.array(cos[np.arange(len(qids)), best], type=pa.float64()),
         }
     )
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def semdedup_ds(sf_dir: str, stride: int = 31, threshold: float = 0.35,
+                dim: int = 64):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    assign every vector to its nearest coarse centroid (the ann_ivf
+    assignment convention — rounded-8dp cosine, tie → smaller centroid id),
+    then within each cluster drop any vector that has a SMALLER-id neighbor
+    at cosine ≥ ``threshold`` (one survivor per ε-ball, deterministic
+    keeper). Returns (vec_id, cluster, keep).
+
+    Scale shape: the centroid matrix broadcasts via ray.put; assignment is
+    one streaming pass; the within-cluster pairwise runs inside a
+    groupby(cluster) — embeddings DO ride that exchange (pairwise cosine
+    needs them co-located; that is SemDeDup's honest cost) but each group
+    is corpus/k sized, and k grows with the corpus. O(cluster²) sims per
+    group, never a global all-pairs."""
+    import ray
+    import ray.data as rd
+
+    cent_ids, cents = load_centroids(sf_dir, stride)
+    cn = _normalize(cents)
+    ref = ray.put((cent_ids.astype(np.int64), cn))
+
+    def assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        cids, c = ray.get(_ref)
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        best = np.argmax(np.round(mn @ c.T, 8), axis=1)  # ties → first = smaller cid
+        return batch.append_column("cluster", pa.array(cids[best], type=pa.int64()))
+
+    def dedup_group(g: pa.Table, _t=threshold) -> pa.Table:
+        ids, m = _to_matrix(g)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        mn = _normalize(m)
+        sims = np.round(mn @ mn.T, 4)
+        dup = (np.triu(sims >= _t, k=1)).any(axis=0)  # j dropped if any i<j close
+        cl = g["cluster"][0].as_py()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(np.full(len(ids), cl, dtype=np.int64)),
+                "keep": pa.array(~dup),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("cluster").map_groups(dedup_group, batch_format="pyarrow")

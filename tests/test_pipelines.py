@@ -464,6 +464,38 @@ def test_centroid_classify_vs_brute(ray_session, emb):
         assert abs(float(got.loc[q, "cos"]) - float(-best[0])) < 1e-9, q
 
 
+def test_semdedup_vs_brute(ray_session, emb):
+    """SemDeDup vs a from-scratch scalar derivation: strided centroids,
+    rounded-8dp nearest-centroid assignment (tie → smaller cid), drop any
+    vector with a smaller-id same-cluster neighbor at rounded cos ≥ t."""
+    from miru_ray.ann import semdedup_ds
+
+    ids, m = emb
+    idx = {int(v): i for i, v in enumerate(ids)}
+    STRIDE, T = 17, 0.3
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = sorted(int(v) for v in ids if int(v) % STRIDE == 0)
+    cm = mn[[idx[c] for c in cents]]
+    assign = {}
+    for v in ids:
+        cs = np.round(mn[idx[int(v)]] @ cm.T, 8)
+        assign[int(v)] = cents[int(np.lexsort((cents, -cs))[0])]
+    dropped = set()
+    for v in sorted(assign):
+        for u in sorted(assign):
+            if u < v and assign[u] == assign[v]:
+                if np.round(float(mn[idx[u]] @ mn[idx[v]]), 4) >= T:
+                    dropped.add(v)
+                    break
+    got = semdedup_ds(SF, stride=STRIDE, threshold=T).to_pandas()
+    assert len(got) == len(ids)
+    assert dropped  # non-vacuous: the fixture corpus has ε-ball duplicates
+    for _, r in got.iterrows():
+        v = int(r["vec_id"])
+        assert int(r["cluster"]) == assign[v], v
+        assert bool(r["keep"]) == (v not in dropped), v
+
+
 def test_multimodal_plumbing(ray_session):
     from miru_ray.multimodal import DecodeStage, FEATURE_DIM, feature_extract_ds, synth_media_table
 
