@@ -1078,6 +1078,30 @@ def dd_keep_best(sf_dir: str):
     return keep_best_ds(sf_dir, threshold=0.9)
 
 
+SUBSTR_L = 10
+SUBSTR_MIN = 2
+
+
+def dd_substr_spans(sf_dir: str):
+    """ExactSubstr span detection (Lee et al. 2022, dedup.substring_spans_ds):
+    merged per-doc spans of token windows (L=10) occurring ≥2 times
+    corpus-wide. Two streaming passes (gram-hash combiner → broadcast dup
+    set → vectorized island merge); the oracle counts gram STRINGS — fully
+    independent of the engine's 64-bit rolling hash."""
+    from miru_ray.dedup import substring_spans_ds
+
+    return substring_spans_ds(sf_dir, L=SUBSTR_L, min_count=SUBSTR_MIN)
+
+
+def dd_substr_clean(sf_dir: str):
+    """ExactSubstr removal transform (dedup.substring_clean_ds): every doc
+    with its duplicated-token count and the normalized text with duplicated
+    spans cut out — clean_text is value-checked against the SQL mirror."""
+    from miru_ray.dedup import substring_clean_ds
+
+    return substring_clean_ds(sf_dir, L=SUBSTR_L, min_count=SUBSTR_MIN)
+
+
 SIMHASH_NEAR_MAXHAM = 3
 
 
@@ -1910,6 +1934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_simhash_near": dd_simhash_near,
         "dd_clusters": dd_clusters,
         "dd_keep_best": dd_keep_best,
+        "dd_substr_spans": dd_substr_spans,
+        "dd_substr_clean": dd_substr_clean,
         "dd_passages": dd_passages,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "txt_quality": txt_quality,
@@ -2789,6 +2815,49 @@ reach(s, d) AS (SELECT s, d FROM edges
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
 SELECT CAST(s AS BIGINT) AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
 FROM reach GROUP BY s"""
+        ),
+        "dd_substr_spans": (
+            f"""WITH d AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tk[i + 1:i + {SUBSTR_L}], ' ') AS gram
+      FROM d, unnest(range(len(tk) - {SUBSTR_L} + 1)) AS t(i)
+      WHERE len(tk) >= {SUBSTR_L}),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= {SUBSTR_MIN}),
+w AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+lagd AS (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM w),
+isl AS (SELECT doc_id, pos,
+               sum(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_L} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM lagd)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SUBSTR_L} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island"""
+        ),
+        "dd_substr_clean": (
+            f"""WITH d AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(tk[i + 1:i + {SUBSTR_L}], ' ') AS gram
+      FROM d, unnest(range(len(tk) - {SUBSTR_L} + 1)) AS t(i)
+      WHERE len(tk) >= {SUBSTR_L}),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= {SUBSTR_MIN}),
+w AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+tok AS (SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) - 1 AS tpos FROM d),
+cov AS (SELECT doc_id, tpos, t,
+               EXISTS (SELECT 1 FROM w WHERE w.doc_id = tok.doc_id
+                       AND tok.tpos BETWEEN w.pos AND w.pos + {SUBSTR_L} - 1) AS covered
+        FROM tok),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(coalesce(count(*) FILTER (WHERE covered), 0) AS BIGINT) AS n_dup_tokens,
+               coalesce(string_agg(t, ' ' ORDER BY tpos) FILTER (WHERE NOT covered), '')
+                 AS clean_text
+        FROM cov GROUP BY doc_id)
+SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id"""
         ),
         "dd_keep_best": (
             f"""WITH RECURSIVE {_minhash_pair_ctes()},

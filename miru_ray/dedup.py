@@ -838,3 +838,163 @@ def shared_passage_pairs_ds(
         )
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------- exact substring spans
+#
+# ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better"): a token window of length L whose content occurs
+# >= min_count times corpus-wide (every occurrence counts, including repeats
+# inside one document) is a duplicated window; a document's duplicated SPANS
+# are the union of its duplicated windows, overlapping-or-adjacent windows
+# merged. The paper builds a corpus-scale suffix array; at the window
+# granularity the same answer falls out of two streaming passes with no
+# global sort:
+#
+#   pass 1 — per-batch partial counts of 64-bit rolling L-gram hashes (the
+#     top_ngrams/decontaminate combiner: the shuffle carries one row per
+#     DISTINCT gram per batch, never per occurrence) -> groupby(h) sum ->
+#     filter count >= min_count. The surviving dup-gram hash set is
+#     broadcast once via ray.put; its size is the number of distinct
+#     duplicated L-grams — sparse for real corpora at useful L. If a
+#     pathological corpus makes it large, shard pass 2 by joining on the
+#     gram hash instead of broadcasting (the ngram_jaccard inverted-index
+#     shape); the broadcast is the fast path.
+#   pass 2 — re-scan, mark windows whose hash is in the set (one
+#     searchsorted per batch), merge islands: within a doc the marked
+#     window starts are sorted and every window has the same length L, so a
+#     new span begins exactly where start[i] - start[i-1] > L. Fully
+#     vectorized (flatnonzero + reduceat shapes); nothing shuffles.
+#
+# 64-bit collisions would merge two gram identities (2^-64-scale; the
+# top_ngrams note applies). Positions are 0-based token indices over the
+# SAME tokenization the rest of the engine uses (tokenize.py equality
+# contract), span_end exclusive.
+
+
+def _dup_gram_ref(sf_dir: str, L: int, min_count: int):
+    """Pass 1: ray.put'd sorted int64 array of duplicated L-gram hashes."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .textstats import _gram_count_partial
+
+    counts = (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(_gram_count_partial, fn_kwargs={"n": L},
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n"))
+    )
+
+    def keep_dup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "h" not in b.schema.names:
+            return pa.table({"h": pa.array([], pa.int64())})
+        m = pc.greater_equal(pc.cast(b["sum(n)"], pa.int64()), min_count)
+        return pa.table({"h": pc.cast(b["h"], pa.int64()).filter(m)})
+
+    rows = counts.map_batches(keep_dup, batch_format="pyarrow").take_all()
+    dup = np.sort(np.array([r["h"] for r in rows], dtype=np.int64))
+    return ray.put(dup)
+
+
+def _marked_windows(batch: pa.Table, L: int, dup_ref):
+    """Per batch: (ids, parents, tokens, gp_sel, flat_starts_sel) of windows
+    whose L-gram hash is in the broadcast dup set; flat starts ascending."""
+    import ray
+
+    from .textstats import _gram_starts
+
+    dup = ray.get(dup_ref)
+    parents, tokens = tokenize_flat(batch["text"])
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(parents) < L or len(dup) == 0:
+        e = np.empty(0, np.int64)
+        return ids, parents, tokens, e, e
+    th = fnv1a64(tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens)
+    gp, gh, starts = _gram_starts(parents, th, L)
+    h = gh.view(np.int64)
+    idx = np.searchsorted(dup, h)
+    sel = (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)] == h)
+    return ids, parents, tokens, gp[sel], starts[sel]
+
+
+def _spans_batch(batch: pa.Table, L: int, dup_ref) -> pa.Table:
+    ids, parents, tokens, gp, starts = _marked_windows(batch, L, dup_ref)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "span_start": pa.array([], pa.int64()),
+         "span_end": pa.array([], pa.int64()), "n_windows": pa.array([], pa.int64())}
+    )
+    if len(gp) == 0:
+        return empty
+    # within-doc 0-based positions: flat start minus the doc's first flat index
+    first_flat = np.searchsorted(parents, np.arange(batch.num_rows))
+    pos = starts - first_flat[gp]
+    brk = np.ones(len(gp), dtype=bool)
+    brk[1:] = (gp[1:] != gp[:-1]) | (pos[1:] - pos[:-1] > L)
+    isl = np.flatnonzero(brk)
+    ends = np.r_[isl[1:], len(gp)]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[gp[isl]]),
+            "span_start": pa.array(pos[isl]),
+            "span_end": pa.array(pos[ends - 1] + L),
+            "n_windows": pa.array(ends - isl),
+        }
+    )
+
+
+def substring_spans_ds(sf_dir: str, L: int = 10, min_count: int = 2):
+    """(doc_id, span_start, span_end, n_windows): merged duplicated token
+    spans per document — ExactSubstr at window granularity (module note)."""
+    dup_ref = _dup_gram_ref(sf_dir, L, min_count)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _spans_batch, fn_kwargs={"L": L, "dup_ref": dup_ref},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _clean_batch(batch: pa.Table, L: int, dup_ref) -> pa.Table:
+    ids, parents, tokens, gp, starts = _marked_windows(batch, L, dup_ref)
+    n_rows = batch.num_rows
+    n_tok = len(parents)
+    diff = np.zeros(n_tok + 1, dtype=np.int64)
+    if len(starts):
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, starts + L, -1)
+    covered = np.cumsum(diff[:n_tok]) > 0
+    n_tokens = np.bincount(parents, minlength=n_rows) if n_tok else np.zeros(n_rows, np.int64)
+    n_dup = (
+        np.bincount(parents[covered], minlength=n_rows) if covered.any()
+        else np.zeros(n_rows, np.int64)
+    )
+    keep = ~covered
+    kept = tokens.filter(pa.array(keep)) if n_tok else tokens
+    kept = kept.combine_chunks() if isinstance(kept, pa.ChunkedArray) else kept
+    counts = n_tokens - n_dup
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(counts)
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept), " "
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "n_dup_tokens": pa.array(n_dup.astype(np.int64)),
+            "clean_text": pc.cast(clean, pa.string()),
+        }
+    )
+
+
+def substring_clean_ds(sf_dir: str, L: int = 10, min_count: int = 2):
+    """(doc_id, n_tokens, n_dup_tokens, clean_text): every document with its
+    duplicated-window token count and the NORMALIZED text (engine tokens
+    joined by single spaces) with duplicated spans cut out — the ExactSubstr
+    removal transform. Docs with nothing duplicated pass through with
+    n_dup_tokens = 0 and clean_text = the normalized text."""
+    dup_ref = _dup_gram_ref(sf_dir, L, min_count)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _clean_batch, fn_kwargs={"L": L, "dup_ref": dup_ref},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -1721,3 +1721,47 @@ def test_heavy_hitters_vs_brute(ray_session, doc_tokens):
 
     with _pytest.raises(ValueError):
         heavy_hitters_ds(SF, frac_num=1, frac_den=100, cap=99)
+
+
+def test_substring_spans_vs_brute(ray_session, doc_tokens):
+    """ExactSubstr span dedup vs a from-scratch Counter brute force: count
+    every L-token window corpus-wide (within-doc repeats included), mark
+    windows seen >= 2 times, merge overlapping-or-adjacent windows per doc,
+    and cut covered tokens for the clean variant."""
+    from collections import Counter
+
+    from miru_ray.dedup import substring_clean_ds, substring_spans_ds
+
+    L = 10
+    cnt = Counter()
+    for tk in doc_tokens.values():
+        for j in range(len(tk) - L + 1):
+            cnt[tuple(tk[j : j + L])] += 1
+    exp_spans = set()
+    exp_clean = {}
+    for i, tk in doc_tokens.items():
+        cov = set()
+        spans = []
+        for s in range(len(tk) - L + 1):
+            if cnt[tuple(tk[s : s + L])] < 2:
+                continue
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = s + L
+                spans[-1][2] += 1
+            else:
+                spans.append([s, s + L, 1])
+            cov.update(range(s, s + L))
+        for s in spans:
+            exp_spans.add((i, s[0], s[1], s[2]))
+        exp_clean[i] = (
+            len(tk), len(cov),
+            " ".join(t for j, t in enumerate(tk) if j not in cov),
+        )
+    got = substring_spans_ds(SF, L=L).to_pandas()
+    assert set(map(tuple, got.itertuples(index=False, name=None))) == exp_spans
+    assert len(got) == len(exp_spans)  # no duplicate span rows
+    cl = substring_clean_ds(SF, L=L).to_pandas()
+    assert len(cl) == len(exp_clean)
+    for r in cl.itertuples():
+        assert (r.n_tokens, r.n_dup_tokens, r.clean_text) == exp_clean[int(r.doc_id)]
+    assert (cl["n_dup_tokens"] > 0).any()  # the corpus exercises the operator
