@@ -1812,6 +1812,16 @@ def ann_knn(sf_dir: str) -> pa.Table:
     return knn_classify(sf_dir, n_queries=ANN_NQ, k=ANN_K)
 
 
+def ann_hardneg(sf_dir: str) -> pa.Table:
+    """Hard-negative mining (ann.hard_negatives): per query vector, the k
+    nearest OPPOSITE-label vectors by 4-dp rounded cosine (tie → neighbor
+    asc). The label mask runs inside the distributed scan, so the partial
+    top-k stays exact for the filtered answer. Fully mirrored in SQL."""
+    from miru_ray.ann import hard_negatives
+
+    return hard_negatives(sf_dir, n_queries=ANN_NQ, k=ANN_K)
+
+
 def ann_centroid(sf_dir: str) -> pa.Table:
     """Nearest-centroid (Rocchio) labeling (ann.centroid_classify): per-label
     mean embedding from one distributed partial-sum pass, then argmax rounded
@@ -1965,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_semdedup": dd_semdedup,
         "ann_topk": ann_topk,
         "ann_knn": ann_knn,
+        "ann_hardneg": ann_hardneg,
         "ann_centroid": ann_centroid,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -3156,6 +3167,19 @@ ranked AS (
          row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
   FROM scored)
 SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
+        ),
+        "ann_hardneg": (
+            f"""WITH q AS (SELECT vec_id AS qid, embedding, label FROM embeddings
+           WHERE vec_id < {ANN_NQ}),
+scored AS (
+  SELECT q.qid AS q, e.vec_id AS neighbor, CAST(e.label AS BIGINT) AS neg_label,
+         round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.label <> q.label),
+ranked AS (
+  SELECT q, neighbor, neg_label, cos,
+         row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
+  FROM scored)
+SELECT q, neighbor, neg_label, cos FROM ranked WHERE rn <= {ANN_K}"""
         ),
         "dd_cross_source": (
             f"""WITH {_minhash_pair_ctes()},

@@ -721,6 +721,104 @@ def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
     )
 
 
+class HardNegTopK:
+    """Actor-pool stage for hard-negative mining: per-batch partial cosine
+    top-k restricted to OPPOSITE-label rows. Same-label candidates are
+    masked to a -2 sentinel BEFORE the partial select (cosine ∈ [-1, 1], so
+    the sentinel can never win), which keeps the partial-topk → groupby(q)
+    merge chain exact for the label-filtered answer — a post-hoc filter on
+    an unfiltered top-k would MISS negatives pushed out by same-label rows.
+    Query matrix + labels fetched from the object store once per actor."""
+
+    def __init__(self, queries_ref, query_ids, query_labels, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(q)
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.query_labels = np.asarray(query_labels, dtype=np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = _normalize(m) @ self.q.T  # (n, nq)
+        sims[labels[:, None] == self.query_labels[None, :]] = -2.0
+        nq = sims.shape[1]
+        k = min(self.k, sims.shape[0])
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        rows = []
+        for j in range(nq):
+            sel = part[:, j]
+            sel = sel[sims[sel, j] > -1.5]  # drop masked sentinels
+            rows.append(
+                (
+                    np.full(len(sel), self.query_ids[j], dtype=np.int64),
+                    ids[sel],
+                    sims[sel, j],
+                )
+            )
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate([r[0] for r in rows])),
+                "neighbor": pa.array(np.concatenate([r[1] for r in rows])),
+                "cos": pa.array(np.concatenate([r[2] for r in rows]), type=pa.float64()),
+            }
+        )
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
+    """Hard-negative mining for contrastive training (the DPR / sentence-
+    transformers data-prep primitive): for each query vector (vec_id <
+    n_queries), the k nearest vectors by rounded cosine whose label DIFFERS
+    from the query's. Exact: the label mask is applied inside the
+    distributed scan (HardNegTopK note), then the standard groupby(q)
+    reduce and the 4-dp rounded rerank fix the neighbor set; negative
+    labels arrive via one pushdown read. Returns
+    (q, neighbor, neg_label, cos) — answer-sized (nq×k)."""
+    import os as _os
+
+    import ray
+    import ray.data as rd
+
+    qids, qm = load_queries(sf_dir, n_queries)
+    qlab = load_labels_for(sf_dir, qids)
+    ref = ray.put(qm)
+    partials = rd.read_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    ).map_batches(
+        HardNegTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "query_ids": qids, "query_labels": qlab, "k": k,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    )
+    t = _merge_topk_ds(partials, k)
+    cs = np.round(t["cos"].to_numpy(zero_copy_only=False), 4)
+    q = t["q"].to_numpy(zero_copy_only=False)
+    nb = t["neighbor"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nb, -cs, q))
+    q, nb, cs = q[order], nb[order], cs[order]
+    starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
+    rank = np.arange(len(q)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(q)]]))
+    )
+    keep = rank < k
+    q, nb, cs = q[keep], nb[keep], cs[keep]
+    neg_lab = load_labels_for(sf_dir, nb) if len(nb) else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "q": pa.array(q, type=pa.int64()),
+            "neighbor": pa.array(nb, type=pa.int64()),
+            "neg_label": pa.array(neg_lab, type=pa.int64()),
+            "cos": pa.array(cs, type=pa.float64()),
+        }
+    )
+
+
 def label_centroids(sf_dir: str, dim: int = 64) -> tuple[np.ndarray, np.ndarray]:
     """Per-label mean embedding (Rocchio prototype) via ONE streaming pass:
     per-batch partial (label → raw-vector sum, count) rows, a tiny

@@ -1765,3 +1765,31 @@ def test_substring_spans_vs_brute(ray_session, doc_tokens):
     for r in cl.itertuples():
         assert (r.n_tokens, r.n_dup_tokens, r.clean_text) == exp_clean[int(r.doc_id)]
     assert (cl["n_dup_tokens"] > 0).any()  # the corpus exercises the operator
+
+
+def test_hard_negatives_vs_brute(ray_session, emb):
+    """Hard-negative mining vs a from-scratch scalar re-derivation: for each
+    query, rank OPPOSITE-label vectors by rounded-4dp cosine (tie → neighbor
+    asc) and keep the top k; the in-scan label mask must give the same set
+    as filtering the full ranking."""
+    from miru_ray.ann import hard_negatives
+
+    ids, m = emb
+    t = pq.read_table(SF + "/embeddings.parquet")
+    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    NQ, K = 6, 7
+    got = hard_negatives(SF, n_queries=NQ, k=K).to_pandas()
+    for q in range(NQ):
+        sims = np.round(mn @ mn[idx[q]], 4)
+        cand = sorted(
+            (int(v) for v in ids if labels[int(v)] != labels[q]),
+            key=lambda v: (-sims[idx[v]], v),
+        )[:K]
+        sub = got[got["q"] == q].sort_values(["cos", "neighbor"], ascending=[False, True])
+        assert list(sub["neighbor"]) == cand, q
+        for r in sub.itertuples():
+            assert r.neg_label == labels[int(r.neighbor)]
+            assert r.neg_label != labels[q]
+            assert r.cos == sims[idx[int(r.neighbor)]]
