@@ -1812,6 +1812,21 @@ def ann_knn(sf_dir: str) -> pa.Table:
     return knn_classify(sf_dir, n_queries=ANN_NQ, k=ANN_K)
 
 
+PQ_NSUB = 8
+
+
+def ann_pq(sf_dir: str) -> pa.Table:
+    """PQ/ADC approximate top-k (ann.ann_pq_topk): normalized vectors
+    encoded per subspace against the strided codebook (the ann_ivf
+    sampled-quantizer convention; Lloyd-refined codebooks are pytest-
+    checked), queries scored by the ADC lookup-table gather. Every subspace
+    distance is round(Σ(a−b)², 8) before argmin/sum on BOTH engines, so the
+    whole chain is value-checked in DuckDB."""
+    from miru_ray.ann import ann_pq_topk
+
+    return ann_pq_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K, n_sub=PQ_NSUB, stride=IVF_STRIDE)
+
+
 def ann_hardneg(sf_dir: str) -> pa.Table:
     """Hard-negative mining (ann.hard_negatives): per query vector, the k
     nearest OPPOSITE-label vectors by 4-dp rounded cosine (tie → neighbor
@@ -1976,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_knn": ann_knn,
         "ann_hardneg": ann_hardneg,
+        "ann_pq": ann_pq,
         "ann_centroid": ann_centroid,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -3167,6 +3183,34 @@ ranked AS (
          row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS rn
   FROM scored)
 SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
+        ),
+        "ann_pq": (
+            f"""WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS v
+  FROM embeddings),
+cents AS (SELECT vec_id AS cid, v FROM ev WHERE vec_id % {IVF_STRIDE} = 0),
+subs AS (SELECT CAST(unnest(range({PQ_NSUB})) AS BIGINT) AS m),
+cs AS (SELECT m, cid, v[CAST(m * {ANN_DIM // PQ_NSUB} + 1 AS BIGINT):CAST((m + 1) * {ANN_DIM // PQ_NSUB} AS BIGINT)] AS sub
+       FROM cents CROSS JOIN subs),
+xs AS (SELECT m, vec_id, v[CAST(m * {ANN_DIM // PQ_NSUB} + 1 AS BIGINT):CAST((m + 1) * {ANN_DIM // PQ_NSUB} AS BIGINT)] AS sub
+       FROM ev CROSS JOIN subs),
+ad AS (SELECT xs.vec_id, xs.m, cs.cid,
+              round(list_distance(xs.sub, cs.sub) ^ 2, 8) AS d2
+       FROM xs JOIN cs USING (m)),
+codes AS (SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+            FROM ad) WHERE rn = 1),
+lut AS (SELECT vec_id AS qid, m, cid, d2 FROM ad WHERE vec_id < {ANN_NQ}),
+adc AS (SELECT l.qid AS q, c.vec_id AS neighbor, sum(l.d2) AS adc
+        FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+        WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+ranked AS (SELECT q, neighbor, adc,
+                  row_number() OVER (PARTITION BY q ORDER BY adc ASC, neighbor ASC) AS rn
+           FROM adc)
+SELECT q, neighbor, round(adc, 6) AS adc FROM ranked WHERE rn <= {ANN_K}"""
         ),
         "ann_hardneg": (
             f"""WITH q AS (SELECT vec_id AS qid, embedding, label FROM embeddings

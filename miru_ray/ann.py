@@ -391,6 +391,245 @@ def ann_ivf_topk(
     return _merge_topk_ds(partials, k)
 
 
+# ------------------------------------------------- product quantization (PQ)
+#
+# The memory-compression scale path (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): each normalized vector is
+# encoded as n_sub small codes (nearest per-subspace centroid), so a
+# 64-float embedding becomes n_sub bytes-ish of codes and the 100-TB scan
+# touches codes, not floats. Query cost is ADC (asymmetric distance
+# computation): one (n_sub × ks) lookup table of squared subspace distances
+# per query, then score(x) = Σ_m lut[m, code_m(x)] — a pure gather+sum per
+# batch. Ranking by ADC ascending over normalized vectors approximates
+# cosine descending (‖q−x‖² = 2 − 2·cos on the unit sphere).
+#
+# Determinism/mirror conventions (shared with the SQL oracle): vectors are
+# fp64-normalized; the codebook is the strided sample (load_centroids — the
+# ann_ivf convention; pq_refine upgrades it with per-subspace Lloyd passes,
+# pytest-checked like kmeans_refine); every subspace distance is
+# round(Σ(a−b)², 8) BEFORE any argmin/sum; assignment ties break to the
+# smaller centroid id; the final rank is (adc asc, neighbor asc) with adc
+# rounded to 6dp in the reported column. Per-batch partials are tie-aware
+# (full (score, id) lexsort, first k+1) — PQ scores collide whenever two
+# vectors share codes, so an argpartition partial could drop the
+# neighbor-asc tie-mate the global answer needs.
+
+
+def _pq_sub(mat: np.ndarray, m: int, dsub: int) -> np.ndarray:
+    return mat[:, m * dsub : (m + 1) * dsub]
+
+
+def _pq_d2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """round(Σ(a−b)², 8) for every (row of x) × (row of c) — the explicit
+    diff-square form (NOT the x²+c²−2xc expansion) so fp64 drift vs the SQL
+    mirror's list_distance² stays below the 8dp rounding."""
+    return np.round(((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 8)
+
+
+def pq_encode(mn: np.ndarray, cb: np.ndarray, n_sub: int) -> np.ndarray:
+    """Codes (n, n_sub): per subspace the ordinal of the nearest codebook
+    row (rounded d2, tie → smaller ordinal = smaller centroid id)."""
+    n, dim = mn.shape
+    dsub = dim // n_sub
+    codes = np.empty((n, n_sub), dtype=np.int64)
+    for m in range(n_sub):
+        codes[:, m] = np.argmin(_pq_d2(_pq_sub(mn, m, dsub), _pq_sub(cb, m, dsub)), axis=1)
+    return codes
+
+
+def pq_refine(sf_dir: str, cb: np.ndarray, n_sub: int, n_iters: int = 2) -> np.ndarray:
+    """Per-subspace distributed Lloyd refinement of a PQ codebook: each
+    iteration is ONE streaming pass — per batch, assign every subspace of
+    every vector, emit partial (m·ks + cid → subvector sum, count) rows
+    (n_sub·ks·dsub floats per batch), fold with a tiny groupby, recompute
+    means on the driver (ks × dim state). Empty cells keep their centroid.
+    Same convention as kmeans_refine; the ADC machinery is codebook-source
+    agnostic."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cb = np.asarray(cb, dtype=np.float64).copy()
+    ks, dim = cb.shape
+    dsub = dim // n_sub
+    for _ in range(n_iters):
+        ref = ray.put(cb)
+
+        def partial(batch: pa.Table, _ref=ref, _ks=ks, _dsub=dsub, _n_sub=n_sub) -> pa.Table:
+            c = ray.get(_ref)
+            _, m = _to_matrix(batch)
+            mn = _normalize(m)
+            codes = pq_encode(mn, c, _n_sub)
+            sums = np.zeros((_n_sub * _ks, _dsub), dtype=np.float64)
+            counts = np.zeros(_n_sub * _ks, dtype=np.int64)
+            for s in range(_n_sub):
+                key = s * _ks + codes[:, s]
+                np.add.at(sums, key, _pq_sub(mn, s, _dsub))
+                counts += np.bincount(key, minlength=_n_sub * _ks)
+            live = np.flatnonzero(counts)
+            cols = {"cell": pa.array(live)}
+            for d in range(_dsub):
+                cols[f"s{d}"] = pa.array(sums[live, d])
+            cols["n"] = pa.array(counts[live])
+            return pa.table(cols)
+
+        agg = (
+            _emb_ds(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cell")
+            .aggregate(*([Sum(f"s{d}") for d in range(dsub)] + [Sum("n")]))
+        )
+        names = None
+        for row in agg.take_all():  # ≤ n_sub·ks rows — answer-sized
+            if names is None:
+                names = list(row.keys())
+            cell = int(row[names[0]])
+            n = float(row[names[-1]])
+            if n > 0:
+                vec = np.array([row[nm] for nm in names[1 : dsub + 1]], dtype=np.float64)
+                s, cid = divmod(cell, ks)
+                cb[cid, s * dsub : (s + 1) * dsub] = vec / n
+    return cb
+
+
+def pq_distortion(sf_dir: str, cb: np.ndarray, n_sub: int) -> float:
+    """Total squared quantization error of a codebook over the corpus (one
+    streaming pass; per-batch partial sums)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(np.asarray(cb, dtype=np.float64))
+    ks, dim = cb.shape
+    dsub = dim // n_sub
+
+    def partial(batch: pa.Table, _ref=ref, _dsub=dsub, _n_sub=n_sub) -> pa.Table:
+        c = ray.get(_ref)
+        _, m = _to_matrix(batch)
+        mn = _normalize(m)
+        err = 0.0
+        for s in range(_n_sub):
+            x = _pq_sub(mn, s, _dsub)
+            cs = _pq_sub(c, s, _dsub)
+            d2 = _pq_d2(x, cs)
+            err += float(d2.min(axis=1).sum())
+        return pa.table({"err": pa.array([err], pa.float64())})
+
+    agg = (
+        _emb_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("err"))
+    )
+    return float(agg["sum(err)"])
+
+
+class PqTopK:
+    """ADC scan stage: codebook + per-query LUTs built once per actor; each
+    batch is encoded (pq_encode) and scored by a gather+sum — no
+    full-dimension math per (query, vector) pair. Partials are tie-aware:
+    per query the batch's first k+1 rows by (score, neighbor id)."""
+
+    def __init__(self, queries_ref, query_ids, cb_ref, k: int, n_sub: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
+        self.cb = np.asarray(cb, dtype=np.float64)
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.n_sub = n_sub
+        qn = _normalize(np.asarray(q, dtype=np.float64))
+        dsub = qn.shape[1] // n_sub
+        # lut[m]: (nq, ks) rounded squared subspace distances
+        self.lut = np.stack(
+            [_pq_d2(_pq_sub(qn, m, dsub), _pq_sub(self.cb, m, dsub)) for m in range(n_sub)]
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        codes = pq_encode(_normalize(m), self.cb, self.n_sub)
+        nq = len(self.query_ids)
+        scores = np.zeros((nq, len(ids)), dtype=np.float64)
+        for s in range(self.n_sub):
+            scores += self.lut[s][:, codes[:, s]]
+        k = min(self.k + 1, len(ids))
+        out_q, out_n, out_s = [], [], []
+        for j in range(nq):
+            order = np.lexsort((ids, scores[j]))[:k]
+            out_q.append(np.full(len(order), self.query_ids[j], dtype=np.int64))
+            out_n.append(ids[order])
+            out_s.append(scores[j][order])
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate(out_q)),
+                "neighbor": pa.array(np.concatenate(out_n)),
+                "adc": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+
+def _final_pq_topk(parts: pa.Table, k: int, exclude_self: bool) -> pa.Table:
+    q = parts["q"].to_numpy(zero_copy_only=False)
+    nb = parts["neighbor"].to_numpy(zero_copy_only=False)
+    sc = parts["adc"].to_numpy(zero_copy_only=False)
+    if exclude_self:
+        keep = q != nb
+        q, nb, sc = q[keep], nb[keep], sc[keep]
+    order = np.lexsort((nb, sc, q))  # (q asc, adc asc, neighbor asc)
+    q, nb, sc = q[order], nb[order], sc[order]
+    starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
+    rank = np.arange(len(q)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(q)]]))
+    )
+    keep = rank < k
+    return pa.table(
+        {"q": pa.array(q[keep]), "neighbor": pa.array(nb[keep]),
+         "adc": pa.array(sc[keep], type=pa.float64())}
+    )
+
+
+def ann_pq_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 10, n_sub: int = 8, stride: int = 31,
+    refine_iters: int = 0,
+) -> pa.Table:
+    """Approximate top-k by PQ/ADC (module note): strided codebook
+    (optionally Lloyd-refined with ``refine_iters`` streaming passes —
+    pytest-checked; the SQL-mirrored driver oracle uses 0), distributed
+    encode+gather scan, tie-aware partial top-k, groupby(q) reduce. Returns
+    (q, neighbor, adc) with adc rounded to 6dp, rank (adc asc, neighbor
+    asc), self excluded."""
+    import ray
+
+    qids, qm = load_queries(sf_dir, n_queries)
+    _, cb = load_centroids(sf_dir, stride)
+    cb = _normalize(cb)
+    if refine_iters:
+        cb = pq_refine(sf_dir, cb, n_sub, n_iters=refine_iters)
+    qref, cref = ray.put(qm), ray.put(cb)
+    partials = _emb_ds(sf_dir).map_batches(
+        PqTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "query_ids": qids, "cb_ref": cref,
+            "k": k, "n_sub": n_sub,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    )
+    merged = partials.groupby("q").map_groups(
+        lambda g: _final_pq_topk(g, k, exclude_self=True), batch_format="pyarrow"
+    )
+    rows = merged.take_all()  # answer-sized: nq × k
+    if not rows:
+        return pa.table(
+            {"q": pa.array([], pa.int64()), "neighbor": pa.array([], pa.int64()),
+             "adc": pa.array([], pa.float64())}
+        )
+    t = _final_pq_topk(pa.Table.from_pylist(rows), k, exclude_self=False)
+    return pa.table(
+        {"q": t["q"], "neighbor": t["neighbor"],
+         "adc": pa.array(np.round(t["adc"].to_numpy(zero_copy_only=False), 6))}
+    )
+
+
 # -------------------------------------------------- embedding-cosine near-dup
 
 

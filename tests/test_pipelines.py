@@ -1793,3 +1793,66 @@ def test_hard_negatives_vs_brute(ray_session, emb):
             assert r.neg_label == labels[int(r.neighbor)]
             assert r.neg_label != labels[q]
             assert r.cos == sims[idx[int(r.neighbor)]]
+
+
+def test_ann_pq_vs_brute(ray_session, emb):
+    """PQ/ADC vs a from-scratch scalar re-derivation of the whole chain:
+    fp64 normalize, strided codebook, per-subspace rounded-d2 assignment
+    (tie → smaller centroid ordinal), ADC lookup sum, rank (adc asc,
+    neighbor asc) excluding self."""
+    from miru_ray.ann import ann_pq_topk
+
+    ids, m = emb
+    NQ, K, NSUB, STRIDE = 5, 6, 8, 31
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    cids = sorted(int(v) for v in ids if int(v) % STRIDE == 0)
+    cb = mn[[idx[c] for c in cids]]
+    dim = mn.shape[1]
+    dsub = dim // NSUB
+    # codes for every vector
+    codes = {}
+    for v in ids:
+        row = mn[idx[int(v)]]
+        code = []
+        for s in range(NSUB):
+            d2 = np.round(((row[s * dsub:(s + 1) * dsub] - cb[:, s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1), 8)
+            code.append(int(np.argmin(d2)))  # first min = smaller ordinal
+        codes[int(v)] = code
+    got = ann_pq_topk(SF, n_queries=NQ, k=K, n_sub=NSUB, stride=STRIDE).to_pandas()
+    assert len(got) == NQ * K
+    for q in range(NQ):
+        qrow = mn[idx[q]]
+        lut = np.stack([
+            np.round(((qrow[s * dsub:(s + 1) * dsub] - cb[:, s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1), 8)
+            for s in range(NSUB)
+        ])
+        scored = sorted(
+            ((sum(lut[s][codes[int(v)][s]] for s in range(NSUB)), int(v)) for v in ids if int(v) != q),
+        )[:K]
+        sub = got[got["q"] == q].sort_values(["adc", "neighbor"])
+        assert list(sub["neighbor"]) == [v for _, v in scored], q
+        for (adc, _), r in zip(scored, sub.itertuples()):
+            assert r.adc == round(adc, 6)
+
+
+def test_pq_refine_reduces_distortion(ray_session):
+    """Per-subspace Lloyd refinement must not increase total quantization
+    error relative to its own strided init (Lloyd monotonicity), and
+    ann_pq_topk(refine_iters=1) still returns nq×k well-formed rows."""
+    from miru_ray.ann import ann_pq_topk, load_centroids, pq_distortion, pq_refine
+
+    NSUB, STRIDE = 8, 31
+    _, cb0 = load_centroids(SF, STRIDE)
+    cb0 = cb0 / np.linalg.norm(cb0, axis=1, keepdims=True)
+    d0 = pq_distortion(SF, cb0, NSUB)
+    cb1 = pq_refine(SF, cb0, NSUB, n_iters=1)
+    d1 = pq_distortion(SF, cb1, NSUB)
+    cb2 = pq_refine(SF, cb1, NSUB, n_iters=1)
+    d2 = pq_distortion(SF, cb2, NSUB)
+    assert d1 <= d0 + 1e-9
+    assert d2 <= d1 + 1e-9
+    assert d1 < d0  # the strided init is not already a local optimum here
+    t = ann_pq_topk(SF, n_queries=3, k=4, n_sub=NSUB, stride=STRIDE, refine_iters=1)
+    assert t.num_rows == 12
+    assert t.schema.names == ["q", "neighbor", "adc"]
