@@ -1285,6 +1285,54 @@ def txt_fingerprints(sf_dir: str):
 
 
 NGRAM_N = 3
+BPE_MERGES = 8
+BPE_CAP = 100
+
+
+def txt_bpe(sf_dir: str) -> pa.Table:
+    """True BPE merge training (textstats.bpe_train_ds, Sennrich et al.
+    2016): one distributed word count capped at the declared top-100 words,
+    then 8 greedy merges — best pair by (weighted count desc, pair asc),
+    re-segmentation = one left-to-right non-overlapping pass (the exact
+    semantics of SQL replace() on the spaced piece string, which is how the
+    oracle unrolls the loop)."""
+    from miru_ray.textstats import bpe_train_ds
+
+    return bpe_train_ds(sf_dir, n_merges=BPE_MERGES, vocab_cap=BPE_CAP)
+
+
+def _bpe_oracle_sql() -> str:
+    """The bpe_train_ds loop unrolled: each step = a weighted adjacent-pair
+    count over the current segmentation (lead-window over the spaced piece
+    string) + one replace() re-segmentation feeding the next step."""
+    parts = [
+        f"""tok AS ({_TOKTAB}),
+wc AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+cap AS (SELECT term, n FROM wc ORDER BY n DESC, term ASC LIMIT {BPE_CAP}),
+w0 AS MATERIALIZED (SELECT regexp_replace(term, '(.)', ' \\1', 'g') AS s, n FROM cap)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT split_part(pr, chr(31), 1) AS l, split_part(pr, chr(31), 2) AS r, c
+  FROM (SELECT pr, sum(n) AS c FROM (
+          SELECT n, unnest(list_transform(range(1, len(pcs)),
+                             j -> pcs[j] || chr(31) || pcs[j + 1])) AS pr
+          FROM (SELECT string_split(trim(s), ' ') AS pcs, n FROM w{i - 1}))
+        GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1))"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (SELECT replace(s,
+   ' ' || (SELECT l FROM b{i}) || ' ' || (SELECT r FROM b{i}),
+   ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i})) AS s, n FROM w{i - 1})"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS freq FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
 NGRAM_K = 20
 
 
@@ -1979,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
         "txt_top_ngrams": txt_top_ngrams,
+        "txt_bpe": txt_bpe,
         "txt_decontam": txt_decontam,
         "pipe_curate": pipe_curate,
         "txt_chunks": txt_chunks,
@@ -3072,6 +3121,7 @@ SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
        COALESCE(sc.lm_score, 0.0) AS lm_score
 FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
+        "txt_bpe": _bpe_oracle_sql(),
         "txt_splits": _splits_oracle_sql(),
         "txt_budget_sample": _budget_oracle_sql(),
         "txt_budget_epochs": _budget_epochs_oracle_sql(),

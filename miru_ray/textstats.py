@@ -1795,3 +1795,94 @@ def nb_classify_ds(sf_dir: str, vocab_size: int = 16):
         zero_copy_batch=True,
         concurrency=(1, 2),
     )
+
+
+# -------------------------------------------------------------- BPE training
+#
+# True byte-pair-encoding merge training (Sennrich et al. 2016 §3.2): start
+# from characters, repeatedly merge the most frequent adjacent symbol pair.
+# The corpus-scale part is ONE distributed word-count (the _term_partial
+# combiner → groupby sum → distributed sort+limit), capped at a DECLARED
+# top-``vocab_cap`` words by (count desc, word asc) — the standard trainer
+# shape (HuggingFace trains from a pruned word-frequency table, not the
+# token stream). The merge loop then runs on the driver over ≤ vocab_cap
+# short words — answer-bounded work, independent of corpus size.
+#
+# Determinism (shared with the SQL mirror): best pair per step =
+# (weighted count desc, left asc, right asc); each step re-segments every
+# word with ONE greedy left-to-right non-overlapping pass (the semantics of
+# SQL replace() on the space-separated piece string).
+
+
+def bpe_train_ds(sf_dir: str, n_merges: int = 8, vocab_cap: int = 100) -> pa.Table:
+    """(merge_rank, lhs, rhs, freq): the first ``n_merges`` BPE merge rules
+    trained over the corpus word table (module note). freq is the pair's
+    weighted adjacent-occurrence count at the step it won."""
+    from ray.data.aggregate import Sum
+
+    rows = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_term_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("ttf"))
+        .map_batches(lambda b: b.rename_columns(["term", "n"]), batch_format="pyarrow")
+        .sort(["n", "term"], descending=[True, False])
+        .limit(vocab_cap)
+        .take_all()
+    )
+    segs = [list(r["term"]) for r in rows]
+    freqs = [int(r["n"]) for r in rows]
+    out_rank, out_l, out_r, out_f = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for seg, f in zip(segs, freqs):
+            for i in range(len(seg) - 1):
+                p = (seg[i], seg[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (lhs, rhs), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out_rank.append(rank)
+        out_l.append(lhs)
+        out_r.append(rhs)
+        out_f.append(freq)
+        merged = lhs + rhs
+        for w, seg in enumerate(segs):
+            if lhs not in seg:
+                continue
+            new: list[str] = []
+            i = 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == lhs and seg[i + 1] == rhs:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(seg[i])
+                    i += 1
+            segs[w] = new
+    return pa.table(
+        {
+            "merge_rank": pa.array(out_rank, pa.int64()),
+            "lhs": pa.array(out_l, pa.string()),
+            "rhs": pa.array(out_r, pa.string()),
+            "freq": pa.array(out_f, pa.int64()),
+        }
+    )
+
+
+def bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply trained merges to one word in rank order (the tokenizer side of
+    bpe_train_ds; same greedy left-to-right pass per rule)."""
+    seg = list(word)
+    for lhs, rhs in merges:
+        new: list[str] = []
+        i = 0
+        while i < len(seg):
+            if i + 1 < len(seg) and seg[i] == lhs and seg[i + 1] == rhs:
+                new.append(lhs + rhs)
+                i += 2
+            else:
+                new.append(seg[i])
+                i += 1
+        seg = new
+    return seg

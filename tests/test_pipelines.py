@@ -1856,3 +1856,46 @@ def test_pq_refine_reduces_distortion(ray_session):
     t = ann_pq_topk(SF, n_queries=3, k=4, n_sub=NSUB, stride=STRIDE, refine_iters=1)
     assert t.num_rows == 12
     assert t.schema.names == ["q", "neighbor", "adc"]
+
+
+def test_bpe_train_vs_brute(ray_session, doc_tokens):
+    """BPE merge training vs a from-scratch scalar reimplementation over the
+    same capped word-frequency table: per step the (count desc, pair asc)
+    best adjacent pair, greedy left-to-right re-segmentation; bpe_segment
+    must reproduce every word's final segmentation under the learned rules."""
+    from collections import Counter
+
+    from miru_ray.textstats import bpe_segment, bpe_train_ds
+
+    N, CAP = 10, 50
+    wc = Counter()
+    for tk in doc_tokens.values():
+        wc.update(tk)
+    capped = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:CAP]
+    segs = {w: list(w) for w, _ in capped}
+    expect = []
+    for _ in range(N):
+        pc_ = Counter()
+        for w, f in capped:
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc_[(s[i], s[i + 1])] += f
+        (l, r), c = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((l, r, c))
+        for w in segs:
+            s, new, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            segs[w] = new
+    got = bpe_train_ds(SF, n_merges=N, vocab_cap=CAP).to_pandas()
+    assert list(got["merge_rank"]) == list(range(1, N + 1))
+    assert [tuple(r) for r in got[["lhs", "rhs", "freq"]].itertuples(index=False)] == expect
+    merges = [(l, r) for l, r, _ in expect]
+    for w, _ in capped:
+        assert "".join(bpe_segment(w, merges)) == w
+        assert bpe_segment(w, merges) == segs[w]
