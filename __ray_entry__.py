@@ -1031,6 +1031,30 @@ def ev_funnel(sf_dir: str):
     return funnel_ds(sf_dir, FUNNEL_STEPS)
 
 
+ASOF_LEFT, ASOF_RIGHT = "purchase", "click"
+RANGE_WIN_TYPE, RANGE_WIN_US = "error", 10 * 60 * 1_000_000
+
+
+def ev_asof(sf_dir: str):
+    """Backward as-of join (analytics.asof_join_ds): each purchase joined
+    to the same user's latest click at-or-before it (ties toward the
+    larger event_id), -1/0.0 sentinels for unmatched rows. User-keyed
+    shuffle of two pre-filtered types; per-group vectorized searchsorted."""
+    from miru_ray.analytics import asof_join_ds
+
+    return asof_join_ds(sf_dir, ASOF_LEFT, ASOF_RIGHT)
+
+
+def ev_range_join(sf_dir: str) -> pa.Table:
+    """Overlapping-interval range join (analytics.range_join_ds): every
+    error event opens a 10-minute incident window; count + integer-cent
+    sum of ALL events in each window. Broadcast sorted window starts, two
+    searchsorteds per batch, per-window partials before the groupby."""
+    from miru_ray.analytics import range_join_ds
+
+    return range_join_ds(sf_dir, RANGE_WIN_TYPE, RANGE_WIN_US)
+
+
 def ev_trending_peaks(sf_dir: str) -> pa.Table:
     """Reference-strategy trending (PEAKS/LEADER/HIGHEST_PEAK/regression —
     TrendingInjectable.java:143-190). The Billauer PeakDet loop is mirrored
@@ -1992,6 +2016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_retention": ev_retention,
         "ev_funnel": ev_funnel,
         "ev_hopping": ev_hopping,
+        "ev_asof": ev_asof,
+        "ev_range_join": ev_range_join,
         "ev_metric_waveform": ev_metric_waveform,
         "ev_distinct_sketch": ev_distinct_sketch,
         "ev_quantiles": ev_quantiles,
@@ -2692,6 +2718,32 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM s GROUP BY user_id, sess"""
         ),
         "ev_hopping": _hopping_oracle_sql(),
+        "ev_asof": (
+            f"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+       WHERE event_type = '{ASOF_LEFT}'),
+c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+      WHERE event_type = '{ASOF_RIGHT}'),
+m AS (SELECT p.event_id,
+             c.event_id AS prior_event_id, c.ts_us AS prior_ts_us,
+             c.value AS prior_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
+SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts_us,
+       COALESCE(m.prior_event_id, -1) AS prior_event_id,
+       COALESCE(m.prior_ts_us, -1) AS prior_ts_us,
+       COALESCE(m.prior_value, 0.0) AS prior_value
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)"""
+        ),
+        "ev_range_join": (
+            f"""WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS s FROM events
+       WHERE event_type = '{RANGE_WIN_TYPE}'),
+e AS (SELECT epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS m FROM events),
+j AS (SELECT w.window_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s
+      FROM w JOIN e ON e.t >= w.s AND e.t < w.s + {RANGE_WIN_US} GROUP BY 1)
+SELECT w.window_id, COALESCE(j.n, 0) AS n_events, COALESCE(j.s, 0) AS sum_cents
+FROM w LEFT JOIN j USING (window_id)"""
+        ),
         "ev_metric_waveform": (
             """WITH e AS (SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
                   CAST(round(value * 100) AS BIGINT) AS m FROM events),

@@ -1038,3 +1038,219 @@ def hopping_window_ds(
         ) if len(b.schema) == 4 else empty,
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------- as-of join
+
+# The classic time-series join Ray Data has no primitive for (task brief:
+# "when the reference has an operator Ray Data lacks — as-of join, range
+# join, windowed aggregate — implement it as a composition"). For every
+# LEFT-type event, attach the most recent RIGHT-type event of the same
+# user with right.ts <= left.ts (ties on ts broken toward the larger
+# event_id — the "latest writer wins" rule the reference's pairedLatest
+# fields use, MiruIndexPairedLatest.java analogue).
+
+
+def _asof_partial(batch: pa.Table, left_type: str, right_type: str) -> pa.Table:
+    """Pre-filter to the two joined types; emit narrow columns + side code
+    (0 = left, 1 = right). The user-keyed shuffle then carries only these
+    five columns for the two types, never props or unrelated events."""
+    et = batch["event_type"]
+    is_l = pc.equal(et, pa.scalar(left_type))
+    is_r = pc.equal(et, pa.scalar(right_type))
+    keep = pc.or_(is_l, is_r)
+    t = batch.filter(keep)
+    side = pc.cast(pc.equal(t["event_type"], pa.scalar(right_type)), pa.int8())
+    return pa.table(
+        {
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": pa.array(_ts_us(t)),
+            "value": pc.cast(t["value"], pa.float64()),
+            "side": side,
+        }
+    )
+
+
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("prior_event_id", pa.int64()),
+        ("prior_ts_us", pa.int64()),
+        ("prior_value", pa.float64()),
+    ]
+)
+
+
+def _asof_group(group: pa.Table) -> pa.Table:
+    """One user's (left ∪ right) events → one output row per left event.
+    Sort the right side by (ts, event_id); one vectorized searchsorted
+    (side='right') lands after ALL right rows with ts <= left ts, so the
+    row before the insertion point IS the as-of match with max event_id
+    among equal timestamps. Unmatched lefts get the -1 / 0.0 sentinels
+    (never SQL NULLs — the oracle compare stringifies values)."""
+    side = group["side"].to_numpy(zero_copy_only=False)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    lmask = side == 0
+    l_ts, l_eid = ts[lmask], eid[lmask]
+    if len(l_ts) == 0:
+        return _ASOF_SCHEMA.empty_table()
+    rmask = ~lmask
+    r_ts, r_eid, r_val = ts[rmask], eid[rmask], val[rmask]
+    order = np.lexsort((r_eid, r_ts))
+    r_ts, r_eid, r_val = r_ts[order], r_eid[order], r_val[order]
+    idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+    matched = idx >= 0
+    safe = np.maximum(idx, 0)
+    uid = int(group["user_id"][0].as_py())
+    return pa.table(
+        {
+            "event_id": pa.array(l_eid),
+            "user_id": pa.array(np.full(len(l_eid), uid, np.int64)),
+            "ts_us": pa.array(l_ts),
+            "prior_event_id": pa.array(
+                np.where(matched, r_eid[safe], np.int64(-1))
+            ),
+            "prior_ts_us": pa.array(np.where(matched, r_ts[safe], np.int64(-1))),
+            "prior_value": pa.array(np.where(matched, r_val[safe], 0.0)),
+        }
+    )
+
+
+def asof_join_ds(sf_dir: str, left_type: str = "purchase",
+                 right_type: str = "click"):
+    """Backward as-of join: each ``left_type`` event joined to the latest
+    ``right_type`` event of the same user at-or-before it.
+
+    Partitioning assumption (same contract as ``sessionize_ds``): one
+    user's events of the two joined types fit one worker — the
+    groupby(user_id) co-locates them, pre-filtered to two types and five
+    narrow columns. For whale users the sessionize_scalable two-level
+    trick applies with one extra piece of boundary state (the last right
+    event of each coarse window, carried into the next window's merge);
+    not needed at any tested scale, documented for 100 TB."""
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    return (
+        ds.map_batches(
+            lambda b: _asof_partial(b, left_type, right_type),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .map_groups(_asof_group, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------------------- range join
+
+# Interval join — the second join Ray Data lacks a primitive for. Every
+# ``error`` event opens an incident window [ts, ts + width); the join
+# counts ALL events (any type) landing in each window and sums their
+# integer-cent values (cents, like metric_waveform — BIGINT sums are
+# order-free, so Ray and DuckDB agree bit-for-bit). Windows OVERLAP, so
+# this is a true many-to-many range join, not a bucketing.
+
+
+def _range_join_schema() -> pa.Schema:
+    return pa.schema(
+        [("window_id", pa.int64()), ("n_events", pa.int64()),
+         ("sum_cents", pa.int64())]
+    )
+
+
+def range_join_ds(sf_dir: str, window_type: str = "error",
+                  width_us: int = 10 * 60 * 1_000_000) -> pa.Table:
+    """(window_id, n_events, sum_cents) per incident window, zero-filled.
+
+    Scale shape: the window table is the SMALL side — collected once,
+    sorted by start, shipped to every task via ``ray.put`` (the broadcast
+    pattern; never re-serialized per batch). Because every window has the
+    same width, an event at t matches exactly the windows with start in
+    (t - width, t] — two vectorized ``searchsorted`` calls per batch, no
+    interval tree. Each batch emits per-window PARTIAL (n, sum) rows, so
+    the groupby shuffle carries at most one row per window per batch; the
+    driver only ever holds window-sized tables. If the window side itself
+    outgrows a broadcast (10^8+ windows), co-partition both sides by
+    ts // width — a window spans at most two such buckets, so each event
+    checks its own and the previous bucket; the fixed width is what makes
+    that partitioning sound."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ev = _events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
+    win_rows = (
+        ev.map_batches(
+            lambda b: pa.table(
+                {
+                    "window_id": pc.cast(
+                        b.filter(pc.equal(b["event_type"], pa.scalar(window_type)))[
+                            "event_id"
+                        ],
+                        pa.int64(),
+                    ),
+                    "start_us": pa.array(
+                        _ts_us(b.filter(pc.equal(b["event_type"], pa.scalar(window_type))))
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ).take_all()
+    wid = np.array([r["window_id"] for r in win_rows], dtype=np.int64)
+    wstart = np.array([r["start_us"] for r in win_rows], dtype=np.int64)
+    order = np.lexsort((wid, wstart))
+    wid, wstart = wid[order], wstart[order]
+    if len(wid) == 0:
+        return _range_join_schema().empty_table()
+    win_ref = ray.put((wstart, wid))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        starts, ids = ray.get(win_ref)
+        t = _ts_us(batch)
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        lo = np.searchsorted(starts, t - width_us, side="right")
+        hi = np.searchsorted(starts, t, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.schema([("w", pa.int64()), ("n", pa.int64()),
+                              ("s", pa.int64())]).empty_table()
+        # expand each event's contiguous [lo, hi) window-index range
+        widx = np.repeat(lo, counts) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        part = pa.table(
+            {"w": pa.array(ids[widx]), "m": pa.array(np.repeat(cents, counts))}
+        ).group_by(["w"], use_threads=False).aggregate([("m", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "w": pc.cast(part["w"], pa.int64()),
+                "n": pc.cast(part["count_all"], pa.int64()),
+                "s": pc.cast(part["m_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("n"), Sum("s"))
+    )
+    n_out = np.zeros(len(wid), dtype=np.int64)
+    s_out = np.zeros(len(wid), dtype=np.int64)
+    pos = {int(w): i for i, w in enumerate(wid)}
+    for row in agg.take_all():  # window-sized = answer-sized
+        i = pos[int(row["w"])]
+        n_out[i] = int(row["sum(n)"])
+        s_out[i] = int(row["sum(s)"])
+    return pa.table(
+        {"window_id": pa.array(wid), "n_events": pa.array(n_out),
+         "sum_cents": pa.array(s_out)}
+    )

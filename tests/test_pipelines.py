@@ -1899,3 +1899,74 @@ def test_bpe_train_vs_brute(ray_session, doc_tokens):
     for w, _ in capped:
         assert "".join(bpe_segment(w, merges)) == w
         assert bpe_segment(w, merges) == segs[w]
+
+
+def test_asof_join_vs_scalar(ray_session):
+    """asof_join_ds equals a pure-python sweep: for each left event, scan
+    the same user's right events for the max (ts, event_id) with
+    ts <= left ts; sentinels when none."""
+    from miru_ray.analytics import asof_join_ds
+
+    L, R = "view", "click"  # different pair than the driver query
+    ev = pq.read_table(SF + "/events.parquet").to_pydict()
+    rows = [
+        (int(ts.timestamp() * 1_000_000), eid, uid, et, val)
+        for eid, ts, uid, et, val in zip(
+            ev["event_id"], ev["ts"], ev["user_id"], ev["event_type"], ev["value"]
+        )
+    ]
+    expect = {}
+    for t, eid, uid, et, _ in rows:
+        if et != L:
+            continue
+        best = None
+        for rt, reid, ruid, ret, rval in rows:
+            if ret != R or ruid != uid or rt > t:
+                continue
+            if best is None or (rt, reid) > (best[0], best[1]):
+                best = (rt, reid, rval)
+        expect[eid] = (uid, t, best)
+    got = asof_join_ds(SF, L, R).to_pandas()
+    assert len(got) == len(expect)
+    matched = 0
+    for r in got.itertuples():
+        uid, t, best = expect[r.event_id]
+        assert (r.user_id, r.ts_us) == (uid, t)
+        if best is None:
+            assert (r.prior_event_id, r.prior_ts_us, r.prior_value) == (-1, -1, 0.0)
+        else:
+            matched += 1
+            assert (r.prior_ts_us, r.prior_event_id) == (best[0], best[1])
+            assert r.prior_value == best[2]
+    assert matched > 0  # the fixture must actually exercise matches
+
+
+def test_range_join_vs_scalar(ray_session):
+    """range_join_ds equals a pure-python double loop over (window, event)
+    with [start, start+width) semantics and integer-cent sums."""
+    from miru_ray.analytics import range_join_ds
+
+    W = 47 * 60 * 1_000_000  # non-driver width, catches hardcoding
+    ev = pq.read_table(SF + "/events.parquet").to_pydict()
+    rows = [
+        (int(ts.timestamp() * 1_000_000), eid, et, round(val * 100))
+        for eid, ts, et, val in zip(
+            ev["event_id"], ev["ts"], ev["event_type"], ev["value"]
+        )
+    ]
+    expect = {}
+    for t, eid, et, _ in rows:
+        if et != "signup":
+            continue
+        n = s = 0
+        for t2, _, _, m in rows:
+            if t <= t2 < t + W:
+                n += 1
+                s += m
+        expect[eid] = (n, s)
+    got = range_join_ds(SF, "signup", W).to_pandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        n, s = expect[r.window_id]
+        assert (r.n_events, r.sum_cents) == (n, s), r.window_id
+    assert any(n > 1 for n, _ in expect.values())
