@@ -1386,6 +1386,54 @@ COLLOC_K = 15
 COLLOC_MIN = 5
 
 
+TEXTRANK_K = 50
+TEXTRANK_ITERS = 5
+
+
+def txt_textrank(sf_dir: str) -> pa.Table:
+    """Corpus TextRank (textstats.textrank_ds): integer PageRank over the
+    undirected adjacent-token co-occurrence graph — edges AND ranks stay
+    distributed Datasets, each round one hash join + int64 groupby Sum.
+    Micro-unit floor arithmetic makes every sum exact, so the oracle is
+    the same five rounds unrolled as MATERIALIZED BIGINT CTEs."""
+    from miru_ray.textstats import textrank_ds
+
+    return textrank_ds(sf_dir, k=TEXTRANK_K, iters=TEXTRANK_ITERS)
+
+
+def _textrank_oracle_sql() -> str:
+    from miru_ray.textstats import TEXTRANK_UNIT
+
+    base = (15 * TEXTRANK_UNIT) // 100
+    parts = [
+        f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),
+big0 AS (SELECT t AS a, lead(t) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM tok),
+e0 AS (SELECT DISTINCT a, b FROM big0 WHERE b IS NOT NULL AND a <> b),
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+                       UNION SELECT b AS src, a AS dst FROM e0),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT src AS node, CAST({TEXTRANK_UNIT} AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(TEXTRANK_ITERS):
+        parts.append(
+            f""",
+r{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         {base} + (85 * sum(r.r // dg.d)) // 100 AS r
+  FROM edges e
+  JOIN r{i} r ON r.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS term, CAST(r AS BIGINT) AS rank FROM r{TEXTRANK_ITERS}
+ORDER BY r DESC, term ASC LIMIT {TEXTRANK_K}"""
+    )
+    return "".join(parts)
+
+
 def txt_collocations(sf_dir: str):
     """Bigram collocations by PMI (textstats.collocations_ds): top-k
     within-doc adjacent bigrams with count ≥ min by ln((c_xy/N_bi) /
@@ -2052,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_heavy_hitters": txt_heavy_hitters,
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
+        "txt_textrank": txt_textrank,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_bpe": txt_bpe,
         "txt_decontam": txt_decontam,
@@ -3188,6 +3237,7 @@ WHERE count * {HH_FRAC[1]} > tot.n * {HH_FRAC[0]}"""
         "txt_stratified_sample": _strat_oracle_sql(),
         "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_collocations": _colloc_oracle_sql(),
+        "txt_textrank": _textrank_oracle_sql(),
         "txt_top_ngrams": (
             f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),

@@ -1886,3 +1886,147 @@ def bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         seg = new
     return seg
+
+
+# ---------------------------------------------------------------- TextRank
+
+# Corpus-level TextRank (Mihalcea & Tarau 2004): PageRank over the
+# undirected adjacent-token co-occurrence graph, the classic
+# graph-centrality keyword extractor (complements txt_keywords' tf-idf).
+# All arithmetic is INTEGER — ranks live in micro-units (UNIT = 1e12),
+# each node's outflow is rank // degree (floor division) and the damping
+# update is (15·UNIT)//100 + (85·inflow)//100 — so every groupby sum is an
+# exact int64 sum (order-free) and Ray and the unrolled DuckDB mirror
+# agree bit-for-bit; no float summation order to defend.
+
+TEXTRANK_UNIT = 10**12
+
+
+def _textrank_edge_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT undirected co-occurrence edges, both directions.
+    The combiner: the shuffle carries one row per distinct directed edge
+    per batch, never one per occurrence."""
+    parents, tokens = tokenize_flat(batch["text"])
+    m = len(parents)
+    empty = pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    if m < 2:
+        return empty
+    valid = pa.array(parents[1:] == parents[:-1])
+    a = tokens.slice(0, m - 1).filter(valid)
+    b = tokens.slice(1, m).filter(valid)
+    neq = pc.not_equal(a, b)
+    a, b = a.filter(neq), b.filter(neq)
+    if len(a) == 0:
+        return empty
+    t = pa.table(
+        {
+            "src": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+                                     b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
+            "dst": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+                                     a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+        }
+    )
+    return t.group_by(["src", "dst"], use_threads=False).aggregate([])
+
+
+def _textrank_contrib_partial(batch: pa.Table) -> pa.Table:
+    """(src, dst, d, r) join rows → per-batch partial inflow by dst."""
+    d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table({"dst": batch["dst"], "c": pa.array(r // d)})
+    agg = t.group_by(["dst"], use_threads=False).aggregate([("c", "sum")])
+    return pa.table(
+        {"dst": pc.cast(agg["dst"], pa.string()), "s": pc.cast(agg["c_sum"], pa.int64())}
+    )
+
+
+def textrank_ds(sf_dir: str, k: int = 50, iters: int = 5,
+                num_partitions: int = 8) -> pa.Table:
+    """(term, rank): the k most central terms of the corpus co-occurrence
+    graph after ``iters`` integer-PageRank rounds, ranked (rank desc,
+    term asc).
+
+    Scale shape (the dd_clusters label-propagation story): the edge list
+    and the rank table BOTH stay distributed Datasets end to end — each
+    round is one hash join (edges ⋈ ranks on src, Ray Data's shuffling
+    join) + per-batch partial inflow sums + a groupby(dst) int64 Sum; the
+    driver never holds anything vocabulary-sized. Every node of the
+    symmetric graph has degree ≥ 1, so the inner join is total. The final
+    top-k cut is per-block (the comparator (rank desc, term asc) is a
+    total order — block winners are a superset of the global winners),
+    driver merge sees blocks×k rows. Int64 bound: 85·Σ inflow per node
+    ≤ 85·N·UNIT — fine through vocabularies of 10^5; beyond that drop
+    UNIT to 1e9 (documented, same semantics)."""
+    from ray.data.aggregate import Count, Sum
+
+    edges = (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(_textrank_edge_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count())
+        .select_columns(["src", "dst"])
+    )
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {"src": pc.cast(b["src"], pa.string()),
+                 "d": pc.cast(b["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edges_deg = edges.join(deg, "inner", num_partitions, on=("src",)).materialize()
+    if edges_deg.count() == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    ranks = deg.map_batches(
+        lambda b: pa.table(
+            {"src": b["src"],
+             "r": pa.array(np.full(b.num_rows, TEXTRANK_UNIT, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    base = (15 * TEXTRANK_UNIT) // 100
+    for _ in range(iters):
+        ranks = (
+            edges_deg.join(ranks, "inner", num_partitions, on=("src",))
+            .map_batches(_textrank_contrib_partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("s"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": pc.cast(b["dst"], pa.string()),
+                        "r": pa.array(
+                            base
+                            + (85 * b[b.schema.names[-1]].to_numpy(
+                                zero_copy_only=False).astype(np.int64)) // 100
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = b["src"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -r))[:k]
+        return pa.table(
+            {"term": pa.array(terms[order], pa.string()),
+             "rank": pa.array(r[order])}
+        )
+
+    rows = ranks.map_batches(block_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda x: (-int(x["rank"]), x["term"]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "term": pa.array([x["term"] for x in rows], pa.string()),
+            "rank": pa.array([int(x["rank"]) for x in rows], pa.int64()),
+        }
+    )

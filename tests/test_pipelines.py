@@ -1970,3 +1970,36 @@ def test_range_join_vs_scalar(ray_session):
         n, s = expect[r.window_id]
         assert (r.n_events, r.sum_cents) == (n, s), r.window_id
     assert any(n > 1 for n, _ in expect.values())
+
+
+def test_textrank_vs_scalar(ray_session):
+    """textrank_ds equals a pure-python integer PageRank: tokenize, build
+    the distinct undirected co-occurrence edge set, iterate floor-division
+    damping updates, rank (r desc, term asc)."""
+    from miru_ray.textstats import TEXTRANK_UNIT, textrank_ds
+    from miru_ray.tokenize import py_tokenize
+
+    ITERS, K = 3, 7  # different from the driver query: catches hardcoding
+    docs = pq.read_table(SF + "/documents.parquet", columns=["text"]).to_pydict()
+    edges = set()
+    for text in docs["text"]:
+        toks = py_tokenize(text)
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+    nodes = sorted({a for a, _ in edges})
+    deg = {n: 0 for n in nodes}
+    for a, _ in edges:
+        deg[a] += 1
+    r = {n: TEXTRANK_UNIT for n in nodes}
+    base = (15 * TEXTRANK_UNIT) // 100
+    for _ in range(ITERS):
+        inflow = {n: 0 for n in nodes}
+        for a, b in edges:
+            inflow[b] += r[a] // deg[a]
+        r = {n: base + (85 * inflow[n]) // 100 for n in nodes}
+    expect = sorted(((t, v) for t, v in r.items()), key=lambda x: (-x[1], x[0]))[:K]
+    got = textrank_ds(SF, k=K, iters=ITERS).to_pandas()
+    assert [(t.term, t.rank) for t in got.itertuples()] == expect
+    assert len(set(r.values())) > 1  # ranks must actually separate somewhere
