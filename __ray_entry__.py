@@ -1031,6 +1031,35 @@ def ev_funnel(sf_dir: str):
     return funnel_ds(sf_dir, FUNNEL_STEPS)
 
 
+QSK_N, QSK_SEED = 256, 7
+
+
+def ev_quantiles_sketch(sf_dir: str):
+    """Whale-safe approximate quantiles (analytics.quantile_sketch_ds):
+    per-key bottom-256-by-splitmix64(event_id^seed) sketch — mergeable,
+    deterministic, at most n rows per key per batch on the shuffle — then
+    quantile_cont over the sample. The oracle mirrors the hash chain and
+    the row_number cut exactly, so even the approximation is value-checked."""
+    from miru_ray.analytics import quantile_sketch_ds
+
+    return quantile_sketch_ds(sf_dir, qs=QUANTILES, n=QSK_N, seed=QSK_SEED)
+
+
+def _qsketch_oracle_sql() -> str:
+    sm, last = _sm_ctes("qk", "e0", "x", "h")
+    qcols = ", ".join(
+        f"round(quantile_cont(v, {q}), 6) AS q{int(q * 100):02d}" for q in QUANTILES
+    )
+    return f"""WITH e0 AS (SELECT event_type AS key, value AS v, event_id,
+    xor(CAST(event_id AS UBIGINT), CAST({QSK_SEED} AS UBIGINT)) AS x FROM events),
+{sm},
+sel AS (SELECT key, v, event_id,
+               row_number() OVER (PARTITION BY key ORDER BY h, event_id) AS rn
+        FROM {last})
+SELECT key, CAST(count(*) AS BIGINT) AS n_sample, {qcols}
+FROM sel WHERE rn <= {QSK_N} GROUP BY key"""
+
+
 ASOF_LEFT, ASOF_RIGHT = "purchase", "click"
 RANGE_WIN_TYPE, RANGE_WIN_US = "error", 10 * 60 * 1_000_000
 
@@ -2069,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_metric_waveform": ev_metric_waveform,
         "ev_distinct_sketch": ev_distinct_sketch,
         "ev_quantiles": ev_quantiles,
+        "ev_quantiles_sketch": ev_quantiles_sketch,
         "bloom_index": bloom_index,
         "strut_model": strut_model,
         "strut_score": strut_score,
@@ -2750,6 +2780,7 @@ FROM newest JOIN wf ON (newest.ts_sec // 3600) * 3600 = wf.bucket_ts"""
             )
             + " FROM events GROUP BY event_type"
         ),
+        "ev_quantiles_sketch": _qsketch_oracle_sql(),
         "ev_sessionize": (
             f"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
 l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),

@@ -1254,3 +1254,85 @@ def range_join_ds(sf_dir: str, window_type: str = "error",
         {"window_id": pa.array(wid), "n_events": pa.array(n_out),
          "sum_cents": pa.array(s_out)}
     )
+
+
+# ------------------------------------------------- quantile sketch (bottom-k)
+
+# The 100-TB path for quantiles_ds: a DETERMINISTIC mergeable quantile
+# sketch. Instead of co-locating every value of a key (the exact path's
+# documented whale caveat), keep per key only the n rows with the
+# SMALLEST splitmix64(event_id ^ seed) draw — a bottom-k sketch. Bottom-k
+# by a fixed hash is associative/commutative (merging partials = keeping
+# the n smallest of the union), so the selection is invariant to batching,
+# partitioning and re-runs — unlike a random reservoir, the sketch is
+# bit-reproducible, which is what lets DuckDB mirror it exactly. The kept
+# rows are a uniform sample of the key's values (the hash is independent
+# of value), so quantile_cont over them is the standard sampled-quantile
+# estimate with error O(1/sqrt(n)).
+
+
+def _qsketch_rows(batch: pa.Table, key_col: str, value_col: str,
+                  seed: int) -> pa.Table:
+    from .hashing import splitmix64
+
+    eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = splitmix64(eid.astype(np.uint64) ^ np.uint64(seed))
+    return pa.table(
+        {
+            "key": pc.cast(batch[key_col], pa.string()),
+            "h": pa.array(h),
+            "event_id": pa.array(eid),
+            "v": pc.cast(batch[value_col], pa.float64()),
+        }
+    )
+
+
+def _qsketch_keep(rows: pa.Table, n: int) -> pa.Table:
+    """Bottom-n rows per key by (h, event_id) — used both as the per-batch
+    partial (bounds the shuffle at n rows per key per batch) and as the
+    per-key final merge."""
+    idx = pc.sort_indices(
+        rows,
+        sort_keys=[("key", "ascending"), ("h", "ascending"),
+                   ("event_id", "ascending")],
+    )
+    rows = rows.take(idx)
+    key = rows["key"].to_numpy(zero_copy_only=False)
+    if len(key) == 0:
+        return rows
+    new = np.concatenate(([True], key[1:] != key[:-1]))
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(key), dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, len(key))))
+    return rows.filter(pa.array(rank < n))
+
+
+def _qsketch_group(group: pa.Table, qs: tuple, n: int) -> pa.Table:
+    kept = _qsketch_keep(group, n)
+    v = np.sort(kept["v"].to_numpy(zero_copy_only=False))
+    out = {"key": pa.array([group["key"][0].as_py()], pa.string()),
+           "n_sample": pa.array([len(v)], pa.int64())}
+    for q in qs:
+        out[f"q{int(q * 100):02d}"] = pa.array(
+            [round(float(np.quantile(v, q)), 6)], pa.float64()
+        )
+    return pa.table(out)
+
+
+def quantile_sketch_ds(sf_dir: str, key_col: str = "event_type",
+                       value_col: str = "value",
+                       qs: tuple = (0.25, 0.5, 0.9, 0.99),
+                       n: int = 256, seed: int = 7):
+    """(key, n_sample, q25, q50, q90, q99): per-key approximate quantiles
+    from the deterministic bottom-n-by-hash sketch. The shuffle carries at
+    most n rows per key per batch; no worker ever holds a key's full value
+    set — the whale-safe counterpart to ``quantiles_ds``, exactly
+    mirrorable in SQL (row_number over the same splitmix64 chain)."""
+    ds = _events_ds(sf_dir, ["event_id", key_col, value_col]).map_batches(
+        lambda b: _qsketch_keep(
+            _qsketch_rows(b, key_col, value_col, seed), n
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby("key").map_groups(
+        lambda g: _qsketch_group(g, qs, n), batch_format="pyarrow"
+    )

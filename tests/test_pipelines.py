@@ -2003,3 +2003,38 @@ def test_textrank_vs_scalar(ray_session):
     got = textrank_ds(SF, k=K, iters=ITERS).to_pandas()
     assert [(t.term, t.rank) for t in got.itertuples()] == expect
     assert len(set(r.values())) > 1  # ranks must actually separate somewhere
+
+
+def test_quantile_sketch_vs_scalar(ray_session):
+    """quantile_sketch_ds equals a pure-python bottom-n-by-hash selection +
+    numpy quantiles, and the sampled estimates land near the exact ones."""
+    from miru_ray.analytics import quantile_sketch_ds
+    from miru_ray.hashing import splitmix64
+
+    N, SEED = 64, 123  # non-driver config
+    ev = pq.read_table(SF + "/events.parquet").to_pydict()
+    rows = list(zip(ev["event_id"], ev["event_type"], ev["value"]))
+    by_key = {}
+    for eid, et, val in rows:
+        h = int(splitmix64(np.array([eid], dtype=np.uint64) ^ np.uint64(SEED))[0])
+        by_key.setdefault(et, []).append((h, eid, val))
+    expect = {}
+    for et, lst in by_key.items():
+        lst.sort()
+        kept = np.sort(np.array([v for _, _, v in lst[:N]]))
+        expect[et] = (
+            len(kept),
+            {q: round(float(np.quantile(kept, q)), 6) for q in (0.25, 0.5, 0.9, 0.99)},
+        )
+    got = quantile_sketch_ds(SF, n=N, seed=SEED).to_pandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        n, qs = expect[r.key]
+        assert r.n_sample == n
+        assert (r.q25, r.q50, r.q90, r.q99) == (qs[0.25], qs[0.5], qs[0.9], qs[0.99])
+    # accuracy: the sampled median must sit near the exact one
+    for et, lst in by_key.items():
+        exact = float(np.quantile(np.array([v for _, _, v in lst]), 0.5))
+        approx = expect[et][1][0.5]
+        spread = float(np.ptp([v for _, _, v in lst])) or 1.0
+        assert abs(approx - exact) / spread < 0.25, et
