@@ -1074,6 +1074,16 @@ def ev_asof(sf_dir: str):
     return asof_join_ds(sf_dir, ASOF_LEFT, ASOF_RIGHT)
 
 
+def ev_asof_scaled(sf_dir: str):
+    """Whale-safe as-of join (analytics.asof_join_scalable_ds): same
+    output as ev_asof by definition — level 1 resolves within (user,
+    day) windows, level 2 fills unmatched lefts from window-count-sized
+    boundary state via a 1:1 (user, window) equi-join. Same SQL oracle."""
+    from miru_ray.analytics import asof_join_scalable_ds
+
+    return asof_join_scalable_ds(sf_dir, ASOF_LEFT, ASOF_RIGHT)
+
+
 def ev_range_join(sf_dir: str) -> pa.Table:
     """Overlapping-interval range join (analytics.range_join_ds): every
     error event opens a 10-minute incident window; count + integer-cent
@@ -2094,6 +2104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel": ev_funnel,
         "ev_hopping": ev_hopping,
         "ev_asof": ev_asof,
+        "ev_asof_scaled": ev_asof_scaled,
         "ev_range_join": ev_range_join,
         "ev_metric_waveform": ev_metric_waveform,
         "ev_distinct_sketch": ev_distinct_sketch,
@@ -3509,6 +3520,7 @@ SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
     # the scalable two-level sessionize is DEFINED to equal the single-pass
     # one — same oracle, checked independently by the driver
     out["ev_sessionize_scaled"] = out["ev_sessionize"]
+    out["ev_asof_scaled"] = out["ev_asof"]
     return out
 
 

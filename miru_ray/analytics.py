@@ -1099,8 +1099,21 @@ def _asof_group(group: pa.Table) -> pa.Table:
     l_ts, l_eid = ts[lmask], eid[lmask]
     if len(l_ts) == 0:
         return _ASOF_SCHEMA.empty_table()
+    uid0 = int(group["user_id"][0].as_py())
     rmask = ~lmask
     r_ts, r_eid, r_val = ts[rmask], eid[rmask], val[rmask]
+    if len(r_ts) == 0:
+        n = len(l_eid)
+        return pa.table(
+            {
+                "event_id": pa.array(l_eid),
+                "user_id": pa.array(np.full(n, uid0, np.int64)),
+                "ts_us": pa.array(l_ts),
+                "prior_event_id": pa.array(np.full(n, -1, np.int64)),
+                "prior_ts_us": pa.array(np.full(n, -1, np.int64)),
+                "prior_value": pa.array(np.zeros(n, np.float64)),
+            }
+        )
     order = np.lexsort((r_eid, r_ts))
     r_ts, r_eid, r_val = r_ts[order], r_eid[order], r_val[order]
     idx = np.searchsorted(r_ts, l_ts, side="right") - 1
@@ -1336,3 +1349,142 @@ def quantile_sketch_ds(sf_dir: str, key_col: str = "event_type",
     return ds.groupby("key").map_groups(
         lambda g: _qsketch_group(g, qs, n), batch_format="pyarrow"
     )
+
+# ------------------------------------------------ whale-safe as-of join
+
+# Two-level variant of asof_join_ds closing its documented whale caveat:
+# no worker ever holds one user's full history. Level 1 groups by
+# (user, coarse window) and resolves every left event against right
+# events of its OWN window — an in-window match is always final, because
+# any right event from an earlier window is older than every in-window
+# candidate. An unmatched left needs only ONE value per (user, window):
+# the user's last right event BEFORE the window. Level 2 computes those
+# fills from per-window boundary rows (window-count-sized, never
+# events-sized), and a 1:1 (user, window)-keyed equi-join pushes them
+# back onto just the unmatched lefts — fully vectorized, no per-event
+# Python anywhere.
+
+
+def _asof_piece(group: pa.Table) -> pa.Table:
+    """One (user, window) piece → in-window as-of rows (kind 0 matched /
+    kind 1 unmatched), one kind-2 boundary row carrying the piece's last
+    right event (if any), and one kind-3 marker row per window that has
+    unmatched lefts (so level 2 knows which fills to emit)."""
+    uid = int(group["user_id"][0].as_py())
+    w = int(group["w"][0].as_py())
+    res = _asof_group(group)
+    kind = pc.cast(
+        pc.if_else(
+            pc.equal(res["prior_event_id"], pa.scalar(-1, pa.int64())),
+            pa.scalar(1, pa.int8()), pa.scalar(0, pa.int8()),
+        ),
+        pa.int8(),
+    )
+    out = res.append_column("kind", kind)
+    out = out.append_column("w", pa.array(np.full(out.num_rows, w, np.int64)))
+    extra = []
+    side = group["side"].to_numpy(zero_copy_only=False)
+    rmask = side == 1
+    if rmask.any():
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)[rmask]
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)[rmask]
+        val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)[rmask]
+        i = np.lexsort((eid, ts))[-1]
+        extra.append((int(eid[i]), int(ts[i]), float(val[i]), 2))
+    if pc.any(pc.equal(kind, pa.scalar(1, pa.int8()))).as_py():
+        extra.append((-1, -1, 0.0, 3))
+    if extra:
+        t = pa.table(
+            {
+                "event_id": pa.array([e[0] for e in extra], pa.int64()),
+                "user_id": pa.array([uid] * len(extra), pa.int64()),
+                "ts_us": pa.array([e[1] for e in extra], pa.int64()),
+                "prior_event_id": pa.array([e[0] for e in extra], pa.int64()),
+                "prior_ts_us": pa.array([e[1] for e in extra], pa.int64()),
+                "prior_value": pa.array([e[2] for e in extra], pa.float64()),
+                "kind": pa.array([e[3] for e in extra], pa.int8()),
+                "w": pa.array([w] * len(extra), pa.int64()),
+            }
+        )
+        out = pa.concat_tables([out, t])
+    return out
+
+
+def _asof_fills(group: pa.Table) -> pa.Table:
+    """One user's boundary (kind 2) + marker (kind 3) rows → one fill row
+    per MARKER window: the running last right event over boundary windows
+    strictly before it. Input and output are window-count-sized."""
+    kind = group["kind"].to_numpy(zero_copy_only=False)
+    w = group["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = group["prior_ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = group["prior_event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = group["prior_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    bmask = kind == 2
+    mmask = kind == 3
+    mw = w[mmask]
+    uid = int(group["user_id"][0].as_py())
+    bo = np.argsort(w[bmask])
+    bw, bts, beid, bval = w[bmask][bo], ts[bmask][bo], eid[bmask][bo], val[bmask][bo]
+    idx = np.searchsorted(bw, mw, side="left") - 1  # last boundary window < marker
+    ok = idx >= 0
+    safe = np.maximum(idx, 0)
+    return pa.table(
+        {
+            "user_id": pa.array(np.full(len(mw), uid, np.int64)),
+            "w": pa.array(mw),
+            "f_eid": pa.array(np.where(ok, beid[safe], np.int64(-1))),
+            "f_ts": pa.array(np.where(ok, bts[safe], np.int64(-1))),
+            "f_val": pa.array(np.where(ok, bval[safe], 0.0)),
+        }
+    )
+
+
+def asof_join_scalable_ds(sf_dir: str, left_type: str = "purchase",
+                          right_type: str = "click",
+                          width_us: int = 24 * 3600 * 1_000_000,
+                          num_partitions: int = 8):
+    """Whale-safe asof_join_ds — identical output by definition. The only
+    events-sized shuffles are keyed by (user, ts // width), so a worker
+    holds at most one window of one user; the per-USER pass (fills) sees
+    window counts, and the fill join is 1:1 on (user, window)."""
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def with_window(b: pa.Table) -> pa.Table:
+        t = _asof_partial(b, left_type, right_type)
+        w = t["ts_us"].to_numpy(zero_copy_only=False) // width_us
+        return t.append_column("w", pa.array(w.astype(np.int64)))
+
+    pieces = (
+        ds.map_batches(with_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "w"])
+        .map_groups(_asof_piece, batch_format="pyarrow")
+        .materialize()
+    )
+    matched = pieces.filter(expr="kind == 0").drop_columns(["kind", "w"])
+    unmatched = pieces.filter(expr="kind == 1").drop_columns(
+        ["kind", "prior_event_id", "prior_ts_us", "prior_value"]
+    )
+    fills = (
+        pieces.filter(expr="kind >= 2")
+        .groupby("user_id")
+        .map_groups(_asof_fills, batch_format="pyarrow")
+    )
+
+    def apply_fill(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _ASOF_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "ts_us": pc.cast(b["ts_us"], pa.int64()),
+                "prior_event_id": pc.cast(b["f_eid"], pa.int64()),
+                "prior_ts_us": pc.cast(b["f_ts"], pa.int64()),
+                "prior_value": pc.cast(b["f_val"], pa.float64()),
+            }
+        )
+
+    resolved = unmatched.join(
+        fills, "inner", num_partitions, on=("user_id", "w")
+    ).map_batches(apply_fill, batch_format="pyarrow")
+    return matched.union(resolved)

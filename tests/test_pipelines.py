@@ -2038,3 +2038,26 @@ def test_quantile_sketch_vs_scalar(ray_session):
         approx = expect[et][1][0.5]
         spread = float(np.ptp([v for _, _, v in lst])) or 1.0
         assert abs(approx - exact) / spread < 0.25, et
+
+
+def test_asof_scalable_equals_single_pass(ray_session):
+    """Two-level (whale-safe) as-of join == single-pass as-of join, with a
+    window width small enough that users span many windows and fills
+    actually cross window boundaries."""
+    from miru_ray.analytics import asof_join_ds, asof_join_scalable_ds
+
+    W = 6 * 3600 * 1_000_000
+    a = (
+        asof_join_ds(SF, "view", "click")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        asof_join_scalable_ds(SF, "view", "click", width_us=W)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns])
+    # the fixture must exercise the cross-window fill path: at least one
+    # matched row whose prior click is older than the row's own window
+    crossed = ((a.prior_event_id != -1)
+               & (a.prior_ts_us // W < a.ts_us // W)).sum()
+    assert crossed > 0
