@@ -1094,6 +1094,21 @@ def ev_range_join(sf_dir: str) -> pa.Table:
     return range_join_ds(sf_dir, RANGE_WIN_TYPE, RANGE_WIN_US)
 
 
+IVJ_LEFT, IVJ_RIGHT = "purchase", "error"
+IVJ_BEFORE_US = IVJ_AFTER_US = 15 * 60 * 1_000_000
+
+
+def ev_interval_join(sf_dir: str):
+    """Stream-stream interval join (analytics.interval_join_ds — the Flink
+    primitive): same-user (purchase, error) pairs within ±15 minutes,
+    signed dt. User-keyed shuffle of two pre-filtered types; per group two
+    searchsorteds + the repeat/arange pair expansion."""
+    from miru_ray.analytics import interval_join_ds
+
+    return interval_join_ds(sf_dir, IVJ_LEFT, IVJ_RIGHT,
+                            IVJ_BEFORE_US, IVJ_AFTER_US)
+
+
 def ev_trending_peaks(sf_dir: str) -> pa.Table:
     """Reference-strategy trending (PEAKS/LEADER/HIGHEST_PEAK/regression —
     TrendingInjectable.java:143-190). The Billauer PeakDet loop is mirrored
@@ -2106,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_asof": ev_asof,
         "ev_asof_scaled": ev_asof_scaled,
         "ev_range_join": ev_range_join,
+        "ev_interval_join": ev_interval_join,
         "ev_metric_waveform": ev_metric_waveform,
         "ev_distinct_sketch": ev_distinct_sketch,
         "ev_quantiles": ev_quantiles,
@@ -2825,6 +2841,16 @@ SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, p.ts_us,
        COALESCE(m.prior_ts_us, -1) AS prior_ts_us,
        COALESCE(m.prior_value, 0.0) AS prior_value
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)"""
+        ),
+        "ev_interval_join": (
+            f"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+       WHERE event_type = '{IVJ_LEFT}'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = '{IVJ_RIGHT}')
+SELECT l.event_id AS left_event_id, r.event_id AS right_event_id,
+       CAST(l.user_id AS BIGINT) AS user_id, r.t - l.t AS dt_us
+FROM l JOIN r ON r.user_id = l.user_id
+ AND r.t >= l.t - {IVJ_BEFORE_US} AND r.t <= l.t + {IVJ_AFTER_US}"""
         ),
         "ev_range_join": (
             f"""WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS s FROM events

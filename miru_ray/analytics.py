@@ -1488,3 +1488,75 @@ def asof_join_scalable_ds(sf_dir: str, left_type: str = "purchase",
         fills, "inner", num_partitions, on=("user_id", "w")
     ).map_batches(apply_fill, batch_format="pyarrow")
     return matched.union(resolved)
+
+
+# ---------------------------------------------------------- interval join
+
+# Stream-stream windowed join (the Flink "interval join" primitive, the
+# third join in the task family next to as-of and range): all
+# (left, right) pairs of the same user with right.ts in
+# [left.ts - before, left.ts + after]. Same user-keyed shuffle of two
+# pre-filtered types as the as-of join; per group, two vectorized
+# searchsorteds give each left its contiguous right range and the
+# repeat/arange expansion emits the pairs — output is pairs-sized, the
+# only thing that can be.
+
+
+def _interval_group(group: pa.Table, before_us: int, after_us: int) -> pa.Table:
+    side = group["side"].to_numpy(zero_copy_only=False)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.schema(
+        [("left_event_id", pa.int64()), ("right_event_id", pa.int64()),
+         ("user_id", pa.int64()), ("dt_us", pa.int64())]
+    ).empty_table()
+    lmask = side == 0
+    l_ts, l_eid = ts[lmask], eid[lmask]
+    r_ts, r_eid = ts[~lmask], eid[~lmask]
+    if len(l_ts) == 0 or len(r_ts) == 0:
+        return empty
+    order = np.lexsort((r_eid, r_ts))
+    r_ts, r_eid = r_ts[order], r_eid[order]
+    lo = np.searchsorted(r_ts, l_ts - before_us, side="left")
+    hi = np.searchsorted(r_ts, l_ts + after_us, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    ridx = np.repeat(lo, counts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+    uid = int(group["user_id"][0].as_py())
+    return pa.table(
+        {
+            "left_event_id": pa.array(np.repeat(l_eid, counts)),
+            "right_event_id": pa.array(r_eid[ridx]),
+            "user_id": pa.array(np.full(total, uid, np.int64)),
+            "dt_us": pa.array(r_ts[ridx] - np.repeat(l_ts, counts)),
+        }
+    )
+
+
+def interval_join_ds(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "error",
+                     before_us: int = 15 * 60 * 1_000_000,
+                     after_us: int = 15 * 60 * 1_000_000):
+    """(left_event_id, right_event_id, user_id, dt_us): every same-user
+    pair with right.ts within [left.ts - before, left.ts + after].
+    Whale note: one user's two-type history per worker (the sessionize
+    contract); the two-level window split applies with ±window overlap
+    carried, documented not needed at tested scales."""
+    ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    return (
+        ds.map_batches(
+            lambda b: _asof_partial(b, left_type, right_type),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("user_id")
+        .map_groups(
+            lambda g: _interval_group(g, before_us, after_us),
+            batch_format="pyarrow",
+        )
+    )

@@ -2061,3 +2061,34 @@ def test_asof_scalable_equals_single_pass(ray_session):
     crossed = ((a.prior_event_id != -1)
                & (a.prior_ts_us // W < a.ts_us // W)).sum()
     assert crossed > 0
+
+
+def test_interval_join_vs_scalar(ray_session):
+    """interval_join_ds equals a pure-python double loop with asymmetric
+    before/after bounds (inclusive both ends)."""
+    from miru_ray.analytics import interval_join_ds
+
+    BEFORE, AFTER = 60 * 60 * 1_000_000, 5 * 60 * 1_000_000  # asymmetric
+    ev = pq.read_table(SF + "/events.parquet").to_pydict()
+    rows = [
+        (int(ts.timestamp() * 1_000_000), eid, uid, et)
+        for eid, ts, uid, et in zip(
+            ev["event_id"], ev["ts"], ev["user_id"], ev["event_type"]
+        )
+    ]
+    expect = set()
+    for t, eid, uid, et in rows:
+        if et != "view":
+            continue
+        for t2, eid2, uid2, et2 in rows:
+            if et2 == "click" and uid2 == uid and t - BEFORE <= t2 <= t + AFTER:
+                expect.add((eid, eid2, uid, t2 - t))
+    got = interval_join_ds(SF, "view", "click", BEFORE, AFTER).to_pandas()
+    have = {
+        (r.left_event_id, r.right_event_id, r.user_id, r.dt_us)
+        for r in got.itertuples()
+    }
+    assert have == expect
+    assert len(expect) > 0 and any(d < 0 for *_, d in expect) and any(
+        d > 0 for *_, d in expect
+    )
