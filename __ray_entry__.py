@@ -1311,6 +1311,57 @@ def strut_fields(sf_dir: str):
 
 RECO_USER = 3
 RECO_K = 10
+PPR_ITERS = 5
+
+
+def reco_ppr(sf_dir: str) -> pa.Table:
+    """Personalized-PageRank recommendation (reco.reco_ppr_ds — the
+    random-walk-with-restart family next to reco_cf's 3-hop counting):
+    seeded integer PageRank on the user↔item bipartite graph, top-k items
+    the seed hasn't touched. Distributed join+groupby rounds; exact
+    micro-unit arithmetic, oracle = the rounds unrolled in BIGINT SQL."""
+    from miru_ray.reco import reco_ppr_ds
+
+    return reco_ppr_ds(sf_dir, user_id=RECO_USER, k=RECO_K, iters=PPR_ITERS)
+
+
+def _ppr_oracle_sql() -> str:
+    from miru_ray.reco import OK_EXCLUDE_TYPE, PPR_UNIT
+
+    seed = 2 * RECO_USER
+    base = (15 * PPR_UNIT) // 100
+    parts = [
+        f"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS item
+       FROM events WHERE event_type <> '{OK_EXCLUDE_TYPE}'
+         AND regexp_replace(props, '[^0-9]', '', 'g') <> ''),
+e0 AS (SELECT DISTINCT u * 2 AS un, item * 2 + 1 AS inode FROM ev),
+edges AS MATERIALIZED (SELECT un AS src, inode AS dst FROM e0
+                       UNION SELECT inode AS src, un AS dst FROM e0),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT src AS node,
+       CAST(CASE WHEN src = {seed} THEN {PPR_UNIT} ELSE 0 END AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(PPR_ITERS):
+        parts.append(
+            f""",
+r{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst = {seed} THEN {base} ELSE 0 END AS BIGINT)
+           + (85 * sum(r.r // dg.d)) // 100 AS r
+  FROM edges e
+  JOIN r{i} r ON r.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst)"""
+        )
+    parts.append(
+        f"""
+SELECT (node - 1) // 2 AS item, CAST(r AS BIGINT) AS rank FROM r{PPR_ITERS}
+WHERE node % 2 = 1
+  AND (node - 1) // 2 NOT IN (SELECT item FROM ev WHERE u = {RECO_USER})
+ORDER BY r DESC, item ASC LIMIT {RECO_K}"""
+    )
+    return "".join(parts)
 
 
 def reco_cf(sf_dir: str) -> pa.Table:
@@ -2132,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strut_fields": strut_fields,
         "ft_strut": ft_strut,
         "reco_cf": reco_cf,
+        "reco_ppr": reco_ppr,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
         "dd_simhash_groups": dd_simhash_groups,
@@ -3006,6 +3058,7 @@ LEFT JOIN r0 ON r0.source = d.source
 LEFT JOIN r1 ON r1.lang = d.lang
 LEFT JOIN r2 ON r2.source = d.source AND r2.lang = d.lang"""
         ),
+        "reco_ppr": _ppr_oracle_sql(),
         "reco_cf": (
             f"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id,
             CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS item

@@ -285,3 +285,146 @@ def reco_cf_index(engine, user_conv: str, k: int = 10, item_prefix: str = "") ->
             merged[t] = merged.get(t, 0) + c
     out = sorted(merged.items(), key=lambda r: (-r[1], r[0]))
     return out[:k]
+
+
+# ----------------------------------------- personalized PageRank reco
+
+# Second recommender over the same (user, item) interactions: seeded
+# (personalized) PageRank on the undirected user↔item bipartite graph —
+# the random-walk-with-restart family (Pixie/P3), complementing
+# reco_cf_ds's 3-hop counting. Same integer micro-unit arithmetic as
+# textstats.textrank_ds (rank//degree outflow, (85·inflow)//100 damping,
+# teleport mass only at the seed user), so every groupby Sum is an exact
+# int64 sum and the DuckDB mirror (iterations unrolled as MATERIALIZED
+# CTEs) matches bit-for-bit. Node encoding: user u → 2u, item i → 2i+1.
+
+PPR_UNIT = 10**12
+
+
+def _ppr_edge_partial(batch: pa.Table) -> pa.Table:
+    """ok events → distinct (user-node, item-node) edges, both directions."""
+    t = _ok_events(batch)  # (user_id, item) with null items for no-digit props
+    valid = pc.is_valid(t["item"]).to_numpy(zero_copy_only=False)
+    u = t["user_id"].to_numpy(zero_copy_only=False)
+    iv = t["item"].to_numpy(zero_copy_only=False)
+    un = (u[valid] * 2).astype(np.int64)
+    inode = (iv[valid].astype(np.int64) * 2 + 1)
+    tt = pa.table(
+        {
+            "src": pa.array(np.concatenate([un, inode])),
+            "dst": pa.array(np.concatenate([inode, un])),
+        }
+    )
+    return tt.group_by(["src", "dst"], use_threads=False).aggregate([])
+
+
+def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
+                num_partitions: int = 8) -> pa.Table:
+    """(item, rank): top-k items for ``user_id`` by seeded integer
+    PageRank, EXCLUDING items the user already touched; ties (rank desc,
+    item asc).
+
+    Scale shape: edge list and rank table stay distributed Datasets (one
+    hash join + int64 groupby Sum per round — the textrank/dd_clusters
+    story); only the seed's own item set (one user's history) and the
+    final top-k cross the driver."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = rd.read_parquet(path, columns=["user_id", "event_type", "props"])
+    edges = (
+        ev.map_batches(_ppr_edge_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count())
+        .select_columns(["src", "dst"])
+    )
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {"src": pc.cast(b["src"], pa.int64()),
+                 "d": pc.cast(b["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edges_deg = edges.join(deg, "inner", num_partitions, on=("src",)).materialize()
+    if edges_deg.count() == 0:
+        return pa.table({"item": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    seed_node = 2 * user_id
+    base = (15 * PPR_UNIT) // 100
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        src = pc.cast(b["src"], pa.int64())
+        r = pc.if_else(
+            pc.equal(src, pa.scalar(seed_node, pa.int64())),
+            pa.scalar(PPR_UNIT, pa.int64()), pa.scalar(0, pa.int64()),
+        )
+        return pa.table({"src": src, "r": r})
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def contrib_partial(b: pa.Table) -> pa.Table:
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"dst": b["dst"], "c": pa.array(r // d)})
+        agg = t.group_by(["dst"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table(
+            {"dst": pc.cast(agg["dst"], pa.int64()),
+             "s": pc.cast(agg["c_sum"], pa.int64())}
+        )
+
+    def damp(b: pa.Table) -> pa.Table:
+        dst = pc.cast(b["dst"], pa.int64())
+        s = b[b.schema.names[-1]].to_numpy(zero_copy_only=False).astype(np.int64)
+        tele = np.where(
+            dst.to_numpy(zero_copy_only=False) == seed_node, base, 0
+        ).astype(np.int64)
+        return pa.table({"src": dst, "r": pa.array(tele + (85 * s) // 100)})
+
+    for _ in range(iters):
+        ranks = (
+            edges_deg.join(ranks, "inner", num_partitions, on=("src",))
+            .map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("s"))
+            .map_batches(damp, batch_format="pyarrow")
+            .materialize()
+        )
+
+    # the seed's own items (one user's history — driver-small by contract)
+    def _my_items(t: pa.Table) -> pa.Table:
+        ok = _ok_events(t)
+        ok = ok.filter(pc.equal(ok["user_id"], pa.scalar(user_id, pa.int64())))
+        return pa.table({"i": ok["item"]})
+
+    mine = set()
+    for b in ev.map_batches(_my_items, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        mine.update(x for x in b["i"].to_pylist() if x is not None)
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        node = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isitem = node % 2 == 1
+        item = (node - 1) // 2
+        keep = isitem & ~np.isin(item, list(mine))
+        item, rr = item[keep], r[keep]
+        order = np.lexsort((item, -rr))[:k]
+        return pa.table({"item": pa.array(item[order]), "rank": pa.array(rr[order])})
+
+    rows = ranks.map_batches(block_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda x: (-int(x["rank"]), int(x["item"])))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "item": pa.array([int(x["item"]) for x in rows], pa.int64()),
+            "rank": pa.array([int(x["rank"]) for x in rows], pa.int64()),
+        }
+    )

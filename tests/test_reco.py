@@ -122,3 +122,48 @@ def test_reco_cf_index_vs_brute(ray_session, tiny_transcripts_dir, tiny_oracle, 
         got = reco_cf_index(eng, conv, k=8, item_prefix="w00")
         exp = brute_reco_index(tiny_oracle, conv, 8, "w00")
         assert got == exp, conv
+
+
+def test_reco_ppr_vs_scalar(ray_session):
+    """reco_ppr_ds equals a pure-python seeded integer PageRank on the
+    user↔item bipartite graph (floor-division damping, teleport at the
+    seed only, own items excluded)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from miru_ray.reco import PPR_UNIT, reco_ppr_ds
+
+    SF = "/root/testdata/sf0.001"
+    USER, K, ITERS = 7, 5, 3  # all different from the driver query
+    ev = pq.read_table(SF + "/events.parquet").to_pydict()
+    pairs = set()
+    for uid, et, props in zip(ev["user_id"], ev["event_type"], ev["props"]):
+        if et == "error":
+            continue
+        digits = "".join(ch for ch in props if ch.isdigit())
+        if digits:
+            pairs.add((int(uid), int(digits)))
+    edges = set()
+    for u, i in pairs:
+        edges.add((2 * u, 2 * i + 1))
+        edges.add((2 * i + 1, 2 * u))
+    nodes = sorted({a for a, _ in edges})
+    deg = {n: 0 for n in nodes}
+    for a, _ in edges:
+        deg[a] += 1
+    seed = 2 * USER
+    base = (15 * PPR_UNIT) // 100
+    r = {n: (PPR_UNIT if n == seed else 0) for n in nodes}
+    for _ in range(ITERS):
+        inflow = {n: 0 for n in nodes}
+        for a, b in edges:
+            inflow[b] += r[a] // deg[a]
+        r = {n: (base if n == seed else 0) + (85 * inflow[n]) // 100 for n in nodes}
+    mine = {i for u, i in pairs if u == USER}
+    cand = sorted(
+        (((n - 1) // 2, v) for n, v in r.items() if n % 2 == 1 and (n - 1) // 2 not in mine),
+        key=lambda x: (-x[1], x[0]),
+    )[:K]
+    got = reco_ppr_ds(SF, user_id=USER, k=K, iters=ITERS).to_pandas()
+    assert [(t.item, t.rank) for t in got.itertuples()] == cand
+    assert len(cand) == K and cand[0][1] > 0  # the walk must actually reach items
