@@ -1365,49 +1365,95 @@ def quantile_sketch_ds(sf_dir: str, key_col: str = "event_type",
 # Python anywhere.
 
 
-def _asof_piece(group: pa.Table) -> pa.Table:
-    """One (user, window) piece → in-window as-of rows (kind 0 matched /
-    kind 1 unmatched), one kind-2 boundary row carrying the piece's last
-    right event (if any), and one kind-3 marker row per window that has
-    unmatched lefts (so level 2 knows which fills to emit)."""
-    uid = int(group["user_id"][0].as_py())
-    w = int(group["w"][0].as_py())
-    res = _asof_group(group)
-    kind = pc.cast(
-        pc.if_else(
-            pc.equal(res["prior_event_id"], pa.scalar(-1, pa.int64())),
-            pa.scalar(1, pa.int8()), pa.scalar(0, pa.int8()),
-        ),
-        pa.int8(),
+_ASOF_PIECE_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("prior_event_id", pa.int64()),
+        ("prior_ts_us", pa.int64()),
+        ("prior_value", pa.float64()),
+        ("kind", pa.int8()),
+        ("w", pa.int64()),
+    ]
+)
+
+
+def _asof_bucket(group: pa.Table) -> pa.Table:
+    """All rows of ONE HASH BUCKET of (user, window) pieces → kind-tagged
+    rows: in-window as-of results (kind 0 matched / kind 1 unmatched), one
+    kind-2 boundary row per piece with right events (its last right), one
+    kind-3 marker row per piece with unmatched lefts.
+
+    Every piece in the bucket is resolved in one vectorized pass — no
+    per-piece Python: rows sort (user, w, ts, rights-before-lefts,
+    event_id); a single running cummax of right-row indices compared
+    against each row's segment start gives every left its latest
+    at-or-before right (global row indices are increasing, so a cummax
+    value below the segment start IS "no right yet in this piece" — the
+    segment reset for free). Rights at equal ts sort eid-ascending, so
+    the cummax lands on the max-event_id tie-winner, matching
+    _asof_group's side='right' searchsorted exactly."""
+    n = group.num_rows
+    if n == 0:
+        return _ASOF_PIECE_SCHEMA.empty_table()
+    uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = group["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    side = group["side"].to_numpy(zero_copy_only=False).astype(np.int8)
+    order = np.lexsort((eid, (1 - side), ts, w, uid))
+    uid, w, ts, eid, val, side = (
+        uid[order], w[order], ts[order], eid[order], val[order], side[order]
     )
-    out = res.append_column("kind", kind)
-    out = out.append_column("w", pa.array(np.full(out.num_rows, w, np.int64)))
-    extra = []
-    side = group["side"].to_numpy(zero_copy_only=False)
-    rmask = side == 1
-    if rmask.any():
-        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)[rmask]
-        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)[rmask]
-        val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)[rmask]
-        i = np.lexsort((eid, ts))[-1]
-        extra.append((int(eid[i]), int(ts[i]), float(val[i]), 2))
-    if pc.any(pc.equal(kind, pa.scalar(1, pa.int8()))).as_py():
-        extra.append((-1, -1, 0.0, 3))
-    if extra:
-        t = pa.table(
-            {
-                "event_id": pa.array([e[0] for e in extra], pa.int64()),
-                "user_id": pa.array([uid] * len(extra), pa.int64()),
-                "ts_us": pa.array([e[1] for e in extra], pa.int64()),
-                "prior_event_id": pa.array([e[0] for e in extra], pa.int64()),
-                "prior_ts_us": pa.array([e[1] for e in extra], pa.int64()),
-                "prior_value": pa.array([e[2] for e in extra], pa.float64()),
-                "kind": pa.array([e[3] for e in extra], pa.int8()),
-                "w": pa.array([w] * len(extra), pa.int64()),
-            }
-        )
-        out = pa.concat_tables([out, t])
-    return out
+    new = np.concatenate(([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])))
+    seg_first = np.flatnonzero(new)
+    nseg = len(seg_first)
+    seg_len = np.diff(np.append(seg_first, n))
+    seg_start = np.repeat(seg_first, seg_len)
+    seg_id = np.cumsum(new) - 1
+    idxs = np.arange(n, dtype=np.int64)
+    lr = np.maximum.accumulate(np.where(side == 1, idxs, np.int64(-1)))
+    has = lr >= seg_start
+    lmask = side == 0
+    l_idx = np.flatnonzero(lmask)
+    l_matched = has[l_idx]
+    safe = np.maximum(lr[l_idx], 0)
+    # boundary per segment: the cummax at the segment's last row
+    ends = seg_first + seg_len - 1
+    blr = lr[ends]
+    b_seg = np.flatnonzero(blr >= seg_first)
+    b_idx = blr[b_seg]
+    # marker per segment with >=1 unmatched left
+    unm = lmask & ~has
+    m_seg = np.flatnonzero(np.bincount(seg_id[unm], minlength=nseg) > 0)
+    nl, nb, nm = len(l_idx), len(b_seg), len(m_seg)
+    return pa.table(
+        {
+            "event_id": pa.array(np.concatenate(
+                [eid[l_idx], eid[b_idx], np.full(nm, -1, np.int64)])),
+            "user_id": pa.array(np.concatenate(
+                [uid[l_idx], uid[b_idx], uid[seg_first[m_seg]]])),
+            "ts_us": pa.array(np.concatenate(
+                [ts[l_idx], ts[b_idx], np.full(nm, -1, np.int64)])),
+            "prior_event_id": pa.array(np.concatenate(
+                [np.where(l_matched, eid[safe], np.int64(-1)),
+                 eid[b_idx], np.full(nm, -1, np.int64)])),
+            "prior_ts_us": pa.array(np.concatenate(
+                [np.where(l_matched, ts[safe], np.int64(-1)),
+                 ts[b_idx], np.full(nm, -1, np.int64)])),
+            "prior_value": pa.array(np.concatenate(
+                [np.where(l_matched, val[safe], 0.0),
+                 val[b_idx], np.zeros(nm)])),
+            "kind": pa.array(np.concatenate(
+                [np.where(l_matched, 0, 1).astype(np.int8),
+                 np.full(nb, 2, np.int8), np.full(nm, 3, np.int8)])),
+            "w": pa.array(np.concatenate(
+                [w[l_idx], w[b_idx], w[seg_first[m_seg]]])),
+        },
+        schema=_ASOF_PIECE_SCHEMA,
+    )
 
 
 def _asof_fills(group: pa.Table) -> pa.Table:
@@ -1447,17 +1493,29 @@ def asof_join_scalable_ds(sf_dir: str, left_type: str = "purchase",
     events-sized shuffles are keyed by (user, ts // width), so a worker
     holds at most one window of one user; the per-USER pass (fills) sees
     window counts, and the fill join is 1:1 on (user, window)."""
+    from .hashing import splitmix64
+
     ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    n_buckets = 256
 
     def with_window(b: pa.Table) -> pa.Table:
         t = _asof_partial(b, left_type, right_type)
-        w = t["ts_us"].to_numpy(zero_copy_only=False) // width_us
-        return t.append_column("w", pa.array(w.astype(np.int64)))
+        w = (t["ts_us"].to_numpy(zero_copy_only=False) // width_us).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bucket by (user, window) hash: a whale user's windows spread
+        # across buckets, and one bucket-group call vectorizes over every
+        # piece it holds
+        bkt = (
+            splitmix64(u.astype(np.uint64) * np.uint64(1000003) ^ w.astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        t = t.append_column("w", pa.array(w))
+        return t.append_column("bkt", pa.array(bkt))
 
     pieces = (
         ds.map_batches(with_window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "w"])
-        .map_groups(_asof_piece, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(_asof_bucket, batch_format="pyarrow")
         .materialize()
     )
     matched = pieces.filter(expr="kind == 0").drop_columns(["kind", "w"])
