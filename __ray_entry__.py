@@ -1491,6 +1491,42 @@ COLLOC_K = 15
 COLLOC_MIN = 5
 
 
+DSIR_TARGET = "src3"
+
+
+def txt_dsir(sf_dir: str):
+    """DSIR importance weights (textstats.dsir_weights_ds — Xie et al.
+    2023): per-doc ln-likelihood-ratio of the target domain's
+    hashed-unigram LM vs the rest-of-corpus LM, Laplace smoothed, 8192
+    fixed feature buckets (constant-size broadcast at any corpus size)."""
+    from miru_ray.textstats import dsir_weights_ds
+
+    return dsir_weights_ds(sf_dir, DSIR_TARGET)
+
+
+def _dsir_oracle_sql() -> str:
+    from miru_ray.textstats import DSIR_BUCKETS
+
+    B = DSIR_BUCKETS
+    return f"""WITH tok AS ({_TOKTAB}),
+tf AS (SELECT doc_id, CAST({_fnv_sql('t')} % {B} AS BIGINT) AS f FROM tok),
+lab AS (SELECT doc_id, source = '{DSIR_TARGET}' AS is_t FROM documents),
+cnt AS (SELECT f,
+          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM tf JOIN lab USING (doc_id) GROUP BY f),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+lnr AS (SELECT f,
+          ln(((ct + 1.0) / (nt + {B}.0)) / ((cr + 1.0) / (nr + {B}.0))) AS r
+        FROM cnt, tot),
+w AS (SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(sum(r), 6) AS dsir_weight
+      FROM tf JOIN lnr USING (f) GROUP BY tf.doc_id)
+SELECT d.doc_id, COALESCE(w.n_tokens, 0) AS n_tokens,
+       COALESCE(w.dsir_weight, 0.0) AS dsir_weight
+FROM documents d LEFT JOIN w USING (doc_id)"""
+
+
 TEXTRANK_K = 50
 TEXTRANK_ITERS = 5
 
@@ -2210,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
         "txt_textrank": txt_textrank,
+        "txt_dsir": txt_dsir,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_bpe": txt_bpe,
         "txt_decontam": txt_decontam,
@@ -3359,6 +3396,7 @@ WHERE count * {HH_FRAC[1]} > tot.n * {HH_FRAC[0]}"""
         "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_collocations": _colloc_oracle_sql(),
         "txt_textrank": _textrank_oracle_sql(),
+        "txt_dsir": _dsir_oracle_sql(),
         "txt_top_ngrams": (
             f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),

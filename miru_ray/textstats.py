@@ -2030,3 +2030,110 @@ def textrank_ds(sf_dir: str, k: int = 50, iters: int = 5,
             "rank": pa.array([int(x["rank"]) for x in rows], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------ DSIR importance weights
+
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by how much more likely its tokens are under a TARGET domain's
+# hashed-unigram LM than under the rest-of-corpus LM —
+# w(doc) = Σ_tok ln( p_target(feature(tok)) / p_rest(feature(tok)) ),
+# Laplace-smoothed. Features are token hashes modulo a FIXED bucket count
+# (the paper's hashed n-gram trick), so the two count profiles are
+# constant-size (n_buckets ints) regardless of corpus or vocabulary size —
+# the broadcast side never grows, which is the whole scale story: pass 1
+# is a term-stats-style partial count aggregate, pass 2 a stateless
+# map_batches against the broadcast ln-ratio table. Weighted sampling on
+# top of these weights = weighted_sample_ds's machinery.
+
+DSIR_BUCKETS = 8192
+
+
+def _dsir_partial(batch: pa.Table, target_source: str, n_buckets: int) -> pa.Table:
+    """Per-batch partial: (bucket, ct, cr) counts of token-feature hits in
+    target-source docs vs the rest; only non-zero buckets travel."""
+    parents, tokens = tokenize_flat(batch["text"])
+    empty = pa.table(
+        {"bucket": pa.array([], pa.int64()), "ct": pa.array([], pa.int64()),
+         "cr": pa.array([], pa.int64())}
+    )
+    if len(parents) == 0:
+        return empty
+    f = (fnv1a64(tokens) % np.uint64(n_buckets)).astype(np.int64)
+    is_t = pc.equal(batch["source"], pa.scalar(target_source)).to_numpy(
+        zero_copy_only=False
+    )[parents]
+    ct = np.bincount(f[is_t], minlength=n_buckets)
+    cr = np.bincount(f[~is_t], minlength=n_buckets)
+    nz = np.flatnonzero((ct > 0) | (cr > 0))
+    return pa.table(
+        {"bucket": pa.array(nz.astype(np.int64)), "ct": pa.array(ct[nz]),
+         "cr": pa.array(cr[nz])}
+    )
+
+
+class DsirScorer:
+    """Pass-2 stage: ln-ratio table from the object store once per actor;
+    per-doc weight = one bincount over the doc's feature hits."""
+
+    def __init__(self, lnr_ref, n_buckets: int):
+        import ray
+
+        self.lnr = ray.get(lnr_ref) if not isinstance(lnr_ref, np.ndarray) else lnr_ref
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, tokens = tokenize_flat(batch["text"])
+        n_rows = batch.num_rows
+        ntok = token_counts(parents, n_rows).astype(np.int64)
+        w = np.zeros(n_rows, dtype=np.float64)
+        if len(parents):
+            f = (fnv1a64(tokens) % np.uint64(self.n_buckets)).astype(np.int64)
+            w = np.bincount(parents, weights=self.lnr[f], minlength=n_rows)
+        return pa.table(
+            {
+                "doc_id": pc.cast(_ids(batch), pa.int64()),
+                "n_tokens": pa.array(ntok),
+                "dsir_weight": pa.array(np.round(w, 6), type=pa.float64()),
+            }
+        )
+
+
+def dsir_weights_ds(sf_dir: str, target_source: str,
+                    n_buckets: int = DSIR_BUCKETS):
+    """(doc_id, n_tokens, dsir_weight) for every document.
+
+    Determinism: counts are exact ints; each feature's ln-ratio is ONE
+    fp64 expression evaluated identically in SQL (same parenthesization);
+    per-doc sums round at 6dp (the charlm/PMI precedent)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rows = (
+        _docs_ds(sf_dir, ["text", "source"])
+        .map_batches(
+            lambda b: _dsir_partial(b, target_source, n_buckets),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .aggregate(Sum("ct"), Sum("cr"))
+        .take_all()
+    )  # ≤ n_buckets rows by construction — a declared constant
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        ct[int(r["bucket"])] = int(r["sum(ct)"])
+        cr[int(r["bucket"])] = int(r["sum(cr)"])
+    nt, nr = int(ct.sum()), int(cr.sum())
+    lnr = np.log(
+        ((ct + 1.0) / (nt + float(n_buckets)))
+        / ((cr + 1.0) / (nr + float(n_buckets)))
+    )
+    ref = ray.put(lnr)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        DsirScorer,
+        fn_constructor_kwargs={"lnr_ref": ref, "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )

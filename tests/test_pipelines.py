@@ -2092,3 +2092,48 @@ def test_interval_join_vs_scalar(ray_session):
     assert len(expect) > 0 and any(d < 0 for *_, d in expect) and any(
         d > 0 for *_, d in expect
     )
+
+
+def test_dsir_weights_vs_scalar(ray_session):
+    """dsir_weights_ds equals a pure-python hashed-unigram LM ratio with
+    Laplace smoothing, and target-source docs score higher on average."""
+    from miru_ray.hashing import fnv1a64_str
+    from miru_ray.textstats import dsir_weights_ds
+    from miru_ray.tokenize import py_tokenize
+
+    TGT, B = "src7", 512  # non-driver target + bucket count
+    docs = pq.read_table(SF + "/documents.parquet").to_pydict()
+    feats = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        feats[did] = [fnv1a64_str(t) % B for t in py_tokenize(text)]
+    ct = [0] * B
+    cr = [0] * B
+    for did, src in zip(docs["doc_id"], docs["source"]):
+        tgt = src == TGT
+        for f in feats[did]:
+            if tgt:
+                ct[f] += 1
+            else:
+                cr[f] += 1
+    nt, nr = sum(ct), sum(cr)
+    import math
+
+    lnr = [
+        math.log(((ct[f] + 1.0) / (nt + float(B))) / ((cr[f] + 1.0) / (nr + float(B))))
+        for f in range(B)
+    ]
+    expect = {
+        did: (len(fs), round(sum(lnr[f] for f in fs), 6)) for did, fs in feats.items()
+    }
+    got = dsir_weights_ds(SF, TGT, n_buckets=B).to_pandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        n, w = expect[r.doc_id]
+        assert r.n_tokens == n
+        assert abs(r.dsir_weight - w) < 2e-6, r.doc_id
+    by_src = {}
+    for r in got.itertuples():
+        src = docs["source"][docs["doc_id"].index(r.doc_id)]
+        by_src.setdefault(src == TGT, []).append(r.dsir_weight)
+    assert (sum(by_src[True]) / len(by_src[True])
+            > sum(by_src[False]) / len(by_src[False]))
