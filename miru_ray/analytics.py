@@ -412,40 +412,6 @@ def sessionize_ds(sf_dir: str, gap_us: int = 30 * 60 * 1_000_000):
     )
 
 
-def _merge_session_pieces(group: pa.Table, gap_us: int) -> pa.Table:
-    """One user's per-window session PIECES → final sessions: sort by
-    start, chain-merge adjacent pieces whose boundary gap ≤ gap_us (the
-    same reduceat pattern, now over session rows instead of events).
-
-    sum_value: pieces carry RAW fp sums and rounding happens once here, so
-    the only difference vs the single pass is summation association
-    (per-piece partials vs one sequential sum). At double precision that is
-    ~1e-10 relative error against a 1e-6 rounding grid — bit-identical for
-    any value magnitudes below ~1e9, which the shared SQL oracle (itself a
-    third association order) already requires."""
-    start = group["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(start, kind="stable")
-    start = start[order]
-    end = group["end_us"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    sid = group["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    ne = group["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    sv = group["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
-    brk = np.concatenate([[True], (start[1:] - end[:-1]) > gap_us])
-    starts = np.flatnonzero(brk)
-    ends_i = np.append(starts[1:], len(start))
-    uid = int(group["user_id"][0].as_py())
-    return pa.table(
-        {
-            "user_id": pa.array(np.full(len(starts), uid, np.int64)),
-            "session_id": pa.array(np.minimum.reduceat(sid, starts)),
-            "n_events": pa.array(np.add.reduceat(ne, starts)),
-            "start_us": pa.array(start[starts]),
-            "end_us": pa.array(end[ends_i - 1]),
-            "sum_value": pa.array(np.round(np.add.reduceat(sv, starts), 6)),
-        }
-    )
-
-
 def sessionize_scalable_ds(
     sf_dir: str,
     gap_us: int = 30 * 60 * 1_000_000,
@@ -461,23 +427,115 @@ def sessionize_scalable_ds(
     already have gaps > gap_us between them; cut points only ever split a
     run, never join two). This is the pre-split + boundary-merge pass the
     plain sessionize's docstring defers to; default window = 64 gaps."""
+    from .hashing import splitmix64
+
     window_us = window_us or 64 * gap_us
     ds = _events_ds(sf_dir, ["event_id", "ts", "user_id", "value"])
+    n_buckets = 256
 
     def add_window(batch: pa.Table) -> pa.Table:
         w = _ts_us(batch) // np.int64(window_us)
-        return batch.append_column("w", pa.array(w))
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bucket by (user, window) hash — the as-of join's level-1 shape:
+        # one bucket-group call vectorizes over every piece it holds, and a
+        # whale user's windows spread across buckets
+        bkt = (
+            splitmix64(u.astype(np.uint64) * np.uint64(1000003)
+                       ^ w.astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        batch = batch.append_column("us", pa.array(_ts_us(batch)))
+        batch = batch.append_column("w", pa.array(w))
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def sessionize_bucket(group: pa.Table) -> pa.Table:
+        """Every (user, window) piece of one hash bucket in ONE vectorized
+        pass: session break = new (user, window) segment OR in-segment gap
+        > gap_us; reduceat per session. Raw fp sums (level 2 rounds once)."""
+        n = group.num_rows
+        empty = pa.schema(
+            [("user_id", pa.int64()), ("session_id", pa.int64()),
+             ("n_events", pa.int64()), ("start_us", pa.int64()),
+             ("end_us", pa.int64()), ("sum_value", pa.float64())]
+        ).empty_table()
+        if n == 0:
+            return empty
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = group["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, ts, w, uid))
+        uid, w, ts, eid, val = uid[order], w[order], ts[order], eid[order], val[order]
+        segnew = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1]))
+        )
+        gap = np.concatenate(([True], (ts[1:] - ts[:-1]) > gap_us))
+        starts = np.flatnonzero(segnew | gap)
+        ends = np.append(starts[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "session_id": pa.array(np.minimum.reduceat(eid, starts)),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "start_us": pa.array(ts[starts]),
+                "end_us": pa.array(ts[ends - 1]),
+                "sum_value": pa.array(np.add.reduceat(val, starts)),
+            }
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        """Every user of one user-hash bucket merged in one vectorized
+        pass: chain-break = new user OR piece-boundary gap > gap_us."""
+        n = group.num_rows
+        if n == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("session_id", pa.int64()),
+                 ("n_events", pa.int64()), ("start_us", pa.int64()),
+                 ("end_us", pa.int64()), ("sum_value", pa.float64())]
+            ).empty_table()
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = group["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((start, uid))
+        uid, start = uid[order], start[order]
+        end = group["end_us"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        sid = group["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ne = group["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        sv = group["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        brk = np.concatenate(
+            ([True],
+             (uid[1:] != uid[:-1]) | ((start[1:] - end[:-1]) > gap_us))
+        )
+        starts = np.flatnonzero(brk)
+        ends_i = np.append(starts[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "session_id": pa.array(np.minimum.reduceat(sid, starts)),
+                "n_events": pa.array(np.add.reduceat(ne, starts)),
+                "start_us": pa.array(start[starts]),
+                "end_us": pa.array(end[ends_i - 1]),
+                "sum_value": pa.array(np.round(np.add.reduceat(sv, starts), 6)),
+            }
+        )
+
+    def add_user_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub = (splitmix64(u.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("ubkt", pa.array(ub))
 
     pieces = (
         ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "w"])
+        .groupby("bkt")
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
+    )
+    return (
+        pieces.map_batches(add_user_bucket, batch_format="pyarrow")
+        .groupby("ubkt")
         .map_groups(
-            lambda g: _sessionize_group(g.drop_columns(["w"]), gap_us, round_sum=False),
+            lambda g: merge_bucket(g.drop_columns(["ubkt"])),
             batch_format="pyarrow",
         )
-    )
-    return pieces.groupby("user_id").map_groups(
-        lambda g: _merge_session_pieces(g, gap_us), batch_format="pyarrow"
     )
 
 
