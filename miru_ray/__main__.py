@@ -120,6 +120,15 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    _ray_up()
+    from .audit import audit_index
+
+    rep = audit_index(args.index, sample_terms=args.sample_terms)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def cmd_export(args) -> int:
     _ray_up()
     from .search import SearchEngine
@@ -305,6 +314,13 @@ def main(argv=None) -> int:
                     help="microsecond ts cutoff; partitions with ts_max below it drop")
     ex.add_argument("--dry-run", action="store_true")
     ex.set_defaults(fn=cmd_expire)
+
+    au = sub.add_parser(
+        "audit", help="fsck the index: re-derive and cross-check invariants"
+    )
+    au.add_argument("--index", required=True)
+    au.add_argument("--sample-terms", type=int, default=64)
+    au.set_defaults(fn=cmd_audit)
 
     xp = sub.add_parser(
         "export", help="materialize a filter query's full answer as parquet"

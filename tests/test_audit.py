@@ -1,0 +1,121 @@
+"""Index audit (fsck) tests: a clean index audits clean; targeted
+corruptions of every redundant structure surface as named errors."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    from miru_ray.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("audit") / "idx")
+    build_index(tiny_transcripts_dir, idx, n_parts=4)
+    return idx
+
+
+def test_audit_clean(built_index):
+    from miru_ray.audit import audit_index
+
+    rep = audit_index(built_index, sample_terms=10_000)
+    assert rep["ok"], rep
+    assert rep["n_parts"] == 4
+    assert all(r["n_terms_checked"] > 0 for r in rep["parts"])
+
+
+def _copy_index(src, dst):
+    shutil.copytree(src, dst)
+    return dst
+
+
+def _rewrite_posting(idx, part, mutate):
+    """Load partition postings, apply mutate(dict_of_columns) -> table, write."""
+    import pyarrow as pa
+
+    p = os.path.join(idx, f"part={part:05d}", "postings.parquet")
+    t = pq.read_table(p)
+    cols = {n: t[n].to_pylist() for n in t.schema.names}
+    mutate(cols)
+    pq.write_table(
+        pa.table({n: pa.array(cols[n], t.schema.field(n).type) for n in t.schema.names}),
+        p, row_group_size=1024,
+    )
+
+
+def _real_term_row(idx, part, min_df=1):
+    p = os.path.join(idx, f"part={part:05d}", "postings.parquet")
+    t = pq.read_table(p, columns=["term", "df"])
+    for i, (term, df) in enumerate(zip(t["term"].to_pylist(), t["df"].to_pylist())):
+        if term and term[0] >= " " and df >= min_df:
+            return i
+    raise AssertionError("no real term")
+
+
+@pytest.mark.parametrize(
+    "field,delta,check",
+    [
+        ("df", 1, "df"),
+        ("ttf", 5, "ttf"),
+        ("max_tf", 3, "max_tf"),
+        ("first_doc", 1, "doc-range"),
+    ],
+)
+def test_audit_flags_metadata_corruption(built_index, tmp_path, field, delta, check):
+    from miru_ray.audit import audit_partition
+
+    idx = _copy_index(built_index, str(tmp_path / f"bad_{field}"))
+    row = _real_term_row(idx, 0)
+
+    def mutate(cols):
+        cols[field][row] = cols[field][row] + delta
+
+    _rewrite_posting(idx, 0, mutate)
+    rep = audit_partition(idx, 0, sample_terms=10_000)
+    assert any(e["check"] == check for e in rep["errors"]), rep["errors"]
+
+
+def test_audit_flags_byte_corruption(built_index, tmp_path):
+    """Flipping a posting byte trips decode/df/order/offset checks."""
+    from miru_ray.audit import audit_partition
+
+    idx = _copy_index(built_index, str(tmp_path / "bad_bytes"))
+    row = _real_term_row(idx, 0, min_df=3)
+
+    def mutate(cols):
+        # a MIDDLE byte: byte 0 is a block start, whose value the decoder
+        # overwrites with the authoritative blk_first (that redundancy is
+        # the point) — corruption there is invisible by design
+        b = bytearray(cols["doc_bytes"][row])
+        b[len(b) // 2] ^= 0x15
+        cols["doc_bytes"][row] = bytes(b)
+
+    _rewrite_posting(idx, 0, mutate)
+    rep = audit_partition(idx, 0, sample_terms=10_000)
+    assert rep["errors"], "byte flip not detected"
+
+
+def test_audit_flags_manifest_drift(built_index, tmp_path):
+    from miru_ray.audit import audit_partition
+
+    idx = _copy_index(built_index, str(tmp_path / "bad_manifest"))
+    mp = os.path.join(idx, "part=00000", "_MANIFEST.json")
+    m = json.load(open(mp))
+    m["metrics"]["n_docs"] += 7
+    m["metrics"]["total_tokens"] += 11
+    json.dump(m, open(mp, "w"))
+    rep = audit_partition(idx, 0, sample_terms=4)
+    checks = {e["check"] for e in rep["errors"]}
+    assert "forward-count" in checks and "total-tokens" in checks, rep["errors"]
+
+
+def test_audit_cli(built_index, capsys):
+    from miru_ray.__main__ import main
+
+    rc = main(["audit", "--index", built_index, "--sample-terms", "16"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"]
