@@ -149,6 +149,32 @@ def audit_partition(index_dir: str, part: int, sample_terms: int = 64) -> dict:
         if np.any(claimed > blk_min_dl):
             _err(errors, part, "blk-min-dl", f"{t!r}: claimed min_dl above true min")
 
+    # positional streams (opt-in positions=True builds): docIds
+    # NON-strict increasing (tf occurrences repeat the doc), every
+    # occurrence position < the doc's true length
+    pos_rows = np.array(
+        [i for i, t in enumerate(terms) if t.startswith(POS_FIELD)],
+        dtype=np.int64,
+    )
+    for i in pos_rows[: min(sample_terms, len(pos_rows))]:
+        r = post.slice(int(i), 1).to_pylist()[0]
+        t = r["term"]
+        try:
+            docs, positions = decode_posting(
+                r["doc_bytes"], r["tf_bytes"],
+                np.asarray(r["blk_first"]), np.asarray(r["blk_count"]), codec,
+            )
+        except Exception as ex:
+            _err(errors, part, "pos-decode", f"{t!r}: {ex}")
+            continue
+        if np.any(np.diff(docs) < 0):
+            _err(errors, part, "pos-doc-order", f"{t!r}: docIds decrease")
+        loc = np.searchsorted(doc_ids, docs).clip(0, len(doc_ids) - 1)
+        if not np.all(doc_ids[loc] == docs):
+            _err(errors, part, "pos-doc-universe", f"{t!r}")
+        elif np.any(positions >= dl[loc]) or np.any(positions < 0):
+            _err(errors, part, "pos-bounds", f"{t!r}: position ≥ doc length")
+
     tombs = read_tombstones(index_dir, part)
     if len(tombs):
         pos = np.searchsorted(doc_ids, tombs).clip(0, len(doc_ids) - 1)

@@ -119,3 +119,32 @@ def test_audit_cli(built_index, capsys):
     rc = main(["audit", "--index", built_index, "--sample-terms", "16"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"]
+
+
+def test_audit_positional_index(ray_session, tiny_transcripts_dir, tmp_path):
+    """A positions=True build audits clean, and corrupting a positional
+    stream's tf (position) bytes is flagged."""
+    from miru_ray.audit import audit_partition, audit_index
+    from miru_ray.build import build_index
+
+    idx = str(tmp_path / "pos_idx")
+    build_index(tiny_transcripts_dir, idx, n_parts=2, positions=True)
+    rep = audit_index(idx, sample_terms=200)
+    assert rep["ok"], rep
+
+    # corrupt one positional row's position stream → pos-* check fires
+    p = os.path.join(idx, "part=00000", "postings.parquet")
+    t = pq.read_table(p)
+    import pyarrow as pa
+
+    cols = {n: t[n].to_pylist() for n in t.schema.names}
+    row = next(i for i, term in enumerate(cols["term"]) if term.startswith("\x02pos"))
+    b = bytearray(cols["tf_bytes"][row])
+    b[-1] = 0x7F  # a final-position byte far beyond any tiny-doc length
+    cols["tf_bytes"][row] = bytes(b)
+    pq.write_table(
+        pa.table({n: pa.array(cols[n], t.schema.field(n).type) for n in t.schema.names}),
+        p, row_group_size=1024,
+    )
+    rep = audit_partition(idx, 0, sample_terms=10_000)
+    assert any(e["check"].startswith("pos-") for e in rep["errors"]), rep["errors"]
