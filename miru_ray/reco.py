@@ -318,8 +318,26 @@ def _ppr_edge_partial(batch: pa.Table) -> pa.Table:
     return tt.group_by(["src", "dst"], use_threads=False).aggregate([])
 
 
+def _my_item_set(ev, user_id: int) -> set[int]:
+    """The seed user's distinct ok-event items — one user's history,
+    driver-small by contract; shared by both PPR paths."""
+
+    def _mine(t: pa.Table) -> pa.Table:
+        ok = _ok_events(t)
+        ok = ok.filter(pc.equal(ok["user_id"], pa.scalar(user_id, pa.int64())))
+        return pa.table({"i": ok["item"]})
+
+    out: set[int] = set()
+    for b in ev.map_batches(_mine, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.update(x for x in b["i"].to_pylist() if x is not None)
+    return out
+
+
 def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
-                num_partitions: int = 8) -> pa.Table:
+                num_partitions: int = 8,
+                small_graph_edges: int = 500_000) -> pa.Table:
     """(item, rank): top-k items for ``user_id`` by seeded integer
     PageRank, EXCLUDING items the user already touched; ties (rank desc,
     item asc).
@@ -340,6 +358,7 @@ def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
         .groupby(["src", "dst"])
         .aggregate(Count())
         .select_columns(["src", "dst"])
+        .materialize()  # reused by deg, the join and every round
     )
     deg = (
         edges.groupby("src")
@@ -353,11 +372,42 @@ def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
         )
     )
     edges_deg = edges.join(deg, "inner", num_partitions, on=("src",)).materialize()
-    if edges_deg.count() == 0:
+    n_edges = edges_deg.count()
+    if n_edges == 0:
         return pa.table({"item": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64())})
     seed_node = 2 * user_id
     base = (15 * PPR_UNIT) // 100
+
+    if n_edges <= small_graph_edges:
+        # small-graph fast path (textrank_ds's declared-threshold trick):
+        # identical integers via graphrank.integer_pagerank_local,
+        # pytest-gated against the distributed rounds
+        from .graphrank import integer_pagerank_local
+
+        et = pa.Table.from_pylist(
+            edges_deg.select_columns(["src", "dst"]).take_all()
+        )
+        srcs = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, codes = np.unique(np.concatenate([srcs, dsts]), return_inverse=True)
+        sc, dc = codes[: len(srcs)], codes[len(srcs):]
+        seed_pos = np.searchsorted(nodes, seed_node)
+        if seed_pos >= len(nodes) or nodes[seed_pos] != seed_node:
+            return pa.table({"item": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        r = integer_pagerank_local(sc, dc, len(nodes), iters, PPR_UNIT,
+                                   seed_node=int(seed_pos))
+        my = _my_item_set(ev, user_id)
+        isitem = nodes % 2 == 1
+        items = (nodes - 1) // 2
+        keep = isitem & ~np.isin(items, list(my))
+        items, rr = items[keep], r[keep]
+        order = np.lexsort((items, -rr))[:k]
+        return pa.table(
+            {"item": pa.array(items[order], pa.int64()),
+             "rank": pa.array(rr[order], pa.int64())}
+        )
 
     def init_ranks(b: pa.Table) -> pa.Table:
         src = pc.cast(b["src"], pa.int64())
@@ -398,16 +448,7 @@ def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
         )
 
     # the seed's own items (one user's history — driver-small by contract)
-    def _my_items(t: pa.Table) -> pa.Table:
-        ok = _ok_events(t)
-        ok = ok.filter(pc.equal(ok["user_id"], pa.scalar(user_id, pa.int64())))
-        return pa.table({"i": ok["item"]})
-
-    mine = set()
-    for b in ev.map_batches(_my_items, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        mine.update(x for x in b["i"].to_pylist() if x is not None)
+    mine = _my_item_set(ev, user_id)
 
     def block_topk(b: pa.Table) -> pa.Table:
         node = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1941,7 +1941,8 @@ def _textrank_contrib_partial(batch: pa.Table) -> pa.Table:
 
 
 def textrank_ds(sf_dir: str, k: int = 50, iters: int = 5,
-                num_partitions: int = 8) -> pa.Table:
+                num_partitions: int = 8,
+                small_graph_edges: int = 500_000) -> pa.Table:
     """(term, rank): the k most central terms of the corpus co-occurrence
     graph after ``iters`` integer-PageRank rounds, ranked (rank desc,
     term asc).
@@ -1966,6 +1967,8 @@ def textrank_ds(sf_dir: str, k: int = 50, iters: int = 5,
         .groupby(["src", "dst"])
         .aggregate(Count())
         .select_columns(["src", "dst"])
+        .materialize()  # the distinct edge list is reused by deg, the join
+        # and every round — without this the corpus tokenize re-runs per use
     )
     deg = (
         edges.groupby("src")
@@ -1979,9 +1982,31 @@ def textrank_ds(sf_dir: str, k: int = 50, iters: int = 5,
         )
     )
     edges_deg = edges.join(deg, "inner", num_partitions, on=("src",)).materialize()
-    if edges_deg.count() == 0:
+    n_edges = edges_deg.count()
+    if n_edges == 0:
         return pa.table({"term": pa.array([], pa.string()),
                          "rank": pa.array([], pa.int64())})
+    if n_edges <= small_graph_edges:
+        # small-graph fast path: below the DECLARED threshold the edge
+        # list is answer-small — collect it once and run the identical
+        # integer rounds locally (graphrank.integer_pagerank_local); the
+        # distributed rounds' per-round join/groupby latency would dwarf
+        # the work. Same integers by construction, pytest-gated.
+        from .graphrank import integer_pagerank_local
+
+        et = pa.Table.from_pylist(
+            edges_deg.select_columns(["src", "dst"]).take_all()
+        )
+        srcs = et["src"].to_numpy(zero_copy_only=False)
+        dsts = et["dst"].to_numpy(zero_copy_only=False)
+        nodes, codes = np.unique(np.concatenate([srcs, dsts]), return_inverse=True)
+        sc, dc = codes[: len(srcs)], codes[len(srcs):]
+        r = integer_pagerank_local(sc, dc, len(nodes), iters, TEXTRANK_UNIT)
+        order = np.lexsort((nodes, -r))[:k]
+        return pa.table(
+            {"term": pa.array(nodes[order], pa.string()),
+             "rank": pa.array(r[order])}
+        )
     ranks = deg.map_batches(
         lambda b: pa.table(
             {"src": b["src"],

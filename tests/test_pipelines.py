@@ -2137,3 +2137,13 @@ def test_dsir_weights_vs_scalar(ray_session):
         by_src.setdefault(src == TGT, []).append(r.dsir_weight)
     assert (sum(by_src[True]) / len(by_src[True])
             > sum(by_src[False]) / len(by_src[False]))
+
+
+def test_textrank_paths_equal(ray_session):
+    """The small-graph local fast path and the distributed rounds compute
+    identical integers (the graphrank contract)."""
+    from miru_ray.textstats import textrank_ds
+
+    local = textrank_ds(SF, k=9, iters=2)  # sf0.001 is under the threshold
+    dist = textrank_ds(SF, k=9, iters=2, small_graph_edges=0)
+    assert local.to_pydict() == dist.to_pydict()

@@ -167,3 +167,14 @@ def test_reco_ppr_vs_scalar(ray_session):
     got = reco_ppr_ds(SF, user_id=USER, k=K, iters=ITERS).to_pandas()
     assert [(t.item, t.rank) for t in got.itertuples()] == cand
     assert len(cand) == K and cand[0][1] > 0  # the walk must actually reach items
+
+
+def test_reco_ppr_paths_equal(ray_session):
+    """Small-graph local fast path == distributed rounds (identical
+    integers, the graphrank contract)."""
+    from miru_ray.reco import reco_ppr_ds
+
+    SF = "/root/testdata/sf0.001"
+    a = reco_ppr_ds(SF, user_id=7, k=6, iters=2)
+    b = reco_ppr_ds(SF, user_id=7, k=6, iters=2, small_graph_edges=0)
+    assert a.to_pydict() == b.to_pydict()
