@@ -1094,6 +1094,17 @@ def ev_range_join(sf_dir: str) -> pa.Table:
     return range_join_ds(sf_dir, RANGE_WIN_TYPE, RANGE_WIN_US)
 
 
+def ev_range_join_scaled(sf_dir: str):
+    """Co-partitioned range join (analytics.range_join_scalable_ds): same
+    output as ev_range_join by definition, but both sides shuffle by
+    ts // width (a fixed-width window spans ≤ 2 buckets, so windows ship
+    twice, events once, every pair meets exactly once) — no broadcast, no
+    driver-side window table. Shared SQL oracle."""
+    from miru_ray.analytics import range_join_scalable_ds
+
+    return range_join_scalable_ds(sf_dir, RANGE_WIN_TYPE, RANGE_WIN_US)
+
+
 IVJ_LEFT, IVJ_RIGHT = "purchase", "error"
 IVJ_BEFORE_US = IVJ_AFTER_US = 15 * 60 * 1_000_000
 
@@ -2208,6 +2219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_asof": ev_asof,
         "ev_asof_scaled": ev_asof_scaled,
         "ev_range_join": ev_range_join,
+        "ev_range_join_scaled": ev_range_join_scaled,
         "ev_interval_join": ev_interval_join,
         "ev_metric_waveform": ev_metric_waveform,
         "ev_distinct_sketch": ev_distinct_sketch,
@@ -3638,6 +3650,7 @@ SELECT q, neighbor, cos FROM ranked WHERE rn <= {ANN_K}"""
     # one — same oracle, checked independently by the driver
     out["ev_sessionize_scaled"] = out["ev_sessionize"]
     out["ev_asof_scaled"] = out["ev_asof"]
+    out["ev_range_join_scaled"] = out["ev_range_join"]
     return out
 
 

@@ -1676,3 +1676,121 @@ def interval_join_ds(sf_dir: str, left_type: str = "purchase",
             batch_format="pyarrow",
         )
     )
+
+
+# -------------------------------------------- co-partitioned range join
+
+# Closes range_join_ds' documented caveat for window tables too big to
+# broadcast: both sides co-partition by ts // width. A fixed-width window
+# starting in bucket b covers events only in buckets b and b+1, so each
+# WINDOW ships to two buckets, each EVENT to one, and every (event,
+# window) pair meets exactly once. Inside a bucket the same two
+# searchsorteds + repeat/arange expansion run over that bucket's windows
+# only; each window's home bucket always emits a zero partial so the
+# final groupby(window) sum is zero-filled without any driver-side table.
+
+
+def _range_bucket(group: pa.Table, width_us: int) -> pa.Table:
+    kind = group["kind"].to_numpy(zero_copy_only=False)
+    t = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = group["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wid = group["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    home = group["home"].to_numpy(zero_copy_only=False)
+    empty = pa.schema(
+        [("w", pa.int64()), ("n", pa.int64()), ("s", pa.int64())]
+    ).empty_table()
+    wmask = kind == 1
+    emask = ~wmask
+    w_start, w_id, w_home = t[wmask], wid[wmask], home[wmask]
+    order = np.lexsort((w_id, w_start))
+    w_start, w_id, w_home = w_start[order], w_id[order], w_home[order]
+    parts = []
+    if emask.any() and wmask.any():
+        et, ec = t[emask], cents[emask]
+        lo = np.searchsorted(w_start, et - width_us, side="right")
+        hi = np.searchsorted(w_start, et, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total:
+            widx = np.repeat(lo, counts) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            tt = pa.table(
+                {"w": pa.array(w_id[widx]),
+                 "m": pa.array(np.repeat(ec, counts))}
+            ).group_by(["w"], use_threads=False).aggregate(
+                [("m", "sum"), ([], "count_all")]
+            )
+            parts.append(pa.table(
+                {"w": pc.cast(tt["w"], pa.int64()),
+                 "n": pc.cast(tt["count_all"], pa.int64()),
+                 "s": pc.cast(tt["m_sum"], pa.int64())}
+            ))
+    hm = w_home == 1
+    if hm.any():  # zero partial from each window's home bucket
+        parts.append(pa.table(
+            {"w": pa.array(w_id[hm]),
+             "n": pa.array(np.zeros(int(hm.sum()), np.int64)),
+             "s": pa.array(np.zeros(int(hm.sum()), np.int64))}
+        ))
+    return pa.concat_tables(parts) if parts else empty
+
+
+def range_join_scalable_ds(sf_dir: str, window_type: str = "error",
+                           width_us: int = 10 * 60 * 1_000_000):
+    """Same output as ``range_join_ds`` (defined equal; shared oracle),
+    but the window table never crosses the driver or a broadcast — the
+    events-sized shuffle is keyed by ts // width and the result stays a
+    Dataset keyed by window."""
+    from ray.data.aggregate import Sum
+
+    ev = _events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+    def rows(b: pa.Table) -> pa.Table:
+        t = _ts_us(b)
+        cents = np.round(
+            b["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isw = pc.equal(b["event_type"], pa.scalar(window_type)).to_numpy(
+            zero_copy_only=False
+        )
+        bkt = t // width_us
+        # events once (kind 0); windows twice (kind 1): home bucket and +1
+        out = {
+            "bkt": np.concatenate([bkt, bkt[isw], bkt[isw] + 1]),
+            "kind": np.concatenate(
+                [np.zeros(len(t), np.int8), np.ones(2 * int(isw.sum()), np.int8)]
+            ),
+            "ts_us": np.concatenate([t, t[isw], t[isw]]),
+            "cents": np.concatenate([cents, cents[isw], cents[isw]]),
+            "window_id": np.concatenate([eid, eid[isw], eid[isw]]),
+            "home": np.concatenate(
+                [np.zeros(len(t), np.int8), np.ones(int(isw.sum()), np.int8),
+                 np.zeros(int(isw.sum()), np.int8)]
+            ),
+        }
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    agg = (
+        ev.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(lambda g: _range_bucket(g, width_us), batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n"), Sum("s"))
+    )
+    empty = pa.schema(
+        [("window_id", pa.int64()), ("n_events", pa.int64()),
+         ("sum_cents", pa.int64())]
+    ).empty_table()
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_id": pc.cast(b["w"], pa.int64()),
+                "n_events": pc.cast(b["sum(n)"], pa.int64()),
+                "sum_cents": pc.cast(b["sum(s)"], pa.int64()),
+            }
+        ) if len(b.schema) == 3 else empty,
+        batch_format="pyarrow",
+    )

@@ -72,7 +72,7 @@ def audit_partition(index_dir: str, part: int, sample_terms: int = 64) -> dict:
     dl = fwd["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     terms = np.asarray(post["term"].to_pylist(), dtype=object)
-    if not all(terms[i] <= terms[i + 1] for i in range(len(terms) - 1)):
+    if len(terms) > 1 and not bool(np.all(terms[:-1] <= terms[1:])):
         _err(errors, part, "term-order", "term keys not sorted")
     real = np.array(
         [i for i, t in enumerate(terms)
