@@ -148,3 +148,49 @@ def test_audit_positional_index(ray_session, tiny_transcripts_dir, tmp_path):
     )
     rep = audit_partition(idx, 0, sample_terms=10_000)
     assert any(e["check"].startswith("pos-") for e in rep["errors"]), rep["errors"]
+
+
+def test_audit_clean_through_lifecycle(ray_session, tiny_transcripts_dir, tmp_path):
+    """The audit stays clean through the whole mutation lifecycle:
+    build → extend → remove_docs → repair → compact."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from miru_ray.audit import audit_index
+    from miru_ray.build import build_index, compact_index, extend_index, repair_partitions
+    from miru_ray.segments import read_forward_table, remove_docs
+
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    convs = sorted(set(t["conv_id"].to_pylist()))
+    cut = convs[len(convs) // 2]
+    src1 = str(tmp_path / "src1"); os.makedirs(src1)
+    src2 = str(tmp_path / "src2"); os.makedirs(src2)
+    pq.write_table(t.filter(pc.less(t["conv_id"], cut)), os.path.join(src1, "a.parquet"))
+    pq.write_table(t.filter(pc.greater_equal(t["conv_id"], cut)), os.path.join(src2, "b.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(src1, idx, n_parts=4)
+    assert audit_index(idx, sample_terms=50)["ok"]
+
+    extend_index(src2, idx)
+    assert audit_index(idx, sample_terms=50)["ok"]
+
+    fwd = read_forward_table(idx, 0)
+    keys = [
+        (fwd["conv_id"][0].as_py(), int(fwd["turn_idx"][0].as_py())),
+        (fwd["conv_id"][1].as_py(), int(fwd["turn_idx"][1].as_py())),
+    ]
+    remove_docs(idx, keys)
+    assert audit_index(idx, sample_terms=50)["ok"]
+
+    full = str(tmp_path / "full"); os.makedirs(full)
+    pq.write_table(t, os.path.join(full, "all.parquet"))
+    repair_partitions(idx, full, [1])
+    assert audit_index(idx, sample_terms=50)["ok"]
+
+    compact_index(idx)
+    rep = audit_index(idx, sample_terms=50)
+    assert rep["ok"], rep
