@@ -1235,6 +1235,26 @@ def dd_ngram_jaccard(sf_dir: str):
     )
 
 
+JACCARD_PREFIX_THRESHOLD = 0.6
+JACCARD_PREFIX_MAX_DF = 256
+
+
+def dd_jaccard_prefix(sf_dir: str):
+    """Prefix-filtered EXACT n-gram Jaccard pairs
+    (dedup.ngram_jaccard_prefix_ds — the AllPairs/PPJoin principle, Bayardo
+    et al. WWW'07; Vernica et al. SIGMOD'10 for the distributed shape):
+    candidates from prefix-gram buckets under a rare-first global order,
+    verification restricted to candidates — the Σ df² pair fan-out of the
+    plain inverted-index join collapses to the candidate mass, so the
+    evidence cap sits at 256 instead of 64. The score is exact; pytest
+    asserts answer equality with ngram_jaccard_pairs_ds."""
+    from miru_ray.dedup import ngram_jaccard_prefix_ds
+
+    return ngram_jaccard_prefix_ds(
+        sf_dir, threshold=JACCARD_PREFIX_THRESHOLD, max_df=JACCARD_PREFIX_MAX_DF
+    )
+
+
 # ------------------------------------------------------------ bloom callable
 
 
@@ -1441,10 +1461,24 @@ def txt_bpe(sf_dir: str) -> pa.Table:
     return bpe_train_ds(sf_dir, n_merges=BPE_MERGES, vocab_cap=BPE_CAP)
 
 
-def _bpe_oracle_sql() -> str:
-    """The bpe_train_ds loop unrolled: each step = a weighted adjacent-pair
-    count over the current segmentation (lead-window over the spaced piece
-    string) + one replace() re-segmentation feeding the next step."""
+def txt_bpe_encode(sf_dir: str):
+    """Distributed application of the trained BPE merges
+    (textstats.bpe_encode_ds): per doc the word count and total BPE token
+    count. Merges ride the object store once per actor; each actor
+    segments only the DISTINCT words it sees (memoized across batches).
+    The merge semantics are the double-space-delimited replace chain —
+    provably the greedy token-level pass, and literally the SQL oracle's
+    chained replace() calls."""
+    from miru_ray.textstats import bpe_encode_ds
+
+    return bpe_encode_ds(sf_dir, n_merges=BPE_MERGES, vocab_cap=BPE_CAP)
+
+
+def _bpe_train_ctes() -> list[str]:
+    """The bpe_train_ds loop unrolled as CTE parts: each step = a weighted
+    adjacent-pair count over the current segmentation + one replace()
+    re-segmentation feeding the next step. Shared by the training oracle
+    (txt_bpe) and the encode oracle (txt_bpe_encode)."""
     parts = [
         f"""tok AS ({_TOKTAB}),
 wc AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
@@ -1466,11 +1500,47 @@ w0 AS MATERIALIZED (SELECT regexp_replace(term, '(.)', ' \\1', 'g') AS s, n FROM
    ' ' || (SELECT l FROM b{i}) || ' ' || (SELECT r FROM b{i}),
    ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i})) AS s, n FROM w{i - 1})"""
         )
+    return parts
+
+
+def _bpe_oracle_sql() -> str:
     selects = "\nUNION ALL ".join(
         f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS freq FROM b{i}"
         for i in range(1, BPE_MERGES + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_train_ctes()) + "\n" + selects
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Training CTEs + the encode chain: every distinct (doc, word) is
+    rendered as the double-space-delimited piece string (' a  b  c ' —
+    one space each side of a piece, two between pieces), then each merge
+    rank applies ONE replace(' l  r ', ' lr ') — replace()'s left-to-right
+    non-overlapping scan over that representation IS the greedy token-level
+    merge pass (see textstats.bpe_replace_count). Token count per word =
+    double-space separators + 1."""
+    parts = _bpe_train_ctes()
+    parts.append(
+        "dw AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM tok GROUP BY doc_id, t)"
+    )
+    parts.append(
+        "e0 AS (SELECT doc_id, cnt,"
+        " regexp_replace(t, '(.)', ' \\1 ', 'g') AS s FROM dw)"
+    )
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""e{i} AS (SELECT doc_id, cnt,
+  CASE WHEN (SELECT l FROM b{i}) IS NULL THEN s
+       ELSE replace(s, ' ' || (SELECT l FROM b{i}) || '  ' || (SELECT r FROM b{i}) || ' ',
+                       ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ') END AS s
+  FROM e{i - 1})"""
+        )
+    final = f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * ((length(s) - length(replace(s, '  ', ' '))) + 1)) AS BIGINT) AS n_bpe
+FROM e{BPE_MERGES} GROUP BY doc_id"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 NGRAM_K = 20
@@ -2242,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_substr_clean": dd_substr_clean,
         "dd_passages": dd_passages,
         "dd_ngram_jaccard": dd_ngram_jaccard,
+        "dd_jaccard_prefix": dd_jaccard_prefix,
         "txt_quality": txt_quality,
         "txt_repetition": txt_repetition,
         "txt_langid": txt_langid,
@@ -2261,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_dsir": txt_dsir,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_bpe": txt_bpe,
+        "txt_bpe_encode": txt_bpe_encode,
         "txt_decontam": txt_decontam,
         "pipe_curate": pipe_curate,
         "txt_chunks": txt_chunks,
@@ -3243,6 +3315,23 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM inter JOIN ndist na ON na.doc_id = a JOIN ndist nb ON nb.doc_id = b
 WHERE round(i / (na.n + nb.n - i), 6) >= {NGRAM_JACCARD_THRESHOLD}"""
         ),
+        # same exact-Jaccard semantics, wider evidence window — the prefix
+        # filter changes the execution shape, not the answer
+        "dd_jaccard_prefix": (
+            f"""WITH {_gram_ctes()},
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+ndist AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY doc_id),
+inv AS (SELECT doc_id, g FROM dg
+        WHERE g IN (SELECT g FROM dg GROUP BY g
+                    HAVING count(*) BETWEEN 2 AND {JACCARD_PREFIX_MAX_DF})),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+          FROM inv x JOIN inv y USING (g) WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN ndist na ON na.doc_id = a JOIN ndist nb ON nb.doc_id = b
+WHERE round(i / (na.n + nb.n - i), 6) >= {JACCARD_PREFIX_THRESHOLD}"""
+        ),
         "txt_fingerprints": (
             f"""WITH {_gram_ctes()},
 wmin AS (SELECT doc_id, pos,
@@ -3393,6 +3482,7 @@ SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
 FROM documents d LEFT JOIN sc USING (doc_id)"""
         ),
         "txt_bpe": _bpe_oracle_sql(),
+        "txt_bpe_encode": _bpe_encode_oracle_sql(),
         "txt_splits": _splits_oracle_sql(),
         "txt_budget_sample": _budget_oracle_sql(),
         "txt_budget_epochs": _budget_epochs_oracle_sql(),

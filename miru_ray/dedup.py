@@ -537,6 +537,12 @@ def ngram_jaccard_pairs_ds(
     # rows, which the join below can't key — and count() on the materialized
     # handle is free metadata. inter is object-store-resident (spillable),
     # never driver-resident.
+    return _jaccard_finish(inter, ndist, threshold)
+
+
+def _jaccard_finish(inter, ndist, threshold: float):
+    """Shared tail of the exact-Jaccard pipelines: |A∩B| counts → two hash
+    joins against the per-doc distinct-gram counts → score+threshold."""
     inter = inter.materialize()
     if inter.count() == 0:
         import ray.data as rd
@@ -572,6 +578,253 @@ def ngram_jaccard_pairs_ds(
         )
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+# --------------------------------------- prefix-filtered exact Jaccard join
+#
+# The AllPairs/PPJoin prefix-filtering principle (Bayardo et al. WWW'07;
+# Vernica et al. SIGMOD'10 for the MapReduce shape): under any GLOBAL total
+# order of grams, two docs with Jaccard ≥ t must share a gram inside each
+# other's first |d| − ceil(t·|d|) + 1 grams. Candidate pairs therefore come
+# from grouping the PREFIX stream only, and the full gram stream is touched
+# a second time just to count intersections for pairs that are already
+# candidates — the Σ df² pair fan-out of the plain inverted-index join
+# (ngram_jaccard_pairs_ds) collapses to the candidate mass. The global
+# order is (approximate df asc, gram hash asc): rare-first ordering keeps
+# hot grams out of prefixes, and the df estimate is a fixed-size hashed
+# bucket array (DSIR-style constant-size broadcast — collisions only make
+# the order slightly less selective, never unsound, because ANY total
+# order satisfies the theorem).
+
+PREFIX_DF_BUCKETS = 1 << 20  # df-estimate array: 8 MB broadcast at any scale
+
+
+def _df_sketch_partial(batch: pa.Table, shingle_k: int) -> pa.Table:
+    """Per-batch partial of the hashed-df sketch: (bucket, n) rows counting
+    DISTINCT (gram, doc) pairs per bucket — combiner-compressed before the
+    one small groupby."""
+    t = _gram_set_map(batch, shingle_k)
+    if t.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    g = t["g"].to_numpy(zero_copy_only=False).view(np.uint64)
+    b = (g & np.uint64(PREFIX_DF_BUCKETS - 1)).astype(np.int64)
+    uniq, cnt = np.unique(b, return_counts=True)
+    return pa.table({"bucket": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+
+def _df_sketch(sf_dir: str, shingle_k: int) -> np.ndarray:
+    """Dense df-estimate array (int64[PREFIX_DF_BUCKETS]) from one streaming
+    pass + one bucket-keyed groupby; the driver only ever holds the
+    fixed-size array."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: _df_sketch_partial(b, shingle_k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n"))
+    )
+    df = np.zeros(PREFIX_DF_BUCKETS, dtype=np.int64)
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            df[b["bucket"].to_numpy(zero_copy_only=False)] = b[
+                b.schema.names[-1]
+            ].to_numpy(zero_copy_only=False)
+    return df
+
+
+class _PrefixEmitter:
+    """Actor-pool stage: df sketch from the object store once per actor;
+    per batch emit each doc's prefix grams under the (df est asc, hash asc)
+    global order. Batch-local because a doc's text is one row."""
+
+    def __init__(self, df_ref, shingle_k: int, threshold: float):
+        import ray
+
+        self.df = ray.get(df_ref) if not isinstance(df_ref, np.ndarray) else df_ref
+        self.k = shingle_k
+        # − 1e-6: the answer thresholds ROUNDED scores (round(j, 6) ≥ t), so
+        # the theorem must cover true jaccard down to t − 5e-7. A slightly
+        # longer prefix is always sound.
+        self.t = threshold - 1e-6
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = _gram_set_map(batch, self.k)  # (g, doc_id), distinct per doc
+        if t.num_rows == 0:
+            return t
+        g = t["g"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        dfv = self.df[g.view(np.uint64) & np.uint64(PREFIX_DF_BUCKETS - 1)]
+        order = np.lexsort((g.view(np.uint64), dfv, doc))
+        g, doc = g[order], doc[order]
+        starts = np.flatnonzero(np.concatenate([[True], doc[1:] != doc[:-1]]))
+        counts = np.diff(np.append(starts, len(doc)))
+        rank = np.arange(len(doc)) - np.repeat(starts, counts)
+        nd = np.repeat(counts, counts)
+        lp = nd - np.ceil(self.t * nd).astype(np.int64) + 1
+        m = rank < lp
+        return pa.table({"g": pa.array(g[m]), "doc_id": pa.array(doc[m])})
+
+
+def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit pair key for (a < b) candidate membership.
+    A collision only lets a non-candidate pair through to EXACT verification
+    — it is then scored and thresholded like any candidate, so false
+    positives are harmless and false negatives impossible."""
+    with np.errstate(over="ignore"):
+        return splitmix64(
+            a.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + splitmix64(b.astype(np.int64).view(np.uint64))
+        )
+
+
+def _prefix_bucket_pairs(group: pa.Table, max_prefix_df: int) -> pa.Table:
+    """Candidate emission inside one prefix-gram bucket. A bucket larger
+    than ``max_prefix_df`` would mean a hot gram landed in that many doc
+    PREFIXES despite rare-first ordering — dropping it could silently lose
+    answer pairs, so this fails LOUDLY instead (the ft_mmr precedent:
+    refuse rather than be approximately right)."""
+    n = group.num_rows
+    if n < 2:
+        return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+    if n > max_prefix_df:
+        raise ValueError(
+            f"prefix bucket of {n} docs exceeds max_prefix_df={max_prefix_df}; "
+            "raise max_prefix_df or lower the threshold — refusing to drop "
+            "candidates silently"
+        )
+    ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ai, bi = np.triu_indices(n, k=1)
+    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+
+_PAIR_SET_CACHE: dict[str, np.ndarray] = {}
+
+
+def _bucket_pairs_in_set(group: pa.Table, max_df: int, cand_ref) -> pa.Table:
+    """Verify-pass emission: all-pairs inside a gram bucket, FILTERED to
+    candidate pairs before a single row leaves the task. The sorted
+    candidate-key array is fetched from the object store once per worker
+    process (cached by ref)."""
+    n = group.num_rows
+    if n < 2 or n > max_df:
+        return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+    key = cand_ref.hex() if hasattr(cand_ref, "hex") else str(id(cand_ref))
+    arr = _PAIR_SET_CACHE.get(key)
+    if arr is None:
+        import ray
+
+        if len(_PAIR_SET_CACHE) > 4:
+            _PAIR_SET_CACHE.clear()
+        arr = ray.get(cand_ref) if not isinstance(cand_ref, np.ndarray) else cand_ref
+        _PAIR_SET_CACHE[key] = arr
+    ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ai, bi = np.triu_indices(n, k=1)
+    a, b = ids[ai], ids[bi]
+    h = _pair_hash(a, b)
+    pos = np.searchsorted(arr, h)
+    m = (pos < len(arr)) & (arr[np.minimum(pos, max(len(arr) - 1, 0))] == h)
+    return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
+
+
+def ngram_jaccard_prefix_ds(
+    sf_dir: str,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 256,
+    max_prefix_df: int = 4096,
+):
+    """EXACT token-k-gram Jaccard pairs ≥ ``threshold`` via prefix
+    filtering — same answer as :func:`ngram_jaccard_pairs_ds` at equal
+    (threshold, max_df), different scale shape: pair emission is bounded by
+    the CANDIDATE mass instead of Σ df², so ``max_df`` (the evidence cap)
+    can sit far higher for the same fan-out budget.
+
+    Stages: (1) hashed-df sketch (fixed 8 MB broadcast); (2) prefix stream
+    under the (df asc, hash asc) global order; (3) candidates =
+    groupby(prefix gram) pair emission, distinct; (4) candidate keys
+    ray.put as one sorted uint64 array (answer-noise-sized — near-dup
+    candidates, not the corpus; the driver never holds gram streams);
+    (5) verify = groupby(gram) over the FULL stream emitting only candidate
+    pairs → intersection counts → the shared score/threshold tail.
+
+    Partitioning assumption: candidate keys fit one object-store value
+    (they are pairs of near-dups plus prefix-collision noise). The df
+    evidence window [2, max_df] is mirrored in the SQL oracle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    empty = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    ).empty_table()
+
+    df_ref = ray.put(_df_sketch(sf_dir, shingle_k))
+    prefix = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _PrefixEmitter,
+        fn_constructor_kwargs={
+            "df_ref": df_ref,
+            "shingle_k": shingle_k,
+            "threshold": threshold,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    cand = (
+        prefix.groupby("g")
+        .map_groups(
+            lambda g: _prefix_bucket_pairs(g, max_prefix_df), batch_format="pyarrow"
+        )
+        .groupby(["a", "b"])
+        .aggregate(Count())
+    )
+    keys = []
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows:
+            keys.append(
+                _pair_hash(
+                    b["a"].to_numpy(zero_copy_only=False),
+                    b["b"].to_numpy(zero_copy_only=False),
+                )
+            )
+    if not keys:
+        return rd.from_arrow(empty)
+    cand_ref = ray.put(np.unique(np.concatenate(keys)))
+
+    rows = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _gram_set_map(b, shingle_k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ndist = rows.groupby("doc_id").aggregate(Count()).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b["doc_id"], pa.int64()),
+             "n": pc.cast(b[b.schema.names[-1]], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    inter = (
+        rows.groupby("g")
+        .map_groups(
+            lambda g: _bucket_pairs_in_set(g, max_df, cand_ref),
+            batch_format="pyarrow",
+        )
+        .groupby(["a", "b"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {"a": pc.cast(b["a"], pa.int64()), "b": pc.cast(b["b"], pa.int64()),
+                 "inter": pc.cast(b[b.schema.names[-1]], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return _jaccard_finish(inter, ndist, threshold)
 
 
 def minhash_clusters(

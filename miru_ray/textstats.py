@@ -1888,6 +1888,104 @@ def bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return seg
 
 
+def bpe_replace_count(word: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of ``word`` under the trained merges, computed on the
+    double-space-delimited piece string — the EXACT semantics the SQL
+    oracle's chained ``replace()`` calls implement.
+
+    Representation: ``' a  b  c '`` — every piece carries ONE space on each
+    side, so pieces are separated by exactly two spaces. A merge (l, r)
+    rewrites ``' l  r '`` → ``' lr '``: the pattern's outer single spaces can
+    only match complete pieces (a piece mid-word is never space-adjacent),
+    and the replacement restores them, so the invariant survives every
+    rewrite and ``str.replace``'s left-to-right non-overlapping scan is
+    precisely the greedy token-level pass of :func:`bpe_segment` — the
+    equivalence is property-tested against random words in
+    ``tests/test_new_op_properties.py``. Final token count = number of
+    double-space separators + 1."""
+    if not word:
+        return 0
+    s = " " + "  ".join(word) + " "
+    for lhs, rhs in merges:
+        s = s.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+    return s.count("  ") + 1
+
+
+class BpeEncoder:
+    """Distributed tokenizer application: the trained merge table rides the
+    object store once per actor; per batch the text is tokenized, the token
+    column dictionary-encoded, and merges are applied ONCE per distinct
+    word (memoized across batches in the actor — the per-actor cache is the
+    point of the actor pool: at corpus scale each worker segments the
+    vocabulary it sees once, not the token stream)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        self.merges = (
+            ray.get(merges_ref) if not isinstance(merges_ref, list) else merges_ref
+        )
+        self.cache: dict[str, int] = {}
+
+    def _count(self, word: str) -> int:
+        c = self.cache.get(word)
+        if c is None:
+            c = self.cache[word] = bpe_replace_count(word, self.merges)
+        return c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, tokens = tokenize_flat(batch["text"])
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "n_bpe": pa.array([], pa.int64()),
+            }
+        )
+        if len(parents) == 0:
+            return empty
+        toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+        d = toks.dictionary_encode()
+        # merge application runs over the batch's DISTINCT words only
+        lens = np.fromiter(
+            (self._count(w) for w in d.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(d.dictionary),
+        )
+        per_tok = lens[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        n_rows = batch.num_rows
+        n_bpe = np.bincount(parents, weights=per_tok, minlength=n_rows).astype(np.int64)
+        n_words = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        keep = n_words > 0  # zero-token docs don't appear (mirrors the SQL)
+        return pa.table(
+            {
+                "doc_id": pc.cast(_ids(batch), pa.int64()).filter(pa.array(keep)),
+                "n_words": pa.array(n_words[keep]),
+                "n_bpe": pa.array(n_bpe[keep]),
+            }
+        )
+
+
+def bpe_encode_ds(sf_dir: str, n_merges: int = 8, vocab_cap: int = 100):
+    """Apply :func:`bpe_train_ds`'s merges to the whole corpus: per doc
+    ``(doc_id, n_words, n_bpe)`` — the word count and the total BPE token
+    count after the merges. Train-then-apply in one call: training is the
+    answer-bounded driver loop over the capped word table; application is a
+    streaming actor-pool pass with the merge list broadcast via ray.put."""
+    import ray
+
+    tbl = bpe_train_ds(sf_dir, n_merges=n_merges, vocab_cap=vocab_cap)
+    merges = list(zip(tbl["lhs"].to_pylist(), tbl["rhs"].to_pylist()))
+    ref = ray.put(merges)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------- TextRank
 
 # Corpus-level TextRank (Mihalcea & Tarau 2004): PageRank over the

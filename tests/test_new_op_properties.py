@@ -152,3 +152,32 @@ def test_videohash_majority_properties(hashes):
     assert videohash64(hashes + hashes) == h
     if len(hashes) == 1:
         assert h == hashes[0]
+
+
+_BPE_ALPHA = "abc01"
+
+
+@given(
+    st.text(_BPE_ALPHA, min_size=0, max_size=16),
+    st.lists(
+        st.tuples(
+            st.text(_BPE_ALPHA, min_size=1, max_size=3),
+            st.text(_BPE_ALPHA, min_size=1, max_size=3),
+        ),
+        max_size=6,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_replace_count_equals_segment(word, merges):
+    """The double-space-delimited replace chain (the SQL oracle's semantics,
+    textstats.bpe_replace_count) must equal the greedy token-level merge
+    pass (bpe_segment) for ANY word and ANY merge list — including merges
+    whose pieces never arise from real training, overlapping self-merges
+    (l == r), and pieces that are prefixes/suffixes of one another (the
+    boundary cases the delimiter scheme exists to make unambiguous)."""
+    from miru_ray.textstats import bpe_replace_count, bpe_segment
+
+    assert bpe_replace_count(word, merges) == len(bpe_segment(word, merges)), (
+        word,
+        merges,
+    )

@@ -184,6 +184,46 @@ def test_ngram_jaccard_hot_gram_cap(ray_session, doc_tokens):
     assert len(got) == 0
 
 
+def test_jaccard_prefix_equals_plain(ray_session):
+    """The prefix-filtered exact Jaccard join must return the IDENTICAL
+    answer set and scores as the plain inverted-index join at equal
+    (threshold, max_df) — the prefix filter is an execution-shape change
+    only. Checked at two thresholds (long and short prefixes)."""
+    from miru_ray.dedup import ngram_jaccard_pairs_ds, ngram_jaccard_prefix_ds
+
+    for t in (0.6, 0.35):
+        base = (
+            ngram_jaccard_pairs_ds(SF, threshold=t, max_df=256)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pref = (
+            ngram_jaccard_prefix_ds(SF, threshold=t, max_df=256)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert base.equals(pref), (t, len(base), len(pref))
+        assert len(base) > 0  # the fixture has near-dups; equality is non-vacuous
+
+
+def test_bpe_encode_vs_scalar(ray_session, doc_tokens):
+    """bpe_encode_ds equals the scalar path: per doc, word count and the sum
+    of bpe_segment lengths under the trained merges."""
+    from miru_ray.textstats import bpe_encode_ds, bpe_segment, bpe_train_ds
+
+    tbl = bpe_train_ds(SF, n_merges=8, vocab_cap=100)
+    merges = list(zip(tbl["lhs"].to_pylist(), tbl["rhs"].to_pylist()))
+    got = bpe_encode_ds(SF, n_merges=8, vocab_cap=100).to_pandas().set_index("doc_id")
+    assert set(got.index) == {d for d, tk in doc_tokens.items() if tk}
+    for d, tk in doc_tokens.items():
+        if not tk:
+            continue
+        assert int(got.loc[d, "n_words"]) == len(tk)
+        assert int(got.loc[d, "n_bpe"]) == sum(len(bpe_segment(w, merges)) for w in tk)
+
+
 def test_fingerprints_vs_scalar(ray_session, doc_tokens):
     from miru_ray.textstats import fingerprint_ds
 
