@@ -355,6 +355,35 @@ def ft_topk_bm25(sf_dir: str) -> pa.Table:
     )
 
 
+K_LMD = 20
+LMD_MU = 1500.0
+
+
+def ft_topk_lmd(sf_dir: str) -> pa.Table:
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty 2004, the
+    rank-equivalent sum form: Σ_t ln(1 + tf·T/(μ·ttf)) + |q|·ln(μ/(dl+μ)))
+    over the TOPK_TERMS AND answer, fp64 with a fixed expression order
+    mirrored in SQL. The engine's fp32 path (scoring="lmd") is
+    rank-identity pytest-gated like bm25/tfidf."""
+    from miru_ray.segments import read_manifest
+    from miru_ray.transcripts import ensure_index
+
+    src, answer, n_docs, avgdl, dl = _topk_answer(sf_dir)
+    man = read_manifest(ensure_index(sf_dir, 1), 0)
+    T = float(man["metrics"]["total_tokens"])
+    dl_a = dl[answer].astype(np.float64)
+    score = np.zeros(len(answer), dtype=np.float64)
+    for w in TOPK_TERMS:
+        ttf = src.ttf[("text", w)]
+        tf = _tf_on(src, w, answer)
+        score = score + np.log(1.0 + (tf * T) / (LMD_MU * ttf))
+    score = score + 2.0 * np.log(LMD_MU / (dl_a + LMD_MU))
+    order = np.lexsort((-answer, -score))[:K_LMD]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 K_COLLAPSE = 10
 
 
@@ -2254,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_phrase": ft_topk_phrase,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
+        "ft_topk_lmd": ft_topk_lmd,
         "ft_topk_collapse": ft_topk_collapse,
         "ft_group_topk": ft_group_topk,
         "ft_mmr": ft_mmr,
@@ -2789,6 +2819,27 @@ SELECT doc_id, round(idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm))
 FROM ans
 ORDER BY idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) DESC, doc_id DESC
 LIMIT {K_BM25}"""
+        ),
+        "ft_topk_lmd": (
+            tf_cte
+            + f""",
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+ans AS (
+  SELECT a.doc_id, a.tf AS tf1, b.tf AS tf2, dl.dl,
+         stats.total_tokens AS tt, g1.ttf AS ttf1, g2.ttf AS ttf2
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN (SELECT ttf FROM g WHERE t = '{t1}') g1
+  CROSS JOIN (SELECT ttf FROM g WHERE t = '{t2}') g2
+  CROSS JOIN stats
+  WHERE a.t = '{t1}' AND b.t = '{t2}'),
+s AS (SELECT doc_id,
+             ln(1.0 + (tf1 * tt) / ({LMD_MU} * ttf1))
+           + ln(1.0 + (tf2 * tt) / ({LMD_MU} * ttf2))
+           + 2.0 * ln({LMD_MU} / (dl + {LMD_MU})) AS score
+      FROM ans)
+SELECT doc_id, round(score, 6) AS score FROM s
+ORDER BY score DESC, doc_id DESC LIMIT {K_LMD}"""
         ),
         "ft_topk_collapse": (
             tf_cte

@@ -283,7 +283,7 @@ def main(argv=None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--scoring", choices=["ref_tfidf", "bm25", "time"], default="bm25")
+    s.add_argument("--scoring", choices=["ref_tfidf", "bm25", "lmd", "time"], default="bm25")
     s.add_argument("--actors", action="store_true", help="partition-pinned actor pool")
     s.add_argument("--serial", action="store_true",
                    help="serial partition walk with report carry-forward "

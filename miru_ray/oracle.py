@@ -50,6 +50,7 @@ FLOAT_MAX = np.float32(3.4028235e38)
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+LMD_MU = 1500.0
 
 
 @dataclass
@@ -344,6 +345,7 @@ def score_partition(
     # SURVEY.md §7.4(1))
     mult: list[tuple[str, str, np.float32]] = []
     n = part.n_docs
+    lmd_qlen = 0
     for (field, term), c in sorted(collector.items()):
         if scoring == "ref_tfidf":
             g = part.ttf.get(field, {}).get(term, 0)
@@ -354,6 +356,14 @@ def score_partition(
             if df > 0 and c > 0:
                 idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
                 mult.append((field, term, F32(F32(c) * F32(idf))))
+        elif scoring == "lmd":
+            # Dirichlet query likelihood: c·ln(1 + tf·T/(μ·ttf)) per term
+            # plus one |q|·ln(μ/(dl+μ)) prior after the loop (terms absent
+            # from the partition dictionary contribute to neither)
+            g = part.ttf.get(field, {}).get(term, 0)
+            if g > 0 and c > 0:
+                lmd_qlen += c
+                mult.append((field, term, F32(c)))
         else:
             raise ValueError(scoring)
 
@@ -365,11 +375,22 @@ def score_partition(
             if tf > 0:
                 if scoring == "ref_tfidf":
                     scores[i] = F32(scores[i] + F32(m * F32(tf)))
+                elif scoring == "lmd":
+                    g = part.ttf[field][term]
+                    log32 = F32(
+                        math.log(1.0 + (float(tf) * float(part.total_tokens)) / (LMD_MU * g))
+                    )
+                    scores[i] = F32(scores[i] + F32(m * log32))
                 else:
                     denom = F32(
                         tf + BM25_K1 * (1.0 - BM25_B + BM25_B * part.dl[i] / part.avg_dl)
                     )
                     scores[i] = F32(scores[i] + F32(m * F32(F32(tf) / denom)))
+    if scoring == "lmd":
+        q32 = F32(lmd_qlen)
+        for i in answer:
+            prior = F32(q32 * F32(math.log(LMD_MU / (part.dl[i] + LMD_MU))))
+            scores[i] = F32(scores[i] + prior)
 
     # top-k heap by (score desc, docId desc) (FullText.RawBitScore.compareTo)
     best = heapq.nlargest(k, answer, key=lambda i: (F32(scores[i]), i))

@@ -63,6 +63,7 @@ from .segments import (
 F32 = np.float32
 BM25_K1 = 1.2
 BM25_B = 0.75
+LMD_MU = 1500.0  # Dirichlet smoothing mass (Zhai & Lafferty 2004 default range)
 
 _EMPTY = np.empty(0, dtype=np.int64)
 
@@ -718,6 +719,7 @@ def search_partition(
     avg_dl = manifest["metrics"].get("avg_dl") or (
         manifest["metrics"]["total_tokens"] / max(1, n_docs)
     )
+    total_tokens = float(manifest["metrics"].get("total_tokens") or avg_dl * n_docs)
     filt = parse_query(query, use_stopwords=use_stopwords,
                        analyzer=_analyzer_name(index_dir))
     if synonyms:
@@ -836,6 +838,7 @@ def search_partition(
     # multipliers in sorted term order (deterministic fp32 accumulation)
     scores = np.zeros(len(answer), dtype=np.float32)
     dl_answer = None
+    lmd_qlen = 0
     for (field, term), c in sorted(collector.items()):
         if scoring == "ref_tfidf":
             g = src.ttf.get((field, term), 0)
@@ -848,6 +851,18 @@ def search_partition(
                 continue
             idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             m = F32(F32(c) * F32(idf))
+        elif scoring == "lmd":
+            # Dirichlet-smoothed query likelihood (Zhai & Lafferty 2004),
+            # rank-equivalent sum form: c·ln(1 + tf·T/(μ·ttf)) per term,
+            # plus one dl-dependent prior term after the loop. Terms absent
+            # from the partition dictionary contribute nothing (and are
+            # excluded from the prior's query length, mirroring the fp64
+            # oracle chain).
+            g = src.ttf.get((field, term), 0)
+            if g <= 0 or c <= 0:
+                continue
+            lmd_qlen += c
+            m = F32(c)
         else:
             raise ValueError(scoring)
         docs = src.docs(field, term)
@@ -858,11 +873,20 @@ def search_partition(
         tf_v = tf_i.astype(np.float32)
         if scoring == "ref_tfidf":
             scores[pos] += F32(m) * tf_v
+        elif scoring == "lmd":
+            g = src.ttf[(field, term)]
+            scores[pos] += F32(m) * np.log(
+                1.0 + (tf_i.astype(np.float64) * total_tokens) / (LMD_MU * g)
+            ).astype(np.float32)
         else:
             if dl_answer is None:
                 dl_answer = fwd["dl"][answer].astype(np.float64)
             denom = (tf_i + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_answer[pos] / avg_dl)).astype(np.float32)
             scores[pos] += F32(m) * (tf_v / denom)
+    if scoring == "lmd" and len(answer):
+        if dl_answer is None:
+            dl_answer = fwd["dl"][answer].astype(np.float64)
+        scores += F32(lmd_qlen) * np.log(LMD_MU / (dl_answer + LMD_MU)).astype(np.float32)
 
     if min_score is not None and len(answer):
         # serial-report admission (FullText.java:134-141 batchTfIdf): docs

@@ -144,6 +144,17 @@ def test_rank_identity_tfidf(engine, tiny_oracle, query):
         _assert_rank_identical(hits, ohits)
 
 
+@pytest.mark.parametrize("query", ["t3", "t1 t7", "t1 OR w00999", "w004*", "t1 AND NOT t9"])
+def test_rank_identity_lmd(engine, tiny_oracle, query):
+    """Dirichlet query-likelihood scorer (scoring="lmd"): engine fp32 path
+    rank- and score-identical to the scalar oracle, like bm25/tfidf."""
+    for k in (1, 10, 50):
+        hits, found = engine.search(query, k=k, scoring="lmd")
+        ohits, ofound = oracle_search(tiny_oracle, query, k=k, scoring="lmd")
+        assert found == ofound
+        _assert_rank_identical(hits, ohits)
+
+
 @pytest.mark.parametrize("query", ["t3", "t1 t7", "t1 OR w00999", "w004*"])
 def test_rank_identity_bm25(engine, tiny_oracle, query):
     for k in (1, 10, 50):
