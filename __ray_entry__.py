@@ -384,6 +384,24 @@ def ft_topk_lmd(sf_dir: str) -> pa.Table:
     )
 
 
+RRF_N = 20
+RRF_K = 10
+RRF_QVEC = 5
+RRF_C = 60  # must equal miru_ray.hybrid.RRF_C (the paper's damping constant)
+
+
+def ft_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid lexical+semantic top-k via reciprocal-rank fusion
+    (hybrid.rrf_retrieve; Cormack et al. 2009, the ES/OpenSearch hybrid
+    retriever shape): BM25 AND-query candidates (the ft_topk_bm25 fp64
+    chain, rank = score desc/doc desc) fused with the RRF_QVEC embedding's
+    cosine top-n (the ann_topk round-4 ordering), score = Σ 1/(60+rank).
+    Both lists and the fusion are mirrored exactly in SQL."""
+    from miru_ray.hybrid import rrf_retrieve
+
+    return rrf_retrieve(sf_dir, TOPK_TERMS, RRF_QVEC, n=RRF_N, k=RRF_K)
+
+
 K_COLLAPSE = 10
 
 
@@ -2284,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
         "ft_topk_lmd": ft_topk_lmd,
+        "ft_rrf": ft_rrf,
         "ft_topk_collapse": ft_topk_collapse,
         "ft_group_topk": ft_group_topk,
         "ft_mmr": ft_mmr,
@@ -2840,6 +2859,40 @@ s AS (SELECT doc_id,
       FROM ans)
 SELECT doc_id, round(score, 6) AS score FROM s
 ORDER BY score DESC, doc_id DESC LIMIT {K_LMD}"""
+        ),
+        "ft_rrf": (
+            tf_cte
+            + f""",
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+ans AS (
+  SELECT a.doc_id, a.tf AS tf1, b.tf AS tf2, dl.dl,
+         1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))) AS knorm,
+         ln(1.0 + (stats.n_docs - g1.df + 0.5) / (g1.df + 0.5)) AS idf1,
+         ln(1.0 + (stats.n_docs - g2.df + 0.5) / (g2.df + 0.5)) AS idf2
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t1}') g1
+  CROSS JOIN (SELECT df FROM g WHERE t = '{t2}') g2
+  CROSS JOIN stats
+  WHERE a.t = '{t1}' AND b.t = '{t2}'),
+lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS r FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY idf1 * (tf1 / (tf1 + knorm)) + idf2 * (tf2 / (tf2 + knorm)) DESC,
+                     doc_id DESC) AS rn
+          FROM ans) WHERE rn <= {RRF_N}),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QVEC}),
+sems AS (SELECT e.vec_id AS doc_id,
+                round(list_cosine_similarity(e.embedding, qv.embedding), 4) AS cos
+         FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> {RRF_QVEC}),
+sem AS (SELECT doc_id, CAST(rn AS BIGINT) AS r FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn
+          FROM sems) WHERE rn <= {RRF_N}),
+fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                 COALESCE(1.0 / ({RRF_C} + l.r), 0.0)
+               + COALESCE(1.0 / ({RRF_C} + s.r), 0.0) AS rrf
+          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY rrf DESC, doc_id DESC LIMIT {RRF_K}"""
         ),
         "ft_topk_collapse": (
             tf_cte

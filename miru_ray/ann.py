@@ -144,12 +144,20 @@ def _merge_topk_ds(partials, k: int) -> pa.Table:
     return _final_topk(pa.Table.from_pylist(rows), k, exclude_self=False)
 
 
-def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
-    """Exact cosine top-k of each query vector (vec_id < n_queries) over the
-    whole embeddings table, excluding the query row itself."""
+def ann_brute_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 10, query_ids=None
+) -> pa.Table:
+    """Exact cosine top-k of each query vector over the whole embeddings
+    table, excluding the query row itself. Queries are ``vec_id <
+    n_queries`` by default, or the explicit ``query_ids`` rows (pushdown
+    read; raises on ids without embeddings)."""
     import ray
 
-    qids, qm = load_queries(sf_dir, n_queries)
+    if query_ids is not None:
+        qids = np.unique(np.asarray(query_ids, dtype=np.int64))
+        qm = load_embeddings_for(sf_dir, qids)
+    else:
+        qids, qm = load_queries(sf_dir, n_queries)
     ref = ray.put(qm)
     partials = _emb_ds(sf_dir).map_batches(
         BruteTopK,
