@@ -1238,6 +1238,21 @@ def dd_substr_clean(sf_dir: str):
     return substring_clean_ds(sf_dir, L=SUBSTR_L, min_count=SUBSTR_MIN)
 
 
+LINE_P = 12
+
+
+def dd_lines(sf_dir: str):
+    """CCNet-style duplicate-paragraph removal (dedup.line_dedup_ds,
+    Wenzek et al. 2020): paragraphs = ordinal 12-token blocks of the
+    normalized token stream (the corpus has no newlines); corpus-duplicated
+    blocks are dropped except at their min-doc_id owner; text re-joined
+    from the survivors. The oracle counts block STRINGS — independent of
+    the engine's FNV hash."""
+    from miru_ray.dedup import line_dedup_ds
+
+    return line_dedup_ds(sf_dir, P=LINE_P)
+
+
 SIMHASH_NEAR_MAXHAM = 3
 
 
@@ -2359,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_keep_best": dd_keep_best,
         "dd_substr_spans": dd_substr_spans,
         "dd_substr_clean": dd_substr_clean,
+        "dd_lines": dd_lines,
         "dd_passages": dd_passages,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_jaccard_prefix": dd_jaccard_prefix,
@@ -3311,6 +3327,26 @@ FROM mh_pairs WHERE est_jaccard >= 0.5"""
             f"""WITH {_simhash_ctes()}
 SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM sim GROUP BY simhash"""
+        ),
+        "dd_lines": (
+            f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),
+blk AS (SELECT doc_id, CAST((ord - 1) // {LINE_P} AS BIGINT) AS b,
+               string_agg(t, ' ' ORDER BY ord) AS para
+        FROM tok GROUP BY 1, 2),
+cnt AS (SELECT para, count(*) AS n, min(doc_id) AS owner FROM blk GROUP BY para),
+keepb AS (SELECT blk.doc_id, blk.b, blk.para FROM blk JOIN cnt USING (para)
+          WHERE cnt.n = 1 OR cnt.owner = blk.doc_id),
+clean AS (SELECT doc_id, string_agg(para, ' ' ORDER BY b) AS text
+          FROM keepb GROUP BY doc_id),
+drops AS (SELECT blk.doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+          FROM blk JOIN cnt USING (para)
+          WHERE cnt.n > 1 AND cnt.owner <> blk.doc_id GROUP BY blk.doc_id)
+SELECT d0.doc_id, COALESCE(cl.text, '') AS text,
+       COALESCE(dr.n_dropped, 0) AS n_dropped
+FROM documents d0
+LEFT JOIN clean cl ON cl.doc_id = d0.doc_id
+LEFT JOIN drops dr ON dr.doc_id = d0.doc_id"""
         ),
         "dd_simhash_near": (
             f"""WITH {_simhash_ctes()},

@@ -1251,3 +1251,144 @@ def substring_clean_ds(sf_dir: str, L: int = 10, min_count: int = 2):
         _clean_batch, fn_kwargs={"L": L, "dup_ref": dup_ref},
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------- paragraph-block dedup
+#
+# CCNet-style duplicate-paragraph removal (Wenzek et al. 2020: hash each
+# paragraph, drop the duplicated ones corpus-wide). The corpus text carries
+# no newlines, so a "paragraph" here is the deterministic stand-in CCNet
+# uses for unstructured text: the ordinal-``P``-token block of the
+# normalized token stream (non-overlapping — unlike substring_spans' sliding
+# L-gram windows, which find arbitrary-offset duplication; this operator is
+# the cheap aligned variant whose pass-2 state is one hash per P tokens).
+# Keep rule: a block survives iff it is corpus-unique OR this doc is the
+# block's canonical owner (min doc_id holding it) — "keep one copy",
+# within-owner repeats included.
+
+
+def _para_blocks(batch: pa.Table, P: int):
+    """Per batch: block arrays (doc ids per block, para-string hash per
+    block, per-token block index expansion helpers). Blocks exactly
+    partition the token stream, so list offsets are just every P-th token
+    position within each doc."""
+    parents, tokens = tokenize_flat(batch["text"])
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = batch.num_rows
+    total = len(parents)
+    n_tokens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(n_tokens)])
+    nb = (n_tokens + P - 1) // P
+    total_blocks = int(nb.sum())
+    if total_blocks == 0:
+        e = np.empty(0, np.int64)
+        return ids, n_tokens, e, e, e, tokens, e
+    blk_parent = np.repeat(np.arange(n_rows), nb)
+    blk_csum = np.concatenate([[0], np.cumsum(nb)])
+    within = np.arange(total_blocks) - np.repeat(blk_csum[:-1], nb)
+    starts = np.repeat(doc_starts[:-1], nb) + within * P
+    ends = np.minimum(starts + P, np.repeat(doc_starts[1:], nb))
+    offsets = np.append(starts, total).astype(np.int32)
+    toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    paras = pc.cast(
+        pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), toks), " "),
+        pa.string(),
+    )
+    h = fnv1a64(paras).view(np.int64)
+    return ids, n_tokens, blk_parent, h, ends - starts, tokens, within
+
+
+def _para_count_partial(batch: pa.Table, P: int) -> pa.Table:
+    ids, _nt, blk_parent, h, _lens, _toks, _w = _para_blocks(batch, P)
+    if len(h) == 0:
+        return pa.table(
+            {"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+             "owner": pa.array([], pa.int64())}
+        )
+    doc_of_blk = ids[blk_parent]
+    order = np.argsort(h, kind="stable")
+    hs, ds = h[order], doc_of_blk[order]
+    starts = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
+    n = np.diff(np.concatenate([starts, [len(hs)]]))
+    owner = np.minimum.reduceat(ds, starts)
+    return pa.table(
+        {"h": pa.array(hs[starts]), "n": pa.array(n.astype(np.int64)),
+         "owner": pa.array(owner)}
+    )
+
+
+def _dup_para_ref(sf_dir: str, P: int):
+    """Pass 1: ray.put'd (sorted dup-block hashes, aligned owner doc ids).
+    The shuffle carries one (hash, count, owner) row per distinct block per
+    batch — never text; the broadcast holds only corpus-duplicated blocks."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    counts = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_para_count_partial, fn_kwargs={"P": P},
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n"), Min("owner"))
+    )
+
+    def keep_dup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "h" not in b.schema.names:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "owner": pa.array([], pa.int64())})
+        m = pc.greater_equal(pc.cast(b["sum(n)"], pa.int64()), 2)
+        return pa.table({"h": pc.cast(b["h"], pa.int64()).filter(m),
+                         "owner": pc.cast(b["min(owner)"], pa.int64()).filter(m)})
+
+    rows = counts.map_batches(keep_dup, batch_format="pyarrow").take_all()
+    h = np.array([r["h"] for r in rows], dtype=np.int64)
+    owner = np.array([r["owner"] for r in rows], dtype=np.int64)
+    order = np.argsort(h)
+    return ray.put((h[order], owner[order]))
+
+
+def _line_clean_batch(batch: pa.Table, P: int, dup_ref) -> pa.Table:
+    import ray
+
+    dup_h, dup_owner = ray.get(dup_ref)
+    ids, n_tokens, blk_parent, h, blk_len, tokens, _w = _para_blocks(batch, P)
+    n_rows = batch.num_rows
+    if len(h) == 0:
+        return pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array([""] * n_rows, pa.string()),
+             "n_dropped": pa.array(np.zeros(n_rows, np.int64))}
+        )
+    idx = np.searchsorted(dup_h, h)
+    found = (idx < len(dup_h)) & (dup_h[np.minimum(idx, max(len(dup_h) - 1, 0))] == h) if len(dup_h) else np.zeros(len(h), bool)
+    doc_of_blk = ids[blk_parent]
+    drop = found & (dup_owner[np.minimum(idx, max(len(dup_h) - 1, 0))] != doc_of_blk) if len(dup_h) else np.zeros(len(h), bool)
+    tok_keep = np.repeat(~drop, blk_len)
+    toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    kept = toks.filter(pa.array(tok_keep))
+    kept_per_doc = np.bincount(
+        blk_parent[~drop], weights=blk_len[~drop], minlength=n_rows
+    ).astype(np.int64) if (~drop).any() else np.zeros(n_rows, np.int64)
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(kept_per_doc)
+    clean = pc.cast(
+        pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), kept), " "),
+        pa.string(),
+    )
+    n_dropped = np.bincount(blk_parent[drop], minlength=n_rows).astype(np.int64)
+    return pa.table(
+        {"doc_id": pa.array(ids), "text": clean,
+         "n_dropped": pa.array(n_dropped)}
+    )
+
+
+def line_dedup_ds(sf_dir: str, P: int = 12):
+    """(doc_id, text, n_dropped): the corpus with corpus-duplicated
+    ``P``-token blocks removed (one canonical copy kept at the min-doc_id
+    owner), text re-joined from the surviving normalized tokens. Two
+    streaming passes (count partials → tiny groupby → broadcast dup set;
+    then a stateless clean map) — raw text never shuffles."""
+    dup_ref = _dup_para_ref(sf_dir, P)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _line_clean_batch, fn_kwargs={"P": P, "dup_ref": dup_ref},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
