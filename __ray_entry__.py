@@ -1670,6 +1670,17 @@ SELECT d.doc_id, COALESCE(w.n_tokens, 0) AS n_tokens,
 FROM documents d LEFT JOIN w USING (doc_id)"""
 
 
+def txt_triangles(sf_dir: str) -> pa.Table:
+    """Per-term triangle counts of the co-occurrence graph
+    (textstats.triangle_counts_ds): wedges at the lowest-degree vertex
+    closed by a hash join against the lex edge set; counts are
+    orientation-invariant integers, so the SQL mirror's plain
+    lexicographic wedge join is defined equal."""
+    from miru_ray.textstats import triangle_counts_ds
+
+    return triangle_counts_ds(sf_dir)
+
+
 TEXTRANK_K = 50
 TEXTRANK_ITERS = 5
 
@@ -2394,6 +2405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_weighted_sample": txt_weighted_sample,
         "txt_collocations": txt_collocations,
         "txt_textrank": txt_textrank,
+        "txt_triangles": txt_triangles,
         "txt_dsir": txt_dsir,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_bpe": txt_bpe,
@@ -3638,6 +3650,20 @@ WHERE count * {HH_FRAC[1]} > tot.n * {HH_FRAC[0]}"""
         "txt_weighted_sample": _wsample_oracle_sql(),
         "txt_collocations": _colloc_oracle_sql(),
         "txt_textrank": _textrank_oracle_sql(),
+        "txt_triangles": (
+            f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d),
+big0 AS (SELECT t AS a, lead(t) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM tok),
+e0 AS (SELECT DISTINCT a, b FROM big0 WHERE b IS NOT NULL AND a <> b),
+lex AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e0),
+wedge AS (SELECT e1.v AS x, e2.v AS y, e1.u AS w
+          FROM lex e1 JOIN lex e2 ON e1.u = e2.u AND e1.v < e2.v),
+tri AS (SELECT wedge.w AS t1, wedge.x AS t2, wedge.y AS t3
+        FROM wedge JOIN lex ON lex.u = wedge.x AND lex.v = wedge.y),
+verts AS (SELECT t1 AS term FROM tri UNION ALL SELECT t2 AS term FROM tri
+          UNION ALL SELECT t3 AS term FROM tri)
+SELECT term, CAST(count(*) AS BIGINT) AS triangles FROM verts GROUP BY term"""
+        ),
         "txt_dsir": _dsir_oracle_sql(),
         "txt_top_ngrams": (
             f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),

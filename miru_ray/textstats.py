@@ -2260,3 +2260,137 @@ def dsir_weights_ds(sf_dir: str, target_source: str,
         zero_copy_batch=True,
         concurrency=(1, 4),
     )
+
+
+# ------------------------------------------------------------ triangle counts
+
+
+def _lex_edges_ds(sf_dir: str):
+    """DISTINCT lexicographically oriented (u < v) co-occurrence edges as a
+    Dataset (the textrank_ds adjacent-token edge definition)."""
+
+    def orient(b: pa.Table) -> pa.Table:
+        m = pc.less(b["src"], b["dst"])
+        return pa.table(
+            {"u": pc.cast(b["src"].filter(m), pa.string()),
+             "v": pc.cast(b["dst"].filter(m), pa.string())}
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(_textrank_edge_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count())
+        .map_batches(orient, batch_format="pyarrow")
+    )
+
+
+def triangle_counts_ds(sf_dir: str, num_partitions: int = 8,
+                       small_graph_edges: int = 500_000) -> pa.Table:
+    """(term, triangles): per-term triangle participation counts of the
+    corpus co-occurrence graph (graph-clustering signal — the local
+    clustering coefficient's numerator; terms in no triangle are omitted).
+
+    Scale shape: wedges are enumerated at each triangle's lowest-degree
+    vertex (degree-ordered orientation — wedge mass Σ d⁺² is bounded by
+    the graph degeneracy, the standard hot-node mitigation) and closed by
+    a hash join against the lex-oriented edge set; edges, wedges and
+    closures all stay distributed (two Dataset self-joins + one groupby).
+    The per-vertex count is orientation-invariant, so the DuckDB mirror
+    may use plain lexicographic wedges — outputs are defined equal. Below
+    ``small_graph_edges`` the identical integers come from the vectorized
+    local kernel (graphrank.triangle_counts_local, pytest-gated)."""
+    from ray.data.aggregate import Count
+
+    lex = _lex_edges_ds(sf_dir).materialize()
+    n_edges = lex.count()
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "triangles": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return empty
+    if n_edges <= small_graph_edges:
+        from .graphrank import triangle_counts_local
+
+        et = pa.Table.from_pylist(lex.take_all())
+        us = et["u"].to_numpy(zero_copy_only=False)
+        vs = et["v"].to_numpy(zero_copy_only=False)
+        nodes, codes = np.unique(np.concatenate([us, vs]), return_inverse=True)
+        tri = triangle_counts_local(codes[: len(us)], codes[len(us):], len(nodes))
+        keep = tri > 0
+        return pa.table(
+            {"term": pa.array(nodes[keep], pa.string()),
+             "triangles": pa.array(tri[keep])}
+        )
+
+    # distributed path: degree-ordered orientation
+    deg = lex.map_batches(
+        lambda b: pa.table(
+            {"t": pa.concat_arrays([b["u"].combine_chunks(), b["v"].combine_chunks()]),
+             "n": pa.array(np.ones(2 * b.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).groupby("t").aggregate(Count())
+    deg = deg.map_batches(
+        lambda b: pa.table(
+            {"t": pc.cast(b["t"], pa.string()),
+             "d": pc.cast(b["count()"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    e1 = lex.join(deg, "inner", num_partitions, on=("u",), right_on=("t",))
+    e2 = e1.join(deg, "inner", num_partitions, on=("v",), right_on=("t",),
+                 left_suffix="", right_suffix="_v")
+
+    def orient_deg(b: pa.Table) -> pa.Table:
+        du = b["d"].to_numpy(zero_copy_only=False)
+        dv = b["d_v"].to_numpy(zero_copy_only=False)
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        return pa.table(
+            {"s": pa.array(np.where(fwd, u, v), pa.string()),
+             "t": pa.array(np.where(fwd, v, u), pa.string())}
+        )
+
+    oriented = e2.map_batches(orient_deg, batch_format="pyarrow").materialize()
+    right = oriented.map_batches(
+        lambda b: pa.table({"s": b["s"], "t2": b["t"]}), batch_format="pyarrow"
+    )
+    def canon_wedge(b: pa.Table) -> pa.Table:
+        t = b["t"].to_numpy(zero_copy_only=False)
+        t2 = b["t2"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        keep = t != t2  # each unordered wedge appears twice; keep one half
+        lt = t < t2
+        keep &= lt  # (t, t2) and (t2, t) both occur — the lt copy survives
+        return pa.table(
+            {"x": pa.array(t[keep], pa.string()),
+             "y": pa.array(t2[keep], pa.string()),
+             "w": pa.array(s[keep], pa.string())}
+        )
+
+    wedges = oriented.join(right, "inner", num_partitions, on=("s",)).map_batches(
+        canon_wedge, batch_format="pyarrow",
+    )
+    closed = wedges.join(lex, "inner", num_partitions, on=("x", "y"),
+                         right_on=("u", "v"))
+    verts = closed.map_batches(
+        lambda b: pa.table(
+            {"term": pa.concat_arrays([
+                b["w"].combine_chunks(), b["x"].combine_chunks(),
+                b["y"].combine_chunks()])}
+        ),
+        batch_format="pyarrow",
+    )
+    agg = verts.groupby("term").aggregate(Count())
+    rows = agg.take_all()
+    if not rows:
+        return empty
+    t = pa.Table.from_pylist(rows)
+    return pa.table(
+        {"term": pc.cast(t["term"], pa.string()),
+         "triangles": pc.cast(t["count()"], pa.int64())}
+    )
