@@ -964,6 +964,18 @@ def ev_waveform(sf_dir: str):
     return waveform_ds(sf_dir)
 
 
+ANOMALY_Z = 3.0
+
+
+def ev_anomaly(sf_dir: str):
+    """Z-score anomalous waveform buckets (analytics.anomaly_buckets_ds):
+    hourly buckets > 3 population σ above their event type's mean. Exact
+    int64 moments; z in fp64 with the SQL-mirrored expression order."""
+    from miru_ray.analytics import anomaly_buckets_ds
+
+    return anomaly_buckets_ds(sf_dir, z_thresh=ANOMALY_Z)
+
+
 def ev_distinct_users(sf_dir: str):
     from miru_ray.analytics import distinct_users_ds
 
@@ -2352,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_composite": ft_match_composite,
         "ft_distinct_composite": ft_distinct_composite,
         "ev_waveform": ev_waveform,
+        "ev_anomaly": ev_anomaly,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
@@ -3225,6 +3238,21 @@ FROM ud JOIN coh c USING (user_id) GROUP BY 1, 2"""
         "ev_distinct_users": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "ev_anomaly": (
+            f"""WITH w AS (SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+       FROM w GROUP BY 1),
+z AS (SELECT w.event_type, w.bucket_ts, w.n,
+             (w.n - CAST(st.s1 AS DOUBLE) / st.c)
+           / sqrt(CAST(st.s2 * st.c - st.s1 * st.s1 AS DOUBLE)
+                  / (CAST(st.c AS DOUBLE) * st.c)) AS zv
+      FROM w JOIN st USING (event_type)
+      WHERE st.s2 * st.c - st.s1 * st.s1 > 0)
+SELECT event_type, bucket_ts, n, round(zv, 6) AS z FROM z WHERE zv > {ANOMALY_Z}"""
         ),
         "ev_latest": (
             "SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts, "

@@ -1794,3 +1794,83 @@ def range_join_scalable_ds(sf_dir: str, window_type: str = "error",
         ) if len(b.schema) == 3 else empty,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------ anomaly buckets
+
+
+def _anomaly_stats_partial(batch: pa.Table) -> pa.Table:
+    n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table(
+        {
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "c": pa.array(np.ones(len(n), np.int64)),
+            "s1": pa.array(n),
+            "s2": pa.array(n * n),
+        }
+    )
+    return t.group_by(["event_type"], use_threads=False).aggregate(
+        [("c", "sum"), ("s1", "sum"), ("s2", "sum")]
+    ).rename_columns(["event_type", "c", "s1", "s2"])
+
+
+def _anomaly_filter(batch: pa.Table, ref, z_thresh: float) -> pa.Table:
+    import ray
+
+    stats = ray.get(ref) if not isinstance(ref, dict) else ref
+    et = batch["event_type"].to_numpy(zero_copy_only=False)
+    bt = batch["bucket_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    z = np.full(len(n), -np.inf, dtype=np.float64)
+    for ty in np.unique(et):
+        c, s1, s2 = stats.get(str(ty), (0, 0, 0))
+        det = s2 * c - s1 * s1  # c·Σn² − (Σn)² = c²·population variance, exact int
+        if c <= 0 or det <= 0:
+            continue
+        mean = s1 / c
+        sd = np.sqrt(float(det) / (float(c) * c))
+        m = et == ty
+        z[m] = (n[m].astype(np.float64) - mean) / sd
+    keep = z > z_thresh
+    return pa.table(
+        {
+            "event_type": pa.array(et[keep], pa.string()),
+            "bucket_ts": pa.array(bt[keep]),
+            "n": pa.array(n[keep]),
+            "z": pa.array(np.round(z[keep], 6), pa.float64()),
+        }
+    )
+
+
+def anomaly_buckets_ds(sf_dir: str, z_thresh: float = 3.0):
+    """(event_type, bucket_ts, n, z): hourly waveform buckets whose count
+    sits more than ``z_thresh`` population standard deviations above that
+    event type's bucket mean — the classic ops anomaly gate over the
+    waveform the anomaly plugin family renders (SURVEY §2.6).
+
+    Scale shape: the waveform is the existing partial→groupby pipeline;
+    the per-type (count, Σn, Σn²) moments are one more answer-sized
+    groupby (rows = event types), broadcast once via ray.put; the flag
+    pass is stateless per batch. Moments stay exact int64 (at 10^12-event
+    scale Σn² needs int128 / a split-accumulator — documented, same
+    semantics); z itself is fp64 with a fixed expression order mirrored
+    in the SQL oracle. Zero-variance types flag nothing."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    w = waveform_ds(sf_dir).materialize()
+    rows = (
+        w.map_batches(_anomaly_stats_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("c"), Sum("s1"), Sum("s2"))
+        .take_all()
+    )
+    stats = {
+        str(r["event_type"]): (int(r["sum(c)"]), int(r["sum(s1)"]), int(r["sum(s2)"]))
+        for r in rows
+    }
+    ref = ray.put(stats)
+    return w.map_batches(
+        _anomaly_filter, fn_kwargs={"ref": ref, "z_thresh": z_thresh},
+        batch_format="pyarrow",
+    )
