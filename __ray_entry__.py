@@ -964,6 +964,15 @@ def ev_waveform(sf_dir: str):
     return waveform_ds(sf_dir)
 
 
+def ev_ewma(sf_dir: str):
+    """Dyadic integer EWMA over the hourly waveform
+    (analytics.ewma_waveform_ds): s_k = (s_{k-1} + n_k·10⁶) // 2 — exact
+    int64, mirrored as a recursive CTE (the PeakDet precedent)."""
+    from miru_ray.analytics import ewma_waveform_ds
+
+    return ewma_waveform_ds(sf_dir)
+
+
 ANOMALY_Z = 3.0
 
 
@@ -2365,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_distinct_composite": ft_distinct_composite,
         "ev_waveform": ev_waveform,
         "ev_anomaly": ev_anomaly,
+        "ev_ewma": ev_ewma,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
@@ -3238,6 +3248,20 @@ FROM ud JOIN coh c USING (user_id) GROUP BY 1, 2"""
         "ev_distinct_users": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "ev_ewma": (
+            """WITH RECURSIVE w AS (SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+ord AS (SELECT event_type, bucket_ts, n,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS BIGINT) AS k
+        FROM w),
+e AS (
+  SELECT event_type, bucket_ts, n, k, n * 1000000 AS s FROM ord WHERE k = 1
+  UNION ALL
+  SELECT o.event_type, o.bucket_ts, o.n, o.k, (e.s + o.n * 1000000) // 2 AS s
+  FROM e JOIN ord o ON o.event_type = e.event_type AND o.k = e.k + 1)
+SELECT event_type, bucket_ts, n, CAST(s AS BIGINT) AS ewma FROM e"""
         ),
         "ev_anomaly": (
             f"""WITH w AS (SELECT event_type,

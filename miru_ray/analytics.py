@@ -1874,3 +1874,47 @@ def anomaly_buckets_ds(sf_dir: str, z_thresh: float = 3.0):
         _anomaly_filter, fn_kwargs={"ref": ref, "z_thresh": z_thresh},
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------- EWMA smoothing
+
+EWMA_UNIT = 1_000_000  # micro-units: the textrank/reco integer-exactness trick
+
+
+def _ewma_group(g: pa.Table, unit: int) -> pa.Table:
+    et = g["event_type"].to_numpy(zero_copy_only=False)
+    bt = g["bucket_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(bt)
+    bt, n = bt[order], n[order]
+    s = np.empty(len(n), dtype=np.int64)
+    if len(n):
+        s[0] = n[0] * unit
+        # the floor recurrence is inherently sequential, and a type's bucket
+        # list is answer-sized (time range / bucket width) — not corpus-sized
+        for i in range(1, len(n)):
+            s[i] = (s[i - 1] + n[i] * unit) // 2
+    return pa.table(
+        {
+            "event_type": pa.array(et[order], pa.string()),
+            "bucket_ts": pa.array(bt),
+            "n": pa.array(n),
+            "ewma": pa.array(s),
+        }
+    )
+
+
+def ewma_waveform_ds(sf_dir: str, unit: int = EWMA_UNIT):
+    """(event_type, bucket_ts, n, ewma): the hourly waveform with a dyadic
+    integer EWMA (α = 1/2): s₁ = n₁·U, s_k = (s_{k-1} + n_k·U) // 2 over
+    the OBSERVED buckets in time order (gaps skipped — the metricing
+    interpolation variant lives in metric_waveform_ds). Floor arithmetic
+    makes every value an exact int64 on any platform, so the oracle is the
+    same recurrence as a recursive CTE — the PeakDet state-machine
+    precedent. Distribution: the waveform pipeline as-is, then a
+    groupby(event_type) map_groups whose per-group work is answer-sized."""
+    return (
+        waveform_ds(sf_dir)
+        .groupby("event_type")
+        .map_groups(lambda g: _ewma_group(g, unit), batch_format="pyarrow")
+    )

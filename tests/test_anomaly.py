@@ -86,3 +86,29 @@ def test_anomaly_zero_variance(ray_session, tmp_path):
     assert set(got["event_type"]) == {"spiky"}
     assert got["n"].tolist() == [50]
     assert got["bucket_ts"].tolist() == [8 * 3600]
+
+
+def test_ewma_vs_scalar(ray_session):
+    """Integer EWMA ≡ a scalar recurrence over the per-type time-ordered
+    waveform."""
+    from miru_ray.analytics import ewma_waveform_ds
+
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["event_type", "ts"])
+    buckets = Counter()
+    for ty, ts_us in zip(
+        t["event_type"].to_pylist(), t["ts"].cast(pa.int64()).to_pylist()
+    ):
+        buckets[(ty, (ts_us // 3_600_000_000) * 3600)] += 1
+    per_type = defaultdict(list)
+    for (ty, b), n in buckets.items():
+        per_type[ty].append((b, n))
+    exp = []
+    U = 1_000_000
+    for ty, bs in per_type.items():
+        s = None
+        for b, n in sorted(bs):
+            s = n * U if s is None else (s + n * U) // 2
+            exp.append((ty, b, n, s))
+    got = ewma_waveform_ds(SF).to_pandas()
+    got_rows = sorted(zip(got["event_type"], got["bucket_ts"], got["n"], got["ewma"]))
+    assert got_rows == sorted(exp)
