@@ -2179,6 +2179,35 @@ def ann_topk(sf_dir: str) -> pa.Table:
     return _round_rerank(ann_brute_topk(sf_dir, n_queries=ANN_NQ, k=ANN_K), ANN_K)
 
 
+JL_OUT_DIM = 16
+
+
+def ann_jl(sf_dir: str):
+    """Johnson–Lindenstrauss random projection (ann.jl_project_ds): every
+    embedding × the deterministic gaussian plane matrix (the ann_lsh
+    splitmix64/Box–Muller chain), scaled 1/√16; long-form (vec_id, dim,
+    value) rows, fp64 rounded 4dp. The matrix is inlined literally in the
+    SQL mirror."""
+    from miru_ray.ann import jl_project_ds
+
+    return jl_project_ds(sf_dir, out_dim=JL_OUT_DIM, dim=ANN_DIM)
+
+
+def _jl_oracle_sql() -> str:
+    from miru_ray.ann import hyperplanes
+
+    planes = hyperplanes(ANN_DIM, JL_OUT_DIM)
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(j, ", ".join("%.17g" % w for w in planes[j]))
+        for j in range(JL_OUT_DIM)
+    )
+    scale = "%.17g" % float(np.sqrt(JL_OUT_DIM))
+    return f"""WITH r(j, w) AS (VALUES {rows})
+SELECT e.vec_id, CAST(r.j AS BIGINT) AS dim,
+       round(list_dot_product(e.embedding::DOUBLE[], r.w) / {scale}, 4) AS value
+FROM embeddings e CROSS JOIN r"""
+
+
 IVF_STRIDE = 31
 IVF_NPROBE = 4
 
@@ -2443,6 +2472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_cross_source": dd_cross_source,
         "dd_semdedup": dd_semdedup,
         "ann_topk": ann_topk,
+        "ann_jl": ann_jl,
         "ann_knn": ann_knn,
         "ann_hardneg": ann_hardneg,
         "ann_pq": ann_pq,
@@ -3803,6 +3833,7 @@ pred AS (SELECT doc_id, source, cand,
 SELECT doc_id, source, cand AS pred_source, cand = source AS hit
 FROM pred WHERE rn = 1"""
         ),
+        "ann_jl": _jl_oracle_sql(),
         "ann_topk": (
             f"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),
 scored AS (

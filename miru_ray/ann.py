@@ -1189,3 +1189,46 @@ def semdedup_ds(sf_dir: str, stride: int = 31, threshold: float = 0.35,
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("cluster").map_groups(dedup_group, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- JL random projection
+
+
+class JlProject:
+    """Actor-pool stage: Johnson–Lindenstrauss gaussian projection of each
+    embedding row against the deterministic plane matrix (built once per
+    actor in __init__ from the ann_lsh splitmix64/Box–Muller chain)."""
+
+    def __init__(self, dim: int, out_dim: int):
+        self.planes = hyperplanes(dim, out_dim)  # (out_dim, dim) fp64
+        self.scale = float(np.sqrt(out_dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        proj = (m @ self.planes.T) / self.scale  # fp64 end to end
+        k = proj.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(k, dtype=np.int64), len(ids))),
+                "value": pa.array(np.round(proj.reshape(-1), 4), pa.float64()),
+            }
+        )
+
+
+def jl_project_ds(sf_dir: str, out_dim: int = 16, dim: int = 64):
+    """(vec_id, dim, value): every embedding projected to ``out_dim``
+    gaussian random dimensions (Johnson & Lindenstrauss 1984) — the
+    dimensionality-reduction preprocessing step for billion-vector ANN
+    (distance distortion 1±ε with out_dim = O(ln n / ε²); pytest gates the
+    realized distortion). The projection matrix is the deterministic
+    hyperplane chain ann_lsh already mirrors in SQL, scaled 1/√out_dim;
+    values are fp64, rounded 4dp (the ann cosine precedent). One stateless
+    actor-pool pass; output is long-form (n·out_dim rows), no shuffle."""
+    return _emb_ds(sf_dir).map_batches(
+        JlProject,
+        fn_constructor_kwargs={"dim": dim, "out_dim": out_dim},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
