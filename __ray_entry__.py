@@ -964,6 +964,18 @@ def ev_waveform(sf_dir: str):
     return waveform_ds(sf_dir)
 
 
+CONTRIB_N = 5
+
+
+def ev_topk_contrib(sf_dir: str):
+    """Top-5 users per event type by count (analytics.top_contributors_ds):
+    partials → groupby Sum → per-type top-n map_groups; ties → smaller
+    user_id; window-function SQL mirror."""
+    from miru_ray.analytics import top_contributors_ds
+
+    return top_contributors_ds(sf_dir, n=CONTRIB_N)
+
+
 def ev_ewma(sf_dir: str):
     """Dyadic integer EWMA over the hourly waveform
     (analytics.ewma_waveform_ds): s_k = (s_{k-1} + n_k·10⁶) // 2 — exact
@@ -1487,7 +1499,38 @@ def reco_cf(sf_dir: str) -> pa.Table:
     return reco_cf_ds(sf_dir, user_id=RECO_USER, k=RECO_K)
 
 
+ITEM_SIM_K = 20
+ITEM_SIM_CAP = 256  # must equal miru_ray.reco.ITEM_SIM_CAP
+
+
+def reco_item_sim(sf_dir: str) -> pa.Table:
+    """Item-item CF similarity (reco.reco_item_sim_ds; Sarwar et al. 2001):
+    top-20 item pairs by co-occurrence cosine over the ok-events
+    (user, item) graph; per-user pair evidence capped at 256 smallest item
+    ids (mirrored); sim = one fp64 division of exact integers."""
+    from miru_ray.reco import reco_item_sim_ds
+
+    return reco_item_sim_ds(sf_dir, k=ITEM_SIM_K, cap=ITEM_SIM_CAP)
+
+
 # ------------------------------------------------------ text-analysis + ANN
+
+
+def txt_ttr(sf_dir: str) -> pa.Table:
+    """Per-source lexical diversity (textstats.source_ttr_ds): token count,
+    distinct-term count, type-token ratio (one exact-int division)."""
+    from miru_ray.textstats import source_ttr_ds
+
+    return source_ttr_ds(sf_dir)
+
+
+def txt_vocab_growth(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary-growth curve (textstats.vocab_growth_ds):
+    per-term first doc via groupby Min, then the answer-sized running sum
+    in doc order."""
+    from miru_ray.textstats import vocab_growth_ds
+
+    return vocab_growth_ds(sf_dir)
 
 
 def txt_quality(sf_dir: str):
@@ -2404,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_waveform": ev_waveform,
         "ev_anomaly": ev_anomaly,
         "ev_ewma": ev_ewma,
+        "ev_topk_contrib": ev_topk_contrib,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
@@ -2428,6 +2472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strut_fields": strut_fields,
         "ft_strut": ft_strut,
         "reco_cf": reco_cf,
+        "reco_item_sim": reco_item_sim,
         "reco_ppr": reco_ppr,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
@@ -2442,6 +2487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_jaccard_prefix": dd_jaccard_prefix,
         "txt_quality": txt_quality,
+        "txt_ttr": txt_ttr,
+        "txt_vocab_growth": txt_vocab_growth,
         "txt_repetition": txt_repetition,
         "txt_langid": txt_langid,
         "txt_nb_classify": txt_nb_classify,
@@ -3279,6 +3326,32 @@ FROM ud JOIN coh c USING (user_id) GROUP BY 1, 2"""
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
         ),
+        "ev_topk_contrib": (
+            f"""WITH c AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                 CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, user_id, n_events,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rank
+      FROM c)
+SELECT event_type, user_id, n_events, rank FROM r WHERE rank <= {CONTRIB_N}"""
+        ),
+        "txt_ttr": (
+            f"""WITH tok AS ({_TOKTAB}),
+st AS (SELECT d.source, tok.t FROM tok JOIN documents d USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+       round(count(DISTINCT t) / CAST(count(*) AS DOUBLE), 6) AS ttr
+FROM st GROUP BY source"""
+        ),
+        "txt_vocab_growth": (
+            f"""WITH tok AS ({_TOKTAB}),
+firsts AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS doc_id FROM tok GROUP BY t),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+            FROM firsts GROUP BY doc_id)
+SELECT doc_id, new_types,
+       CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+FROM per_doc"""
+        ),
         "ev_ewma": (
             """WITH RECURSIVE w AS (SELECT event_type,
                  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
@@ -3394,6 +3467,24 @@ LEFT JOIN r1 ON r1.lang = d.lang
 LEFT JOIN r2 ON r2.source = d.source AND r2.lang = d.lang"""
         ),
         "reco_ppr": _ppr_oracle_sql(),
+        "reco_item_sim": (
+            f"""WITH ev AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+            CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS item
+     FROM events WHERE event_type <> 'error'),
+capped AS (SELECT user_id, item FROM (
+             SELECT user_id, item,
+                    row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+             FROM ev) WHERE rn <= {ITEM_SIM_CAP}),
+pr AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_common
+       FROM capped x JOIN capped y ON x.user_id = y.user_id AND x.item < y.item
+       GROUP BY 1, 2),
+nc AS (SELECT item, CAST(count(*) AS BIGINT) AS nu FROM ev GROUP BY 1),
+s AS (SELECT pr.a, pr.b, pr.n_common,
+             pr.n_common / sqrt(CAST(na.nu AS DOUBLE) * nb.nu) AS sim
+      FROM pr JOIN nc na ON na.item = pr.a JOIN nc nb ON nb.item = pr.b)
+SELECT a AS item_a, b AS item_b, n_common, round(sim, 6) AS sim
+FROM s ORDER BY sim DESC, a ASC, b ASC LIMIT {ITEM_SIM_K}"""
+        ),
         "reco_cf": (
             f"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id,
             CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS item

@@ -208,6 +208,20 @@ def cmd_pipeline(args) -> int:
         from .ann import ann_ivf_topk
 
         out = ann_ivf_topk(args.sf_dir, k=args.k)
+    elif name == "hybrid":
+        from .hybrid import rrf_retrieve
+
+        out = rrf_retrieve(
+            args.sf_dir, tuple(args.terms.split(",")), args.user, k=args.k
+        )
+    elif name == "line_dedup":
+        from .dedup import line_dedup_ds
+
+        out = line_dedup_ds(args.sf_dir)
+    elif name == "item_sim":
+        from .reco import reco_item_sim_ds
+
+        out = reco_item_sim_ds(args.sf_dir, k=args.k)
     elif name == "trending":
         from .analytics import trending_strategies_ds
 
@@ -358,9 +372,11 @@ def main(argv=None) -> int:
     pl.add_argument("--name", required=True,
                     choices=["reco", "strut", "bloom", "dedup", "ngram_jaccard",
                              "simhash_near", "embed_neardup", "ann", "trending",
-                             "curate", "mix", "percolate"])
+                             "curate", "mix", "percolate", "hybrid",
+                             "line_dedup", "item_sim"])
     pl.add_argument("--sf-dir", required=True)
-    pl.add_argument("--user", type=int, default=3, help="reco: user id")
+    pl.add_argument("--user", type=int, default=3,
+                    help="reco: user id / hybrid: query vec_id")
     pl.add_argument("--budget", type=int, default=2000,
                     help="mix: per-source token budget")
     pl.add_argument("--queries", help='percolate: {"qid": "query", ...} JSON')

@@ -1918,3 +1918,57 @@ def ewma_waveform_ds(sf_dir: str, unit: int = EWMA_UNIT):
         .groupby("event_type")
         .map_groups(lambda g: _ewma_group(g, unit), batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------- top contributors
+
+
+def _contrib_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table(
+        {
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+        }
+    )
+    g = t.group_by(["event_type", "user_id"], use_threads=False).aggregate(
+        [([], "count_all")]
+    )
+    return g.rename_columns(["event_type", "user_id", "n"])
+
+
+def _contrib_topn(g: pa.Table, n: int) -> pa.Table:
+    et = g["event_type"].to_numpy(zero_copy_only=False)
+    u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((u, -cnt))[:n]
+    return pa.table(
+        {
+            "event_type": pa.array(et[order], pa.string()),
+            "user_id": pa.array(u[order]),
+            "n_events": pa.array(cnt[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    )
+
+
+def top_contributors_ds(sf_dir: str, n: int = 5):
+    """(event_type, user_id, n_events, rank): each event type's top-``n``
+    users by event count (ties → smaller user_id). Per-batch (type, user)
+    partials → groupby Sum → per-type top-n in groupby(type) map_groups
+    (a type's user list is the only per-group state; the cut happens
+    before anything reaches the driver)."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _events_ds(sf_dir, ["event_type", "user_id"])
+        .map_batches(_contrib_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: b.rename_columns(["event_type", "user_id", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return counts.groupby("event_type").map_groups(
+        lambda g: _contrib_topn(g, n), batch_format="pyarrow"
+    )

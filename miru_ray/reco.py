@@ -469,3 +469,114 @@ def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
             "rank": pa.array([int(x["rank"]) for x in rows], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------ item-item similarity
+
+ITEM_SIM_CAP = 256  # per-user pair-evidence cap (the max_df/ max_bucket idiom)
+
+
+def _user_pairs_group(g: pa.Table, cap: int) -> pa.Table:
+    """One user's distinct items → all (a < b) pairs. Users with more than
+    ``cap`` items contribute pairs from their ``cap`` smallest item ids
+    only (declared evidence cap — bounds the per-user pair fan-out at
+    O(cap²), the hot-shingle/max_bucket idiom; user counts stay uncapped)."""
+    items = np.unique(g["item"].to_numpy(zero_copy_only=False))
+    items = items[:cap]
+    n = len(items)
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    iu, ju = np.triu_indices(n, 1)
+    return pa.table({"a": pa.array(items[iu]), "b": pa.array(items[ju])})
+
+
+def _item_sim_topk_block(b: pa.Table, k: int) -> pa.Table:
+    sim = b["sim"].to_numpy(zero_copy_only=False)
+    a = b["item_a"].to_numpy(zero_copy_only=False)
+    bb = b["item_b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((bb, a, -sim))[:k]
+    return pa.table(
+        {"item_a": pa.array(a[order]), "item_b": pa.array(bb[order]),
+         "n_common": pa.array(b["n_common"].to_numpy(zero_copy_only=False)[order]),
+         "sim": pa.array(sim[order], pa.float64())}
+    )
+
+
+def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP,
+                     num_partitions: int = 8) -> pa.Table:
+    """(item_a, item_b, n_common, sim): the top-``k`` most similar item
+    pairs by co-occurrence cosine sim = |users(a)∩users(b)| /
+    √(|users(a)|·|users(b)|) over the ok-events (user, item) graph — the
+    item-item CF neighborhood model (Sarwar et al. 2001) complementing
+    reco_cf's user-based 3-hop walk and reco_ppr's graph walk.
+
+    Scale shape: distinct (user, item) pairs via per-batch partials +
+    groupby; per-user pair expansion in groupby(user) map_groups (fan-out
+    bounded by the declared ``cap``); pair counts and per-item user counts
+    meet by hash joins; the final cut is per-block top-k under the total
+    order (sim desc, a asc, b asc) — block winners are a superset of the
+    global winners — so the driver sees blocks×k rows. sim is one fp64
+    division of exact integers (no accumulation), mirrored bit-for-bit."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = (
+        rd.read_parquet(path, columns=["user_id", "event_type", "props"])
+        .map_batches(_ok_events, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b["item"])), batch_format="pyarrow"
+        )
+        .groupby(["user_id", "item"])
+        .aggregate(Count())
+        .select_columns(["user_id", "item"])
+        .materialize()  # reused by the pair expansion AND the item counts
+    )
+    pairs = (
+        ev.groupby("user_id")
+        .map_groups(lambda g: _user_pairs_group(g, cap), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count())
+    )
+    counts = ev.groupby("item").aggregate(Count())
+    na = counts.map_batches(
+        lambda b: pa.table({"a": pc.cast(b["item"], pa.int64()),
+                            "nu_a": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    nb = counts.map_batches(
+        lambda b: pa.table({"b": pc.cast(b["item"], pa.int64()),
+                            "nu_b": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = (
+        pairs.join(na, "inner", num_partitions, on=("a",))
+        .join(nb, "inner", num_partitions, on=("b",))
+    )
+
+    def score(bt: pa.Table) -> pa.Table:
+        nc = bt["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nua = bt["nu_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nub = bt["nu_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "item_a": pc.cast(bt["a"], pa.int64()),
+                "item_b": pc.cast(bt["b"], pa.int64()),
+                "n_common": pa.array(nc),
+                "sim": pa.array(nc / np.sqrt(nua * nub), pa.float64()),
+            }
+        )
+
+    blocks = joined.map_batches(score, batch_format="pyarrow").map_batches(
+        lambda bt: _item_sim_topk_block(bt, k), batch_format="pyarrow"
+    )
+    rows = blocks.take_all()
+    if not rows:
+        return pa.table(
+            {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64()),
+             "n_common": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    final = _item_sim_topk_block(pa.Table.from_pylist(rows), k)
+    return final.set_column(3, "sim", pa.array(
+        np.round(final["sim"].to_numpy(zero_copy_only=False), 6), pa.float64()
+    ))

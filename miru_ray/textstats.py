@@ -2394,3 +2394,99 @@ def triangle_counts_ds(sf_dir: str, num_partitions: int = 8,
         {"term": pc.cast(t["term"], pa.string()),
          "triangles": pc.cast(t["count()"], pa.int64())}
     )
+
+
+# ------------------------------------------------- lexical diversity / Heaps
+
+
+def source_ttr_ds(sf_dir: str):
+    """(source, n_tokens, n_types, ttr): per-source token count, distinct
+    term count and type-token ratio (lexical-diversity curation signal).
+    Per-batch partial (source, term) distinct + token partials → two small
+    groupbys; ttr = one fp64 division of exact ints (round 6)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parents, tokens = tokenize_flat(batch["text"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+        t = pa.table(
+            {"source": pa.array(src[parents], pa.string()),
+             "term": pc.cast(toks, pa.string())}
+        )
+        g = t.group_by(["source", "term"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "term", "n"])
+
+    pairs = (
+        _docs_ds(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .aggregate(Sum("n"))
+        .materialize()  # reused by both reductions below
+    )
+    types = pairs.groupby("source").aggregate(Count())
+    toks = pairs.map_batches(
+        lambda b: pa.table(
+            {"source": pc.cast(b["source"], pa.string()),
+             "n": pc.cast(b[b.schema.names[-1]], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).groupby("source").aggregate(Sum("n"))
+    tt = {str(r["source"]): int(r["sum(n)"]) for r in toks.take_all()}
+    rows = types.take_all()  # answer-sized: one row per source
+    srcs = sorted(str(r["source"]) for r in rows)
+    ty = {str(r["source"]): int(r["count()"]) for r in rows}
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_tokens": pa.array([tt[s] for s in srcs], pa.int64()),
+            "n_types": pa.array([ty[s] for s in srcs], pa.int64()),
+            "ttr": pa.array(
+                [round(ty[s] / tt[s], 6) for s in srcs], pa.float64()
+            ),
+        }
+    )
+
+
+def vocab_growth_ds(sf_dir: str):
+    """(doc_id, new_types, vocab_size): the corpus vocabulary-growth curve
+    in doc_id order (Heaps' law audit — sublinear growth is the healthy
+    shape; a linear tail flags unbounded noise/IDs). Distribution: per-term
+    FIRST doc via term-stats-style partials (term, min doc) → groupby Min —
+    the shuffle carries one row per distinct term per batch; the per-doc
+    bincount + running sum are answer-sized (one row per doc)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parents, tokens = tokenize_flat(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+        t = pa.table({"term": pc.cast(toks, pa.string()),
+                      "doc": pa.array(ids[parents])})
+        g = t.group_by(["term"], use_threads=False).aggregate([("doc", "min")])
+        return g.rename_columns(["term", "doc"])
+
+    firsts = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Min("doc"))
+    )
+    per_doc = firsts.map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b[b.schema.names[-1]], pa.int64()),
+             "n": pa.array(np.ones(b.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).groupby("doc_id").aggregate(Sum("n"))
+    rows = sorted(
+        ((int(r["doc_id"]), int(r["sum(n)"])) for r in per_doc.take_all())
+    )
+    ids = np.array([d for d, _ in rows], dtype=np.int64)
+    new = np.array([n for _, n in rows], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(ids), "new_types": pa.array(new),
+         "vocab_size": pa.array(np.cumsum(new))}
+    )
