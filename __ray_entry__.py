@@ -271,6 +271,13 @@ def ft_match_near(sf_dir: str):
     return _match(sf_dir, f'"{" ".join(PHRASE_TERMS)}"~{NEAR_SLOP}')
 
 
+def ft_match_unear(sf_dir: str):
+    """Unordered proximity (`"a b"~~N`, SpanNearQuery inOrder=false
+    analogue): either order within the slop window — one two-sided
+    searchsorted window probe over the packed occurrence keys."""
+    return _match(sf_dir, f'"{" ".join(PHRASE_TERMS)}"~~{NEAR_SLOP}')
+
+
 def ft_topk_phrase(sf_dir: str) -> pa.Table:
     """TF-IDF top-k restricted to exact-phrase docs: the phrase acts as
     the answer filter, scoring is the component terms' reference TF-IDF
@@ -2417,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_topk_fuzzy": ft_topk_fuzzy,
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
+        "ft_match_unear": ft_match_unear,
         "ft_topk_phrase": ft_topk_phrase,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
@@ -2906,6 +2914,16 @@ LIMIT {K_FUZZY}"""
 tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d)
 SELECT DISTINCT a.doc_id AS doc_id FROM tok a JOIN tok b
   ON b.doc_id = a.doc_id AND b.ord > a.ord AND b.ord <= a.ord + {NEAR_SLOP + 1}
+  AND b.t = '{PHRASE_TERMS[1]}'
+WHERE a.t = '{PHRASE_TERMS[0]}'"""
+        ),
+        # unordered proximity: same join, absolute window, either order
+        "ft_match_unear": (
+            f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord FROM d)
+SELECT DISTINCT a.doc_id AS doc_id FROM tok a JOIN tok b
+  ON b.doc_id = a.doc_id AND b.ord <> a.ord
+  AND abs(b.ord - a.ord) <= {NEAR_SLOP + 1}
   AND b.t = '{PHRASE_TERMS[1]}'
 WHERE a.t = '{PHRASE_TERMS[0]}'"""
         ),

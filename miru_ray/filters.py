@@ -176,6 +176,9 @@ class Filter:
     # suffix) — each adjacent pair may be separated by up to `slop`
     # intervening tokens; 0 = exact adjacency
     slop: int = 0
+    # op='phrase' only: ``"a b"~~N`` (two terms) relaxes the order — the
+    # SpanNearQuery(inOrder=false) analogue; |pos_a − pos_b| ≤ slop+1
+    ordered: bool = True
 
 
 def term_filter(field: str, *values: str) -> Filter:
@@ -187,7 +190,7 @@ def term_filter(field: str, *values: str) -> Filter:
 # reference REJECTS (LuceneBackedQueryParser.java:106-109 throws). The
 # rebuild accepts it — a beyond-reference feature backed by the opt-in
 # positional index (codec.POS_FIELD).
-_TOKEN_RE = re.compile(r'[^\s()"]*"[^"]*"(?:~\d+)?|\(|\)|[^\s()"]+')
+_TOKEN_RE = re.compile(r'[^\s()"]*"[^"]*"(?:~~?\d+)?|\(|\)|[^\s()"]+')
 
 
 class QueryParseError(ValueError):
@@ -290,9 +293,15 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
                 raise QueryParseError(f"malformed phrase atom: {t!r}")
             field = head[:-1]
         slop = 0
+        ordered = True
         body_end = len(t) - 1
+        tilde2 = t.rfind('"~~')
         tilde = t.rfind('"~')
-        if tilde > qi:
+        if tilde2 > qi:
+            slop = int(t[tilde2 + 3 :])
+            ordered = False
+            body_end = tilde2
+        elif tilde > qi:
             slop = int(t[tilde + 2 :])
             body_end = tilde
         body = t[qi + 1 : body_end]
@@ -301,7 +310,11 @@ def parse_query(query: str, default_field: str = DEFAULT_FIELD,
             return None
         if len(toks) == 1:  # one-token "phrase" is just the term
             return Filter("and", False, [FieldFilter(field, [toks[0]])], [])
-        return Filter("phrase", False, [FieldFilter(field, toks)], [], slop)
+        if not ordered and len(toks) != 2:
+            raise QueryParseError(
+                'unordered proximity ("a b"~~N) supports exactly two terms'
+            )
+        return Filter("phrase", False, [FieldFilter(field, toks)], [], slop, ordered)
 
     def parse_atom() -> Filter | None:
         t = peek()
@@ -489,6 +502,6 @@ def expand_synonyms(
                         vals.append(s)
             ffs.append(FieldFilter(ff.field, vals))
         return Filter(f.op, f.inclusive, ffs,
-                      [rewrite(s) for s in f.sub_filters], f.slop)
+                      [rewrite(s) for s in f.sub_filters], f.slop, f.ordered)
 
     return rewrite(filt)

@@ -423,6 +423,24 @@ class PostingSource:
 _PHRASE_POS_BITS = np.int64(21)
 
 
+def _occ_keys(src: "PostingSource", tok: str, cand: np.ndarray) -> np.ndarray | None:
+    """Packed (doc << POS_BITS | pos) occurrence keys of ``tok`` restricted
+    to the candidate docs, strictly increasing (occurrence streams are
+    (doc asc, pos asc)); None when the restriction is empty. Partial tf
+    decode keeps the position reads proportional to the candidates."""
+    occ = src.docs(POS_FIELD, tok)
+    if len(occ) == 0:
+        return None
+    idx = np.searchsorted(cand, occ)
+    ok = (idx < len(cand)) & (cand[np.minimum(idx, len(cand) - 1)] == occ)
+    sel = np.flatnonzero(ok)
+    if len(sel) == 0:
+        return None
+    pos = src.tf_at(POS_FIELD, tok, sel).astype(np.int64)
+    fit = pos < (np.int64(1) << _PHRASE_POS_BITS)
+    return (occ[sel[fit]] << _PHRASE_POS_BITS) | pos[fit]
+
+
 def _eval_phrase(
     filt: Filter,
     src: PostingSource,
@@ -469,25 +487,38 @@ def _eval_phrase(
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if len(cand) == 0:
             return _EMPTY
+    win = np.int64(filt.slop + 1)
+    if not filt.ordered:
+        # unordered two-term near (SpanNearQuery inOrder=false analogue,
+        # `"a b"~~N`): a doc matches when some occurrence pair satisfies
+        # 1 ≤ |pos_a − pos_b| ≤ slop+1. One two-sided searchsorted window
+        # probe of b's packed keys into a's — symmetric by construction,
+        # same-doc enforced by clamping the window at the doc's key range.
+        ka = _occ_keys(src, toks[0], cand)
+        kb = _occ_keys(src, toks[1], cand)
+        if ka is None or kb is None:
+            return _EMPTY
+        base = (kb >> _PHRASE_POS_BITS) << _PHRASE_POS_BITS
+        ceil = base | ((np.int64(1) << _PHRASE_POS_BITS) - np.int64(1))
+        lo = np.maximum(kb - win, base)
+        hi = np.minimum(kb + win, ceil)
+        n_in = np.searchsorted(ka, hi, side="right") - np.searchsorted(ka, lo, side="left")
+        if toks[0] == toks[1]:
+            # a same-term pair needs a DISTINCT second occurrence
+            p = np.searchsorted(ka, kb)
+            self_hit = (p < len(ka)) & (ka[np.minimum(p, len(ka) - 1)] == kb)
+            n_in = n_in - self_hit.astype(np.int64)
+        return np.unique(kb[n_in > 0] >> _PHRASE_POS_BITS).astype(np.int64)
+
     # windowed chain over packed (doc<<21 | pos) keys: after term i, `state`
     # holds the occurrences of toks[i] that END a valid ordered chain of
     # toks[:i+1] with every adjacent gap ≤ slop+1 (slop=0 ≡ exact phrase).
     # Each step is two searchsorted passes — no per-doc python.
-    win = np.int64(filt.slop + 1)
     state: np.ndarray | None = None
     for t in toks:
-        occ = src.docs(POS_FIELD, t)  # occurrence docs, non-strict increasing
-        if len(occ) == 0:
+        k = _occ_keys(src, t, cand)
+        if k is None:
             return _EMPTY
-        idx = np.searchsorted(cand, occ)
-        ok = (idx < len(cand)) & (cand[np.minimum(idx, len(cand) - 1)] == occ)
-        sel = np.flatnonzero(ok)
-        if len(sel) == 0:
-            return _EMPTY
-        pos = src.tf_at(POS_FIELD, t, sel).astype(np.int64)
-        fit = pos < (np.int64(1) << _PHRASE_POS_BITS)
-        # occurrence streams are (doc asc, pos asc) → k strictly increasing
-        k = (occ[sel[fit]] << _PHRASE_POS_BITS) | pos[fit]
         if state is None:
             state = k
         else:

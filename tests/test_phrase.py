@@ -273,3 +273,44 @@ def test_codec_nonstrict_roundtrip():
     )
     np.testing.assert_array_equal(md, doc)
     np.testing.assert_array_equal(mp, pos)
+
+
+def _scalar_unear(rows, a, b, slop):
+    """Docs where some occurrence pair of a/b sits within slop+1 positions,
+    either order (distinct positions)."""
+    out = set()
+    for r in rows:
+        toks = py_tokenize(r["text"])
+        pa_ = [i for i, t in enumerate(toks) if t == a]
+        pb_ = [i for i, t in enumerate(toks) if t == b]
+        if any(0 < abs(x - y) <= slop + 1 for x in pa_ for y in pb_):
+            out.add((r["conv_id"], r["turn_idx"]))
+    return out
+
+
+def _match_keys(engine, q):
+    out = set()
+    for r in engine.match(q):
+        out.update((str(c), int(t)) for c, t in zip(r["conv_id"], r["turn_idx"]))
+    return out
+
+
+def test_unordered_near(pos_engine, tiny_rows):
+    """"a b"~~N: order-free window; superset of both ordered directions;
+    symmetric under term swap; matches the scalar recompute."""
+    toks = py_tokenize(tiny_rows[0]["text"])
+    a, b = toks[1], toks[2]
+    for slop in (0, 2):
+        got_keys = _match_keys(pos_engine, f'"{a} {b}"~~{slop}')
+        assert got_keys == _scalar_unear(tiny_rows, a, b, slop)
+        assert got_keys == _match_keys(pos_engine, f'"{b} {a}"~~{slop}')
+        for q in (f'"{a} {b}"~{slop}', f'"{b} {a}"~{slop}'):
+            assert _match_keys(pos_engine, q) <= got_keys
+    # repeated-term unordered near needs a DISTINCT second occurrence
+    got_keys = _match_keys(pos_engine, f'"{a} {a}"~~3')
+    assert got_keys == _scalar_unear(tiny_rows, a, a, 3)
+
+
+def test_unordered_near_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse_query('"t1 t2 t3"~~2')  # exactly two terms
