@@ -1278,6 +1278,17 @@ def dd_substr_clean(sf_dir: str):
     return substring_clean_ds(sf_dir, L=SUBSTR_L, min_count=SUBSTR_MIN)
 
 
+def dd_cdc(sf_dir: str) -> pa.Table:
+    """Content-defined chunk dedup (dedup.cdc_dup_chunks_ds — the
+    LBFS/rsync boundary rule at token granularity): a token whose FNV-1a
+    hash ≡ 0 (mod 8) starts a new chunk; every chunk appearing ≥2 times
+    corpus-wide is reported with its count. Hash/recover two-pass; the
+    oracle segments by the same mirrored hash and counts chunk STRINGS."""
+    from miru_ray.dedup import cdc_dup_chunks_ds
+
+    return cdc_dup_chunks_ds(sf_dir)
+
+
 LINE_P = 12
 
 
@@ -2491,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_substr_spans": dd_substr_spans,
         "dd_substr_clean": dd_substr_clean,
         "dd_lines": dd_lines,
+        "dd_cdc": dd_cdc,
         "dd_passages": dd_passages,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_jaccard_prefix": dd_jaccard_prefix,
@@ -3530,6 +3542,20 @@ FROM mh_pairs WHERE est_jaccard >= 0.5"""
             f"""WITH {_simhash_ctes()}
 SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM sim GROUP BY simhash"""
+        ),
+        "dd_cdc": (
+            f"""WITH tok AS (SELECT doc_id, unnest(toks) AS t,
+                    generate_subscripts(toks, 1) AS ord
+             FROM (SELECT doc_id, {_TOK} AS toks FROM documents)),
+th AS (SELECT doc_id, ord, t, {_fnv_sql('t')} AS h FROM tok),
+seg AS (SELECT doc_id, ord, t,
+               CAST(sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY ord) AS BIGINT) AS cid
+        FROM th),
+chunks AS (SELECT doc_id, cid, string_agg(t, ' ' ORDER BY ord) AS chunk
+           FROM seg GROUP BY 1, 2)
+SELECT chunk, CAST(count(*) AS BIGINT) AS n
+FROM chunks GROUP BY chunk HAVING count(*) >= 2"""
         ),
         "dd_lines": (
             f"""WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),

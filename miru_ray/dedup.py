@@ -1392,3 +1392,103 @@ def line_dedup_ds(sf_dir: str, P: int = 12):
         _line_clean_batch, fn_kwargs={"P": P, "dup_ref": dup_ref},
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# ----------------------------------------------------- content-defined chunks
+
+CDC_MOD = 8  # boundary rule: token-hash % 8 == 0 → expected chunk ~8 tokens
+
+
+def _cdc_chunks(batch: pa.Table):
+    """Per batch: content-defined chunks of every doc — a token whose
+    FNV-1a hash ≡ 0 (mod CDC_MOD) STARTS a new chunk (the LBFS/rsync
+    boundary rule at token granularity: boundaries depend on content, not
+    position, so an insertion re-chunks only up to the next boundary —
+    the shift-robust complement to line_dedup_ds' aligned blocks).
+    Returns (doc ids per chunk, chunk hash, chunk string array)."""
+    parents, tokens = tokenize_flat(batch["text"])
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = len(parents)
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e, pa.array([], pa.string())
+    toks = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    th = fnv1a64(toks)
+    boundary = (th % np.uint64(CDC_MOD)) == 0
+    doc_start = np.concatenate([[True], parents[1:] != parents[:-1]])
+    start = boundary | doc_start
+    starts = np.flatnonzero(start)
+    offsets = np.append(starts, total).astype(np.int32)
+    chunks = pc.cast(
+        pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), toks), " "),
+        pa.string(),
+    )
+    h = fnv1a64(chunks).view(np.int64)
+    return ids[parents[starts]], h, chunks
+
+
+def _cdc_count_partial(batch: pa.Table) -> pa.Table:
+    _ids, h, _chunks = _cdc_chunks(batch)
+    if len(h) == 0:
+        return pa.table({"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    hs = np.sort(h)
+    starts = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
+    n = np.diff(np.concatenate([starts, [len(hs)]]))
+    return pa.table({"h": pa.array(hs[starts]), "n": pa.array(n.astype(np.int64))})
+
+
+def _cdc_recover(batch: pa.Table, dup_ref) -> pa.Table:
+    import ray
+
+    dup = ray.get(dup_ref)
+    _ids, h, chunks = _cdc_chunks(batch)
+    if len(h) == 0 or len(dup) == 0:
+        return pa.table({"h": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    idx = np.searchsorted(dup, h)
+    hit = (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)] == h)
+    t = pa.table({"h": pa.array(h[hit]), "chunk": chunks.filter(pa.array(hit))})
+    return t.group_by(["h", "chunk"], use_threads=False).aggregate([])
+
+
+def cdc_dup_chunks_ds(sf_dir: str) -> pa.Table:
+    """(chunk, n): every content-defined chunk that appears ≥ 2 times
+    corpus-wide with its occurrence count. Two streaming passes (the
+    top_ngrams hash/recover shape): pass 1 counts 64-bit chunk hashes —
+    one (hash, n) row per distinct chunk per batch crosses the exchange,
+    never text; pass 2 recovers the text of the duplicated set only
+    (answer-sized broadcast + answer-sized string exchange)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    counts = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_cdc_count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n"))
+    )
+    rows = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(pc.cast(b[b.schema.names[-1]], pa.int64()), 2))
+        if b.num_rows else b,
+        batch_format="pyarrow",
+    ).take_all()
+    if not rows:
+        return pa.table({"chunk": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    dup_h = np.array([r["h"] for r in rows], dtype=np.int64)
+    dup_n = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    order = np.argsort(dup_h)
+    dup_h, dup_n = dup_h[order], dup_n[order]
+    ref = ray.put(dup_h)
+    rec = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_cdc_recover, fn_kwargs={"dup_ref": ref},
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["h", "chunk"])
+        .aggregate(Count())
+        .take_all()
+    )
+    hs = np.array([r["h"] for r in rec], dtype=np.int64)
+    cs = [r["chunk"] for r in rec]
+    n = dup_n[np.searchsorted(dup_h, hs)]
+    return pa.table({"chunk": pa.array(cs, pa.string()), "n": pa.array(n)})

@@ -84,3 +84,51 @@ def test_line_dedup_real_corpus_invariants(ray_session):
         assert len(kept_toks) <= len(toks)
         kept_blocks = nb - r["n_dropped"]
         assert 0 <= kept_blocks <= nb
+
+
+def test_cdc_chunks_vs_scalar(ray_session):
+    """Content-defined chunk dedup ≡ a scalar recompute with the same
+    boundary rule, and the chunking is shift-robust: chunks strictly inside
+    a shared region survive a prefix insertion."""
+    from miru_ray.dedup import CDC_MOD, cdc_dup_chunks_ds
+    from miru_ray.hashing import fnv1a64_str
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+    from collections import Counter
+
+    counts = Counter()
+    for x in t["text"].to_pylist():
+        toks = py_tokenize(x)
+        cur = []
+        for i, tk in enumerate(toks):
+            if i and fnv1a64_str(tk) % CDC_MOD == 0:
+                counts[" ".join(cur)] += 1
+                cur = []
+            cur.append(tk)
+        if cur:
+            counts[" ".join(cur)] += 1
+    exp = sorted((c, n) for c, n in counts.items() if n >= 2)
+    got = cdc_dup_chunks_ds(sf)
+    rows = sorted(zip(got["chunk"].to_pylist(), got["n"].to_pylist()))
+    assert rows == exp
+    assert len(rows) > 0
+    # shift robustness on a synthetic pair
+    body = "alpha beta gamma delta " * 6
+    a = py_tokenize(body)
+    b = py_tokenize("zzz " + body)
+
+    def chunks(toks):
+        out, cur = [], []
+        for i, tk in enumerate(toks):
+            if i and fnv1a64_str(tk) % CDC_MOD == 0:
+                out.append(tuple(cur))
+                cur = []
+            cur.append(tk)
+        if cur:
+            out.append(tuple(cur))
+        return out
+
+    ca, cb = chunks(a), chunks(b)
+    # all interior chunks of the shared body reappear despite the shift
+    assert len(set(ca[1:-1]) & set(cb)) == len(set(ca[1:-1]))
