@@ -2398,7 +2398,7 @@ def entry() -> Any:
     eng = _engine(sf_dir, 2)
     rows = []
     for q in ("the scan", "scan OR merge", "join AND NOT window"):
-        for scoring in ("bm25", "ref_tfidf"):
+        for scoring in ("bm25", "ref_tfidf", "lmd"):
             hits, found = eng.search(q, k=10, scoring=scoring)
             for rank, h in enumerate(hits):
                 rows.append(

@@ -491,6 +491,11 @@ def _user_pairs_group(g: pa.Table, cap: int) -> pa.Table:
 
 
 def _item_sim_topk_block(b: pa.Table, k: int) -> pa.Table:
+    if b.num_rows == 0 or "sim" not in b.schema.names:
+        return pa.table(
+            {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64()),
+             "n_common": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
     sim = b["sim"].to_numpy(zero_copy_only=False)
     a = b["item_a"].to_numpy(zero_copy_only=False)
     bb = b["item_b"].to_numpy(zero_copy_only=False)
@@ -532,22 +537,39 @@ def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP,
         .select_columns(["user_id", "item"])
         .materialize()  # reused by the pair expansion AND the item counts
     )
+    def _norm_pairs(b: pa.Table) -> pa.Table:
+        # a groupby over a sparse stream can emit EMPTY blocks with a
+        # degraded schema; the downstream hash join resolves key columns
+        # by name, so every block must carry the full typed schema
+        if b.num_rows == 0 or "a" not in b.schema.names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64())})
+        return pa.table({"a": pc.cast(b["a"], pa.int64()),
+                         "b": pc.cast(b["b"], pa.int64()),
+                         "n_common": pc.cast(b[b.schema.names[-1]], pa.int64())})
+
     pairs = (
         ev.groupby("user_id")
         .map_groups(lambda g: _user_pairs_group(g, cap), batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count())
+        .map_batches(_norm_pairs, batch_format="pyarrow")
     )
     counts = ev.groupby("item").aggregate(Count())
+
+    def _norm_counts(b: pa.Table, key: str, val: str) -> pa.Table:
+        if b.num_rows == 0 or "item" not in b.schema.names:
+            return pa.table({key: pa.array([], pa.int64()),
+                             val: pa.array([], pa.int64())})
+        return pa.table({key: pc.cast(b["item"], pa.int64()),
+                         val: pc.cast(b[b.schema.names[-1]], pa.int64())})
+
     na = counts.map_batches(
-        lambda b: pa.table({"a": pc.cast(b["item"], pa.int64()),
-                            "nu_a": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow",
+        lambda b: _norm_counts(b, "a", "nu_a"), batch_format="pyarrow"
     )
     nb = counts.map_batches(
-        lambda b: pa.table({"b": pc.cast(b["item"], pa.int64()),
-                            "nu_b": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow",
+        lambda b: _norm_counts(b, "b", "nu_b"), batch_format="pyarrow"
     )
     joined = (
         pairs.join(na, "inner", num_partitions, on=("a",))
@@ -555,7 +577,12 @@ def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP,
     )
 
     def score(bt: pa.Table) -> pa.Table:
-        nc = bt["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if bt.num_rows == 0 or "a" not in bt.schema.names:
+            return pa.table(
+                {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64()),
+                 "n_common": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        nc = bt["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
         nua = bt["nu_a"].to_numpy(zero_copy_only=False).astype(np.float64)
         nub = bt["nu_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(

@@ -2333,18 +2333,24 @@ def triangle_counts_ds(sf_dir: str, num_partitions: int = 8,
         ),
         batch_format="pyarrow",
     ).groupby("t").aggregate(Count())
-    deg = deg.map_batches(
-        lambda b: pa.table(
-            {"t": pc.cast(b["t"], pa.string()),
-             "d": pc.cast(b["count()"], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
+    def _norm_deg(b: pa.Table) -> pa.Table:
+        # empty groupby blocks can carry a degraded schema; the hash joins
+        # resolve key columns by name, so normalize every block
+        if b.num_rows == 0 or "t" not in b.schema.names:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64())})
+        return pa.table({"t": pc.cast(b["t"], pa.string()),
+                         "d": pc.cast(b[b.schema.names[-1]], pa.int64())})
+
+    deg = deg.map_batches(_norm_deg, batch_format="pyarrow")
     e1 = lex.join(deg, "inner", num_partitions, on=("u",), right_on=("t",))
     e2 = e1.join(deg, "inner", num_partitions, on=("v",), right_on=("t",),
                  left_suffix="", right_suffix="_v")
 
     def orient_deg(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "u" not in b.schema.names:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "t": pa.array([], pa.string())})
         du = b["d"].to_numpy(zero_copy_only=False)
         dv = b["d_v"].to_numpy(zero_copy_only=False)
         u = b["u"].to_numpy(zero_copy_only=False)
@@ -2356,10 +2362,18 @@ def triangle_counts_ds(sf_dir: str, num_partitions: int = 8,
         )
 
     oriented = e2.map_batches(orient_deg, batch_format="pyarrow").materialize()
-    right = oriented.map_batches(
-        lambda b: pa.table({"s": b["s"], "t2": b["t"]}), batch_format="pyarrow"
-    )
+    def _as_right(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "s" not in b.schema.names:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string())})
+        return pa.table({"s": b["s"], "t2": b["t"]})
+
+    right = oriented.map_batches(_as_right, batch_format="pyarrow")
     def canon_wedge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "t" not in b.schema.names:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string())})
         t = b["t"].to_numpy(zero_copy_only=False)
         t2 = b["t2"].to_numpy(zero_copy_only=False)
         s = b["s"].to_numpy(zero_copy_only=False)
@@ -2377,14 +2391,16 @@ def triangle_counts_ds(sf_dir: str, num_partitions: int = 8,
     )
     closed = wedges.join(lex, "inner", num_partitions, on=("x", "y"),
                          right_on=("u", "v"))
-    verts = closed.map_batches(
-        lambda b: pa.table(
+    def _verts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "w" not in b.schema.names:
+            return pa.table({"term": pa.array([], pa.string())})
+        return pa.table(
             {"term": pa.concat_arrays([
                 b["w"].combine_chunks(), b["x"].combine_chunks(),
                 b["y"].combine_chunks()])}
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    verts = closed.map_batches(_verts, batch_format="pyarrow")
     agg = verts.groupby("term").aggregate(Count())
     rows = agg.take_all()
     if not rows:
