@@ -507,8 +507,7 @@ def _item_sim_topk_block(b: pa.Table, k: int) -> pa.Table:
     )
 
 
-def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP,
-                     num_partitions: int = 8) -> pa.Table:
+def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP) -> pa.Table:
     """(item_a, item_b, n_common, sim): the top-``k`` most similar item
     pairs by co-occurrence cosine sim = |users(a)∩users(b)| /
     √(|users(a)|·|users(b)|) over the ok-events (user, item) graph — the
@@ -517,11 +516,15 @@ def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP,
 
     Scale shape: distinct (user, item) pairs via per-batch partials +
     groupby; per-user pair expansion in groupby(user) map_groups (fan-out
-    bounded by the declared ``cap``); pair counts and per-item user counts
-    meet by hash joins; the final cut is per-block top-k under the total
-    order (sim desc, a asc, b asc) — block winners are a superset of the
-    global winners — so the driver sees blocks×k rows. sim is one fp64
-    division of exact integers (no accumulation), mirrored bit-for-bit."""
+    bounded by the declared ``cap``); the per-item user counts attach by
+    TAGGED-UNION groupby co-location (two rounds, re-keying on each pair
+    endpoint — the dd_clusters shape; Dataset.join is avoided because a
+    sparse pair stream leaves hash partitions empty, which the join
+    operator cannot key); the final cut is per-block top-k under the
+    total order (sim desc, a asc, b asc) — block winners are a superset
+    of the global winners — so the driver sees blocks×k rows. sim is one
+    fp64 division of exact integers (no accumulation), mirrored
+    bit-for-bit."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -556,7 +559,7 @@ def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP,
         .aggregate(Count())
         .map_batches(_norm_pairs, batch_format="pyarrow")
     )
-    counts = ev.groupby("item").aggregate(Count())
+    counts = ev.groupby("item").aggregate(Count()).materialize()  # used twice
 
     def _norm_counts(b: pa.Table, key: str, val: str) -> pa.Table:
         if b.num_rows == 0 or "item" not in b.schema.names:
@@ -565,36 +568,90 @@ def reco_item_sim_ds(sf_dir: str, k: int = 20, cap: int = ITEM_SIM_CAP,
         return pa.table({key: pc.cast(b["item"], pa.int64()),
                          val: pc.cast(b[b.schema.names[-1]], pa.int64())})
 
-    na = counts.map_batches(
-        lambda b: _norm_counts(b, "a", "nu_a"), batch_format="pyarrow"
+    # attach the per-item user counts by TAGGED-UNION groupby co-location
+    # instead of Dataset.join (a sparse pair stream leaves some of the
+    # join's hash partitions EMPTY, and the join operator cannot resolve
+    # key columns on an empty partition — the dd_clusters union+groupby
+    # shape sidesteps the whole class; every group here is non-empty by
+    # construction since counts cover every item a pair references)
+    def _tag_counts(b: pa.Table, key: str) -> pa.Table:
+        t = _norm_counts(b, key, "nu")
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {key: t[key], "other": pa.array(z), "n_common": pa.array(z),
+             "nu": t["nu"], "is_cnt": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    def _tag_pairs(b: pa.Table, key_from: str, other_from: str, key: str,
+                   carry_nu: bool) -> pa.Table:
+        if b.num_rows == 0 or key_from not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({key: e, "other": e, "n_common": e, "nu": e, "is_cnt": e})
+        n = b.num_rows
+        return pa.table(
+            {key: pc.cast(b[key_from], pa.int64()),
+             "other": pc.cast(b[other_from], pa.int64()),
+             "n_common": pc.cast(b["n_common"], pa.int64()),
+             "nu": pc.cast(b["nu"], pa.int64()) if carry_nu
+             else pa.array(np.zeros(n, np.int64)),
+             "is_cnt": pa.array(np.zeros(n, np.int64))}
+        )
+
+    def _attach(g: pa.Table, key: str, out_nu: str) -> pa.Table:
+        is_cnt = g["is_cnt"].to_numpy(zero_copy_only=False).astype(bool)
+        nu_val = int(g["nu"].to_numpy(zero_copy_only=False)[is_cnt][0])
+        keep = ~is_cnt
+        kk = g[key].to_numpy(zero_copy_only=False)[keep]
+        oo = g["other"].to_numpy(zero_copy_only=False)[keep]
+        nc = g["n_common"].to_numpy(zero_copy_only=False)[keep]
+        carried = g["nu"].to_numpy(zero_copy_only=False)[keep]
+        out = {key: pa.array(kk), "other": pa.array(oo), "n_common": pa.array(nc)}
+        if out_nu == "nu_a":
+            out["nu"] = pa.array(np.full(len(kk), nu_val, np.int64))
+        else:
+            out["nu_prev"] = pa.array(carried)
+            out["nu"] = pa.array(np.full(len(kk), nu_val, np.int64))
+        return pa.table(out)
+
+    # round 1: key = a → nu carries |users(a)|
+    u1 = pairs.map_batches(
+        lambda b: _tag_pairs(b, "a", "b", "k", carry_nu=False),
+        batch_format="pyarrow",
+    ).union(
+        counts.map_batches(lambda b: _tag_counts(b, "k"), batch_format="pyarrow")
+    ).groupby("k").map_groups(
+        lambda g: _attach(g, "k", "nu_a"), batch_format="pyarrow"
     )
-    nb = counts.map_batches(
-        lambda b: _norm_counts(b, "b", "nu_b"), batch_format="pyarrow"
-    )
-    joined = (
-        pairs.join(na, "inner", num_partitions, on=("a",))
-        .join(nb, "inner", num_partitions, on=("b",))
+    # round 2: re-key on the pair's OTHER item (b); `nu` carries |users(a)|
+    # through as nu_prev
+    u2 = u1.map_batches(
+        lambda b: _tag_pairs(b, "other", "k", "k", carry_nu=True),
+        batch_format="pyarrow",
+    ).union(
+        counts.map_batches(lambda b: _tag_counts(b, "k"), batch_format="pyarrow")
+    ).groupby("k").map_groups(
+        lambda g: _attach(g, "k", "nu_b"), batch_format="pyarrow"
     )
 
     def score(bt: pa.Table) -> pa.Table:
-        if bt.num_rows == 0 or "a" not in bt.schema.names:
+        if bt.num_rows == 0 or "k" not in bt.schema.names:
             return pa.table(
                 {"item_a": pa.array([], pa.int64()), "item_b": pa.array([], pa.int64()),
                  "n_common": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
             )
         nc = bt["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nua = bt["nu_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nub = bt["nu_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nua = bt["nu_prev"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nub = bt["nu"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "item_a": pc.cast(bt["a"], pa.int64()),
-                "item_b": pc.cast(bt["b"], pa.int64()),
+                "item_a": pc.cast(bt["other"], pa.int64()),
+                "item_b": pc.cast(bt["k"], pa.int64()),
                 "n_common": pa.array(nc),
                 "sim": pa.array(nc / np.sqrt(nua * nub), pa.float64()),
             }
         )
 
-    blocks = joined.map_batches(score, batch_format="pyarrow").map_batches(
+    blocks = u2.map_batches(score, batch_format="pyarrow").map_batches(
         lambda bt: _item_sim_topk_block(bt, k), batch_format="pyarrow"
     )
     rows = blocks.take_all()
