@@ -271,6 +271,25 @@ def ft_match_near(sf_dir: str):
     return _match(sf_dir, f'"{" ".join(PHRASE_TERMS)}"~{NEAR_SLOP}')
 
 
+def ft_count(sf_dir: str) -> pa.Table:
+    """No-gather match counts (SearchEngine.count, the Lucene
+    IndexSearcher.count analogue): the boolean families evaluated with no
+    scoring, no forward gather and zero tf-byte decode."""
+    eng = _engine(sf_dir, 4)
+    fams = [
+        ("and", "the scan"),
+        ("or", "scan OR merge"),
+        ("not", "join AND NOT window"),
+        ("field", "role:src3 scan"),
+    ]
+    return pa.table(
+        {
+            "q": pa.array([n for n, _ in fams], pa.string()),
+            "n": _i64([eng.count(q) for _, q in fams]),
+        }
+    )
+
+
 def ft_match_unear(sf_dir: str):
     """Unordered proximity (`"a b"~~N`, SpanNearQuery inOrder=false
     analogue): either order within the slop window — one two-sided
@@ -2436,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
         "ft_match_unear": ft_match_unear,
+        "ft_count": ft_count,
         "ft_topk_phrase": ft_topk_phrase,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_topk_bm25": ft_topk_bm25,
@@ -2928,6 +2948,17 @@ SELECT DISTINCT a.doc_id AS doc_id FROM tok a JOIN tok b
   ON b.doc_id = a.doc_id AND b.ord > a.ord AND b.ord <= a.ord + {NEAR_SLOP + 1}
   AND b.t = '{PHRASE_TERMS[1]}'
 WHERE a.t = '{PHRASE_TERMS[0]}'"""
+        ),
+        "ft_count": (
+            f"""WITH t AS (SELECT doc_id, {_TOK} AS tk, source FROM documents)
+SELECT 'and' AS q, CAST(count(*) AS BIGINT) AS n FROM t
+  WHERE list_contains(tk, 'the') AND list_contains(tk, 'scan')
+UNION ALL SELECT 'or', CAST(count(*) AS BIGINT) FROM t
+  WHERE list_contains(tk, 'scan') OR list_contains(tk, 'merge')
+UNION ALL SELECT 'not', CAST(count(*) AS BIGINT) FROM t
+  WHERE list_contains(tk, 'join') AND NOT list_contains(tk, 'window')
+UNION ALL SELECT 'field', CAST(count(*) AS BIGINT) FROM t
+  WHERE source = 'src3' AND list_contains(tk, 'scan')"""
         ),
         # unordered proximity: same join, absolute window, either order
         "ft_match_unear": (
