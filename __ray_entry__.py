@@ -321,6 +321,31 @@ def ft_topk_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def ft_topk_unear(sf_dir: str) -> pa.Table:
+    """TF-IDF top-k restricted to the unordered-near answer (`"a b"~~N`
+    as the filter, search._eval_phrase's ordered=False window): the
+    ft_topk_phrase fp64 chain over the wider order-free match set."""
+    from miru_ray.codec import POS_FIELD
+    from miru_ray.filters import FieldFilter, Filter
+    from miru_ray.search import PostingSource, _eval_phrase
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1)
+    specs = [("text", w) for w in PHRASE_TERMS] + [(POS_FIELD, w) for w in PHRASE_TERMS]
+    src = PostingSource(index_dir, 0, specs, 0)
+    filt = Filter("phrase", False, [FieldFilter("text", list(PHRASE_TERMS))], [],
+                  NEAR_SLOP, False)
+    answer = _eval_phrase(filt, src, None)
+    t1, t2 = PHRASE_TERMS
+    score = (1.0 / src.ttf[("text", t1)]) * _tf_on(src, t1, answer) + (
+        1.0 / src.ttf[("text", t2)]
+    ) * _tf_on(src, t2, answer)
+    order = np.lexsort((-answer, -score))[:K_PHRASE]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 def _topk_answer(sf_dir: str):
     """AND-match the TOPK_TERMS on the 1-partition index; return
     (src, answer docIds, n_docs, avgdl, dl array) for fp64 scoring."""
@@ -2455,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_phrase": ft_match_phrase,
         "ft_match_near": ft_match_near,
         "ft_match_unear": ft_match_unear,
+        "ft_topk_unear": ft_topk_unear,
         "ft_count": ft_count,
         "ft_topk_phrase": ft_topk_phrase,
         "ft_topk_tfidf": ft_topk_tfidf,
@@ -2969,6 +2995,25 @@ SELECT DISTINCT a.doc_id AS doc_id FROM tok a JOIN tok b
   AND abs(b.ord - a.ord) <= {NEAR_SLOP + 1}
   AND b.t = '{PHRASE_TERMS[1]}'
 WHERE a.t = '{PHRASE_TERMS[0]}'"""
+        ),
+        "ft_topk_unear": (
+            tf_cte
+            + f""",
+tokp AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord
+         FROM (SELECT doc_id, {_TOK} AS toks FROM documents)),
+ph AS (SELECT DISTINCT x.doc_id FROM tokp x JOIN tokp y
+         ON y.doc_id = x.doc_id AND y.ord <> x.ord
+         AND abs(y.ord - x.ord) <= {NEAR_SLOP + 1}
+         AND y.t = '{PHRASE_TERMS[1]}'
+       WHERE x.t = '{PHRASE_TERMS[0]}')
+SELECT a.doc_id AS doc_id,
+       round((1.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf, 6) AS score
+FROM tf a JOIN tf b ON a.doc_id = b.doc_id JOIN ph ON ph.doc_id = a.doc_id
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{PHRASE_TERMS[0]}') g1
+CROSS JOIN (SELECT ttf FROM g WHERE t = '{PHRASE_TERMS[1]}') g2
+WHERE a.t = '{PHRASE_TERMS[0]}' AND b.t = '{PHRASE_TERMS[1]}'
+ORDER BY (1.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf DESC, a.doc_id DESC
+LIMIT {K_PHRASE}"""
         ),
         "ft_topk_phrase": (
             tf_cte
