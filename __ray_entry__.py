@@ -2461,6 +2461,91 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # --- never driver-checked before r4 (rotated to front; see REGISTRY.md)
+        "ev_ewma": ev_ewma,
+        "ev_topk_contrib": ev_topk_contrib,
+        "ev_sessionize": ev_sessionize,
+        "ev_sessionize_scaled": ev_sessionize_scaled,
+        "ev_retention": ev_retention,
+        "ev_funnel": ev_funnel,
+        "ev_hopping": ev_hopping,
+        "ev_asof": ev_asof,
+        "ev_asof_scaled": ev_asof_scaled,
+        "ev_range_join": ev_range_join,
+        "ev_range_join_scaled": ev_range_join_scaled,
+        "ev_interval_join": ev_interval_join,
+        "ev_metric_waveform": ev_metric_waveform,
+        "ev_distinct_sketch": ev_distinct_sketch,
+        "ev_quantiles": ev_quantiles,
+        "ev_quantiles_sketch": ev_quantiles_sketch,
+        "strut_fields": strut_fields,
+        "ft_strut": ft_strut,
+        "reco_item_sim": reco_item_sim,
+        "reco_ppr": reco_ppr,
+        "dd_simhash_near": dd_simhash_near,
+        "dd_keep_best": dd_keep_best,
+        "dd_substr_spans": dd_substr_spans,
+        "dd_substr_clean": dd_substr_clean,
+        "dd_lines": dd_lines,
+        "dd_cdc": dd_cdc,
+        "dd_passages": dd_passages,
+        "dd_ngram_jaccard": dd_ngram_jaccard,
+        "dd_jaccard_prefix": dd_jaccard_prefix,
+        "txt_ttr": txt_ttr,
+        "txt_vocab_growth": txt_vocab_growth,
+        "txt_repetition": txt_repetition,
+        "txt_nb_classify": txt_nb_classify,
+        "txt_token_bpe": txt_token_bpe,
+        "txt_charlm": txt_charlm,
+        "txt_splits": txt_splits,
+        "txt_stratified_sample": txt_stratified_sample,
+        "txt_budget_sample": txt_budget_sample,
+        "txt_budget_epochs": txt_budget_epochs,
+        "ft_percolate": ft_percolate,
+        "txt_heavy_hitters": txt_heavy_hitters,
+        "txt_weighted_sample": txt_weighted_sample,
+        "txt_collocations": txt_collocations,
+        "txt_textrank": txt_textrank,
+        "txt_triangles": txt_triangles,
+        "txt_dsir": txt_dsir,
+        "txt_top_ngrams": txt_top_ngrams,
+        "txt_bpe": txt_bpe,
+        "txt_bpe_encode": txt_bpe_encode,
+        "txt_decontam": txt_decontam,
+        "pipe_curate": pipe_curate,
+        "txt_chunks": txt_chunks,
+        "txt_packing": txt_packing,
+        "txt_redact": txt_redact,
+        "txt_keywords": txt_keywords,
+        "txt_source_stats": txt_source_stats,
+        "dd_cross_source": dd_cross_source,
+        "dd_semdedup": dd_semdedup,
+        "ann_jl": ann_jl,
+        "ann_knn": ann_knn,
+        "ann_hardneg": ann_hardneg,
+        "ann_pq": ann_pq,
+        "ann_centroid": ann_centroid,
+        "ann_ivf": ann_ivf,
+        "dd_embed_cosine": dd_embed_cosine,
+        # --- driver-checked in r1/r2 only
+        "ev_distinct_users": ev_distinct_users,
+        "ev_latest": ev_latest,
+        "ev_trending": ev_trending,
+        "ev_trending_peaks": ev_trending_peaks,
+        "bloom_index": bloom_index,
+        "strut_model": strut_model,
+        "strut_score": strut_score,
+        "reco_cf": reco_cf,
+        "dd_exact": dd_exact,
+        "dd_minhash": dd_minhash,
+        "dd_simhash_groups": dd_simhash_groups,
+        "dd_clusters": dd_clusters,
+        "txt_quality": txt_quality,
+        "txt_langid": txt_langid,
+        "txt_fingerprints": txt_fingerprints,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+        # --- driver-checked green in r03
         "ft_token_counts": ft_token_counts,
         "ft_term_stats": ft_term_stats,
         "ft_postings": ft_postings,
@@ -2511,88 +2596,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_distinct_composite": ft_distinct_composite,
         "ev_waveform": ev_waveform,
         "ev_anomaly": ev_anomaly,
-        "ev_ewma": ev_ewma,
-        "ev_topk_contrib": ev_topk_contrib,
-        "ev_distinct_users": ev_distinct_users,
-        "ev_latest": ev_latest,
-        "ev_trending": ev_trending,
-        "ev_trending_peaks": ev_trending_peaks,
-        "ev_sessionize": ev_sessionize,
-        "ev_sessionize_scaled": ev_sessionize_scaled,
-        "ev_retention": ev_retention,
-        "ev_funnel": ev_funnel,
-        "ev_hopping": ev_hopping,
-        "ev_asof": ev_asof,
-        "ev_asof_scaled": ev_asof_scaled,
-        "ev_range_join": ev_range_join,
-        "ev_range_join_scaled": ev_range_join_scaled,
-        "ev_interval_join": ev_interval_join,
-        "ev_metric_waveform": ev_metric_waveform,
-        "ev_distinct_sketch": ev_distinct_sketch,
-        "ev_quantiles": ev_quantiles,
-        "ev_quantiles_sketch": ev_quantiles_sketch,
-        "bloom_index": bloom_index,
-        "strut_model": strut_model,
-        "strut_score": strut_score,
-        "strut_fields": strut_fields,
-        "ft_strut": ft_strut,
-        "reco_cf": reco_cf,
-        "reco_item_sim": reco_item_sim,
-        "reco_ppr": reco_ppr,
-        "dd_exact": dd_exact,
-        "dd_minhash": dd_minhash,
-        "dd_simhash_groups": dd_simhash_groups,
-        "dd_simhash_near": dd_simhash_near,
-        "dd_clusters": dd_clusters,
-        "dd_keep_best": dd_keep_best,
-        "dd_substr_spans": dd_substr_spans,
-        "dd_substr_clean": dd_substr_clean,
-        "dd_lines": dd_lines,
-        "dd_cdc": dd_cdc,
-        "dd_passages": dd_passages,
-        "dd_ngram_jaccard": dd_ngram_jaccard,
-        "dd_jaccard_prefix": dd_jaccard_prefix,
-        "txt_quality": txt_quality,
-        "txt_ttr": txt_ttr,
-        "txt_vocab_growth": txt_vocab_growth,
-        "txt_repetition": txt_repetition,
-        "txt_langid": txt_langid,
-        "txt_nb_classify": txt_nb_classify,
-        "txt_fingerprints": txt_fingerprints,
-        "txt_token_bpe": txt_token_bpe,
-        "txt_charlm": txt_charlm,
-        "txt_splits": txt_splits,
-        "txt_stratified_sample": txt_stratified_sample,
-        "txt_budget_sample": txt_budget_sample,
-        "txt_budget_epochs": txt_budget_epochs,
-        "ft_percolate": ft_percolate,
-        "txt_heavy_hitters": txt_heavy_hitters,
-        "txt_weighted_sample": txt_weighted_sample,
-        "txt_collocations": txt_collocations,
-        "txt_textrank": txt_textrank,
-        "txt_triangles": txt_triangles,
-        "txt_dsir": txt_dsir,
-        "txt_top_ngrams": txt_top_ngrams,
-        "txt_bpe": txt_bpe,
-        "txt_bpe_encode": txt_bpe_encode,
-        "txt_decontam": txt_decontam,
-        "pipe_curate": pipe_curate,
-        "txt_chunks": txt_chunks,
-        "txt_packing": txt_packing,
-        "txt_redact": txt_redact,
-        "txt_keywords": txt_keywords,
-        "txt_source_stats": txt_source_stats,
-        "dd_cross_source": dd_cross_source,
-        "dd_semdedup": dd_semdedup,
-        "ann_topk": ann_topk,
-        "ann_jl": ann_jl,
-        "ann_knn": ann_knn,
-        "ann_hardneg": ann_hardneg,
-        "ann_pq": ann_pq,
-        "ann_centroid": ann_centroid,
-        "ann_lsh": ann_lsh,
-        "ann_ivf": ann_ivf,
-        "dd_embed_cosine": dd_embed_cosine,
     }
 
 
@@ -3089,10 +3092,10 @@ ans AS (
 s AS (SELECT doc_id,
              ln(1.0 + (tf1 * tt) / ({LMD_MU} * ttf1))
            + ln(1.0 + (tf2 * tt) / ({LMD_MU} * ttf2))
-           + 2.0 * ln({LMD_MU} / (dl + {LMD_MU})) AS score
+           + 2.0 * ln({LMD_MU} / (dl + {LMD_MU})) AS raw_score
       FROM ans)
-SELECT doc_id, round(score, 6) AS score FROM s
-ORDER BY score DESC, doc_id DESC LIMIT {K_LMD}"""
+SELECT doc_id, round(raw_score, 6) AS score FROM s
+ORDER BY raw_score DESC, doc_id DESC LIMIT {K_LMD}"""
         ),
         "ft_rrf": (
             tf_cte
@@ -3123,10 +3126,10 @@ sem AS (SELECT doc_id, CAST(rn AS BIGINT) AS r FROM (
           FROM sems) WHERE rn <= {RRF_N}),
 fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
                  COALESCE(1.0 / ({RRF_C} + l.r), 0.0)
-               + COALESCE(1.0 / ({RRF_C} + s.r), 0.0) AS rrf
+               + COALESCE(1.0 / ({RRF_C} + s.r), 0.0) AS raw_rrf
           FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
-SELECT doc_id, round(rrf, 6) AS rrf FROM fused
-ORDER BY rrf DESC, doc_id DESC LIMIT {RRF_K}"""
+SELECT doc_id, round(raw_rrf, 6) AS rrf FROM fused
+ORDER BY raw_rrf DESC, doc_id DESC LIMIT {RRF_K}"""
         ),
         "ft_topk_collapse": (
             tf_cte
@@ -3586,10 +3589,10 @@ pr AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_common
        GROUP BY 1, 2),
 nc AS (SELECT item, CAST(count(*) AS BIGINT) AS nu FROM ev GROUP BY 1),
 s AS (SELECT pr.a, pr.b, pr.n_common,
-             pr.n_common / sqrt(CAST(na.nu AS DOUBLE) * nb.nu) AS sim
+             pr.n_common / sqrt(CAST(na.nu AS DOUBLE) * nb.nu) AS raw_sim
       FROM pr JOIN nc na ON na.item = pr.a JOIN nc nb ON nb.item = pr.b)
-SELECT a AS item_a, b AS item_b, n_common, round(sim, 6) AS sim
-FROM s ORDER BY sim DESC, a ASC, b ASC LIMIT {ITEM_SIM_K}"""
+SELECT a AS item_a, b AS item_b, n_common, round(raw_sim, 6) AS sim
+FROM s ORDER BY raw_sim DESC, a ASC, b ASC LIMIT {ITEM_SIM_K}"""
         ),
         "reco_cf": (
             f"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id,

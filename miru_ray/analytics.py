@@ -1799,7 +1799,17 @@ def range_join_scalable_ds(sf_dir: str, window_type: str = "error",
 # ------------------------------------------------------------ anomaly buckets
 
 
+_ANOMALY_PARTIAL_SCHEMA = pa.schema(
+    [("event_type", pa.string()), ("c", pa.int64()), ("s1", pa.int64()), ("s2", pa.int64())]
+)
+
+
 def _anomaly_stats_partial(batch: pa.Table) -> pa.Table:
+    # upstream groupby blocks can be empty with a degraded schema (see
+    # reco._norm_pairs); emit the full typed schema so the Sum aggregate
+    # and the column reads below never see a missing column
+    if batch.num_rows == 0 or "n" not in batch.schema.names:
+        return _ANOMALY_PARTIAL_SCHEMA.empty_table()
     n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     t = pa.table(
         {
@@ -1814,8 +1824,17 @@ def _anomaly_stats_partial(batch: pa.Table) -> pa.Table:
     ).rename_columns(["event_type", "c", "s1", "s2"])
 
 
+_ANOMALY_OUT_SCHEMA = pa.schema(
+    [("event_type", pa.string()), ("bucket_ts", pa.int64()),
+     ("n", pa.int64()), ("z", pa.float64())]
+)
+
+
 def _anomaly_filter(batch: pa.Table, ref, z_thresh: float) -> pa.Table:
     import ray
+
+    if batch.num_rows == 0 or "n" not in batch.schema.names:
+        return _ANOMALY_OUT_SCHEMA.empty_table()
 
     stats = ray.get(ref) if not isinstance(ref, dict) else ref
     et = batch["event_type"].to_numpy(zero_copy_only=False)
@@ -1959,15 +1978,27 @@ def top_contributors_ds(sf_dir: str, n: int = 5):
     before anything reaches the driver)."""
     from ray.data.aggregate import Sum
 
+    def _norm_counts(b: pa.Table) -> pa.Table:
+        # sparse groupby output can include empty degraded-schema blocks
+        # (see reco._norm_pairs) — always emit the full typed schema
+        if b.num_rows == 0 or "event_type" not in b.schema.names:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "user_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"event_type": pc.cast(b["event_type"], pa.string()),
+             "user_id": pc.cast(b["user_id"], pa.int64()),
+             "n": pc.cast(b[b.schema.names[-1]], pa.int64())}
+        )
+
     counts = (
         _events_ds(sf_dir, ["event_type", "user_id"])
         .map_batches(_contrib_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "user_id"])
         .aggregate(Sum("n"))
-        .map_batches(
-            lambda b: b.rename_columns(["event_type", "user_id", "n"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(_norm_counts, batch_format="pyarrow")
     )
     return counts.groupby("event_type").map_groups(
         lambda g: _contrib_topn(g, n), batch_format="pyarrow"

@@ -89,13 +89,24 @@ def _cosine_candidates(sf_dir: str, qvec_id: int, n: int) -> np.ndarray:
     doc_id asc) — the ann_topk ordering contract."""
     from .ann import ann_brute_topk
 
-    # +8 headroom: the distributed merge cuts on RAW cosine; the final rank
-    # is on the 4-dp ROUNDED value, which can promote a just-outside-raw-n
-    # doc across the boundary on a rounding tie
-    t = ann_brute_topk(sf_dir, k=n + 8, query_ids=[qvec_id])
-    cs = np.round(t["cos"].to_numpy(zero_copy_only=False), 4)
-    nb = t["neighbor"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((nb, -cs))[:n]
+    # The distributed merge cuts on RAW cosine; the final rank is on the
+    # 4-dp ROUNDED value. The list is provably complete once every doc
+    # outside the raw-m cut rounds STRICTLY below the nth rounded value
+    # (rounding is monotone, so an excluded doc's rounded cos is at most
+    # round(min raw in the cut)); widen geometrically until that holds or
+    # the whole table has been merged.
+    m = n + 8
+    while True:
+        t = ann_brute_topk(sf_dir, k=m, query_ids=[qvec_id])
+        raw = t["cos"].to_numpy(zero_copy_only=False)
+        cs = np.round(raw, 4)
+        nb = t["neighbor"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, -cs))[:n]
+        if len(raw) < m or len(raw) <= n:
+            break  # the merge returned the entire table — exact by definition
+        if np.round(raw.min(), 4) < cs[order[-1]]:
+            break  # boundary docs cannot reach the rounded top-n
+        m *= 2
     return nb[order].astype(np.int64)
 
 

@@ -223,6 +223,18 @@ def eval_filter(
             raise ValueError("phrase queries are supported on the 'text' field only")
         win = filt.slop + 1
         out: set[int] = set()
+        if not filt.ordered:
+            # unordered two-term near (`"a b"~~N`), mirroring
+            # search._eval_phrase: a doc matches when some occurrence pair
+            # satisfies 1 <= |pos_a - pos_b| <= slop+1; a same-term pair
+            # needs two DISTINCT occurrences (a != b covers both rules).
+            ta, tb = toks[0], toks[1]
+            for i, seq in enumerate(part.tokens):
+                pa = [j for j, x in enumerate(seq) if x == ta]
+                pb = [j for j, x in enumerate(seq) if x == tb]
+                if any(a != b and abs(a - b) <= win for a in pa for b in pb):
+                    out.add(i)
+            return out
         for i, seq in enumerate(part.tokens):
             state = [j for j, x in enumerate(seq) if x == toks[0]]
             for t in toks[1:]:

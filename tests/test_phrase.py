@@ -116,6 +116,25 @@ def test_proximity_rank_identity(pos_engine, tiny_rows, tiny_oracle):
     assert fa == fb and [(h.part, h.doc_id) for h in a] == [(h.part, h.doc_id) for h in b]
 
 
+def test_unordered_proximity_rank_identity(pos_engine, tiny_rows, tiny_oracle):
+    """Unordered proximity `"a b"~~N`: the oracle mirrors
+    search._eval_phrase's ordered=False branch (some occurrence pair with
+    1 <= |pos_a - pos_b| <= slop+1, distinct occurrences for a repeated
+    term), so ranks and scores must be identical."""
+    big, _, t0 = _phrases(tiny_rows)
+    a, b = big.split()[:2]
+    for g in (0, 1, 3):
+        for pair in (f"{a} {b}", f"{b} {a}", f"{t0} {t0}"):
+            q = f'"{pair}"~~{g}'
+            hits, found = pos_engine.search(q, k=10, scoring="bm25")
+            ohits, ofound = oracle_search(tiny_oracle, q, k=10, scoring="bm25")
+            assert found == ofound, (q, found, ofound)
+            assert [(h.part, h.doc_id) for h in hits] == [(h.part, h.doc_id) for h in ohits]
+            np.testing.assert_allclose(
+                [h.score for h in hits], [h.score for h in ohits], rtol=2e-5, atol=1e-7
+            )
+
+
 def test_proximity_vs_brute(pos_engine, tiny_rows):
     big, _, _ = _phrases(tiny_rows)
     seq, g = big.split(), 2
