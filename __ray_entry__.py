@@ -406,6 +406,62 @@ def ft_topk_bm25(sf_dir: str) -> pa.Table:
     )
 
 
+# Stemmed-analyzer probes: surface forms ABSENT from the raw corpus whose
+# Porter2 stems ('merg', 'custom') equal the stems of corpus words
+# ('merge', 'customer') — an unstemmed engine matches nothing, the en
+# analyzer chain matches through ingest-side AND query-side stemming.
+STEM_QUERY_TERMS = ("merged", "customers")
+K_BM25_EN = 20
+
+
+def ft_stem_terms(sf_dir: str):
+    """Distinct raw-token → Porter2-stem vocabulary map (stem.stem_vocab_ds).
+    The SQL oracle is an INDEPENDENT implementation of the published Porter2
+    spec as a DuckDB CTE chain (_porter2_ctes) — the two-implementation
+    pattern of the splitmix64 hash oracles (DuckDB's stem() lives in the fts
+    extension, not installable offline)."""
+    from miru_ray.stem import stem_vocab_ds
+
+    return stem_vocab_ds(sf_dir)
+
+
+def ft_topk_bm25_en(sf_dir: str) -> pa.Table:
+    """BM25 top-k on the en-analyzer (Porter2-stemmed) index for the
+    STEM_QUERY_TERMS AND query. Exercises stemming at ingest (index terms
+    are stems) and at query parse (the analyzer's scalar twin stems the
+    query words); fp64 fixed expression order mirrored in SQL, which stems
+    both corpus and query words with its own Porter2 chain."""
+    from miru_ray.analyzers import get_analyzer
+    from miru_ray.search import PostingSource
+    from miru_ray.segments import forward_columns, read_manifest
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1, analyzer="en")
+    man = read_manifest(index_dir, 0)
+    n_docs = man["metrics"]["n_docs"]
+    avgdl = man["metrics"]["total_tokens"] / n_docs
+    scalar = get_analyzer("en").scalar
+    terms = [t for w in STEM_QUERY_TERMS for t in scalar(w)]
+    src = PostingSource(index_dir, 0, [("text", w) for w in terms], 0)
+    answer = None
+    for w in terms:
+        d = src.docs("text", w)
+        answer = d if answer is None else np.intersect1d(answer, d, assume_unique=True)
+    dl = forward_columns(index_dir, 0)["dl"]
+    dl_a = dl[answer].astype(np.float64)
+    knorm = 1.2 * (0.25 + 0.75 * (dl_a / avgdl))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for w in terms:
+        df = src.df[("text", w)]
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = _tf_on(src, w, answer)
+        score = score + idf * (tf / (tf + knorm))
+    order = np.lexsort((-answer, -score))[:K_BM25_EN]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 K_LMD = 20
 LMD_MU = 1500.0
 
@@ -2462,6 +2518,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked before r4 (rotated to front; see REGISTRY.md)
+        "ft_stem_terms": ft_stem_terms,
+        "ft_topk_bm25_en": ft_topk_bm25_en,
         "ev_ewma": ev_ewma,
         "ev_topk_contrib": ev_topk_contrib,
         "ev_sessionize": ev_sessionize,
@@ -2610,6 +2668,180 @@ def queries() -> dict[str, Callable[[str], Any]]:
 U64 = "18446744073709551616"
 FNV_PRIME = 1099511628211
 MERSENNE = 2305843009213693951  # minhash universal-hash modulus
+
+
+# --------------------------------------------- Porter2 stemmer as SQL CTEs
+#
+# An INDEPENDENT implementation of the published Snowball English (Porter2)
+# algorithm (snowballstem.org/algorithms/english/stemmer.html) as a DuckDB
+# CTE chain, mirroring miru_ray/stem.py the way the splitmix64 CTEs mirror
+# hashing.py. Engine tokens are [a-z0-9]+, so the apostrophe steps (step 0,
+# initial-') are dead paths and omitted here. Regions are carried as
+# integer offsets r1/r2 on the Y-marked word; "suffix s in R1" becomes
+# len(w) - len(s) >= r1 as the word shrinks from the right.
+
+_P2_VOW = "aeiouy"  # Y (marked consonant-y) is NOT a vowel
+
+
+def _p2_short(x: str) -> str:
+    """SQL: x ends in a short syllable (spec: non-vowel, vowel,
+    non-vowel other than w/x/Y at the end; or the whole word is
+    vowel + non-vowel)."""
+    return (
+        f"(regexp_matches({x}, '[^{_P2_VOW}][{_P2_VOW}][^{_P2_VOW}wxY]$')"
+        f" OR regexp_matches({x}, '^[{_P2_VOW}][^{_P2_VOW}]$'))"
+    )
+
+
+def _p2_post1b(x: str) -> str:
+    """SQL: the step-1b post-deletion fixups applied to the shortened
+    stem ``x``: at/bl/iz → +e; double → drop last; short word → +e."""
+    return f"""CASE WHEN ends_with({x},'at') OR ends_with({x},'bl') OR ends_with({x},'iz') THEN {x} || 'e'
+         WHEN regexp_matches({x}, '(bb|dd|ff|gg|mm|nn|pp|rr|tt)$') THEN left({x}, len({x})-1)
+         WHEN {_p2_short(x)} AND r1 >= len({x}) THEN {x} || 'e'
+         ELSE {x} END"""
+
+
+def _porter2_ctes(src: str, tag: str = "p2") -> tuple[str, str]:
+    """CTE chain stemming ``src``'s column ``t`` → final CTE ``{tag}f``
+    with columns (t, stem)."""
+    V = _P2_VOW
+    r1pat = f"^[^{V}]*[{V}]+[^{V}]"
+    ex1 = " ".join(
+        f"WHEN '{k}' THEN '{v}'"
+        for k, v in [
+            ("skis", "ski"), ("skies", "sky"), ("dying", "die"), ("lying", "lie"),
+            ("tying", "tie"), ("idly", "idl"), ("gently", "gentl"), ("ugly", "ugli"),
+            ("early", "earli"), ("only", "onli"), ("singly", "singl"), ("sky", "sky"),
+            ("news", "news"), ("howe", "howe"), ("atlas", "atlas"),
+            ("cosmos", "cosmos"), ("bias", "bias"), ("andes", "andes"),
+        ]
+    )
+    step2 = [
+        ("ization", "'ize'"), ("ational", "'ate'"), ("fulness", "'ful'"),
+        ("ousness", "'ous'"), ("iveness", "'ive'"), ("tional", "'tion'"),
+        ("biliti", "'ble'"), ("lessli", "'less'"), ("entli", "'ent'"),
+        ("ation", "'ate'"), ("alism", "'al'"), ("aliti", "'al'"),
+        ("ousli", "'ous'"), ("iviti", "'ive'"), ("fulli", "'ful'"),
+        ("enci", "'ence'"), ("anci", "'ance'"), ("abli", "'able'"),
+        ("izer", "'ize'"), ("ator", "'ate'"), ("alli", "'al'"),
+        ("bli", "'ble'"),
+    ]
+    s2 = "\n       ".join(
+        f"WHEN ends_with(w,'{s}') THEN CASE WHEN len(w)-{len(s)} >= r1 "
+        f"THEN left(w,len(w)-{len(s)}) || {rep} ELSE w END"
+        for s, rep in step2
+    )
+    step3 = [
+        ("ational", "'ate'"), ("tional", "'tion'"), ("alize", "'al'"),
+        ("icate", "'ic'"), ("iciti", "'ic'"), (None, None), ("ical", "'ic'"),
+        ("ness", "''"), ("ful", "''"),
+    ]
+    s3_parts = []
+    for s, rep in step3:
+        if s is None:  # ative → delete only if ALSO in R2
+            s3_parts.append(
+                "WHEN ends_with(w,'ative') THEN CASE WHEN len(w)-5 >= r1 "
+                "AND len(w)-5 >= r2 THEN left(w,len(w)-5) ELSE w END"
+            )
+        else:
+            s3_parts.append(
+                f"WHEN ends_with(w,'{s}') THEN CASE WHEN len(w)-{len(s)} >= r1 "
+                f"THEN left(w,len(w)-{len(s)}) || {rep} ELSE w END"
+            )
+    s3 = "\n       ".join(s3_parts)
+    step4 = ["ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+             "ism", "ate", "iti", "ous", "ive", "ize"]
+    s4_parts = [
+        f"WHEN ends_with(w,'{s}') THEN CASE WHEN len(w)-{len(s)} >= r2 "
+        f"THEN left(w,len(w)-{len(s)}) ELSE w END"
+        for s in step4
+    ]
+    s4_parts.append(
+        "WHEN ends_with(w,'ion') THEN CASE WHEN len(w)-3 >= r2 "
+        "AND regexp_matches(w,'[st]ion$') THEN left(w,len(w)-3) ELSE w END"
+    )
+    for s in ("al", "er", "ic"):
+        s4_parts.append(
+            f"WHEN ends_with(w,'{s}') THEN CASE WHEN len(w)-2 >= r2 "
+            f"THEN left(w,len(w)-2) ELSE w END"
+        )
+    s4 = "\n       ".join(s4_parts)
+    sql = f"""{tag}0 AS (SELECT t,
+  CASE WHEN len(t) <= 2 THEN t ELSE CASE t {ex1} END END AS fixed,
+  regexp_replace(regexp_replace(t, '^y', 'Y'), '([{V}])y', '\\1Y', 'g') AS w
+  FROM {src}),
+{tag}1 AS (SELECT t, fixed, w,
+  CASE WHEN starts_with(w,'gener') THEN 5
+       WHEN starts_with(w,'commun') THEN 6
+       WHEN starts_with(w,'arsen') THEN 5
+       WHEN regexp_matches(w, '{r1pat}') THEN len(regexp_extract(w, '{r1pat}'))
+       ELSE len(w) END AS r1
+  FROM {tag}0),
+{tag}2 AS (SELECT t, fixed, w, r1,
+  r1 + CASE WHEN regexp_matches(substr(w, r1+1), '{r1pat}')
+            THEN len(regexp_extract(substr(w, r1+1), '{r1pat}'))
+            ELSE len(w) - r1 END AS r2
+  FROM {tag}1),
+{tag}a AS (SELECT t, fixed, r1, r2,
+  CASE WHEN ends_with(w,'sses') THEN left(w,len(w)-2)
+       WHEN ends_with(w,'ied') OR ends_with(w,'ies')
+            THEN CASE WHEN len(w) > 4 THEN left(w,len(w)-2) ELSE left(w,len(w)-1) END
+       WHEN ends_with(w,'us') OR ends_with(w,'ss') THEN w
+       WHEN ends_with(w,'s') AND regexp_matches(left(w,len(w)-2),'[{V}]') THEN left(w,len(w)-1)
+       ELSE w END AS w
+  FROM {tag}2),
+{tag}x AS (SELECT t, fixed, r1, r2, w,
+  w IN ('inning','outing','canning','herring','earring','proceed','exceed','succeed') AS done2
+  FROM {tag}a),
+{tag}b AS (SELECT t, fixed, r1, r2, done2,
+  CASE WHEN done2 THEN w
+       WHEN ends_with(w,'eedly') THEN CASE WHEN len(w)-5 >= r1 THEN left(w,len(w)-3) ELSE w END
+       WHEN ends_with(w,'eed') THEN CASE WHEN len(w)-3 >= r1 THEN left(w,len(w)-1) ELSE w END
+       WHEN ends_with(w,'ingly') THEN CASE WHEN regexp_matches(left(w,len(w)-5),'[{V}]')
+            THEN {_p2_post1b("left(w,len(w)-5)")} ELSE w END
+       WHEN ends_with(w,'edly') THEN CASE WHEN regexp_matches(left(w,len(w)-4),'[{V}]')
+            THEN {_p2_post1b("left(w,len(w)-4)")} ELSE w END
+       WHEN ends_with(w,'ing') THEN CASE WHEN regexp_matches(left(w,len(w)-3),'[{V}]')
+            THEN {_p2_post1b("left(w,len(w)-3)")} ELSE w END
+       WHEN ends_with(w,'ed') THEN CASE WHEN regexp_matches(left(w,len(w)-2),'[{V}]')
+            THEN {_p2_post1b("left(w,len(w)-2)")} ELSE w END
+       ELSE w END AS w
+  FROM {tag}x),
+{tag}c AS (SELECT t, fixed, r1, r2, done2,
+  CASE WHEN done2 THEN w
+       WHEN regexp_matches(w, '.[^{V}][yY]$') THEN left(w,len(w)-1) || 'i'
+       ELSE w END AS w
+  FROM {tag}b),
+{tag}d AS (SELECT t, fixed, r1, r2, done2,
+  CASE WHEN done2 THEN w
+       {s2}
+       WHEN ends_with(w,'ogi') THEN CASE WHEN len(w)-3 >= r1 AND ends_with(w,'logi')
+            THEN left(w,len(w)-1) ELSE w END
+       WHEN ends_with(w,'li') THEN CASE WHEN len(w)-2 >= r1 AND regexp_matches(w,'[cdeghkmnrt]li$')
+            THEN left(w,len(w)-2) ELSE w END
+       ELSE w END AS w
+  FROM {tag}c),
+{tag}e AS (SELECT t, fixed, r1, r2, done2,
+  CASE WHEN done2 THEN w
+       {s3}
+       ELSE w END AS w
+  FROM {tag}d),
+{tag}g AS (SELECT t, fixed, r1, r2, done2,
+  CASE WHEN done2 THEN w
+       {s4}
+       ELSE w END AS w
+  FROM {tag}e),
+{tag}h AS (SELECT t, fixed, r1, r2,
+  CASE WHEN done2 THEN w
+       WHEN ends_with(w,'e') THEN CASE WHEN len(w)-1 >= r2
+            OR (len(w)-1 >= r1 AND NOT {_p2_short("left(w,len(w)-1)")})
+            THEN left(w,len(w)-1) ELSE w END
+       WHEN ends_with(w,'ll') THEN CASE WHEN len(w)-1 >= r2 THEN left(w,len(w)-1) ELSE w END
+       ELSE w END AS w
+  FROM {tag}g),
+{tag}f AS (SELECT t, COALESCE(fixed, replace(w, 'Y', 'y')) AS stem FROM {tag}h)"""
+    return sql, f"{tag}f"
 
 
 def _u64sql(e: str) -> str:
@@ -3055,6 +3287,37 @@ CROSS JOIN (SELECT ttf FROM g WHERE t = '{t2}') g2
 WHERE a.t = '{t1}' AND b.t = '{t2}'
 ORDER BY ({BOOST_N}.0 / g1.ttf) * a.tf + (1.0 / g2.ttf) * b.tf DESC, a.doc_id DESC
 LIMIT {K_TFIDF}"""
+        ),
+        "ft_stem_terms": (
+            f"""WITH tokd AS (SELECT DISTINCT unnest({_TOK}) AS t FROM documents),
+{_porter2_ctes("tokd")[0]}
+SELECT t AS term, stem FROM {_porter2_ctes("tokd")[1]}"""
+        ),
+        "ft_topk_bm25_en": (
+            f"""WITH tok AS ({_TOKTAB}),
+allv AS (SELECT DISTINCT t FROM (SELECT t FROM tok
+         UNION ALL SELECT '{STEM_QUERY_TERMS[0]}' UNION ALL SELECT '{STEM_QUERY_TERMS[1]}')),
+{_porter2_ctes("allv")[0]},
+q1 AS (SELECT stem AS s FROM {_porter2_ctes("allv")[1]} WHERE t = '{STEM_QUERY_TERMS[0]}'),
+q2 AS (SELECT stem AS s FROM {_porter2_ctes("allv")[1]} WHERE t = '{STEM_QUERY_TERMS[1]}'),
+stok AS (SELECT tok.doc_id, p.stem AS s FROM tok JOIN {_porter2_ctes("allv")[1]} p USING (t)),
+tf1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM stok, q1 WHERE stok.s = q1.s GROUP BY doc_id),
+tf2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM stok, q2 WHERE stok.s = q2.s GROUP BY doc_id),
+g1 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM stok, q1 WHERE stok.s = q1.s),
+g2 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM stok, q2 WHERE stok.s = q2.s),
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens FROM documents),
+ans AS (SELECT tf1.doc_id, tf1.tf AS tfa, tf2.tf AS tfb, dl.dl,
+         1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))) AS knorm,
+         ln(1.0 + (stats.n_docs - g1.df + 0.5) / (g1.df + 0.5)) AS idf1,
+         ln(1.0 + (stats.n_docs - g2.df + 0.5) / (g2.df + 0.5)) AS idf2
+  FROM tf1 JOIN tf2 USING (doc_id) JOIN dl ON dl.doc_id = tf1.doc_id
+  CROSS JOIN g1 CROSS JOIN g2 CROSS JOIN stats)
+SELECT doc_id, round(idf1 * (tfa / (tfa + knorm)) + idf2 * (tfb / (tfb + knorm)), 6) AS score
+FROM ans
+ORDER BY idf1 * (tfa / (tfa + knorm)) + idf2 * (tfb / (tfb + knorm)) DESC, doc_id DESC
+LIMIT {K_BM25_EN}"""
         ),
         "ft_topk_bm25": (
             tf_cte

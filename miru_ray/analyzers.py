@@ -117,6 +117,76 @@ register_analyzer(Analyzer("ascii", tokenize_flat, py_tokenize))
 register_analyzer(Analyzer("unicode", _unicode_flat, _unicode_scalar))
 
 
+# ------------------------------------------------- stemming / locale chains
+#
+# The reference's analyzer chains are Lucene per-locale analyzers
+# (TermAnalyzers.java:50-136; EnglishAnalyzer at ingest,
+# WikiMiruIndexService.java:463-470): tokenize → lowercase → per-locale
+# stopwords → stem. The ``en`` chain here mirrors that shape with the
+# engine's ascii tokenizer + the published Porter2 algorithm (stem.py);
+# the non-English locales ship the tokenizer + their own stopword list
+# (their Snowball stemmers are a register_analyzer() extension point —
+# the seam, like the reference's 31-locale table, is data-driven).
+
+
+def _en_flat(
+    texts: pa.Array | pa.ChunkedArray, use_stopwords: bool = False
+) -> tuple[np.ndarray, pa.Array]:
+    from .stem import stem_array
+
+    parents, tokens = tokenize_flat(texts, use_stopwords=use_stopwords)
+    return parents, stem_array(tokens)
+
+
+def _en_scalar(text: str, use_stopwords: bool = False) -> list[str]:
+    """Parity by construction: the vectorized kernel on a 1-row array."""
+    _, toks = _en_flat(pa.array([text or ""], pa.string()), use_stopwords)
+    return toks.to_pylist()
+
+
+register_analyzer(Analyzer("en", _en_flat, _en_scalar))
+
+# Minimal per-locale stopword lists (deterministic contract — the highest-
+# frequency function words of each language; the reference's per-locale
+# stop sets are the Lucene defaults, same spirit).
+LOCALE_STOPWORDS: dict[str, frozenset] = {
+    "de": frozenset(
+        "der die das und oder aber ein eine einen dem den des ist sind war "
+        "nicht mit von zu im in auf für als auch an es sie er wir ihr".split()
+    ),
+    "fr": frozenset(
+        "le la les un une des et ou mais de du au aux est sont était ne pas "
+        "avec pour dans sur par ce cette ces il elle nous vous ils que qui".split()
+    ),
+    "es": frozenset(
+        "el la los las un una unos unas y o pero de del al es son era no con "
+        "para en sobre por este esta estos estas él ella que quien se su".split()
+    ),
+}
+
+
+def _make_locale_analyzer(name: str, stops: frozenset) -> Analyzer:
+    stop_arr = pa.array(sorted(stops))
+
+    def flat(texts, use_stopwords: bool = False):
+        parents, tokens = _unicode_flat(texts, use_stopwords=False)
+        if use_stopwords:
+            keep = pc.invert(pc.is_in(tokens, value_set=stop_arr))
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            return parents[keep_np], tokens.filter(keep)
+        return parents, tokens
+
+    def scalar(text: str, use_stopwords: bool = False) -> list[str]:
+        _, toks = flat(pa.array([text or ""], pa.string()), use_stopwords)
+        return toks.to_pylist()
+
+    return Analyzer(name, flat, scalar)
+
+
+for _loc, _stops in LOCALE_STOPWORDS.items():
+    register_analyzer(_make_locale_analyzer(_loc, _stops))
+
+
 def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
     """The manifest ``tokenizer`` block. The analyzer name recorded is the
     RESOLVED one (get_analyzer().name), never the raw request — a typo or
@@ -126,8 +196,10 @@ def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
     pattern/lowercase fields describe the resolved analyzer's actual term
     rule, not a hardcoded ASCII contract."""
     resolved = get_analyzer(analyzer)
-    if resolved.name == "unicode":
+    if resolved.name == "unicode" or resolved.name in LOCALE_STOPWORDS:
         contract = {"pattern": "[\\p{L}\\p{N}]+", "lowercase": "utf8"}
     else:
         contract = {"pattern": "[a-z0-9]+", "lowercase": True}
+    if resolved.name == "en":
+        contract["stem"] = "porter2"
     return dict(contract, stopwords=use_stopwords, analyzer=resolved.name)

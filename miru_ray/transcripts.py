@@ -79,7 +79,10 @@ def conv_to_doc_id(conv_ids: list[str]) -> np.ndarray:
 _INDEX_CACHE: dict[tuple, str] = {}
 
 
-def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> str:
+def ensure_index(
+    sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx",
+    analyzer: str = "default",
+) -> str:
     """Build (once per process+disk) the fulltext index over the derived
     transcripts view of ``sf_dir``; returns the index dir. Ray must be up."""
     from .analyzers import tokenizer_meta
@@ -87,7 +90,7 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
     from .segments import completed_parts, write_global_manifest
     from .segments import INDEX_VERSION, META_FIELDS, NUM_FIELDS, TEXT_FIELD
 
-    key = (os.path.abspath(sf_dir), n_parts)
+    key = (os.path.abspath(sf_dir), n_parts, analyzer)
     hit = _INDEX_CACHE.get(key)
     if hit:
         return hit
@@ -95,7 +98,8 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
     # version in the dir name: a format bump invalidates stale /tmp caches
     # "pos" tag: this cache dir carries the positional streams — older
     # same-version cache dirs without them are simply not reused
-    index_dir = os.path.join(base, f"{tag}_p{n_parts}_v{INDEX_VERSION}pos")
+    atag = "" if analyzer == "default" else f"_{analyzer}"
+    index_dir = os.path.join(base, f"{tag}_p{n_parts}_v{INDEX_VERSION}pos{atag}")
     done = frozenset(completed_parts(index_dir))
     ds = transcripts_dataset(sf_dir)
     ds = ds.map_batches(
@@ -114,6 +118,7 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
                 # positional streams on: the driver's phrase oracles query
                 # this shared index; costs ~2x posting bytes at sf0.01 scale
                 "positions": True,
+                "analyzer": analyzer,
             },
             batch_format="pyarrow",
             # autoscaling (min 1): a FIXED 4-actor pool at ray.init(num_cpus=4)
@@ -129,7 +134,7 @@ def ensure_index(sf_dir: str, n_parts: int, base: str = "/tmp/miru_ray_idx") -> 
         "version": 1,
         "n_parts": n_parts,
         "positions": True,
-        "tokenizer": tokenizer_meta("default", False),
+        "tokenizer": tokenizer_meta(analyzer, False),
         "text_field": TEXT_FIELD,
         "meta_fields": list(META_FIELDS),
         "num_fields": list(NUM_FIELDS),
