@@ -1437,13 +1437,15 @@ NGRAM_MAX_DF = 64
 
 
 def dd_ngram_jaccard(sf_dir: str):
-    """EXACT n-gram Jaccard pairs (dedup.ngram_jaccard_pairs_ds): inverted
-    gram index → distributed intersection counts → |A∪B| from per-doc
-    distinct counts. No signatures, no estimation — the score is exact
-    (lower-bounded only by the mirrored hot-gram cap)."""
-    from miru_ray.dedup import ngram_jaccard_pairs_ds
+    """EXACT n-gram Jaccard pairs, routed through the PREFIX-FILTERED join
+    (dedup.ngram_jaccard_prefix_ds) at the same (threshold, max_df) — the
+    100-TB default since round 4: pair fan-out bounded by the candidate
+    mass instead of Σ df². Answer-identical to the plain inverted-index
+    join (pytest-gated equality; the plain path stays as the test oracle),
+    so the SQL mirror is unchanged."""
+    from miru_ray.dedup import ngram_jaccard_prefix_ds
 
-    return ngram_jaccard_pairs_ds(
+    return ngram_jaccard_prefix_ds(
         sf_dir, threshold=NGRAM_JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
     )
 

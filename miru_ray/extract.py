@@ -58,6 +58,9 @@ class SemiJoinStage:
         return out
 
 
+BROADCAST_KEY_LIMIT = 2_000_000  # keys; ~100 MB of packed keys broadcast
+
+
 def export_corpus(
     engine,
     query: str,
@@ -68,6 +71,8 @@ def export_corpus(
     authz: tuple[str, list[str]] | None = None,
     concurrency=(1, 8),
     batch_size: int = 8192,
+    broadcast_limit: int = BROADCAST_KEY_LIMIT,
+    join_partitions: int = 32,
 ) -> dict:
     """Write every source row whose (conv_id, turn_idx) matches ``query``
     on ``engine`` to ``out_dir`` as parquet — text included. Returns
@@ -76,7 +81,20 @@ def export_corpus(
     missing keys relative to what was indexed. Requires Ray (it IS the
     pipeline). ``out_dir`` must be empty/absent: Ray's parquet sink emits
     uniquely named files, so writing into a dir holding an earlier
-    export's files would silently serve the union of both answers."""
+    export's files would silently serve the union of both answers.
+
+    Two scale regimes, chosen by a no-gather ``engine.count`` probe:
+
+    * answer ≤ ``broadcast_limit``: the key set is built VECTORIZED per
+      partition result (no per-row Python), ``ray.put`` once, and each
+      filter actor hashes it once — the broadcast semi-join.
+    * bigger answers NEVER touch the driver: ``engine.export_match``
+      writes the answer keys as partitioned parquet (distributed,
+      resumable), and the export becomes a hash-partitioned distributed
+      inner join keys ⨝ source on (conv_id, turn_idx).
+
+    When ``columns`` is given, the source scan reads ONLY those columns
+    (plus the join keys) — projection pushed to the parquet reader."""
     import glob as _glob
     import os as _os
 
@@ -90,23 +108,47 @@ def export_corpus(
             f"{out_dir} already holds parquet files — exports never append; "
             f"use a fresh out_dir"
         )
-    key_strs: list[str] = []
-    for r in engine.match(query, time_range=time_range, authz=authz):
-        key_strs.extend(
-            f"{c}{KEY_SEP}{int(t)}" for c, t in zip(r["conv_id"], r["turn_idx"])
+    read_columns = None
+    if columns is not None:
+        read_columns = sorted(set(columns) | {"conv_id", "turn_idx"})
+    matched = engine.count(query, time_range=time_range, authz=authz)
+    ds = rd.read_parquet(source_dir, columns=read_columns)
+    if matched <= broadcast_limit:
+        key_chunks: list[pa.Array] = []
+        for r in engine.match(query, time_range=time_range, authz=authz):
+            key_chunks.append(
+                _pack_keys(
+                    pa.array(r["conv_id"], pa.string()),
+                    pa.array(r["turn_idx"], pa.int64()),
+                )
+            )
+        keys = (
+            pa.concat_arrays(key_chunks)
+            if key_chunks
+            else pa.array([], pa.string())
         )
-    matched = len(key_strs)
-    keys_ref = ray.put(pa.array(key_strs, pa.string()))
-    ds = rd.read_parquet(source_dir)
-    ds = ds.map_batches(
-        SemiJoinStage,
-        fn_constructor_kwargs={"keys_ref": keys_ref, "columns": columns},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-        zero_copy_batch=True,
-    )
+        keys_ref = ray.put(keys)
+        ds = ds.map_batches(
+            SemiJoinStage,
+            fn_constructor_kwargs={"keys_ref": keys_ref, "columns": columns},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+            zero_copy_batch=True,
+        )
+    else:
+        # distributed path: answer keys as a Dataset (written by the
+        # resumable distributed export — the driver holds nothing), then a
+        # hash-partitioned inner join against the streaming source scan
+        key_dir = _os.path.join(out_dir + ".keys")
+        engine.export_match(query, key_dir, time_range=time_range, authz=authz)
+        keys_ds = rd.read_parquet(key_dir, columns=["conv_id", "turn_idx"])
+        ds = ds.join(
+            keys_ds, "inner", join_partitions, on=("conv_id", "turn_idx")
+        )
+        if columns is not None:
+            ds = ds.select_columns(columns)
     # local:// + abspath: relative paths would resolve in each Ray worker's
     # cwd and multi-node runs would scatter blocks across nodes (the repo's
     # established sink convention, __main__.cmd_pipeline)

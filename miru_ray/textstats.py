@@ -2465,14 +2465,22 @@ def source_ttr_ds(sf_dir: str):
     )
 
 
-def vocab_growth_ds(sf_dir: str):
+GROWTH_BUCKET_DOCS = 1 << 20  # docs per prefix-sum bucket
+
+
+def vocab_growth_ds(sf_dir: str, bucket_docs: int = GROWTH_BUCKET_DOCS):
     """(doc_id, new_types, vocab_size): the corpus vocabulary-growth curve
     in doc_id order (Heaps' law audit — sublinear growth is the healthy
     shape; a linear tail flags unbounded noise/IDs). Distribution: per-term
     FIRST doc via term-stats-style partials (term, min doc) → groupby Min —
-    the shuffle carries one row per distinct term per batch; the per-doc
-    bincount + running sum are answer-sized (one row per doc)."""
-    import ray.data as rd
+    the shuffle carries one row per distinct term per batch. The running
+    vocab total is a DISTRIBUTED two-phase prefix sum (the token-packing
+    precedent): bucket by doc_id range, driver holds only the per-bucket
+    totals (n_docs / bucket_docs entries), exclusive bucket offsets are
+    broadcast once, and each bucket's within-group cumsum runs in
+    groupby(bucket).map_groups. Returns a Dataset — one row per doc that
+    introduces new vocabulary, never collected on the driver."""
+    import ray
     from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2490,19 +2498,67 @@ def vocab_growth_ds(sf_dir: str):
         .groupby("term")
         .aggregate(Min("doc"))
     )
-    per_doc = firsts.map_batches(
-        lambda b: pa.table(
-            {"doc_id": pc.cast(b[b.schema.names[-1]], pa.int64()),
-             "n": pa.array(np.ones(b.num_rows, np.int64))}
-        ),
-        batch_format="pyarrow",
-    ).groupby("doc_id").aggregate(Sum("n"))
-    rows = sorted(
-        ((int(r["doc_id"]), int(r["sum(n)"])) for r in per_doc.take_all())
+
+    def _per_doc(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "term" not in b.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        ids = b[b.schema.names[-1]].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "n": pa.array(np.ones(b.num_rows, np.int64)),
+             "bucket": pa.array(ids // bucket_docs)}
+        )
+
+    per_doc = (
+        firsts.map_batches(_per_doc, batch_format="pyarrow")
+        .groupby(["doc_id", "bucket"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                 "bucket": pc.cast(b["bucket"], pa.int64()),
+                 "n": pc.cast(b[b.schema.names[-1]], pa.int64())}
+            ) if b.num_rows and "doc_id" in b.schema.names else pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice: bucket totals + the cumsum pass
     )
-    ids = np.array([d for d, _ in rows], dtype=np.int64)
-    new = np.array([n for _, n in rows], dtype=np.int64)
-    return pa.table(
-        {"doc_id": pa.array(ids), "new_types": pa.array(new),
-         "vocab_size": pa.array(np.cumsum(new))}
-    )
+    # phase 1: per-bucket totals — the ONLY driver-side state
+    # (n_docs / bucket_docs entries)
+    totals: dict[int, int] = {}
+    for b in (
+        per_doc.groupby("bucket").aggregate(Sum("n"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows and "bucket" in b.schema.names:
+            for bk, n in zip(
+                b["bucket"].to_numpy(zero_copy_only=False),
+                b[b.schema.names[-1]].to_numpy(zero_copy_only=False),
+            ):
+                totals[int(bk)] = totals.get(int(bk), 0) + int(n)
+    offs: dict[int, int] = {}
+    acc = 0
+    for bk in sorted(totals):
+        offs[bk] = acc
+        acc += totals[bk]
+    off_ref = ray.put(offs)
+
+    def _finish(g: pa.Table, ref=off_ref) -> pa.Table:
+        offsets = ray.get(ref) if not isinstance(ref, dict) else ref
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids, n = ids[order], n[order]
+        base = offsets[int(g["bucket"][0].as_py())]
+        return pa.table(
+            {"doc_id": pa.array(ids), "new_types": pa.array(n),
+             "vocab_size": pa.array(base + np.cumsum(n))}
+        )
+
+    return per_doc.groupby("bucket").map_groups(_finish, batch_format="pyarrow")

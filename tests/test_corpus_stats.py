@@ -46,6 +46,17 @@ def test_vocab_growth_vs_scalar(ray_session):
         assert r["vocab_size"] == run
     # Heaps sanity: growth must be sublinear on the real corpus tail
     assert got["vocab_size"].iloc[-1] < 2 * got["vocab_size"].iloc[len(got) // 4]
+    # multi-bucket distributed prefix sum (bucket_docs smaller than the
+    # corpus): same curve, driver holds only per-bucket totals
+    multi = (
+        vocab_growth_ds(SF, bucket_docs=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert multi["doc_id"].tolist() == got["doc_id"].tolist()
+    assert multi["new_types"].tolist() == got["new_types"].tolist()
+    assert multi["vocab_size"].tolist() == got["vocab_size"].tolist()
 
 
 def test_top_contributors_vs_scalar(ray_session):

@@ -78,6 +78,66 @@ def test_export_corpus_column_projection(
     assert t.num_rows == res["rows"] > 0
 
 
+def test_export_corpus_distributed_join_path(
+    engine, tiny_transcripts_dir, tmp_path_factory
+):
+    """Huge-answer regime: with broadcast_limit=0 every export takes the
+    distributed keys-Dataset ⨝ source hash join (the driver never builds
+    the key array — engine.match is not even called). A broad >50%-of-corpus
+    match must produce EXACTLY the broadcast path's rows."""
+    q = "NOT zzqqabsent"  # negation of an absent term — the whole corpus
+    out_bc = str(tmp_path_factory.mktemp("extract_bc"))
+    out_dj = str(tmp_path_factory.mktemp("extract_dj"))
+    res_bc = export_corpus(engine, q, tiny_transcripts_dir, out_bc)
+    called = {"match": False}
+    orig = engine.match
+    engine.match = lambda *a, **k: called.__setitem__("match", True) or orig(*a, **k)
+    try:
+        res_dj = export_corpus(
+            engine, q, tiny_transcripts_dir, out_dj,
+            broadcast_limit=0, join_partitions=4,
+        )
+    finally:
+        engine.match = orig
+    assert not called["match"]  # driver-side key gather never ran
+    assert res_dj["matched"] == res_bc["matched"]
+    assert res_dj["rows"] == res_bc["rows"] > 0
+
+    def rows(d):
+        t = pa.concat_tables(
+            pq.read_table(f, columns=["conv_id", "turn_idx", "text"])
+            for f in sorted(glob.glob(d + "/*.parquet"))
+        )
+        return sorted(
+            zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
+                t["text"].to_pylist())
+        )
+
+    assert rows(out_dj) == rows(out_bc)
+    # corpus share sanity: the match really is the majority of the corpus
+    src_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(tiny_transcripts_dir + "/*.parquet")
+    )
+    assert res_bc["rows"] > src_rows // 2
+
+
+def test_export_corpus_projection_pushdown_distributed(
+    engine, tiny_transcripts_dir, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("extract_dj_cols"))
+    res = export_corpus(
+        engine, "t1 t7", tiny_transcripts_dir, out,
+        columns=["conv_id", "turn_idx", "text"], broadcast_limit=0,
+        join_partitions=2,
+    )
+    t = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(out + "/*.parquet"))
+    )
+    assert sorted(t.column_names) == ["conv_id", "text", "turn_idx"]
+    assert t.num_rows == res["rows"] > 0
+
+
 def test_export_corpus_empty_answer(engine, tiny_transcripts_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("extract_empty"))
     res = export_corpus(
