@@ -788,16 +788,17 @@ def _build_index_sort(
 #            subsampling (codec.merge_runs — no decode), write postings +
 #            forward, manifest LAST.
 #
-# Scale notes: the base-offset matrix is (n_files × n_parts) int64, held
-# once as numpy on the driver and broadcast ONCE via ray.put (workers get
-# a zero-copy shared-memory view; the item dataset carries only paths and
-# file indexes — no per-file python base lists). Fine to tens of thousands
-# of files × parts (10k × 10k = 800 MB, one object). At 10^12-turn scale
-# use ``partitioning="range"`` (implemented; the reference's own
+# Scale notes: the base offsets are a CSR triple over the NONZERO
+# (file, part) pairs (sparse_bases) — phase 1 ships sparse per-file counts
+# and the dense (n_files × n_parts) matrix never exists; the triple is
+# broadcast ONCE via ray.put (zero-copy numpy views per actor; the item
+# dataset carries only paths and file indexes). Memory = Σ_f |parts(f)|:
+# small files touch few partitions and cost O(1); only files that really
+# span all partitions pay n_parts entries. At 10^12-turn scale
+# ``partitioning="range"`` remains the preferred mode (the reference's own
 # time-ordered partition rollover, MiruPartitioner.java:106-165): partition
-# membership becomes arithmetic over one scalar row offset per file, the
-# matrix ceases to exist, and phase 1 is O(n_files) at ANY n_parts — each
-# file overlaps ≤ 2 partitions, the degenerate fully-banded case.
+# membership becomes arithmetic over one scalar row offset per file, even
+# the CSR ceases to exist, and each file overlaps ≤ 2 partitions.
 
 
 def list_input_files(input_path: str | list[str]) -> list[str]:
@@ -822,22 +823,74 @@ def scan_file_meta(path: str, n_parts: int, partitioning: str = "hash") -> dict:
     conv = t["conv_id"].combine_chunks()
     turn = t["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
     if partitioning == "range":
-        counts = None
+        parts_nz, counts = None, None
     else:
         part = (fnv1a64(conv) % np.uint64(n_parts)).astype(np.int64)
-        counts = np.bincount(part, minlength=n_parts).astype(np.int64)
+        dense = np.bincount(part, minlength=n_parts).astype(np.int64)
+        # SPARSE nonzero (part, count) pairs: the phase-1 result set and the
+        # bases structure built from it are sized by the partitions each
+        # file actually touches, never n_files × n_parts
+        parts_nz = np.flatnonzero(dense).astype(np.int64)
+        counts = dense[parts_nz]
     ok = True
     if n > 1:
         gt = pc.greater(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
         eq = pc.equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(zero_copy_only=False)
         ok = bool(np.all(gt | (eq & (turn[1:] > turn[:-1]))))
     return {
+        "parts": parts_nz,
         "counts": counts,
         "ok": ok,
         "first": (conv[0].as_py(), int(turn[0])) if n else None,
         "last": (conv[-1].as_py(), int(turn[-1])) if n else None,
         "rows": n,
     }
+
+
+def sparse_bases(
+    metas: list[dict], base_off: np.ndarray | None = None
+) -> tuple[dict, dict[int, int]]:
+    """CSR per-file docId-base offsets from SPARSE phase-1 partition counts.
+
+    Exclusive prefix sums per partition over file order, computed over the
+    (file, part, count) NONZERO triples only — the dense
+    (n_files × n_parts) matrix never materializes (at 10^4 files ×
+    10^4 parts that matrix is 0.8 GB; the triples are sized by the
+    partitions each file actually touches). ``base_off`` (extend path) is
+    a dense int64[n_parts] of pre-existing per-partition doc counts added
+    to every base. Returns ({"indptr", "cols", "vals"}, n_docs_by_part):
+    file f touches partitions cols[indptr[f]:indptr[f+1]] with docId
+    bases vals[...]."""
+    nnz = np.array([len(m["parts"]) for m in metas], dtype=np.int64)
+    indptr = np.zeros(len(metas) + 1, dtype=np.int64)
+    np.cumsum(nnz, out=indptr[1:])
+    if indptr[-1] == 0:
+        return (
+            {"indptr": indptr, "cols": np.empty(0, np.int64),
+             "vals": np.empty(0, np.int64)},
+            {},
+        )
+    cols = np.concatenate(
+        [np.asarray(m["parts"], dtype=np.int64) for m in metas if len(m["parts"])]
+    )
+    cnts = np.concatenate(
+        [np.asarray(m["counts"], dtype=np.int64) for m in metas if len(m["parts"])]
+    )
+    fidx = np.repeat(np.arange(len(metas), dtype=np.int64), nnz)
+    order = np.lexsort((fidx, cols))
+    sc, scnt = cols[order], cnts[order]
+    run_start = np.concatenate([[True], sc[1:] != sc[:-1]])
+    excl = np.cumsum(scnt) - scnt  # global exclusive prefix
+    run_id = np.cumsum(run_start) - 1
+    vals_sorted = excl - excl[run_start][run_id]  # per-partition exclusive
+    if base_off is not None:
+        vals_sorted = vals_sorted + base_off[sc]
+    vals = np.empty_like(vals_sorted)
+    vals[order] = vals_sorted
+    starts = np.flatnonzero(run_start)
+    totals = np.add.reduceat(scnt, starts)
+    n_docs_by_part = {int(p): int(c) for p, c in zip(sc[starts], totals) if c > 0}
+    return {"indptr": indptr, "cols": cols, "vals": vals}, n_docs_by_part
 
 
 class FileIndexer:
@@ -878,11 +931,13 @@ class FileIndexer:
         # n_parts) bases matrix exists at all in this mode, so phase 1
         # stays O(n_files) at any n_parts (each file touches ≤ 2 partitions)
         self.rows_per_part = rows_per_part
-        # the (n_files × n_parts) docId-base matrix travels through the
-        # object store ONCE (ray.put broadcast, zero-copy numpy view per
-        # actor); each task slices only its files' rows — the driver never
-        # serializes per-file base lists into the item dataset
+        # the docId-base offsets travel through the object store ONCE as a
+        # CSR triple (ray.put broadcast, zero-copy numpy views per actor),
+        # sized by the NONZERO (file, part) pairs — the dense
+        # (n_files × n_parts) matrix never exists (see sparse_bases); the
+        # item dataset carries only paths and file indexes
         self._bases = None
+        self._scratch = None
         if bases_ref is not None:
             import ray
 
@@ -1047,7 +1102,16 @@ class FileIndexer:
                 r, f = self._one_file(batch["path"][i].as_py(), fidx, None, goff)
             else:
                 if self._bases is not None:
-                    bases = np.asarray(self._bases[fidx], dtype=np.int64)
+                    # CSR slice → per-file scratch vector. Stale entries from
+                    # a previous file are never read: _one_file only indexes
+                    # bases[p] for partitions THIS file's rows hash to, which
+                    # are exactly the cols just written.
+                    ip = self._bases["indptr"]
+                    lo, hi = int(ip[fidx]), int(ip[fidx + 1])
+                    if self._scratch is None or len(self._scratch) != self.n_parts:
+                        self._scratch = np.zeros(self.n_parts, dtype=np.int64)
+                    bases = self._scratch
+                    bases[self._bases["cols"][lo:hi]] = self._bases["vals"][lo:hi]
                 else:
                     bases = np.asarray(batch["bases"][i].as_py(), dtype=np.int64)
                 r, f = self._one_file(batch["path"][i].as_py(), fidx, bases)
@@ -1349,10 +1413,7 @@ def build_index_streaming(
         n_docs_by_part = {p: c for p, c in n_docs_by_part.items() if c > 0}
         bases = None
     else:
-        counts = np.stack([m["counts"] for m in metas])  # (n_files, n_parts)
-        bases = np.zeros_like(counts)
-        np.cumsum(counts[:-1], axis=0, out=bases[1:])
-        n_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+        bases, n_docs_by_part = sparse_bases(metas)  # CSR — never dense
         R = None
 
     done = frozenset(completed_parts(index_dir)) if resume else frozenset()
@@ -1732,12 +1793,8 @@ def extend_index(
             {"path": f, "fidx": i, "goff": int(goffs[i])} for i, f in enumerate(files)
         ]
     else:
-        counts = np.stack([m["counts"] for m in metas])
-        bases = np.zeros_like(counts)
-        np.cumsum(counts[:-1], axis=0, out=bases[1:])
-        base_off = np.array([existing[p] for p in range(n_parts)], dtype=counts.dtype)
-        bases = bases + base_off[None, :]
-        new_docs_by_part = {int(p): int(c) for p, c in enumerate(counts.sum(axis=0)) if c > 0}
+        base_off = np.array([existing[p] for p in range(n_parts)], dtype=np.int64)
+        bases, new_docs_by_part = sparse_bases(metas, base_off=base_off)
         bases_ref = ray.put(bases)
         items = [{"path": f, "fidx": i} for i, f in enumerate(files)]
 

@@ -727,3 +727,73 @@ def test_export_match_resumable(engine, tmp_path_factory):
         os.path.getmtime(os.path.join(out, f)) == mtimes[f]
         for f in files if f != victim
     )
+
+
+def test_sparse_bases_equals_dense_reference():
+    """sparse_bases (CSR over nonzero (file, part) pairs) must equal the
+    dense n_files × n_parts cumsum it replaced, on random sparse counts."""
+    import numpy as np
+
+    from miru_ray.build import sparse_bases
+
+    rng = np.random.default_rng(11)
+    n_files, n_parts = 37, 4096
+    dense = np.zeros((n_files, n_parts), dtype=np.int64)
+    metas = []
+    for f in range(n_files):
+        k = int(rng.integers(0, 9))
+        parts = np.sort(rng.choice(n_parts, size=k, replace=False)).astype(np.int64)
+        counts = rng.integers(1, 50, size=k).astype(np.int64)
+        dense[f, parts] = counts
+        metas.append({"parts": parts, "counts": counts})
+    ref_bases = np.zeros_like(dense)
+    np.cumsum(dense[:-1], axis=0, out=ref_bases[1:])
+    csr, by_part = sparse_bases(metas)
+    # the CSR never stores zeros
+    assert len(csr["cols"]) == int((dense > 0).sum())
+    for f in range(n_files):
+        lo, hi = int(csr["indptr"][f]), int(csr["indptr"][f + 1])
+        for p, v in zip(csr["cols"][lo:hi], csr["vals"][lo:hi]):
+            assert ref_bases[f, p] == v, (f, p)
+    want = {int(p): int(c) for p, c in enumerate(dense.sum(axis=0)) if c > 0}
+    assert by_part == want
+    # extend path: pre-existing per-partition offsets shift every base
+    off = rng.integers(0, 1000, size=n_parts).astype(np.int64)
+    csr2, _ = sparse_bases(metas, base_off=off)
+    for f in range(n_files):
+        lo, hi = int(csr2["indptr"][f]), int(csr2["indptr"][f + 1])
+        for p, v in zip(csr2["cols"][lo:hi], csr2["vals"][lo:hi]):
+            assert ref_bases[f, p] + off[p] == v
+
+
+def test_hash_build_n_parts_4096(ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir):
+    """A hash build at n_parts=4096 over multiple files must work without a
+    dense bases matrix (the CSR carries only touched partitions) and give
+    rank-identical answers to the small-n_parts index."""
+    d = str(tmp_path_factory.mktemp("idx4096"))
+    meta = build_index(tiny_transcripts_dir, d, n_parts=4096)
+    built = meta["parts_built"]
+    assert 0 < len(built) <= 4096
+    eng_big = SearchEngine(d)
+    eng_ref = SearchEngine(index_dir)
+    for q in ("t1 t7", "t1 OR t2 OR t3", "NOT t2"):
+        # match sets must be identical; top-k ranks are identical up to
+        # equal-score ties (docIds — the tie-break — depend on the layout)
+        keys_a = set()
+        for r in eng_big.match(q):
+            keys_a.update(zip(r["conv_id"], r["turn_idx"]))
+        keys_b = set()
+        for r in eng_ref.match(q):
+            keys_b.update(zip(r["conv_id"], r["turn_idx"]))
+        assert keys_a == keys_b
+        _, found_a = eng_big.search(q, k=10, scoring="bm25")
+        _, found_b = eng_ref.search(q, k=10, scoring="bm25")
+        assert found_a == found_b
+    # docId accounting: every partition's doc count sums to the corpus size
+    n_total = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(tiny_transcripts_dir + "/*.parquet")
+    )
+    assert sum(
+        read_manifest(d, p)["metrics"]["n_docs"] for p in built
+    ) == n_total
