@@ -104,6 +104,24 @@ def cmd_extend(args) -> int:
     return 0
 
 
+def cmd_sip(args) -> int:
+    _ray_up()
+    from .build import sip_watch
+
+    print(
+        json.dumps(
+            sip_watch(
+                args.input,
+                args.index,
+                interval=args.interval,
+                max_cycles=args.max_cycles,
+                idle_cycles_to_stop=args.idle_stop,
+            )
+        )
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     _ray_up()
     from .build import compact_index
@@ -314,6 +332,21 @@ def main(argv=None) -> int:
     )
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "sip",
+        help="watch a corpus dir and keep the index caught up "
+        "(heartbeat extend loop)",
+    )
+    sp.add_argument("--input", required=True, help="corpus dir to watch")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--interval", type=float, default=5.0)
+    sp.add_argument("--max-cycles", type=int, default=None)
+    sp.add_argument(
+        "--idle-stop", type=int, default=None,
+        help="exit after N consecutive no-change polls (batch catch-up mode)",
+    )
+    sp.set_defaults(fn=cmd_sip)
 
     e = sub.add_parser("extend", help="append new sorted files (sip analogue)")
     e.add_argument("--input", required=True)

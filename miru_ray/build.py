@@ -758,6 +758,7 @@ def _build_index_sort(
         "composite_fields": {k: list(v) for k, v in COMPOSITE_FIELDS.items()},
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
+        "input_files": list_input_files(input_path),
         "totals": _totals_from_manifests(index_dir),
     }
     write_global_manifest(index_dir, meta)
@@ -1559,6 +1560,9 @@ def build_index_streaming(
         "composite_fields": {k: list(v) for k, v in COMPOSITE_FIELDS.items()},
         "parts_built": sorted(built),
         "parts_resumed": sorted(done),
+        # the applied input-file set: the sip watcher's catch-up cursor
+        # (extend epochs append to it via their own "files" records)
+        "input_files": files,
         # committed global row count — range-mode extend derives its append
         # offset from THIS (updated only on successful build/extend), never
         # from partition doc counts, so a crashed or repeated extend cannot
@@ -1847,6 +1851,72 @@ def extend_index(
     gmeta["totals"] = _totals_from_manifests(index_dir)
     write_global_manifest(index_dir, gmeta)
     return gmeta
+
+
+def applied_input_files(index_dir: str) -> set[str]:
+    """The set of input files already committed into the index: the build's
+    ``input_files`` plus every extend epoch's ``files`` — the sip
+    watcher's catch-up cursor (the Parquet-native analogue of the
+    reference's persisted sip cursor, MiruSipIndex.java:22-24)."""
+    from .segments import read_global_manifest
+
+    gmeta = read_global_manifest(index_dir)
+    base = gmeta.get("input_files")
+    if base is None:
+        raise ValueError(
+            f"{index_dir} predates input-file lineage (no 'input_files' in "
+            "the global manifest) — rebuild once, or extend explicitly"
+        )
+    applied = set(base)
+    for e in gmeta.get("epochs", []):
+        applied.update(e.get("files", []))
+    return applied
+
+
+def sip_watch(
+    corpus_dir: str,
+    index_dir: str,
+    interval: float = 5.0,
+    max_cycles: int | None = None,
+    idle_cycles_to_stop: int | None = None,
+    on_cycle=None,
+) -> dict:
+    """Heartbeat catch-up loop — the reference's background sip
+    (MiruLocalHostedPartition.java:1013-1117 heartbeat scheduling,
+    1172-1239 sip apply), re-expressed over the Parquet durable log: every
+    ``interval`` seconds, diff the corpus dir against the index's applied
+    file set and ``extend_index`` the new sorted files. Crash-safe for the
+    same reason extend is: epochs commit atomically in the global manifest
+    and a repeated extend of the same batch is a no-op.
+
+    ``max_cycles`` bounds the loop (None = run until interrupted — the
+    daemon mode); ``idle_cycles_to_stop`` exits after that many
+    consecutive no-change polls (the batch catch-up mode). ``on_cycle``
+    (cycle_idx, new_files) is a test/metrics hook. Returns
+    {"cycles", "epochs", "files_applied"}."""
+    cycles = 0
+    idle = 0
+    epochs = 0
+    files_applied: list[str] = []
+    while True:
+        have = set(list_input_files(corpus_dir))
+        new = sorted(have - applied_input_files(index_dir))
+        if new:
+            extend_index(new, index_dir)
+            epochs += 1
+            files_applied.extend(new)
+            idle = 0
+        else:
+            idle += 1
+        cycles += 1
+        if on_cycle is not None:
+            on_cycle(cycles, new)
+        if max_cycles is not None and cycles >= max_cycles:
+            break
+        if idle_cycles_to_stop is not None and idle >= idle_cycles_to_stop:
+            break
+        time.sleep(interval)
+    return {"cycles": cycles, "epochs": epochs, "files_applied": files_applied}
 
 
 def compact_partition(index_dir: str, part: int) -> dict:
