@@ -57,8 +57,18 @@ class FederatedEngine:
     federation the last search actually touched (the early-exit /
     zone-pruning observability the per-index engine already has)."""
 
-    def __init__(self, index_dirs: list[str], use_actors: bool = False):
-        self.engines = [SearchEngine(d, use_actors=use_actors) for d in index_dirs]
+    def __init__(self, index_dirs: list[str], use_actors: bool = False,
+                 replicas: dict[str, list[str]] | None = None):
+        """``replicas`` maps an index dir to its replica dirs
+        (sync.sync_index outputs); each member engine fails a partition
+        over to its replicas when the primary's task raises — the
+        federation-level availability story (MiruLowestLatencySolver
+        analogue, failure-triggered)."""
+        replicas = replicas or {}
+        self.engines = [
+            SearchEngine(d, use_actors=use_actors, replicas=replicas.get(d))
+            for d in index_dirs
+        ]
         self.last_engines_asked = 0
         self.last_parts_asked = 0
 

@@ -1181,12 +1181,24 @@ class SearchEngine:
     partitions, with range partitioning it stops after the first wave.
     ``last_parts_asked`` exposes how many partitions the last search hit."""
 
-    def __init__(self, index_dir: str, use_actors: bool = False, n_actors: int | None = None):
+    def __init__(self, index_dir: str, use_actors: bool = False, n_actors: int | None = None,
+                 replicas: list[str] | None = None):
         from .segments import _fire_lifecycle
 
         self.index_dir = index_dir
         self.meta = read_global_manifest(index_dir)
         self.parts = sorted(completed_parts(index_dir), reverse=True)  # newest→oldest
+        # replica failover (the MiruLowestLatencySolver.java:50-205 analogue,
+        # failure-triggered instead of latency-raced): byte-verified replica
+        # dirs (sync.sync_index) answer a partition when the primary's task
+        # raises. With replicas configured, the expected part set comes from
+        # the manifest too, so a partition whose DIRECTORY vanished from the
+        # primary is still asked (and failed over) rather than silently
+        # dropped from the answer.
+        self.replicas = list(replicas or [])
+        if self.replicas:
+            expected = set(self.meta.get("parts_built", []))
+            self.parts = sorted(set(self.parts) | expected, reverse=True)
         self.use_actors = use_actors
         self.n_actors = n_actors
         self._actors: list | None = None
@@ -1726,6 +1738,27 @@ class SearchEngine:
                 df[t] = df.get(t, 0) + n
         return df
 
+    def _replica_answer(self, p: int, kwargs: dict, cause: Exception) -> dict:
+        """Re-ask partition ``p`` on each replica dir in order (the
+        reference races replicas for latency, MiruLowestLatencySolver;
+        here replicas answer on primary FAILURE — same availability
+        contract, no duplicate work on the common path)."""
+        last: Exception = cause
+        for rep in self.replicas:
+            try:
+                return search_partition(rep, p, **kwargs)
+            except Exception as e:  # noqa: BLE001 — try the next replica
+                last = e
+        raise last
+
+    def _ask_serial(self, p: int, kwargs: dict) -> dict:
+        if not self.replicas:
+            return search_partition(self.index_dir, p, **kwargs)
+        try:
+            return search_partition(self.index_dir, p, **kwargs)
+        except Exception as e:  # noqa: BLE001
+            return self._replica_answer(p, kwargs, e)
+
     def _fan_out(
         self, kwargs: dict, parallel: bool | None, parts: list[int] | None = None
     ) -> list[dict]:
@@ -1742,6 +1775,7 @@ class SearchEngine:
             self._ensure_actors()
             if len(parts) == len(self.parts):
                 futs = [a.search_many.remote(kwargs) for a in self._actors]
+                futs_parts = list(self._actor_parts)
             else:
                 # subset fan-out (zone-pruned / early-exit wave): each
                 # owning actor answers only its slice of the subset
@@ -1752,8 +1786,15 @@ class SearchEngine:
                     self._actors[i].search_parts.remote(ps, kwargs)
                     for i, ps in by_actor.items()
                 ]
+                futs_parts = list(by_actor.values())
             by_part: dict[int, dict] = {}
-            for res in ray.get(futs):
+            for fut, fparts in zip(futs, futs_parts):
+                try:
+                    res = ray.get(fut)
+                except Exception as e:  # noqa: BLE001 — failed actor slice
+                    if not self.replicas:
+                        raise
+                    res = [self._replica_answer(p, kwargs, e) for p in fparts]
                 for r in res:
                     by_part[r["part"]] = r
             return [by_part[p] for p in parts]
@@ -1762,8 +1803,16 @@ class SearchEngine:
 
             fn = _remote_search_partition()
             futs = [fn.remote(self.index_dir, p, **kwargs) for p in parts]
-            return ray.get(futs)
-        return [search_partition(self.index_dir, p, **kwargs) for p in parts]
+            if not self.replicas:
+                return ray.get(futs)
+            out: list[dict] = []
+            for p, fut in zip(parts, futs):
+                try:
+                    out.append(ray.get(fut))
+                except Exception as e:  # noqa: BLE001
+                    out.append(self._replica_answer(p, kwargs, e))
+            return out
+        return [self._ask_serial(p, kwargs) for p in parts]
 
 
 _REMOTE = None

@@ -124,3 +124,51 @@ def test_sync_recovers_crashed_swap(src_idx, tmp_path_factory):
     assert os.path.exists(part_dir(dst, 2))
     assert not os.path.exists(os.path.join(dst, ".sync-old-00002"))
     assert _answers(dst) == _answers(src_idx)
+
+
+def test_replica_failover_corrupt_partition(src_idx, tmp_path_factory):
+    """Replica-aware failover (MiruLowestLatencySolver.java:50-205 analogue,
+    failure-triggered): with one primary partition's postings corrupted,
+    a replica-configured engine still returns rank-identical answers; the
+    replica-less engine fails."""
+    rep = str(tmp_path_factory.mktemp("failover_rep"))
+    sync_index(src_idx, rep)
+    want = _answers(src_idx)
+
+    # corrupt one partition's postings file in the PRIMARY
+    victim = os.path.join(part_dir(src_idx, 1), "postings.parquet")
+    with open(victim, "wb") as f:
+        f.write(b"not a parquet file")
+    # invalidate any process-level caches keyed by mtime/path
+    from miru_ray import search as S
+    S._POSTING_CACHE.clear()
+
+    broken = SearchEngine(src_idx)
+    with pytest.raises(Exception):
+        broken.search("t1 t7", k=10, scoring="bm25", parallel=False)
+
+    eng = SearchEngine(src_idx, replicas=[rep])
+    hits, found = eng.search("t1 t7", k=10, scoring="bm25", parallel=False)
+    assert (found, [(h.conv_id, h.turn_idx, round(h.score, 5)) for h in hits]) == want
+    # parallel (Ray task) fan-out takes the same failover path
+    hits_p, found_p = eng.search("t1 t7", k=10, scoring="bm25", parallel=True)
+    assert (found_p, [(h.conv_id, h.turn_idx, round(h.score, 5)) for h in hits_p]) == want
+
+
+def test_replica_failover_missing_partition(src_idx, tmp_path_factory):
+    """A partition whose DIRECTORY was removed from the primary is still
+    asked (expected part set comes from the manifest when replicas are
+    configured) and answered by the replica — not silently dropped."""
+    rep = str(tmp_path_factory.mktemp("failover_rep2"))
+    sync_index(src_idx, rep)
+    want = _answers(src_idx, query="NOT t2")
+
+    shutil.rmtree(part_dir(src_idx, 2))
+    eng = SearchEngine(src_idx, replicas=[rep])
+    assert len(eng.parts) == N_PARTS  # manifest-expected parts, not disk scan
+    hits, found = eng.search("NOT t2", k=10, scoring="bm25", parallel=False)
+    assert (found, [(h.conv_id, h.turn_idx, round(h.score, 5)) for h in hits]) == want
+    # without replicas the vanished partition silently narrows the answer
+    naked = SearchEngine(src_idx)
+    _, found_naked = naked.search("NOT t2", k=10, scoring="bm25", parallel=False)
+    assert found_naked < found
