@@ -112,6 +112,139 @@ def membw_scaling(levels=(1, 2, 4, 8, 32), mb: int = 128, seconds: float = 3.0) 
     return {"aggregate_gbs": out, "efficiency": eff}
 
 
+# ------------------------------------------------------- wiki second corpus
+#
+# The reference's own demo workload (WikiMiruIndexService.java): MediaWiki
+# XML dumps → index → query. Synthesized deterministically (seed fixed, no
+# external data) with wiki markup AND non-ASCII vocabulary (accents +
+# Cyrillic) so the unicode analyzer chain is exercised at bench scale.
+
+_WIKI_VOCAB_ASCII = (
+    "data scan merge table index query stream batch shard vector windowed "
+    "column filter sort group join order value rowset spark tokenizer"
+).split()
+_WIKI_VOCAB_UNICODE = (
+    "café naïve résumé zürich köln москва данные поиск индекс słowo "
+    "kraków español señal año façade née"
+).split()
+
+
+def ensure_wiki_dump(
+    n_pages: int, n_files: int = 16, base: str = "/tmp/miru_ray_wiki_dumps"
+) -> str:
+    """Deterministic synthetic MediaWiki dump dir (cached): ``n_pages``
+    main-namespace articles spread over ``n_files`` id-ordered XML files,
+    each body mixing markup ({{templates}}, [[links|labels]], <ref>) with
+    ascii + non-ASCII vocabulary. ~60 tokens/article."""
+    import random
+
+    d = os.path.join(base, f"p{n_pages}_f{n_files}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = random.Random(42)
+    vocab = _WIKI_VOCAB_ASCII + _WIKI_VOCAB_UNICODE
+    per = -(-n_pages // n_files)
+    pid = 1
+    for f in range(n_files):
+        rows = []
+        for _ in range(min(per, n_pages - (pid - 1))):
+            words = [rng.choice(vocab) for _ in range(50)]
+            # sprinkle markup the ingest must strip
+            body = (
+                "{{infobox|x=%d}} " % pid
+                + " ".join(words[:20])
+                + " [[%s|%s]] " % (rng.choice(vocab), rng.choice(vocab))
+                + " ".join(words[20:40])
+                + " <ref>cite %d</ref> ''em'' " % pid
+                + " ".join(words[40:])
+            )
+            title = "Article %s %d" % (rng.choice(vocab), pid)
+            rows.append(
+                " <page>\n  <title>%s</title>\n  <ns>0</ns>\n  <id>%d</id>\n"
+                "  <revision><text>%s</text></revision>\n </page>\n"
+                % (title, pid, body)
+            )
+            pid += 1
+        with open(os.path.join(d, f"dump-{f:05d}.xml"), "w", encoding="utf-8") as fh:
+            fh.write(
+                '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">\n'
+                + "".join(rows)
+                + "</mediawiki>\n"
+            )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+WIKI_QUERY_SET = {
+    # non-ASCII terms — the unicode analyzer's term-equality contract
+    "uni_and": "café москва",
+    "uni_or": "zürich OR kraków",
+    "uni_not": "данные AND NOT façade",
+    "mixed": "index поиск",
+}
+
+
+def run_wiki(num_cpus: int, n_pages: int, n_parts: int) -> dict:
+    """Wiki second-corpus pipeline: XML dumps → wiki_ingest (parallel parse
+    + markup strip) → unicode-analyzer index build → non-ASCII queries."""
+    import ray
+
+    from miru_ray.build import build_index
+    from miru_ray.search import SearchEngine
+    from miru_ray.wiki import wiki_ingest
+
+    dumps = ensure_wiki_dump(n_pages)
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        tx_dir = f"/tmp/miru_ray_wiki_tx_{os.getpid()}"
+        index_dir = f"/tmp/miru_ray_wiki_idx_{os.getpid()}"
+        membw_before = membw_probe()
+        t0 = time.monotonic()
+        shards = wiki_ingest(dumps, tx_dir)
+        ingest_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        manifest = build_index(
+            tx_dir, index_dir, n_parts=n_parts, analyzer="unicode", resume=False
+        )
+        build_sec = time.monotonic() - t0
+        n_docs = manifest["totals"]["n_docs"]
+        eng = SearchEngine(index_dir, use_actors=True)
+        q_p50 = {}
+        found_by_q = {}
+        for name, q in WIKI_QUERY_SET.items():
+            times = []
+            for _ in range(QUERY_REPEATS):
+                tq = time.monotonic()
+                _, found = eng.search(q, k=K, scoring="bm25")
+                times.append(time.monotonic() - tq)
+            q_p50[name] = round(statistics.median(times), 4)
+            found_by_q[name] = found
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(tx_dir, ignore_errors=True)
+        return {
+            "num_cpus": num_cpus,
+            "n_pages": n_docs,
+            "n_files": len(shards),
+            "ingest_sec": round(ingest_sec, 2),
+            "build_sec": round(build_sec, 2),
+            "pages_per_sec": round(n_docs / (ingest_sec + build_sec), 1),
+            "analyzer": "unicode",
+            "queries": q_p50,
+            "query_found": found_by_q,
+            "membw_gbs_before": membw_before,
+            "membw_gbs_after": membw_probe(),
+        }
+    finally:
+        ray.shutdown()
+
+
 def run_once(num_cpus: int, sf_dir: str, n_parts: int, build_attempts: int = 1) -> dict:
     import ray
 
@@ -268,6 +401,10 @@ def main():
                     help="pure-memory-traffic scaling control (no Ray)")
     ap.add_argument("--qps", action="store_true",
                     help="concurrent-query throughput against the actor engine")
+    ap.add_argument("--wiki", action="store_true",
+                    help="wiki second corpus: XML dumps → ingest → unicode "
+                         "index → non-ASCII queries")
+    ap.add_argument("--wiki-pages", type=int, default=100_000)
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--sub", action="store_true", help="internal: single scaling run")
@@ -285,6 +422,14 @@ def main():
                        "(non-circular scaling control: no Ray, no pipeline)",
              "unit": "GB/s"},
             **membw_scaling(),
+        )))
+        return
+
+    if args.wiki:
+        print(json.dumps(dict(
+            {"metric": "wiki dump ingest + unicode index build (pages/sec) "
+                       "+ non-ASCII BM25 p50", "unit": "pages/sec"},
+            **run_wiki(cpus, args.wiki_pages, args.parts),
         )))
         return
 
