@@ -104,6 +104,15 @@ def cmd_extend(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    _ray_up()
+    from .build import upsert_rows
+
+    print(json.dumps(upsert_rows(args.index, args.updates, args.source,
+                                 args.patched_dir)))
+    return 0
+
+
 def cmd_sip(args) -> int:
     _ray_up()
     from .build import sip_watch
@@ -332,6 +341,19 @@ def main(argv=None) -> int:
     )
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    up = sub.add_parser(
+        "upsert",
+        help="version-gated late-data upsert (keep-max-version REPAIR): "
+        "higher-ts updates replace indexed rows; winners persist into a "
+        "patched corpus epoch",
+    )
+    up.add_argument("--index", required=True)
+    up.add_argument("--updates", required=True, help="parquet file/dir of update rows")
+    up.add_argument("--source", required=True, help="current corpus input (file list dir)")
+    up.add_argument("--patched-dir", required=True,
+                    help="where patched corpus files are written (the new epoch)")
+    up.set_defaults(fn=cmd_upsert)
 
     sp = sub.add_parser(
         "sip",

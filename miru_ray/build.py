@@ -985,7 +985,7 @@ class FileIndexer:
         if self.skip:
             keep = ~np.isin(part, np.fromiter(self.skip, dtype=np.int64))
             if not keep.any():
-                return []
+                return [], []
             if not keep.all():
                 t = t.filter(pa.array(keep)).combine_chunks()
                 part = part[keep]
@@ -2096,6 +2096,176 @@ def repair_partitions(
     for (kind, stream), keys in stream_keys.items():
         _mutate_stream_set(index_dir, kind, stream, keys, add=True)
     return meta
+
+
+def upsert_rows(
+    index_dir: str,
+    updates: "str | list[str] | pa.Table",
+    source_input: str | list[str],
+    patched_dir: str,
+    **repair_kwargs,
+) -> dict:
+    """Version-gated late-data upsert — the reference's keep-max-version
+    REPAIR dedup (MiruPartitionAccessor.java:563-578: a re-delivered
+    activity replaces the indexed one only when its version is higher),
+    over immutable Parquet + immutable segments:
+
+    * each update row is keyed (conv_id, turn_idx); its VERSION is ``ts``.
+      Updates with ts strictly greater than the indexed row's ts WIN;
+      equal-or-lower versions are STALE and dropped (reported, not
+      applied); keys absent from the index raise (upsert ≠ append — new
+      rows go through ``extend_index``/``sip_watch``).
+    * the durable log is the input Parquet, so winners are PERSISTED:
+      every source file containing a winner key is rewritten (patched)
+      into ``patched_dir``; untouched files are referenced as-is. The
+      returned ``files`` list is the corpus's new epoch — callers must
+      treat it as the input of record, or a later rebuild would silently
+      revert the upsert.
+    * only the winners' partitions are rebuilt (``repair_partitions``
+      over the patched file list); all other partitions keep their
+      segments byte-identical. Tombstones and inbox/unread stream state
+      survive, as in any repair.
+
+    Scale shape: updates are late-data-sized (driver-held); file
+    patching touches only files containing winners (located by binary
+    search over the files' sorted key ranges); the repair reads the
+    corpus once, as any repair does. Returns {'files', 'winners',
+    'stale', 'parts_rebuilt', 'patched_files'}."""
+    import bisect
+    import pyarrow.parquet as _pq
+
+    from .hashing import fnv1a64
+    from .segments import read_forward_table, read_global_manifest
+
+    gmeta = read_global_manifest(index_dir)
+    n_parts = gmeta["n_parts"]
+    pmode = gmeta.get("partitioning", {}).get("mode", "hash")
+    R = gmeta.get("partitioning", {}).get("rows_per_part")
+
+    if isinstance(updates, pa.Table):
+        up = updates
+    else:
+        paths = list_input_files(updates)
+        up = pa.concat_tables([_pq.read_table(f) for f in paths])
+    if up.num_rows == 0:
+        return {"files": list_input_files(source_input), "winners": 0,
+                "stale": 0, "parts_rebuilt": [], "patched_files": []}
+    up = up.combine_chunks()
+    up_conv = up["conv_id"].combine_chunks()
+    up_turn = up["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    up_keys = list(zip(up_conv.to_pylist(), (int(t) for t in up_turn)))
+    if len(set(up_keys)) != len(up_keys):
+        raise ValueError("duplicate (conv_id, turn_idx) keys in the update batch")
+    up_ts = up["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    files = list_input_files(source_input)
+    metas = [scan_file_meta(f, n_parts, "range") for f in files]
+    goffs = np.concatenate([[0], np.cumsum([m["rows"] for m in metas])[:-1]]).astype(np.int64)
+    nonempty = [i for i, m in enumerate(metas) if m["rows"]]
+    firsts = [tuple(metas[i]["first"]) for i in nonempty]
+
+    # locate each key's file via binary search over the sorted file ranges
+    by_file: dict[int, list[int]] = {}
+    for i, key in enumerate(up_keys):
+        j = bisect.bisect_right(firsts, key) - 1
+        fi = nonempty[j] if j >= 0 else -1
+        if fi < 0 or tuple(metas[fi]["last"]) < key:
+            raise ValueError(f"upsert key {key} not present in the corpus — "
+                             "new rows go through extend_index")
+        by_file.setdefault(fi, []).append(i)
+
+    # partition of each key (needed for the forward-ts version gate)
+    if pmode == "range":
+        part_of = np.empty(len(up_keys), dtype=np.int64)
+        for fi, idxs in by_file.items():
+            t = _pq.read_table(files[fi], columns=["conv_id", "turn_idx"])
+            fkeys = list(zip(t["conv_id"].to_pylist(),
+                             (int(x) for x in t["turn_idx"].to_pylist())))
+            for i in idxs:
+                r = bisect.bisect_left(fkeys, up_keys[i])
+                if r >= len(fkeys) or fkeys[r] != up_keys[i]:
+                    raise ValueError(f"upsert key {up_keys[i]} not present in {files[fi]}")
+                part_of[i] = (goffs[fi] + r) // int(R)
+    else:
+        part_of = (fnv1a64(up_conv) % np.uint64(n_parts)).astype(np.int64)
+
+    # version gate against the INDEX's forward ts
+    winners = np.zeros(len(up_keys), dtype=bool)
+    for p in sorted(set(int(x) for x in part_of)):
+        fwd = read_forward_table(index_dir, p)
+        lut = {}
+        want = {up_keys[i] for i in np.flatnonzero(part_of == p)}
+        conv = fwd["conv_id"].to_pylist()
+        turn = fwd["turn_idx"].to_pylist()
+        ts = fwd["ts"].cast(pa.int64()).to_pylist() if "ts" in fwd.schema.names else None
+        if ts is None:
+            raise ValueError("forward table lacks ts — cannot version-gate")
+        for c, t, v in zip(conv, turn, ts):
+            k = (c, int(t))
+            if k in want:
+                lut[k] = int(v)
+        for i in np.flatnonzero(part_of == p):
+            k = up_keys[i]
+            if k not in lut:
+                raise ValueError(f"upsert key {k} not present in the index — "
+                                 "new rows go through extend_index")
+            winners[i] = int(up_ts[i]) > lut[k]
+
+    n_win = int(winners.sum())
+    if n_win == 0:
+        return {"files": files, "winners": 0, "stale": len(up_keys),
+                "parts_rebuilt": [], "patched_files": []}
+
+    # materialize the new corpus epoch as ONE self-contained dir: patched
+    # files rewritten (winner rows substituted in place — key order
+    # unchanged, so global sort survives), untouched files symlinked.
+    # Basenames carry the global order (list_input_files sorts), so they
+    # must be unique across the source set.
+    os.makedirs(patched_dir, exist_ok=True)
+    basenames = [os.path.basename(f) for f in files]
+    if len(set(basenames)) != len(basenames):
+        raise ValueError("source files must have unique basenames to form "
+                         "a patched corpus epoch dir")
+    if basenames != sorted(basenames):
+        raise ValueError("source basenames must sort in global file order "
+                         "(the epoch dir is re-listed alphabetically)")
+    win_idx_by_file = {
+        fi: [i for i in idxs if winners[i]] for fi, idxs in by_file.items()
+    }
+    patched = []
+    new_files = []
+    win_cols = {c: up[c].combine_chunks() for c in up.schema.names}
+    for fi, f in enumerate(files):
+        out = os.path.join(patched_dir, basenames[fi])
+        idxs = win_idx_by_file.get(fi) or []
+        if not idxs:
+            if os.path.islink(out) or os.path.exists(out):
+                os.remove(out)
+            os.symlink(os.path.abspath(f), out)
+            new_files.append(out)
+            continue
+        t = _pq.read_table(f)
+        fkeys = list(zip(t["conv_id"].to_pylist(),
+                         (int(x) for x in t["turn_idx"].to_pylist())))
+        cols = {c: t[c].to_pylist() for c in t.schema.names}
+        for i in idxs:
+            r = bisect.bisect_left(fkeys, up_keys[i])
+            if r >= len(fkeys) or fkeys[r] != up_keys[i]:
+                raise ValueError(f"upsert key {up_keys[i]} not present in {f}")
+            for c in t.schema.names:
+                cols[c][r] = win_cols[c][i].as_py()
+        patched_t = pa.table({c: pa.array(cols[c], t.schema.field(c).type)
+                              for c in t.schema.names})
+        _pq.write_table(patched_t, out + ".tmp")
+        os.replace(out + ".tmp", out)
+        new_files.append(out)
+        patched.append(out)
+
+    parts = sorted({int(part_of[i]) for i in np.flatnonzero(winners)})
+    repair_partitions(index_dir, new_files, parts, **repair_kwargs)
+    return {"files": new_files, "winners": n_win,
+            "stale": len(up_keys) - n_win, "parts_rebuilt": parts,
+            "patched_files": patched}
 
 
 def expire_partitions(
