@@ -94,7 +94,20 @@ def highlight(
     text = content[:preview]
     from .analyzers import get_analyzer
 
-    if get_analyzer(analyzer).name == "unicode":
+    resolved = get_analyzer(analyzer).name
+    if resolved == "en":
+        # stemming chain: the query values are STEMS (the parser analyzed
+        # them), so the content-side tokens must stem identically before
+        # comparison — spans still come from the ORIGINAL surface form
+        from .stem import porter2_stem
+
+        low = text.translate(_ASCII_LOWER)
+        spans = [
+            (m.start(), m.end())
+            for m in _PY_TOKEN_RE.finditer(low)
+            if _term_matches(porter2_stem(m.group()), values)
+        ]
+    elif resolved == "unicode":
         # unicode analyzer: spans from the original text, tokens lowercased
         # for the match — the content side must tokenize like the index side
         low = text

@@ -197,3 +197,20 @@ def test_stem_vocab_ds(ray_session):
     assert m["query"] == "queri" and m["the"] == "the"
     # distinct: one row per raw term
     assert len(m) == t.num_rows
+
+
+def test_highlight_with_en_analyzer():
+    """The highlighter's content-side tokens must stem like the index side:
+    surface forms highlight through shared stems, spans stay on the
+    original surface text."""
+    from miru_ray.highlight import highlight
+
+    assert highlight("merged tables", "merging the customer tables", analyzer="en") == (
+        "<b>merging</b> the customer <b>tables</b>"
+    )
+    assert highlight("merged", "nothing relevant here", analyzer="en") is None
+    assert highlight("merg*", "merging the customer tables", analyzer="en") == (
+        "<b>merging</b> the customer tables"
+    )
+    # default analyzer unchanged: no stemming, surface forms must match
+    assert highlight("merged", "merging the tables", analyzer="default") is None
