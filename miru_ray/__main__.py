@@ -104,6 +104,26 @@ def cmd_extend(args) -> int:
     return 0
 
 
+def cmd_registry(args) -> int:
+    from .registry import Registry
+
+    reg = Registry(args.registry)
+    if args.action == "register":
+        replicas = {}
+        for spec in args.replica or []:
+            primary, reps = spec.split("=", 1)
+            replicas[primary] = reps.split(",")
+        print(json.dumps(reg.register_tenant(args.tenant, args.indexes, replicas)))
+    elif args.action == "describe":
+        print(json.dumps(reg.describe(args.tenant)))
+    elif args.action == "remove":
+        reg.remove_tenant(args.tenant)
+        print(json.dumps({"removed": args.tenant}))
+    else:
+        print(json.dumps({"tenants": reg.tenants()}))
+    return 0
+
+
 def cmd_upsert(args) -> int:
     _ray_up()
     from .build import upsert_rows
@@ -341,6 +361,21 @@ def main(argv=None) -> int:
     )
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    rg = sub.add_parser(
+        "registry",
+        help="tenant topology registry: list/register/describe/remove "
+        "(versioned schema records; replica wiring for failover)",
+    )
+    rg.add_argument("action", choices=["list", "register", "describe", "remove"])
+    rg.add_argument("--registry", required=True, help="registry dir")
+    rg.add_argument("--tenant")
+    rg.add_argument("--indexes", nargs="+", default=[])
+    rg.add_argument(
+        "--replica", action="append",
+        help="primary_dir=replica_dir[,replica_dir...] (repeatable)",
+    )
+    rg.set_defaults(fn=cmd_registry)
 
     up = sub.add_parser(
         "upsert",

@@ -1687,10 +1687,13 @@ class SearchEngine:
         metadata-only pushdown (term + df columns — posting BYTES are
         never touched: a 2M-doc candidate posting costs the same as a
         2-doc one)."""
+        from .analyzers import get_analyzer
         from .filters import levenshtein
-        from .tokenize import py_tokenize
 
-        toks = py_tokenize(term)
+        # analyze with the INDEX's analyzer (Lucene DirectSpellChecker
+        # analyzes the input): on a stemmed index the dictionary holds
+        # stems, so the probe must be the stem too
+        toks = get_analyzer(_analyzer_name(self.index_dir)).scalar(term)
         if not toks:
             return []
         body = toks[-1]
