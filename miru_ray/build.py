@@ -1880,6 +1880,7 @@ def sip_watch(
     max_cycles: int | None = None,
     idle_cycles_to_stop: int | None = None,
     on_cycle=None,
+    retry_on_error: bool = False,
 ) -> dict:
     """Heartbeat catch-up loop — the reference's background sip
     (MiruLocalHostedPartition.java:1013-1117 heartbeat scheduling,
@@ -1892,20 +1893,33 @@ def sip_watch(
     ``max_cycles`` bounds the loop (None = run until interrupted — the
     daemon mode); ``idle_cycles_to_stop`` exits after that many
     consecutive no-change polls (the batch catch-up mode). ``on_cycle``
-    (cycle_idx, new_files) is a test/metrics hook. Returns
-    {"cycles", "epochs", "files_applied"}."""
+    (cycle_idx, new_files) is a test/metrics hook.
+
+    ``retry_on_error=True`` (the daemon posture): a failed extend — e.g.
+    a half-uploaded parquet file or a transiently unsorted batch — is
+    recorded and RETRIED on the next heartbeat instead of killing the
+    loop; extend's epoch markers make the retry safe (a batch commits
+    atomically or not at all). Returns {"cycles", "epochs",
+    "files_applied", "errors"}."""
     cycles = 0
     idle = 0
     epochs = 0
     files_applied: list[str] = []
+    errors: list[str] = []
     while True:
         have = set(list_input_files(corpus_dir))
         new = sorted(have - applied_input_files(index_dir))
         if new:
-            extend_index(new, index_dir)
-            epochs += 1
-            files_applied.extend(new)
-            idle = 0
+            try:
+                extend_index(new, index_dir)
+                epochs += 1
+                files_applied.extend(new)
+                idle = 0
+            except Exception as e:  # noqa: BLE001
+                if not retry_on_error:
+                    raise
+                errors.append(f"cycle {cycles + 1}: {e}")
+                idle = 0  # work is pending; never idle-stop on a failure
         else:
             idle += 1
         cycles += 1
@@ -1916,7 +1930,8 @@ def sip_watch(
         if idle_cycles_to_stop is not None and idle >= idle_cycles_to_stop:
             break
         time.sleep(interval)
-    return {"cycles": cycles, "epochs": epochs, "files_applied": files_applied}
+    return {"cycles": cycles, "epochs": epochs,
+            "files_applied": files_applied, "errors": errors}
 
 
 def compact_partition(index_dir: str, part: int) -> dict:

@@ -860,3 +860,41 @@ def test_sip_watch_catches_up(ray_session, tiny_transcripts_dir, tmp_path_factor
     # a second watch over the same dir is pure idle: no new epochs
     res2 = sip_watch(corpus, d, interval=0.01, idle_cycles_to_stop=1)
     assert res2["epochs"] == 0 and res2["files_applied"] == []
+
+
+def test_sip_watch_retry_on_error(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    """Daemon posture: a half-uploaded (corrupt) file records an error and
+    is retried next heartbeat instead of killing the loop; once the file
+    becomes valid the batch applies."""
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    convs = sorted(set(t["conv_id"].to_pylist()))
+    cut = convs[len(convs) // 2]
+    part1 = t.filter(pa.compute.less(t["conv_id"], cut))
+    part2 = t.filter(pa.compute.greater_equal(t["conv_id"], cut))
+    corpus = str(tmp_path_factory.mktemp("sipr_corpus"))
+    pq.write_table(part1, os.path.join(corpus, "a-epoch1.parquet"))
+    d = str(tmp_path_factory.mktemp("idx_sipr"))
+    from miru_ray.build import sip_watch
+
+    build_index(corpus, d, n_parts=N_PARTS)
+    bad = os.path.join(corpus, "b-epoch2.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"half-uploaded junk")
+
+    def on_cycle(i, new):
+        if i == 1:  # "upload finishes" between heartbeats
+            pq.write_table(part2, bad)
+
+    res = sip_watch(corpus, d, interval=0.05, max_cycles=3,
+                    on_cycle=on_cycle, retry_on_error=True)
+    assert len(res["errors"]) == 1 and "cycle 1" in res["errors"][0]
+    assert res["epochs"] == 1
+    assert [os.path.basename(f) for f in res["files_applied"]] == ["b-epoch2.parquet"]
+    # without the daemon posture the same corruption raises
+    bad2 = os.path.join(corpus, "c-epoch3.parquet")
+    with open(bad2, "wb") as f:
+        f.write(b"junk")
+    with pytest.raises(Exception):
+        sip_watch(corpus, d, interval=0.01, max_cycles=1)
