@@ -145,6 +145,7 @@ def cmd_sip(args) -> int:
                 interval=args.interval,
                 max_cycles=args.max_cycles,
                 idle_cycles_to_stop=args.idle_stop,
+                retry_on_error=args.retry_on_error,
             )
         )
     )
@@ -402,6 +403,10 @@ def main(argv=None) -> int:
     sp.add_argument(
         "--idle-stop", type=int, default=None,
         help="exit after N consecutive no-change polls (batch catch-up mode)",
+    )
+    sp.add_argument(
+        "--retry-on-error", action="store_true",
+        help="daemon posture: record failed extends and retry next heartbeat",
     )
     sp.set_defaults(fn=cmd_sip)
 
