@@ -299,18 +299,25 @@ class PostingSource:
         self.blocks: dict[tuple[str, str], dict[str, np.ndarray]] = {}
         misses = []
         for k in sorted(keys):
-            hit = _POSTING_CACHE.get((index_dir, part, epoch, k))
-            if hit is None and (index_dir, part, epoch, k) not in _POSTING_CACHE:
+            ck = (index_dir, part, epoch, k)
+            if ck in _POSTING_CACHE:
+                # LRU touch: dicts preserve insertion order, so pop+reinsert
+                # marks the entry most-recent (eviction takes the front)
+                hit = _POSTING_CACHE.pop(ck)
+                _POSTING_CACHE[ck] = hit
+                if hit is not None:
+                    field, term = k.split(FIELD_SEP, 1)
+                    self.post[(field, term)] = (hit[0], hit[1])
+                    self.ttf[(field, term)] = hit[2]
+                    self.df[(field, term)] = hit[3]
+                    self.blocks[(field, term)] = hit[4]
+            else:
                 misses.append(k)
-            elif hit is not None:
-                field, term = k.split(FIELD_SEP, 1)
-                self.post[(field, term)] = (hit[0], hit[1])
-                self.ttf[(field, term)] = hit[2]
-                self.df[(field, term)] = hit[3]
-                self.blocks[(field, term)] = hit[4]
         if misses:
-            if len(_POSTING_CACHE) > _POSTING_CACHE_CAP:
-                _POSTING_CACHE.clear()
+            # evict least-recently-used entries one by one (replaces the
+            # old wholesale clear(), which dropped the whole warm set)
+            while len(_POSTING_CACHE) + len(misses) > _POSTING_CACHE_CAP:
+                _POSTING_CACHE.pop(next(iter(_POSTING_CACHE)))
             t = read_postings_for_terms(index_dir, part, misses)
             found = set()
             for i in range(t.num_rows):
