@@ -425,6 +425,31 @@ def ft_stem_terms(sf_dir: str):
     return stem_vocab_ds(sf_dir)
 
 
+# German stemming probes: umlauts, ß, the niss rule, nested d-suffixes,
+# and u/y-marking chains — shared verbatim by the engine callable and the
+# SQL oracle, each of which stems them with its OWN implementation.
+DE_STEM_PROBES = (
+    "laufen", "läuft", "kinder", "kindern", "häuser", "bücher", "größe",
+    "straßen", "verständnisse", "möglichkeit", "freundlichkeit",
+    "beendigung", "endungen", "aufeinanderfolgenden", "schönheit",
+    "wirksamkeit", "verständlich", "üblicherweise", "zusammengehörigkeit",
+    "bauernhof", "auauua", "ayua", "mayonnaise", "treibst", "nisse",
+)
+
+
+def ft_stem_terms_de(sf_dir: str) -> pa.Table:
+    """Corpus vocab ∪ German probe words → Snowball German stems
+    (stem.german_stem; the SQL oracle is the independent recursive-CTE
+    implementation in _german_ctes)."""
+    from miru_ray.stem import stem_array, stem_vocab_ds
+
+    vocab = set(DE_STEM_PROBES)
+    for b in stem_vocab_ds(sf_dir, lang="de").iter_batches(batch_format="pyarrow"):
+        vocab.update(b["term"].to_pylist())
+    terms = pa.array(sorted(vocab), pa.string())
+    return pa.table({"term": terms, "stem": stem_array(terms, lang="de")})
+
+
 def ft_topk_bm25_en(sf_dir: str) -> pa.Table:
     """BM25 top-k on the en-analyzer (Porter2-stemmed) index for the
     STEM_QUERY_TERMS AND query. Exercises stemming at ingest (index terms
@@ -2572,6 +2597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_bpe": txt_bpe,
         "txt_bpe_encode": txt_bpe_encode,
         "txt_decontam": txt_decontam,
+        # position >50 by design: lands in the round-5 window (REGISTRY.md)
+        "ft_stem_terms_de": ft_stem_terms_de,
         "pipe_curate": pipe_curate,
         "txt_chunks": txt_chunks,
         "txt_packing": txt_packing,
@@ -2670,6 +2697,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
 U64 = "18446744073709551616"
 FNV_PRIME = 1099511628211
 MERSENNE = 2305843009213693951  # minhash universal-hash modulus
+
+
+# --------------------------------------- Snowball German stemmer as SQL CTEs
+#
+# Independent implementation of the published Snowball German algorithm
+# (snowballstem.org/algorithms/german/stemmer.html), mirroring
+# miru_ray/stem.py:german_stem. The prelude's u/y-between-vowels marking is
+# SEQUENTIAL (a freshly marked U is a consonant for the next test), so it
+# runs as a per-character recursive CTE — the PeakDet state-machine
+# precedent. German tokens come from the unicode tokenizer; DuckDB string
+# ops are character-based, so len/left/substr work on umlauts directly.
+
+_DE_V = "aeiouyäöü"
+
+
+def _german_ctes(src: str, tag: str = "de") -> tuple[str, str]:
+    """CTE chain stemming ``src``'s column ``t`` → final CTE ``{tag}f``
+    with columns (t, stem)."""
+    V = _DE_V
+    vin = ", ".join(f"'{c}'" for c in V)
+    r1pat = f"^[^{V}]*[{V}]+[^{V}]"
+    sql = f"""{tag}ss AS (SELECT t, replace(t, 'ß', 'ss') AS w0 FROM {src}),
+{tag}mk AS (
+  -- sequential u/y marking: U/Y are consonants for the NEXT character's
+  -- left-neighbour test (prev_marked carries the state)
+  WITH RECURSIVE walk(t, w0, i, acc, prev_marked) AS (
+    SELECT t, w0, 1, '', false FROM {tag}ss
+    UNION ALL
+    SELECT t, w0, i + 1,
+           acc || CASE WHEN substr(w0, i, 1) IN ('u', 'y')
+                        AND i > 1 AND i < len(w0)
+                        AND substr(w0, i - 1, 1) IN ({vin}) AND NOT prev_marked
+                        AND substr(w0, i + 1, 1) IN ({vin})
+                   THEN upper(substr(w0, i, 1)) ELSE substr(w0, i, 1) END,
+           (substr(w0, i, 1) IN ('u', 'y')
+            AND i > 1 AND i < len(w0)
+            AND substr(w0, i - 1, 1) IN ({vin}) AND NOT prev_marked
+            AND substr(w0, i + 1, 1) IN ({vin}))
+    FROM walk WHERE i <= len(w0)
+  )
+  SELECT t, acc AS w FROM walk WHERE i = len(w0) + 1
+     UNION ALL SELECT t, w0 FROM {tag}ss WHERE len(w0) = 0),
+{tag}r AS (SELECT t, w,
+  GREATEST(CASE WHEN regexp_matches(w, '{r1pat}')
+                THEN len(regexp_extract(w, '{r1pat}')) ELSE len(w) END, 3) AS r1
+  FROM {tag}mk),
+{tag}r2 AS (SELECT t, w, r1,
+  CASE WHEN regexp_matches(w, '{r1pat}')
+       THEN len(regexp_extract(w, '{r1pat}')) ELSE len(w) END AS r1raw
+  FROM {tag}r),
+{tag}rr AS (SELECT t, w, r1,
+  r1raw + CASE WHEN regexp_matches(substr(w, r1raw + 1), '{r1pat}')
+               THEN len(regexp_extract(substr(w, r1raw + 1), '{r1pat}'))
+               ELSE len(w) - r1raw END AS r2
+  FROM {tag}r2),
+{tag}1 AS (SELECT t, r1, r2,
+  CASE WHEN ends_with(w,'ern') THEN CASE WHEN len(w)-3 >= r1 THEN left(w,len(w)-3) ELSE w END
+       WHEN ends_with(w,'em') OR ends_with(w,'er') THEN
+            CASE WHEN len(w)-2 >= r1 THEN left(w,len(w)-2) ELSE w END
+       WHEN ends_with(w,'en') OR ends_with(w,'es') THEN
+            CASE WHEN len(w)-2 >= r1 THEN
+              CASE WHEN ends_with(left(w,len(w)-2),'niss')
+                   THEN left(w,len(w)-3) ELSE left(w,len(w)-2) END
+            ELSE w END
+       WHEN ends_with(w,'e') THEN
+            CASE WHEN len(w)-1 >= r1 THEN
+              CASE WHEN ends_with(left(w,len(w)-1),'niss')
+                   THEN left(w,len(w)-2) ELSE left(w,len(w)-1) END
+            ELSE w END
+       WHEN ends_with(w,'s') THEN
+            CASE WHEN len(w)-1 >= r1 AND regexp_matches(w,'[bdfghklmnrt]s$')
+                 THEN left(w,len(w)-1) ELSE w END
+       ELSE w END AS w
+  FROM {tag}rr),
+{tag}2 AS (SELECT t, r1, r2,
+  CASE WHEN ends_with(w,'est') THEN CASE WHEN len(w)-3 >= r1 THEN left(w,len(w)-3) ELSE w END
+       WHEN ends_with(w,'en') OR ends_with(w,'er') THEN
+            CASE WHEN len(w)-2 >= r1 THEN left(w,len(w)-2) ELSE w END
+       WHEN ends_with(w,'st') THEN
+            CASE WHEN len(w)-2 >= r1 AND len(w) > 5
+                  AND regexp_matches(w,'[bdfghklmnt]st$')
+                 THEN left(w,len(w)-2) ELSE w END
+       ELSE w END AS w
+  FROM {tag}1),
+{tag}3 AS (SELECT t,
+  CASE WHEN ends_with(w,'end') OR ends_with(w,'ung') THEN
+            CASE WHEN len(w)-3 >= r2 THEN
+              CASE WHEN ends_with(left(w,len(w)-3),'ig')
+                        AND len(w)-5 >= r2
+                        AND NOT ends_with(left(w,len(w)-3),'eig')
+                   THEN left(w,len(w)-5) ELSE left(w,len(w)-3) END
+            ELSE w END
+       WHEN ends_with(w,'isch') THEN
+            CASE WHEN len(w)-4 >= r2 AND NOT ends_with(w,'eisch')
+                 THEN left(w,len(w)-4) ELSE w END
+       WHEN ends_with(w,'ig') OR ends_with(w,'ik') THEN
+            CASE WHEN len(w)-2 >= r2 AND substr(w,len(w)-2,1) <> 'e'
+                 THEN left(w,len(w)-2) ELSE w END
+       WHEN ends_with(w,'lich') OR ends_with(w,'heit') THEN
+            CASE WHEN len(w)-4 >= r2 THEN
+              CASE WHEN (ends_with(left(w,len(w)-4),'er') OR ends_with(left(w,len(w)-4),'en'))
+                        AND len(w)-6 >= r1
+                   THEN left(w,len(w)-6) ELSE left(w,len(w)-4) END
+            ELSE w END
+       WHEN ends_with(w,'keit') THEN
+            CASE WHEN len(w)-4 >= r2 THEN
+              CASE WHEN ends_with(left(w,len(w)-4),'lich') AND len(w)-8 >= r2
+                   THEN left(w,len(w)-8)
+                   WHEN ends_with(left(w,len(w)-4),'ig') AND len(w)-6 >= r2
+                   THEN left(w,len(w)-6)
+                   ELSE left(w,len(w)-4) END
+            ELSE w END
+       ELSE w END AS w
+  FROM {tag}2),
+{tag}f AS (SELECT t,
+  replace(replace(replace(replace(replace(w,'U','u'),'Y','y'),'ä','a'),'ö','o'),'ü','u') AS stem
+  FROM {tag}3)"""
+    return sql, f"{tag}f"
 
 
 # --------------------------------------------- Porter2 stemmer as SQL CTEs
@@ -3294,6 +3439,15 @@ LIMIT {K_TFIDF}"""
             f"""WITH tokd AS (SELECT DISTINCT unnest({_TOK}) AS t FROM documents),
 {_porter2_ctes("tokd")[0]}
 SELECT t AS term, stem FROM {_porter2_ctes("tokd")[1]}"""
+        ),
+        "ft_stem_terms_de": (
+            # corpus text is pure ascii, where the unicode tokenizer equals
+            # the ascii rule — the probe words carry the umlauts/ß cases
+            f"""WITH tokd AS (SELECT DISTINCT t FROM (
+  SELECT unnest({_TOK}) AS t FROM documents
+  UNION ALL SELECT * FROM (VALUES {", ".join(f"('{w}')" for w in DE_STEM_PROBES)}) AS probes(t))),
+{_german_ctes("tokd")[0]}
+SELECT t AS term, stem FROM {_german_ctes("tokd")[1]}"""
         ),
         "ft_topk_bm25_en": (
             f"""WITH tok AS ({_TOKTAB}),

@@ -165,7 +165,7 @@ LOCALE_STOPWORDS: dict[str, frozenset] = {
 }
 
 
-def _make_locale_analyzer(name: str, stops: frozenset) -> Analyzer:
+def _make_locale_analyzer(name: str, stops: frozenset, stem_lang: str | None = None) -> Analyzer:
     stop_arr = pa.array(sorted(stops))
 
     def flat(texts, use_stopwords: bool = False):
@@ -173,7 +173,11 @@ def _make_locale_analyzer(name: str, stops: frozenset) -> Analyzer:
         if use_stopwords:
             keep = pc.invert(pc.is_in(tokens, value_set=stop_arr))
             keep_np = keep.to_numpy(zero_copy_only=False)
-            return parents[keep_np], tokens.filter(keep)
+            parents, tokens = parents[keep_np], tokens.filter(keep)
+        if stem_lang is not None:
+            from .stem import stem_array
+
+            tokens = stem_array(tokens, lang=stem_lang)
         return parents, tokens
 
     def scalar(text: str, use_stopwords: bool = False) -> list[str]:
@@ -183,8 +187,13 @@ def _make_locale_analyzer(name: str, stops: frozenset) -> Analyzer:
     return Analyzer(name, flat, scalar)
 
 
+# "de" carries the full chain (unicode tokenize → stopwords → Snowball
+# German stemmer, stem.german_stem); fr/es ship tokenizer + stopwords
+# with the stemmer as the open extension point.
 for _loc, _stops in LOCALE_STOPWORDS.items():
-    register_analyzer(_make_locale_analyzer(_loc, _stops))
+    register_analyzer(
+        _make_locale_analyzer(_loc, _stops, stem_lang="de" if _loc == "de" else None)
+    )
 
 
 def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
@@ -202,4 +211,6 @@ def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
         contract = {"pattern": "[a-z0-9]+", "lowercase": True}
     if resolved.name == "en":
         contract["stem"] = "porter2"
+    elif resolved.name == "de":
+        contract["stem"] = "snowball-de"
     return dict(contract, stopwords=use_stopwords, analyzer=resolved.name)

@@ -231,13 +231,130 @@ def porter2_stem(word: str) -> str:
     return w.replace("Y", "y")
 
 
+# --------------------------------------------- Snowball German stemmer
+#
+# The published Snowball German algorithm
+# (snowballstem.org/algorithms/german/stemmer.html), implemented from the
+# spec like the English chain above. German runs over the UNICODE
+# tokenizer (umlauts are letters there); the SQL twin lives in
+# __ray_entry__._german_ctes and tests/test_stem.py cross-checks the two.
+
+_DE_VOWELS = frozenset("aeiouyäöü")
+_DE_S_END = frozenset("bdfghklmnrt")
+_DE_ST_END = frozenset("bdfghklmnt")
+
+
+def _de_mark(w: str) -> str:
+    """Prelude: ß→ss; u/y BETWEEN vowels marked U/Y (consonant role)."""
+    w = w.replace("ß", "ss")
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in ("u", "y") and chars[i - 1] in _DE_VOWELS and chars[i + 1] in _DE_VOWELS:
+            # the left-neighbour test reads the MARKED state (a U is a
+            # consonant), exactly like the Snowball cursor walk
+            if chars[i - 1] in ("U", "Y"):
+                continue
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def _de_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r2 = i + 1
+            break
+    # the region before R1 must hold at least 3 letters
+    return max(r1, 3), r2
+
+
+def german_stem(word: str) -> str:
+    """Stem one lowercase token by the published Snowball German spec."""
+    w = _de_mark(word)
+    r1, r2 = _de_regions(w)
+
+    def in_r1(k: int) -> bool:
+        return len(w) - k >= r1
+
+    def in_r2(k: int) -> bool:
+        return len(w) - k >= r2
+
+    # ---- step 1 (longest of ern, em, er, en, es, e, s)
+    if w.endswith("ern"):
+        if in_r1(3):
+            w = w[:-3]
+    elif w.endswith("em") or w.endswith("er"):
+        if in_r1(2):
+            w = w[:-2]
+    elif w.endswith("en") or w.endswith("es"):
+        if in_r1(2):
+            w = w[:-2]
+            if w.endswith("niss"):
+                w = w[:-1]
+    elif w.endswith("e"):
+        if in_r1(1):
+            w = w[:-1]
+            if w.endswith("niss"):
+                w = w[:-1]
+    elif w.endswith("s"):
+        if in_r1(1) and len(w) > 1 and w[-2] in _DE_S_END:
+            w = w[:-1]
+    # ---- step 2 (longest of est, en, er, st)
+    if w.endswith("est"):
+        if in_r1(3):
+            w = w[:-3]
+    elif w.endswith("en") or w.endswith("er"):
+        if in_r1(2):
+            w = w[:-2]
+    elif w.endswith("st"):
+        if in_r1(2) and len(w) > 5 and w[-3] in _DE_ST_END:
+            w = w[:-2]
+    # ---- step 3 (d-suffixes)
+    if w.endswith("end") or w.endswith("ung"):
+        if in_r2(3):
+            w = w[:-3]
+            if w.endswith("ig") and in_r2(2) and not w.endswith("eig"):
+                w = w[:-2]
+    elif w.endswith("isch"):
+        if in_r2(4) and not w.endswith("eisch"):
+            w = w[:-4]
+    elif w.endswith("ig") or w.endswith("ik"):
+        if in_r2(2) and w[-3:-2] != "e":
+            w = w[:-2]
+    elif w.endswith("lich") or w.endswith("heit"):
+        if in_r2(4):
+            w = w[:-4]
+            if (w.endswith("er") or w.endswith("en")) and in_r1(2):
+                w = w[:-2]
+    elif w.endswith("keit"):
+        if in_r2(4):
+            w = w[:-4]
+            if w.endswith("lich") and in_r2(4):
+                w = w[:-4]
+            elif w.endswith("ig") and in_r2(2):
+                w = w[:-2]
+    # ---- postlude
+    w = w.replace("U", "u").replace("Y", "y")
+    return (
+        w.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+
+
 # ------------------------------------------------------------- vectorized
 
-_MEMO: dict[str, str] = {}
-_MEMO_CAP = 1 << 20  # vocab entries; wholesale reset at cap (bounded heap)
+_MEMOS: dict[str, dict[str, str]] = {"en": {}, "de": {}}
+_MEMO_CAP = 1 << 20  # vocab entries per language; wholesale reset at cap
+
+_STEMMERS = {"en": porter2_stem, "de": german_stem}
 
 
-def stem_array(tokens: pa.Array | pa.ChunkedArray) -> pa.Array:
+def stem_array(tokens: pa.Array | pa.ChunkedArray, lang: str = "en") -> pa.Array:
     """Stem a token string array via dictionary encoding: the Python kernel
     runs once per UNIQUE token (vocab-sized), then one take() rebuilds the
     full stream — the per-batch cost is O(stream) gather + O(new vocab)."""
@@ -245,27 +362,31 @@ def stem_array(tokens: pa.Array | pa.ChunkedArray) -> pa.Array:
         tokens = tokens.combine_chunks()
     if len(tokens) == 0:
         return tokens
+    stem_fn = _STEMMERS[lang]
     d = tokens.dictionary_encode()
     vocab = d.dictionary.to_pylist()
-    global _MEMO
-    if len(_MEMO) > _MEMO_CAP:
-        _MEMO = {}
+    memo = _MEMOS[lang]
+    if len(memo) > _MEMO_CAP:
+        memo.clear()
     out = []
     for v in vocab:
-        s = _MEMO.get(v)
+        s = memo.get(v)
         if s is None:
-            s = porter2_stem(v)
-            _MEMO[v] = s
+            s = stem_fn(v)
+            memo[v] = s
         out.append(s)
     return pa.array(out, pa.string()).take(d.indices)
 
 
-def _stem_vocab_partial(batch: pa.Table) -> pa.Table:
-    from .tokenize import tokenize_flat
+def _stem_vocab_partial(batch: pa.Table, lang: str = "en") -> pa.Table:
+    if lang == "de":
+        from .analyzers import _unicode_flat as _flat
+    else:
+        from .tokenize import tokenize_flat as _flat
 
-    _, toks = tokenize_flat(batch["text"])
+    _, toks = _flat(batch["text"])
     uniq = pc.unique(toks if isinstance(toks, pa.Array) else toks.combine_chunks())
-    return pa.table({"term": uniq, "stem": stem_array(uniq)})
+    return pa.table({"term": uniq, "stem": stem_array(uniq, lang=lang)})
 
 
 def _norm_vocab(b: pa.Table) -> pa.Table:
@@ -279,11 +400,13 @@ def _norm_vocab(b: pa.Table) -> pa.Table:
     )
 
 
-def stem_vocab_ds(sf_dir: str):
-    """(term, stem): the distinct raw-token → Porter2-stem vocabulary map of
-    the documents corpus. Per-batch unique + stem (vocab-sized partials),
-    then a tiny groupby dedups across batches — the stream itself never
-    shuffles, only the vocabulary does."""
+def stem_vocab_ds(sf_dir: str, lang: str = "en"):
+    """(term, stem): the distinct raw-token → stem vocabulary map of the
+    documents corpus under the ``lang`` stemmer (en = Porter2 over the
+    ascii tokenizer; de = Snowball German over the unicode tokenizer).
+    Per-batch unique + stem (vocab-sized partials), then a tiny groupby
+    dedups across batches — the stream itself never shuffles, only the
+    vocabulary does."""
     import os
 
     import ray.data as rd
@@ -291,7 +414,10 @@ def stem_vocab_ds(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
     return (
-        ds.map_batches(_stem_vocab_partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(
+            _stem_vocab_partial, fn_kwargs={"lang": lang},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
         .groupby(["term", "stem"])
         .aggregate(Count())
         .map_batches(_norm_vocab, batch_format="pyarrow")

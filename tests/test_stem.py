@@ -214,3 +214,82 @@ def test_highlight_with_en_analyzer():
     )
     # default analyzer unchanged: no stemming, surface forms must match
     assert highlight("merged", "merging the tables", analyzer="default") is None
+
+
+GERMAN_CANONICAL = {
+    "laufen": "lauf", "kinder": "kind", "kindern": "kind",
+    "häuser": "haus", "bücher": "buch", "größe": "gross",
+    "straßen": "strass", "verständnisse": "verstandnis",
+    "möglichkeit": "moglich", "beendigung": "beendig",
+    "endungen": "endung", "aufeinander": "aufeinand",
+}
+
+
+def test_german_canonical_pairs():
+    from miru_ray.stem import german_stem
+
+    for w, want in GERMAN_CANONICAL.items():
+        assert german_stem(w) == want, (w, german_stem(w), want)
+
+
+def test_german_python_vs_sql():
+    """The Python kernel and the recursive-CTE SQL chain implement the same
+    published Snowball German spec — fuzz over umlauts/ß/u-y-marking
+    chains + suffix pileups."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from miru_ray.stem import german_stem
+
+    rng = random.Random(99)
+    letters = "abcdefghiklmnorstuäöüß" + "uy"
+    words = set(GERMAN_CANONICAL) | set(e.DE_STEM_PROBES)
+    sufs = ("en", "er", "ern", "em", "es", "e", "s", "est", "st", "end",
+            "ung", "ig", "ik", "isch", "lich", "heit", "keit", "igkeit",
+            "lichkeit", "nisse", "igung", "erheit", "enlich")
+    for w in list(words):
+        for s in sufs:
+            words.add(w + s)
+    for _ in range(3000):
+        k = rng.randint(1, 11)
+        words.add("".join(rng.choice(letters) for _ in range(k)))
+    words |= {"auaua", "auuua", "ayuya", "yuyu", "aßa", "ßß", "nisse",
+              "äuä", "üyü", "a", "ab"}
+    words = sorted(words)
+    chain, final = e._german_ctes("v")
+    vals = ", ".join("('%s')" % w for w in words)
+    q = f"WITH v AS (SELECT * FROM (VALUES {vals}) AS x(t)),\n{chain}\nSELECT t, stem FROM {final}"
+    res = dict(duckdb.connect().execute(q).fetchall())
+    bad = [(w, german_stem(w), res[w]) for w in words if german_stem(w) != res[w]]
+    assert not bad, bad[:20]
+
+
+def test_de_analyzer_chain(ray_session, tmp_path_factory):
+    """The de analyzer = unicode tokenize → German stopwords → Snowball
+    German stem; cross-form matching works through the stems on a built
+    index."""
+    a = get_analyzer("de")
+    assert a.scalar("Die Kinder laufen") == ["die", "kind", "lauf"]
+    assert a.scalar("Die Kinder laufen", use_stopwords=True) == ["kind", "lauf"]
+
+    d = tmp_path_factory.mktemp("de_corpus")
+    rows = {
+        "conv_id": ["c-0", "c-1"],
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "role": ["user"] * 2,
+        "text": ["die kinder laufen schnell", "häuser und bücher"],
+        "tool": ["t"] * 2,
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+    }
+    pq.write_table(pa.table(rows), str(d / "f.parquet"))
+    from miru_ray.build import build_index
+    from miru_ray.search import SearchEngine
+
+    idx = str(tmp_path_factory.mktemp("de_idx"))
+    meta = build_index(str(d), idx, n_parts=1, analyzer="de")
+    assert meta["tokenizer"]["stem"] == "snowball-de"
+    eng = SearchEngine(idx)
+    # cross-form: kindern (dative plural) matches the indexed 'kinder'
+    assert eng.count("kindern") == 1
+    assert eng.count("haus") == 1  # häuser → haus at ingest; haus → haus at query
+    assert eng.count("laufend") == 0  # different stem (lauf vs laufend→lauf? )
