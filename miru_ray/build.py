@@ -1867,9 +1867,12 @@ def applied_input_files(index_dir: str) -> set[str]:
             f"{index_dir} predates input-file lineage (no 'input_files' in "
             "the global manifest) — rebuild once, or extend explicitly"
         )
-    applied = set(base)
+    # abspath-normalized: the watcher's corpus path spelling must not
+    # matter (a relative build path + an absolute --input would otherwise
+    # diff to "everything is new" and silently double-index the corpus)
+    applied = {os.path.abspath(f) for f in base}
     for e in gmeta.get("epochs", []):
-        applied.update(e.get("files", []))
+        applied.update(os.path.abspath(f) for f in e.get("files", []))
     return applied
 
 
@@ -1907,7 +1910,7 @@ def sip_watch(
     files_applied: list[str] = []
     errors: list[str] = []
     while True:
-        have = set(list_input_files(corpus_dir))
+        have = {os.path.abspath(f) for f in list_input_files(corpus_dir)}
         new = sorted(have - applied_input_files(index_dir))
         if new:
             try:
@@ -2189,18 +2192,24 @@ def upsert_rows(
                              "new rows go through extend_index")
         by_file.setdefault(fi, []).append(i)
 
-    # partition of each key (needed for the forward-ts version gate)
+    # one key-location pass (reads ONLY the two key columns of affected
+    # files): in-file row of every update key, and — in range mode — the
+    # partition from the file's global row offset
+    row_of = np.full(len(up_keys), -1, dtype=np.int64)
+    for fi, idxs in by_file.items():
+        tk = _pq.read_table(files[fi], columns=["conv_id", "turn_idx"])
+        fkeys = list(zip(tk["conv_id"].to_pylist(),
+                         (int(x) for x in tk["turn_idx"].to_pylist())))
+        for i in idxs:
+            r = bisect.bisect_left(fkeys, up_keys[i])
+            if r >= len(fkeys) or fkeys[r] != up_keys[i]:
+                raise ValueError(f"upsert key {up_keys[i]} not present in {files[fi]}")
+            row_of[i] = r
     if pmode == "range":
         part_of = np.empty(len(up_keys), dtype=np.int64)
         for fi, idxs in by_file.items():
-            t = _pq.read_table(files[fi], columns=["conv_id", "turn_idx"])
-            fkeys = list(zip(t["conv_id"].to_pylist(),
-                             (int(x) for x in t["turn_idx"].to_pylist())))
             for i in idxs:
-                r = bisect.bisect_left(fkeys, up_keys[i])
-                if r >= len(fkeys) or fkeys[r] != up_keys[i]:
-                    raise ValueError(f"upsert key {up_keys[i]} not present in {files[fi]}")
-                part_of[i] = (goffs[fi] + r) // int(R)
+                part_of[i] = (goffs[fi] + row_of[i]) // int(R)
     else:
         part_of = (fnv1a64(up_conv) % np.uint64(n_parts)).astype(np.int64)
 
@@ -2259,18 +2268,28 @@ def upsert_rows(
             os.symlink(os.path.abspath(f), out)
             new_files.append(out)
             continue
+        # Arrow-native substitution: one take per column over the original
+        # chunks + the (cast) winner rows appended past the end — winner
+        # positions (from the key-location pass) redirect into them; the
+        # file's data never round-trips through Python objects
         t = _pq.read_table(f)
-        fkeys = list(zip(t["conv_id"].to_pylist(),
-                         (int(x) for x in t["turn_idx"].to_pylist())))
-        cols = {c: t[c].to_pylist() for c in t.schema.names}
-        for i in idxs:
-            r = bisect.bisect_left(fkeys, up_keys[i])
-            if r >= len(fkeys) or fkeys[r] != up_keys[i]:
-                raise ValueError(f"upsert key {up_keys[i]} not present in {f}")
-            for c in t.schema.names:
-                cols[c][r] = win_cols[c][i].as_py()
-        patched_t = pa.table({c: pa.array(cols[c], t.schema.field(c).type)
-                              for c in t.schema.names})
+        take_idx = np.arange(t.num_rows, dtype=np.int64)
+        for j, i in enumerate(idxs):
+            take_idx[row_of[i]] = t.num_rows + j
+        up_sel = pa.array([int(i) for i in idxs], pa.int64())
+        idx_arr = pa.array(take_idx)
+        patched_t = pa.table(
+            {
+                c: pc.take(
+                    pa.chunked_array(
+                        [t[c].combine_chunks(),
+                         pc.cast(win_cols[c].take(up_sel), t.schema.field(c).type)]
+                    ),
+                    idx_arr,
+                )
+                for c in t.schema.names
+            }
+        )
         _pq.write_table(patched_t, out + ".tmp")
         os.replace(out + ".tmp", out)
         new_files.append(out)

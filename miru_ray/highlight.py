@@ -92,7 +92,7 @@ def highlight(
         return None
 
     text = content[:preview]
-    from .analyzers import get_analyzer
+    from .analyzers import LOCALE_STOPWORDS, get_analyzer
 
     resolved = get_analyzer(analyzer).name
     if resolved == "en":
@@ -107,14 +107,20 @@ def highlight(
             for m in _PY_TOKEN_RE.finditer(low)
             if _term_matches(porter2_stem(m.group()), values)
         ]
-    elif resolved == "unicode":
-        # unicode analyzer: spans from the original text, tokens lowercased
-        # for the match — the content side must tokenize like the index side
+    elif resolved == "unicode" or resolved in LOCALE_STOPWORDS:
+        # unicode-tokenized chains (unicode, de/fr/es): spans from the
+        # original text, tokens lowercased — and stemmed for the de chain,
+        # matching its index side
+        xform = None
+        if resolved == "de":
+            from .stem import german_stem as xform
         low = text
         spans = [
             (m.start(), m.end())
             for m in _UNI_TOKEN_RE.finditer(text)
-            if _term_matches(m.group().lower(), values)
+            if _term_matches(
+                xform(m.group().lower()) if xform else m.group().lower(), values
+            )
         ]
     else:
         low = text.translate(_ASCII_LOWER)

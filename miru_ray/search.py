@@ -315,8 +315,10 @@ class PostingSource:
                 misses.append(k)
         if misses:
             # evict least-recently-used entries one by one (replaces the
-            # old wholesale clear(), which dropped the whole warm set)
-            while len(_POSTING_CACHE) + len(misses) > _POSTING_CACHE_CAP:
+            # old wholesale clear(), which dropped the whole warm set);
+            # the non-empty guard covers a single source whose miss set
+            # alone exceeds the cap
+            while _POSTING_CACHE and len(_POSTING_CACHE) + len(misses) > _POSTING_CACHE_CAP:
                 _POSTING_CACHE.pop(next(iter(_POSTING_CACHE)))
             t = read_postings_for_terms(index_dir, part, misses)
             found = set()
@@ -1204,7 +1206,11 @@ class SearchEngine:
         # dropped from the answer.
         self.replicas = list(replicas or [])
         if self.replicas:
+            # expected parts = the build's + every extend epoch's (range
+            # rollover can open partitions parts_built never saw)
             expected = set(self.meta.get("parts_built", []))
+            for e in self.meta.get("epochs", []):
+                expected.update(e.get("parts_updated", []))
             self.parts = sorted(set(self.parts) | expected, reverse=True)
         self.use_actors = use_actors
         self.n_actors = n_actors
@@ -1216,8 +1222,19 @@ class SearchEngine:
 
     def _ts_bounds(self, part: int) -> tuple[int, int] | None:
         """(ts_min, ts_max) from the partition manifest zone map, or None
-        for indexes built before the zone map existed (no pruning then)."""
-        met = _cached_manifest(self.index_dir, part).get("metrics", {})
+        for indexes built before the zone map existed (no pruning then) —
+        or whose manifest is unreadable on the primary (a vanished
+        partition dir): the partition then stays active and fails over to
+        a replica at ask time instead of crashing the prune walk."""
+        m = _cached_manifest(self.index_dir, part)
+        if m is None:
+            for rep in self.replicas:
+                m = _cached_manifest(rep, part)
+                if m is not None:
+                    break
+        if m is None:
+            return None
+        met = m.get("metrics", {})
         if met.get("ts_min") is None or met.get("ts_max") is None:
             return None
         return int(met["ts_min"]), int(met["ts_max"])
@@ -1438,7 +1455,7 @@ class SearchEngine:
             if report is not None:
                 kw["min_score"] = report[1]
                 kw["below_min"] = max(0, k - report[0])
-            r = search_partition(self.index_dir, p, **kw)
+            r = self._ask_serial(p, kw)
             hits = _hits_of(r)
             found += r["found"]
             merged = hits[:k] if report is None else _merge_two(merged, hits, k)
@@ -1735,14 +1752,29 @@ class SearchEngine:
         across partitions (shared by suggest / suggest_prefix)."""
         from .segments import read_term_dfs
 
+        def one(d: str, part: int) -> dict:
+            epoch = _manifest_epoch(d, part)
+            terms = expand_spec(d, part, epoch, field, spec)
+            return read_term_dfs(d, part, [field + FIELD_SEP + t for t in terms])
+
         df: dict[str, int] = {}
         sep_len = len(field) + 1
         for part in self.parts:
-            epoch = _manifest_epoch(self.index_dir, part)
-            terms = expand_spec(self.index_dir, part, epoch, field, spec)
-            dfs = read_term_dfs(
-                self.index_dir, part, [field + FIELD_SEP + t for t in terms]
-            )
+            try:
+                dfs = one(self.index_dir, part)
+            except Exception:  # noqa: BLE001 — replica failover (suggest path)
+                if not self.replicas:
+                    raise
+                dfs = None
+                last = None
+                for rep in self.replicas:
+                    try:
+                        dfs = one(rep, part)
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        last = e
+                if dfs is None:
+                    raise last
             for key, n in dfs.items():
                 t = key[sep_len:]
                 df[t] = df.get(t, 0) + n

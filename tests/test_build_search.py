@@ -898,3 +898,37 @@ def test_sip_watch_retry_on_error(ray_session, tiny_transcripts_dir, tmp_path_fa
         f.write(b"junk")
     with pytest.raises(Exception):
         sip_watch(corpus, d, interval=0.01, max_cycles=1)
+
+
+def test_sip_watch_path_spelling_invariance(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    """Review regression: the catch-up diff abspath-normalizes both sides,
+    so a differently-spelled corpus path (trailing /., relative) must NOT
+    re-extend already-applied files."""
+    corpus = str(tmp_path_factory.mktemp("sipn_corpus"))
+    for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))[:1]:
+        shutil.copy(f, os.path.join(corpus, os.path.basename(f)))
+    d = str(tmp_path_factory.mktemp("idx_sipn"))
+    from miru_ray.build import sip_watch
+
+    build_index(corpus + "/.", d, n_parts=2)  # build with a dotted spelling
+    res = sip_watch(corpus, d, interval=0.01, max_cycles=1)
+    assert res["epochs"] == 0 and res["files_applied"] == []
+    rel = os.path.relpath(corpus)
+    res2 = sip_watch(rel, d, interval=0.01, max_cycles=1)
+    assert res2["epochs"] == 0
+
+
+def test_posting_cache_lru_handles_oversized_miss_set(
+    ray_session, tiny_transcripts_dir, tmp_path_factory, index_dir, monkeypatch
+):
+    """Review regression: a single PostingSource whose miss set exceeds the
+    cache cap must not crash the eviction loop."""
+    from miru_ray import search as S
+    from miru_ray.search import PostingSource
+    from miru_ray.segments import read_manifest
+
+    monkeypatch.setattr(S, "_POSTING_CACHE_CAP", 2)
+    S._POSTING_CACHE.clear()
+    src = PostingSource(index_dir, 0, [("text", w) for w in ("t1", "t2", "t3", "t7", "w00042")], 0)
+    assert len(src.docs("text", "t1")) > 0
+    assert len(S._POSTING_CACHE) <= 2 + 5  # bounded, no StopIteration

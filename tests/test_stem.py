@@ -293,3 +293,21 @@ def test_de_analyzer_chain(ray_session, tmp_path_factory):
     assert eng.count("kindern") == 1
     assert eng.count("haus") == 1  # häuser → haus at ingest; haus → haus at query
     assert eng.count("laufend") == 0  # different stem (lauf vs laufend→lauf? )
+
+
+def test_highlight_with_de_analyzer():
+    """Review regression: the de chain's highlight must tokenize unicode
+    and stem the content side (umlauts + cross-form German matching)."""
+    from miru_ray.highlight import highlight
+
+    assert highlight("kindern", "die kinder laufen", analyzer="de") == (
+        "die <b>kinder</b> laufen"
+    )
+    assert highlight("haus", "häuser und bücher", analyzer="de") == (
+        "<b>häuser</b> und bücher"
+    )
+    assert highlight("kindern", "nichts passendes hier", analyzer="de") is None
+    # fr/es: unicode tokenization (accents kept whole), no stemming
+    assert highlight("señal", "la señal es clara", analyzer="es") == (
+        "la <b>señal</b> es clara"
+    )

@@ -172,3 +172,75 @@ def test_replica_failover_missing_partition(src_idx, tmp_path_factory):
     naked = SearchEngine(src_idx)
     _, found_naked = naked.search("NOT t2", k=10, scoring="bm25", parallel=False)
     assert found_naked < found
+
+
+def test_replica_failover_time_range_and_serial_and_suggest(src_idx, tmp_path_factory):
+    """Review regressions: a vanished primary partition must not crash the
+    zone-map prune walk (time_range), the serial solver, or the suggest
+    df walk — all fail over to the replica."""
+    rep = str(tmp_path_factory.mktemp("failover_rep3"))
+    sync_index(src_idx, rep)
+    ref = SearchEngine(src_idx)
+    tr = (0, 10**18)
+    want_tr = ref.search("t1", k=10, scoring="bm25", time_range=tr, parallel=False)
+    want_serial = ref.search_serial("t1 t7", k=10, scoring="bm25")
+    want_suggest = ref.suggest("t1", k=5)
+
+    shutil.rmtree(part_dir(src_idx, 1))
+    from miru_ray import search as S
+    S._POSTING_CACHE.clear()
+    S._MANIFEST_CACHE.clear()
+
+    eng = SearchEngine(src_idx, replicas=[rep])
+    got_tr = eng.search("t1", k=10, scoring="bm25", time_range=tr, parallel=False)
+    assert got_tr[1] == want_tr[1]
+    assert [(h.conv_id, h.turn_idx) for h in got_tr[0]] == [
+        (h.conv_id, h.turn_idx) for h in want_tr[0]
+    ]
+    got_serial = eng.search_serial("t1 t7", k=10, scoring="bm25")
+    assert got_serial[1] == want_serial[1]
+    assert [(h.conv_id, h.turn_idx) for h in got_serial[0]] == [
+        (h.conv_id, h.turn_idx) for h in want_serial[0]
+    ]
+    assert eng.suggest("t1", k=5) == want_suggest
+
+
+def test_replica_failover_extend_opened_partition(
+    ray_session, tiny_transcripts_dir, tmp_path_factory
+):
+    """A partition opened by an extend epoch (range rollover) is part of
+    the expected set too: losing its dir on the primary fails over instead
+    of silently narrowing the answer."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from miru_ray.build import build_index, extend_index
+
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(_glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    half = t.num_rows // 2
+    src1 = str(tmp_path_factory.mktemp("feo_src1"))
+    src2 = str(tmp_path_factory.mktemp("feo_src2"))
+    pq.write_table(t.slice(0, half), os.path.join(src1, "a.parquet"))
+    pq.write_table(t.slice(half), os.path.join(src2, "b.parquet"))
+    idx = str(tmp_path_factory.mktemp("feo_idx"))
+    build_index(src1, idx, n_parts=2, partitioning="range")
+    meta = extend_index(src2, idx)
+    opened = [p for p in meta["epochs"][-1]["parts_updated"]
+              if p not in meta.get("parts_built", [])]
+    assert opened, "extend should have opened new range partitions"
+    rep = str(tmp_path_factory.mktemp("feo_rep"))
+    sync_index(idx, rep)
+    ref_found = SearchEngine(idx).count("t1")
+    shutil.rmtree(part_dir(idx, opened[-1]))
+    from miru_ray import search as S
+    S._POSTING_CACHE.clear()
+    S._MANIFEST_CACHE.clear()
+    eng = SearchEngine(idx, replicas=[rep])
+    assert opened[-1] in eng.parts
+    assert eng.count("t1") == ref_found
