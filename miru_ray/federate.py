@@ -58,17 +58,38 @@ class FederatedEngine:
     zone-pruning observability the per-index engine already has)."""
 
     def __init__(self, index_dirs: list[str], use_actors: bool = False,
-                 replicas: dict[str, list[str]] | None = None):
+                 replicas: dict[str, list[str]] | None = None,
+                 allow_mixed_analyzers: bool = False):
         """``replicas`` maps an index dir to its replica dirs
         (sync.sync_index outputs); each member engine fails a partition
         over to its replicas when the primary's task raises — the
         federation-level availability story (MiruLowestLatencySolver
-        analogue, failure-triggered)."""
+        analogue, failure-triggered).
+
+        Members must share the analysis contract (analyzer + stopwords):
+        a federated query is parsed ONCE per member engine with that
+        member's analyzer, so mixed analyzers silently ask different term
+        sets per member — refused unless ``allow_mixed_analyzers=True``
+        (the registry enforces the same invariant at registration)."""
         replicas = replicas or {}
         self.engines = [
             SearchEngine(d, use_actors=use_actors, replicas=replicas.get(d))
             for d in index_dirs
         ]
+        if not allow_mixed_analyzers and len(self.engines) > 1:
+            def contract(e):
+                tok = e.meta.get("tokenizer") or {}
+                return (tok.get("analyzer", "default"), bool(tok.get("stopwords")),
+                        tok.get("stem"))
+            first = contract(self.engines[0])
+            for e, d in zip(self.engines[1:], index_dirs[1:]):
+                if contract(e) != first:
+                    raise ValueError(
+                        f"federation members disagree on the analysis contract: "
+                        f"{index_dirs[0]} has {first}, {d} has {contract(e)} — "
+                        "terms would not be comparable (pass "
+                        "allow_mixed_analyzers=True to override)"
+                    )
         self.last_engines_asked = 0
         self.last_parts_asked = 0
 

@@ -204,3 +204,21 @@ def test_federated_collapse(fed):
     ]
     assert found == found_full
     assert len({h.role for h in got}) == len(got)
+
+
+def test_federation_refuses_mixed_analyzers(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    """Members must share the analysis contract — a default-analyzer index
+    federated with a stemmed one is refused (terms are not comparable)."""
+    import pytest as _pytest
+
+    from miru_ray.build import build_index as _build
+
+    d1 = str(tmp_path_factory.mktemp("fed_mix1"))
+    d2 = str(tmp_path_factory.mktemp("fed_mix2"))
+    _build(tiny_transcripts_dir, d1, n_parts=2)
+    _build(tiny_transcripts_dir, d2, n_parts=2, analyzer="en")
+    with _pytest.raises(ValueError, match="analysis contract"):
+        FederatedEngine([d1, d2])
+    # explicit override still constructs
+    eng = FederatedEngine([d1, d2], allow_mixed_analyzers=True)
+    assert len(eng.engines) == 2
