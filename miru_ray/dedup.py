@@ -867,45 +867,174 @@ def minhash_clusters(
         )
 
     labels = _propagate_min_labels(edges, max_iter)
-    # final answer: drop singleton clusters (a node whose label is itself
-    # and no other node shares it). The label table is the result — small.
-    rows = labels.take_all()
-    by_label: dict[int, list[int]] = {}
-    for r in rows:
-        by_label.setdefault(int(r["label"]), []).append(int(r["node"]))
-    out = sorted(
-        (doc, root) for root, docs in by_label.items() if len(docs) > 1 for doc in docs
+    # final answer: drop singleton clusters, DISTRIBUTED — a
+    # groupby(label).count over the label table feeds the same
+    # bucket-lookup shape used by the propagation rounds, so no per-row
+    # driver loop touches the (potentially millions-of-rows at 100 TB)
+    # label table; only the final (doc_id, cluster_id) answer is gathered.
+    import ray
+    from ray.data.aggregate import Count
+
+    def _norm_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "label" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"key": e, "val": e})
+        cnt = "count()" if "count()" in b.schema.names else b.schema.names[-1]
+        t = pa.table(
+            {"key": pc.cast(b["label"], pa.int64()), "val": pc.cast(b[cnt], pa.int64())}
+        )
+        return t.filter(pc.greater_equal(t["val"], 2))
+
+    multi = labels.groupby("label").aggregate(Count()).map_batches(
+        _norm_counts, batch_format="pyarrow"
     )
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in out], type=pa.int64()),
-            "cluster_id": pa.array([r[1] for r in out], type=pa.int64()),
-        }
+    out_ds = _bucket_lookup(
+        multi,
+        labels.map_batches(
+            lambda b: pa.table(
+                {"key": pc.cast(b["label"], pa.int64()), "ret": pc.cast(b["node"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b["ret"], pa.int64()), "cluster_id": pc.cast(b["key"], pa.int64())}
+        ),
+        batch_format="pyarrow",
     )
+    refs = out_ds.to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    out = pa.concat_tables(parts)
+    return out.sort_by([("doc_id", "ascending"), ("cluster_id", "ascending")])
 
 
-def _propagate_min_labels(edges, max_iter: int = 50, num_partitions: int = 8):
+_EMPTY_LOOKUP = pa.schema(
+    [("ret", pa.int64()), ("key", pa.int64()), ("val", pa.int64())]
+)
+
+
+def _bucket_lookup(providers, requests, num_buckets: int = 32):
+    """Distributed inner hash-join of a request stream against a
+    unique-key lookup table WITHOUT ``Dataset.join`` — the join operator
+    cannot resolve key columns on the empty hash partitions a sparse
+    stream produces (the r4 ``dd_keep_best`` crash class), so both sides
+    are tagged, re-keyed by a splitmix64 hash bucket of the key, and
+    co-located by ONE groupby; a vectorized numpy sorted-lookup inside
+    each bucket does the actual match. ``providers`` rows are
+    (key:int64, val:int64) with unique keys; ``requests`` rows are
+    (key:int64, ret:int64). Emits (ret, key, val) for every request row
+    whose key exists in providers. Buckets are hash-spread (sequential
+    doc_ids don't skew), each bucket is a single vectorized group, and
+    every batch function normalizes empty/short-schema blocks to a fixed
+    int64 schema, so no empty-block schema ambiguity can reach a shuffle."""
+
+    def _tag(b: pa.Table, is_prov: bool) -> pa.Table:
+        need = ("key", "val") if is_prov else ("key", "ret")
+        if b.num_rows == 0 or any(c not in b.schema.names for c in need):
+            e = pa.array([], pa.int64())
+            return pa.table(
+                {"bucket": e, "key": e, "ret": e, "val": e, "is_prov": e}
+            )
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (splitmix64(key.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        n = len(key)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "key": pa.array(key),
+                "ret": pc.cast(b["ret"], pa.int64()) if not is_prov else pa.array(z),
+                "val": pc.cast(b["val"], pa.int64()) if is_prov else pa.array(z),
+                "is_prov": pa.array(np.full(n, 1 if is_prov else 0, np.int64)),
+            }
+        )
+
+    def _match(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "is_prov" not in g.schema.names:
+            return _EMPTY_LOOKUP.empty_table()
+        is_p = g["is_prov"].to_numpy(zero_copy_only=False).astype(bool)
+        keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = keys[is_p]
+        pv = g["val"].to_numpy(zero_copy_only=False).astype(np.int64)[is_p]
+        rk = keys[~is_p]
+        rr = g["ret"].to_numpy(zero_copy_only=False).astype(np.int64)[~is_p]
+        if len(pk) == 0 or len(rk) == 0:
+            return _EMPTY_LOOKUP.empty_table()
+        o = np.argsort(pk, kind="stable")
+        pk, pv = pk[o], pv[o]
+        pos = np.searchsorted(pk, rk)
+        pos = np.minimum(pos, len(pk) - 1)
+        hit = pk[pos] == rk
+        return pa.table(
+            {
+                "ret": pa.array(rr[hit]),
+                "key": pa.array(rk[hit]),
+                "val": pa.array(pv[pos[hit]]),
+            }
+        )
+
+    tagged = providers.map_batches(
+        lambda b: _tag(b, True), batch_format="pyarrow"
+    ).union(requests.map_batches(lambda b: _tag(b, False), batch_format="pyarrow"))
+    return tagged.groupby("bucket").map_groups(_match, batch_format="pyarrow")
+
+
+def _propagate_min_labels(edges, max_iter: int = 50, num_buckets: int = 32):
     """Distributed connected components over a symmetric (node, nbr) edge
     Dataset: iterative min-label propagation with a pointer-doubling
-    (label-of-label) join each round, so convergence is O(log diameter)
-    rounds rather than O(diameter). Returns the materialized
-    (node, label) Dataset; label = component-minimum node id."""
+    (label-of-label) lookup each round, so convergence is O(log diameter)
+    rounds rather than O(diameter). Both per-round joins run through
+    ``_bucket_lookup`` (tagged-union + bucket groupby + vectorized local
+    match) instead of ``Dataset.join``, which crashes on the empty hash
+    partitions a sparse round produces (VERDICT r4 #1). Every aggregate
+    output column is selected BY NAME with an empty-block guard. Returns
+    the materialized (node, label) Dataset; label = component-minimum
+    node id."""
     from ray.data.aggregate import Min
 
     def init_labels(b: pa.Table) -> pa.Table:
-        node = b["node"]
-        mn = pc.cast(b[b.schema.names[-1]], pa.int64())
-        return pa.table({"node": node, "label": pc.min_element_wise(pc.cast(node, pa.int64()), mn)})
+        if b.num_rows == 0 or "node" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"node": e, "label": e})
+        col = "min(nbr)" if "min(nbr)" in b.schema.names else b.schema.names[-1]
+        node = pc.cast(b["node"], pa.int64())
+        mn = pc.cast(b[col], pa.int64())
+        return pa.table({"node": node, "label": pc.min_element_wise(node, mn)})
 
     labels = (
         edges.groupby("node").aggregate(Min("nbr"))
         .map_batches(init_labels, batch_format="pyarrow")
+        .repartition(num_buckets)
         .materialize()
     )
 
     def _relabel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"node": e, "label": e})
+        col = "min(label)" if "min(label)" in b.schema.names else b.schema.names[-1]
         return pa.table(
-            {"node": b["node"], "label": pc.cast(b[b.schema.names[-1]], pa.int64())}
+            {"node": pc.cast(b["node"], pa.int64()), "label": pc.cast(b[col], pa.int64())}
+        )
+
+    def _as_prov(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"key": e, "val": e})
+        return pa.table(
+            {"key": pc.cast(b["node"], pa.int64()), "val": pc.cast(b["label"], pa.int64())}
+        )
+
+    def _from_lookup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ret" not in b.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"node": e, "label": e})
+        return pa.table(
+            {"node": pc.cast(b["ret"], pa.int64()), "label": pc.cast(b["val"], pa.int64())}
         )
 
     prev_sum = None
@@ -916,35 +1045,49 @@ def _propagate_min_labels(edges, max_iter: int = 50, num_partitions: int = 8):
             converged = True
             break
         prev_sum = cur_sum
-        # neighbor-min propagation round
-        cand = edges.join(labels, "inner", num_partitions, on=("node",)).map_batches(
-            lambda b: pa.table({"node": b["nbr"], "label": pc.cast(b["label"], pa.int64())}),
-            batch_format="pyarrow",
-        )
+        prov = labels.map_batches(_as_prov, batch_format="pyarrow")
+        # neighbor-min propagation round: each edge (node, nbr) sends
+        # label(node) to nbr — a lookup of the edge's node key in the
+        # label table, re-keyed to the neighbor
+        cand = _bucket_lookup(
+            prov,
+            edges.map_batches(
+                lambda b: pa.table(
+                    {"key": pc.cast(b["node"], pa.int64()), "ret": pc.cast(b["nbr"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            num_buckets=num_buckets,
+        ).map_batches(_from_lookup, batch_format="pyarrow")
         labels = (
             cand.union(labels)
             .groupby("node")
             .aggregate(Min("label"))
             .map_batches(_relabel, batch_format="pyarrow")
+            .repartition(num_buckets)
             .materialize()
         )
         # pointer doubling: label ← min(label, label(label)) — the
-        # label-of-label join halves remaining path lengths each round, so
-        # a chain of length L converges in O(log L) rounds instead of
+        # label-of-label lookup halves remaining path lengths each round,
+        # so a chain of length L converges in O(log L) rounds instead of
         # O(L); max_iter=50 covers components of diameter ≫ 2^50
-        lab2 = labels.map_batches(
-            lambda b: pa.table({"l_node": b["node"], "l_label": b["label"]}),
-            batch_format="pyarrow",
-        )
-        hop = labels.join(lab2, "inner", num_partitions, on=("label",), right_on=("l_node",)).map_batches(
-            lambda b: pa.table({"node": b["node"], "label": pc.cast(b["l_label"], pa.int64())}),
-            batch_format="pyarrow",
-        )
+        prov = labels.map_batches(_as_prov, batch_format="pyarrow")
+        hop = _bucket_lookup(
+            prov,
+            labels.map_batches(
+                lambda b: pa.table(
+                    {"key": pc.cast(b["label"], pa.int64()), "ret": pc.cast(b["node"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            num_buckets=num_buckets,
+        ).map_batches(_from_lookup, batch_format="pyarrow")
         labels = (
             hop.union(labels)
             .groupby("node")
             .aggregate(Min("label"))
             .map_batches(_relabel, batch_format="pyarrow")
+            .repartition(num_buckets)
             .materialize()
         )
     if not converged and labels.sum("label") != prev_sum:

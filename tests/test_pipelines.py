@@ -799,13 +799,61 @@ def test_label_propagation_long_chain(ray_session):
             }
         )
     )
-    labels = _propagate_min_labels(edges, max_iter=8, num_partitions=2)
+    labels = _propagate_min_labels(edges, max_iter=8, num_buckets=2)
     rows = labels.take_all()
     assert len(rows) == n
     assert all(int(r["label"]) == 0 for r in rows)
     # and the non-convergence guard actually fires when rounds are too few
     with pytest.raises(RuntimeError):
-        _propagate_min_labels(edges, max_iter=1, num_partitions=2)
+        _propagate_min_labels(edges, max_iter=1, num_buckets=2)
+
+
+def test_label_propagation_sparse_buckets(ray_session):
+    """VERDICT r4 #1 regression: a tiny edge set spread over MANY hash
+    buckets leaves most partitions of the propagation rounds EMPTY — the
+    condition that crashed the old Dataset.join path at driver scale
+    (ArrowInvalid on empty-block key resolution). The bucket-lookup
+    rewrite must converge and label correctly with far more buckets than
+    edges, and with multiple disjoint components."""
+    import ray.data as rd
+
+    from miru_ray.dedup import _propagate_min_labels
+
+    # two disjoint components {0,1,2} (path) and {100, 101} on 64 buckets
+    node = np.array([0, 1, 1, 2, 100, 101], dtype=np.int64)
+    nbr = np.array([1, 0, 2, 1, 101, 100], dtype=np.int64)
+    edges = rd.from_arrow(
+        pa.table({"node": pa.array(node), "nbr": pa.array(nbr)})
+    ).repartition(16)
+    labels = _propagate_min_labels(edges, max_iter=10, num_buckets=64)
+    got = {int(r["node"]): int(r["label"]) for r in labels.take_all()}
+    assert got == {0: 0, 1: 0, 2: 0, 100: 100, 101: 100}
+
+
+def test_bucket_lookup_inner_join_semantics(ray_session):
+    """_bucket_lookup: inner-join semantics over unique-key providers —
+    unmatched request keys drop, every matched request row emits exactly
+    one (ret, key, val) row; empty provider/request blocks normalize."""
+    import ray.data as rd
+
+    from miru_ray.dedup import _bucket_lookup
+
+    prov = rd.from_arrow(
+        pa.table(
+            {"key": pa.array([1, 2, 3], pa.int64()), "val": pa.array([10, 20, 30], pa.int64())}
+        )
+    ).repartition(8)
+    req = rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([2, 3, 4, 2], pa.int64()),
+                "ret": pa.array([7, 8, 9, 11], pa.int64()),
+            }
+        )
+    ).repartition(8)
+    out = _bucket_lookup(prov, req, num_buckets=32).take_all()
+    rows = sorted((int(r["ret"]), int(r["key"]), int(r["val"])) for r in out)
+    assert rows == [(7, 2, 20), (8, 3, 30), (11, 2, 20)]
 
 
 def test_minhash_clusters_transitive(ray_session, doc_tokens):
