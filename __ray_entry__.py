@@ -450,6 +450,133 @@ def ft_stem_terms_de(sf_dir: str) -> pa.Table:
     return pa.table({"term": terms, "stem": stem_array(terms, lang="de")})
 
 
+# Per-locale stemming probes (ru/nl/es/pt/it — the r5 locale breadth,
+# miru_ray/stemmers.py): each list exercises every step of its language's
+# published Snowball algorithm — region gating, grouped endings, attached
+# pronouns, marking walks, un/doubling, accent handling. Shared verbatim
+# by the engine callable and the SQL oracle, each of which stems them
+# with its OWN implementation (stemmers.py walk vs snowball_sql.py CTEs).
+LOCALE_STEM_PROBES: dict[str, tuple] = {
+    "ru": (
+        "книга", "книги", "книгами", "красивый", "бегала", "возможность",
+        "большой", "ёлка", "пример", "делавши", "прочитав", "умывшись",
+        "стараясь", "величайший", "наибольшая", "сильнее", "женщина",
+        "женщинами", "говорить", "говорит", "сказала", "новостями",
+        "станция", "действительность", "принн", "связь", "связи",
+        "осень", "осенью", "программирование", "ует", "ост", "а", "я",
+    ),
+    "nl": (
+        "lichamelijk", "boeken", "maan", "brood", "huizen", "gekken",
+        "appelen", "vissen", "katten", "lopend", "koninginnen",
+        "grootheid", "mogelijkheden", "belangrijkste", "eigenaardig",
+        "zichtbaar", "bruikbare", "eetbaar", "drinkbar", "gemeenten",
+        "yoghurt", "baaien", "draaien", "gooien", "kleedje", "vrolijk",
+        "gewoonheden", "ogenblikje", "ye",
+    ),
+    "es": (
+        "caminando", "lógica", "canciones", "importancia",
+        "generosamente", "felizmente", "capacidades", "comunicativa",
+        "nacionalización", "lavándose", "dámelo", "comprándoselos",
+        "viviendo", "huyendo", "construyeron", "tuviera", "cantaban",
+        "cantarían", "corazón", "razones", "guerra", "llegue", "guía",
+        "días", "años", "señorita", "últimamente", "crítica", "único",
+    ),
+    "pt": (
+        "nações", "proposição", "falando", "cantaram", "comeríamos",
+        "felizmente", "capacidade", "nacionalidade", "generosidade",
+        "grandeza", "belíssimo", "amoroso", "ações", "emoções",
+        "corações", "construção", "tradições", "vivendo", "partiu",
+        "chegou", "começou", "está", "coração", "irmão", "informação",
+        "comunicação", "lógica", "mágico", "rapidamente", "seguiu",
+    ),
+    "it": (
+        "abbandonata", "nazionale", "felicemente", "importanza",
+        "generosità", "comunicazione", "bellissimo", "amichevole",
+        "mangiando", "mangiarlo", "prendersela", "dandoglielo",
+        "parlare", "parlavano", "finirono", "capiscono", "città",
+        "università", "qualità", "perché", "ragazzi", "ragazze",
+        "guerra", "acqua", "quindi", "chiudere", "laghi", "amici",
+        "luoghi", "abbaiavano",
+    ),
+}
+
+
+def _stem_terms_locale(sf_dir: str, lang: str) -> pa.Table:
+    """Corpus vocab ∪ locale probe words → Snowball stems for ``lang``
+    (stemmers.py; the SQL oracle is the independent CTE-cascade
+    implementation in miru_ray/snowball_sql.py)."""
+    from miru_ray.stem import stem_array, stem_vocab_ds
+
+    vocab = set(LOCALE_STEM_PROBES[lang])
+    for b in stem_vocab_ds(sf_dir, lang=lang).iter_batches(batch_format="pyarrow"):
+        vocab.update(b["term"].to_pylist())
+    terms = pa.array(sorted(vocab), pa.string())
+    return pa.table({"term": terms, "stem": stem_array(terms, lang=lang)})
+
+
+def ft_stem_terms_ru(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "ru")
+
+
+def ft_stem_terms_nl(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "nl")
+
+
+def ft_stem_terms_es(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "es")
+
+
+def ft_stem_terms_pt(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "pt")
+
+
+def ft_stem_terms_it(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "it")
+
+
+K_BM25_DE = 20
+# German-inflected forms of corpus words: the de chain strips -s / -ern
+# so the query stems land on the corpus stems (merge→merg, customer→custom)
+DE_QUERY_TERMS = ("merges", "customern")
+
+
+def ft_topk_bm25_de(sf_dir: str) -> pa.Table:
+    """BM25 top-k on the de-analyzer (Snowball-German-stemmed) index for
+    the STEM_QUERY_TERMS AND query — the German twin of ft_topk_bm25_en:
+    stemming at ingest AND at query parse, fp64 fixed expression order;
+    the SQL oracle stems corpus and query words with its own recursive-CTE
+    German chain (_german_ctes)."""
+    from miru_ray.analyzers import get_analyzer
+    from miru_ray.search import PostingSource
+    from miru_ray.segments import forward_columns, read_manifest
+    from miru_ray.transcripts import ensure_index
+
+    index_dir = ensure_index(sf_dir, 1, analyzer="de")
+    man = read_manifest(index_dir, 0)
+    n_docs = man["metrics"]["n_docs"]
+    avgdl = man["metrics"]["total_tokens"] / n_docs
+    scalar = get_analyzer("de").scalar
+    terms = [t for w in DE_QUERY_TERMS for t in scalar(w)]
+    src = PostingSource(index_dir, 0, [("text", w) for w in terms], 0)
+    answer = None
+    for w in terms:
+        d = src.docs("text", w)
+        answer = d if answer is None else np.intersect1d(answer, d, assume_unique=True)
+    dl = forward_columns(index_dir, 0)["dl"]
+    dl_a = dl[answer].astype(np.float64)
+    knorm = 1.2 * (0.25 + 0.75 * (dl_a / avgdl))
+    score = np.zeros(len(answer), dtype=np.float64)
+    for w in terms:
+        df = src.df[("text", w)]
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = _tf_on(src, w, answer)
+        score = score + idf * (tf / (tf + knorm))
+    order = np.lexsort((-answer, -score))[:K_BM25_DE]
+    return pa.table(
+        {"doc_id": _i64(answer[order]), "score": pa.array(np.round(score[order], 6))}
+    )
+
+
 def ft_topk_bm25_en(sf_dir: str) -> pa.Table:
     """BM25 top-k on the en-analyzer (Porter2-stemmed) index for the
     STEM_QUERY_TERMS AND query. Exercises stemming at ingest (index terms
@@ -2599,6 +2726,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_decontam": txt_decontam,
         # position >50 by design: lands in the round-5 window (REGISTRY.md)
         "ft_stem_terms_de": ft_stem_terms_de,
+        "ft_stem_terms_ru": ft_stem_terms_ru,
+        "ft_stem_terms_nl": ft_stem_terms_nl,
+        "ft_stem_terms_es": ft_stem_terms_es,
+        "ft_stem_terms_pt": ft_stem_terms_pt,
+        "ft_stem_terms_it": ft_stem_terms_it,
+        "ft_topk_bm25_de": ft_topk_bm25_de,
         "pipe_curate": pipe_curate,
         "txt_chunks": txt_chunks,
         "txt_packing": txt_packing,
@@ -3227,6 +3360,24 @@ SELECT key, CAST(count(*) AS BIGINT) AS n_bits, CAST(sum(bit) AS BIGINT) AS bits
 FROM bits GROUP BY key"""
 
 
+def _locale_stem_oracle(lang: str) -> str:
+    """SQL twin of ft_stem_terms_<lang>: corpus vocab ∪ the locale's probe
+    words stemmed by the independent DuckDB CTE cascade
+    (miru_ray/snowball_sql.py). Corpus text is pure ascii, where the
+    unicode tokenizer equals the ascii rule — the probe words carry the
+    Cyrillic / accent / marking-walk cases."""
+    from miru_ray.snowball_sql import CTE_BUILDERS
+
+    probes = LOCALE_STEM_PROBES[lang]
+    body, final = CTE_BUILDERS[lang]("tokd", f"sb{lang}")
+    vals = ", ".join(f"('{w}')" for w in probes)
+    return f"""WITH tokd AS (SELECT DISTINCT t FROM (
+  SELECT unnest({_TOK}) AS t FROM documents
+  UNION ALL SELECT * FROM (VALUES {vals}) AS probes(t))),
+{body}
+SELECT t AS term, stem FROM {final}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from miru_ray.textstats import LANG_MARKERS, LANG_ORDER
     from miru_ray.tokenize import STOPWORDS
@@ -3448,6 +3599,37 @@ SELECT t AS term, stem FROM {_porter2_ctes("tokd")[1]}"""
   UNION ALL SELECT * FROM (VALUES {", ".join(f"('{w}')" for w in DE_STEM_PROBES)}) AS probes(t))),
 {_german_ctes("tokd")[0]}
 SELECT t AS term, stem FROM {_german_ctes("tokd")[1]}"""
+        ),
+        "ft_stem_terms_ru": _locale_stem_oracle("ru"),
+        "ft_stem_terms_nl": _locale_stem_oracle("nl"),
+        "ft_stem_terms_es": _locale_stem_oracle("es"),
+        "ft_stem_terms_pt": _locale_stem_oracle("pt"),
+        "ft_stem_terms_it": _locale_stem_oracle("it"),
+        "ft_topk_bm25_de": (
+            f"""WITH tok AS ({_TOKTAB}),
+allv AS (SELECT DISTINCT t FROM (SELECT t FROM tok
+         UNION ALL SELECT '{DE_QUERY_TERMS[0]}' UNION ALL SELECT '{DE_QUERY_TERMS[1]}')),
+{_german_ctes("allv", "gb")[0]},
+q1 AS (SELECT stem AS s FROM {_german_ctes("allv", "gb")[1]} WHERE t = '{DE_QUERY_TERMS[0]}'),
+q2 AS (SELECT stem AS s FROM {_german_ctes("allv", "gb")[1]} WHERE t = '{DE_QUERY_TERMS[1]}'),
+stok AS (SELECT tok.doc_id, p.stem AS s FROM tok JOIN {_german_ctes("allv", "gb")[1]} p USING (t)),
+tf1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM stok, q1 WHERE stok.s = q1.s GROUP BY doc_id),
+tf2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM stok, q2 WHERE stok.s = q2.s GROUP BY doc_id),
+g1 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM stok, q1 WHERE stok.s = q1.s),
+g2 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM stok, q2 WHERE stok.s = q2.s),
+dl AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens FROM documents),
+ans AS (SELECT tf1.doc_id, tf1.tf AS tfa, tf2.tf AS tfb, dl.dl,
+         1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs))) AS knorm,
+         ln(1.0 + (stats.n_docs - g1.df + 0.5) / (g1.df + 0.5)) AS idf1,
+         ln(1.0 + (stats.n_docs - g2.df + 0.5) / (g2.df + 0.5)) AS idf2
+  FROM tf1 JOIN tf2 USING (doc_id) JOIN dl ON dl.doc_id = tf1.doc_id
+  CROSS JOIN g1 CROSS JOIN g2 CROSS JOIN stats)
+SELECT doc_id, round(idf1 * (tfa / (tfa + knorm)) + idf2 * (tfb / (tfb + knorm)), 6) AS score
+FROM ans
+ORDER BY idf1 * (tfa / (tfa + knorm)) + idf2 * (tfb / (tfb + knorm)) DESC, doc_id DESC
+LIMIT {K_BM25_DE}"""
         ),
         "ft_topk_bm25_en": (
             f"""WITH tok AS ({_TOKTAB}),

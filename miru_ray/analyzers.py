@@ -162,6 +162,29 @@ LOCALE_STOPWORDS: dict[str, frozenset] = {
         "el la los las un una unos unas y o pero de del al es son era no con "
         "para en sobre por este esta estos estas él ella que quien se su".split()
     ),
+    "ru": frozenset(
+        "и в во не что он на я с со как а то все она так его но да ты к у же "
+        "вы за бы по ее мне было вот от меня еще нет о из ему".split()
+    ),
+    "pt": frozenset(
+        "o a os as um uma uns umas e ou mas de do da dos das no na nos nas ao "
+        "é são era não com para em sobre por este esta ele ela que quem se seu".split()
+    ),
+    "it": frozenset(
+        "il lo la i gli le un uno una e o ma di del della dei al alla è sono "
+        "era non con per in su da questo questa lui lei che chi si suo".split()
+    ),
+    "nl": frozenset(
+        "de het een en of maar van tot is zijn was niet met voor in op als "
+        "ook aan er zij hij wij die dat dit deze door naar bij om te".split()
+    ),
+}
+
+# Snowball stemmer per locale (stemmers.py implements the published specs;
+# stem.py registers them in _STEMMERS under these language codes)
+LOCALE_STEMMER_LANG: dict[str, str] = {
+    "de": "de", "ru": "ru", "es": "es", "pt": "pt", "it": "it", "nl": "nl",
+    "fr": None,  # stopwords only; Snowball French is the remaining seam
 }
 
 
@@ -187,12 +210,12 @@ def _make_locale_analyzer(name: str, stops: frozenset, stem_lang: str | None = N
     return Analyzer(name, flat, scalar)
 
 
-# "de" carries the full chain (unicode tokenize → stopwords → Snowball
-# German stemmer, stem.german_stem); fr/es ship tokenizer + stopwords
-# with the stemmer as the open extension point.
+# de/ru/es/pt/it/nl carry the full chain (unicode tokenize → locale
+# stopwords → that language's Snowball stemmer); fr ships tokenizer +
+# stopwords with its stemmer as the remaining extension point.
 for _loc, _stops in LOCALE_STOPWORDS.items():
     register_analyzer(
-        _make_locale_analyzer(_loc, _stops, stem_lang="de" if _loc == "de" else None)
+        _make_locale_analyzer(_loc, _stops, stem_lang=LOCALE_STEMMER_LANG.get(_loc))
     )
 
 
@@ -211,6 +234,6 @@ def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
         contract = {"pattern": "[a-z0-9]+", "lowercase": True}
     if resolved.name == "en":
         contract["stem"] = "porter2"
-    elif resolved.name == "de":
-        contract["stem"] = "snowball-de"
+    elif LOCALE_STEMMER_LANG.get(resolved.name):
+        contract["stem"] = f"snowball-{LOCALE_STEMMER_LANG[resolved.name]}"
     return dict(contract, stopwords=use_stopwords, analyzer=resolved.name)

@@ -348,10 +348,11 @@ def german_stem(word: str) -> str:
 
 # ------------------------------------------------------------- vectorized
 
-_MEMOS: dict[str, dict[str, str]] = {"en": {}, "de": {}}
-_MEMO_CAP = 1 << 20  # vocab entries per language; wholesale reset at cap
+from .stemmers import STEMMERS as _LOCALE_STEMMERS
 
-_STEMMERS = {"en": porter2_stem, "de": german_stem}
+_STEMMERS = {"en": porter2_stem, "de": german_stem, **_LOCALE_STEMMERS}
+_MEMOS: dict[str, dict[str, str]] = {lang: {} for lang in _STEMMERS}
+_MEMO_CAP = 1 << 20  # vocab entries per language; wholesale reset at cap
 
 
 def stem_array(tokens: pa.Array | pa.ChunkedArray, lang: str = "en") -> pa.Array:
@@ -379,10 +380,12 @@ def stem_array(tokens: pa.Array | pa.ChunkedArray, lang: str = "en") -> pa.Array
 
 
 def _stem_vocab_partial(batch: pa.Table, lang: str = "en") -> pa.Table:
-    if lang == "de":
-        from .analyzers import _unicode_flat as _flat
-    else:
+    if lang == "en":
         from .tokenize import tokenize_flat as _flat
+    else:
+        # every non-English locale tokenizes with the unicode rule
+        # (accents / Cyrillic are token characters, not separators)
+        from .analyzers import _unicode_flat as _flat
 
     _, toks = _flat(batch["text"])
     uniq = pc.unique(toks if isinstance(toks, pa.Array) else toks.combine_chunks())
