@@ -489,6 +489,14 @@ LOCALE_STEM_PROBES: dict[str, tuple] = {
         "chegou", "começou", "está", "coração", "irmão", "informação",
         "comunicação", "lógica", "mágico", "rapidamente", "seguiu",
     ),
+    "fr": (
+        "jouer", "chanter", "chantaient", "continuité", "nationalité",
+        "majestueux", "finissait", "logiquement", "éléments", "chevaux",
+        "journaux", "amicalement", "abondamment", "évidemment", "yeux",
+        "croyiez", "conditionnelle", "baronnes", "chienne", "jetteront",
+        "appelle", "précède", "succès", "chanté", "quand", "ennuie",
+        "sérieusement", "créatrice", "aiguë", "punissions",
+    ),
     "it": (
         "abbandonata", "nazionale", "felicemente", "importanza",
         "generosità", "comunicazione", "bellissimo", "amichevole",
@@ -532,6 +540,10 @@ def ft_stem_terms_pt(sf_dir: str) -> pa.Table:
 
 def ft_stem_terms_it(sf_dir: str) -> pa.Table:
     return _stem_terms_locale(sf_dir, "it")
+
+
+def ft_stem_terms_fr(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "fr")
 
 
 K_BM25_DE = 20
@@ -2671,7 +2683,61 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- never driver-checked before r4 (rotated to front; see REGISTRY.md)
+        # --- round-5 rotation (REGISTRY.md): new locale/stem queries +
+        # the r4 red row first, then every never-driver-checked row and
+        # the r1/r2-only block — this window completes the full sweep
+        "ft_stem_terms_de": ft_stem_terms_de,
+        "ft_stem_terms_ru": ft_stem_terms_ru,
+        "ft_stem_terms_nl": ft_stem_terms_nl,
+        "ft_stem_terms_es": ft_stem_terms_es,
+        "ft_stem_terms_pt": ft_stem_terms_pt,
+        "ft_stem_terms_it": ft_stem_terms_it,
+        "ft_stem_terms_fr": ft_stem_terms_fr,
+        "ft_topk_bm25_de": ft_topk_bm25_de,
+        "dd_keep_best": dd_keep_best,
+        "pipe_curate": pipe_curate,
+        "txt_chunks": txt_chunks,
+        "txt_packing": txt_packing,
+        "txt_redact": txt_redact,
+        "txt_keywords": txt_keywords,
+        "txt_source_stats": txt_source_stats,
+        "dd_cross_source": dd_cross_source,
+        "dd_semdedup": dd_semdedup,
+        "ann_jl": ann_jl,
+        "ann_knn": ann_knn,
+        "ann_hardneg": ann_hardneg,
+        "ann_pq": ann_pq,
+        "ann_centroid": ann_centroid,
+        "ann_ivf": ann_ivf,
+        "dd_embed_cosine": dd_embed_cosine,
+        "ev_distinct_users": ev_distinct_users,
+        "ev_latest": ev_latest,
+        "ev_trending": ev_trending,
+        "ev_trending_peaks": ev_trending_peaks,
+        "bloom_index": bloom_index,
+        "strut_model": strut_model,
+        "strut_score": strut_score,
+        "reco_cf": reco_cf,
+        "dd_exact": dd_exact,
+        "dd_minhash": dd_minhash,
+        "dd_simhash_groups": dd_simhash_groups,
+        "dd_clusters": dd_clusters,
+        "txt_quality": txt_quality,
+        "txt_langid": txt_langid,
+        "txt_fingerprints": txt_fingerprints,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+        "ft_token_counts": ft_token_counts,
+        "ft_term_stats": ft_term_stats,
+        "ft_postings": ft_postings,
+        "ft_doclen": ft_doclen,
+        "ft_match_and": ft_match_and,
+        "ft_match_or": ft_match_or,
+        "ft_match_not": ft_match_not,
+        "ft_match_prefix": ft_match_prefix,
+        "ft_match_field": ft_match_field,
+        "ft_match_range": ft_match_range,
+        # --- driver-checked green in r3/r4 (past the window)
         "ft_stem_terms": ft_stem_terms,
         "ft_topk_bm25_en": ft_topk_bm25_en,
         "ev_ewma": ev_ewma,
@@ -2695,7 +2761,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reco_item_sim": reco_item_sim,
         "reco_ppr": reco_ppr,
         "dd_simhash_near": dd_simhash_near,
-        "dd_keep_best": dd_keep_best,
         "dd_substr_spans": dd_substr_spans,
         "dd_substr_clean": dd_substr_clean,
         "dd_lines": dd_lines,
@@ -2724,58 +2789,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_bpe": txt_bpe,
         "txt_bpe_encode": txt_bpe_encode,
         "txt_decontam": txt_decontam,
-        # position >50 by design: lands in the round-5 window (REGISTRY.md)
-        "ft_stem_terms_de": ft_stem_terms_de,
-        "ft_stem_terms_ru": ft_stem_terms_ru,
-        "ft_stem_terms_nl": ft_stem_terms_nl,
-        "ft_stem_terms_es": ft_stem_terms_es,
-        "ft_stem_terms_pt": ft_stem_terms_pt,
-        "ft_stem_terms_it": ft_stem_terms_it,
-        "ft_topk_bm25_de": ft_topk_bm25_de,
-        "pipe_curate": pipe_curate,
-        "txt_chunks": txt_chunks,
-        "txt_packing": txt_packing,
-        "txt_redact": txt_redact,
-        "txt_keywords": txt_keywords,
-        "txt_source_stats": txt_source_stats,
-        "dd_cross_source": dd_cross_source,
-        "dd_semdedup": dd_semdedup,
-        "ann_jl": ann_jl,
-        "ann_knn": ann_knn,
-        "ann_hardneg": ann_hardneg,
-        "ann_pq": ann_pq,
-        "ann_centroid": ann_centroid,
-        "ann_ivf": ann_ivf,
-        "dd_embed_cosine": dd_embed_cosine,
-        # --- driver-checked in r1/r2 only
-        "ev_distinct_users": ev_distinct_users,
-        "ev_latest": ev_latest,
-        "ev_trending": ev_trending,
-        "ev_trending_peaks": ev_trending_peaks,
-        "bloom_index": bloom_index,
-        "strut_model": strut_model,
-        "strut_score": strut_score,
-        "reco_cf": reco_cf,
-        "dd_exact": dd_exact,
-        "dd_minhash": dd_minhash,
-        "dd_simhash_groups": dd_simhash_groups,
-        "dd_clusters": dd_clusters,
-        "txt_quality": txt_quality,
-        "txt_langid": txt_langid,
-        "txt_fingerprints": txt_fingerprints,
-        "ann_topk": ann_topk,
-        "ann_lsh": ann_lsh,
-        # --- driver-checked green in r03
-        "ft_token_counts": ft_token_counts,
-        "ft_term_stats": ft_term_stats,
-        "ft_postings": ft_postings,
-        "ft_doclen": ft_doclen,
-        "ft_match_and": ft_match_and,
-        "ft_match_or": ft_match_or,
-        "ft_match_not": ft_match_not,
-        "ft_match_prefix": ft_match_prefix,
-        "ft_match_field": ft_match_field,
-        "ft_match_range": ft_match_range,
         "ft_match_fuzzy": ft_match_fuzzy,
         "ft_match_regexp": ft_match_regexp,
         "ft_suggest": ft_suggest,
@@ -3605,6 +3618,7 @@ SELECT t AS term, stem FROM {_german_ctes("tokd")[1]}"""
         "ft_stem_terms_es": _locale_stem_oracle("es"),
         "ft_stem_terms_pt": _locale_stem_oracle("pt"),
         "ft_stem_terms_it": _locale_stem_oracle("it"),
+        "ft_stem_terms_fr": _locale_stem_oracle("fr"),
         "ft_topk_bm25_de": (
             f"""WITH tok AS ({_TOKTAB}),
 allv AS (SELECT DISTINCT t FROM (SELECT t FROM tok

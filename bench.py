@@ -404,7 +404,7 @@ def main():
     ap.add_argument("--wiki", action="store_true",
                     help="wiki second corpus: XML dumps → ingest → unicode "
                          "index → non-ASCII queries")
-    ap.add_argument("--wiki-pages", type=int, default=100_000)
+    ap.add_argument("--wiki-pages", type=int, default=1_000_000)
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--sub", action="store_true", help="internal: single scaling run")
@@ -521,6 +521,16 @@ def main():
     # each; the whole default run stays under 5 min). All attempts are
     # reported (build_secs_all) beside the membw probes.
     r = run_once(cpus, sf_dir, args.parts, build_attempts=5)
+    # second corpus folded into the default line (VERDICT r5 #8): the
+    # 1M-page wiki dump → ingest → unicode index → non-ASCII query p50s,
+    # so a regression on the second corpus shows up in BENCH_r{N} loudly.
+    # Failure degrades to an error string rather than killing the bench.
+    try:
+        w = run_wiki(cpus, args.wiki_pages, args.parts)
+        wiki = {k: w[k] for k in ("n_pages", "ingest_sec", "build_sec",
+                                  "pages_per_sec", "queries")}
+    except Exception as e:  # noqa: BLE001
+        wiki = {"error": repr(e)[:200]}
     print(
         json.dumps(
             {
@@ -537,6 +547,7 @@ def main():
                 "build_secs_all": r["build_secs_all"],
                 "membw_gbs_before": r["membw_gbs_before"],
                 "membw_gbs_after": r["membw_gbs_after"],
+                "wiki": wiki,
             }
         )
     )

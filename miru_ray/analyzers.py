@@ -184,7 +184,7 @@ LOCALE_STOPWORDS: dict[str, frozenset] = {
 # stem.py registers them in _STEMMERS under these language codes)
 LOCALE_STEMMER_LANG: dict[str, str] = {
     "de": "de", "ru": "ru", "es": "es", "pt": "pt", "it": "it", "nl": "nl",
-    "fr": None,  # stopwords only; Snowball French is the remaining seam
+    "fr": "fr",
 }
 
 
@@ -210,9 +210,8 @@ def _make_locale_analyzer(name: str, stops: frozenset, stem_lang: str | None = N
     return Analyzer(name, flat, scalar)
 
 
-# de/ru/es/pt/it/nl carry the full chain (unicode tokenize → locale
-# stopwords → that language's Snowball stemmer); fr ships tokenizer +
-# stopwords with its stemmer as the remaining extension point.
+# de/ru/es/pt/it/nl/fr all carry the full chain (unicode tokenize →
+# locale stopwords → that language's Snowball stemmer).
 for _loc, _stops in LOCALE_STOPWORDS.items():
     register_analyzer(
         _make_locale_analyzer(_loc, _stops, stem_lang=LOCALE_STEMMER_LANG.get(_loc))

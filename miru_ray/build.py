@@ -1902,27 +1902,44 @@ def sip_watch(
     a half-uploaded parquet file or a transiently unsorted batch — is
     recorded and RETRIED on the next heartbeat instead of killing the
     loop; extend's epoch markers make the retry safe (a batch commits
-    atomically or not at all). Returns {"cycles", "epochs",
+    atomically or not at all). Retries back off exponentially (the batch
+    is only re-attempted every 1, 2, 4, … up to 64 heartbeats while it
+    keeps failing, resetting on any change to the pending set), and the
+    error log is a bounded ring (last 256) — a daemon over one corrupt
+    file must neither hammer extend_index every heartbeat nor grow
+    memory without bound (ADVICE r4). Returns {"cycles", "epochs",
     "files_applied", "errors"}."""
     cycles = 0
     idle = 0
     epochs = 0
     files_applied: list[str] = []
     errors: list[str] = []
+    fail_batch: tuple[str, ...] = ()
+    fail_count = 0
+    next_retry = 0  # cycle index gating the next attempt of fail_batch
     while True:
         have = {os.path.abspath(f) for f in list_input_files(corpus_dir)}
         new = sorted(have - applied_input_files(index_dir))
-        if new:
+        if tuple(new) != fail_batch:
+            fail_batch, fail_count, next_retry = (), 0, 0  # pending set changed
+        if new and cycles >= next_retry:
             try:
                 extend_index(new, index_dir)
                 epochs += 1
                 files_applied.extend(new)
                 idle = 0
+                fail_batch, fail_count, next_retry = (), 0, 0
             except Exception as e:  # noqa: BLE001
                 if not retry_on_error:
                     raise
                 errors.append(f"cycle {cycles + 1}: {e}")
+                del errors[:-256]
+                fail_batch = tuple(new)
+                fail_count += 1
+                next_retry = cycles + 1 + min(2 ** (fail_count - 1), 64)
                 idle = 0  # work is pending; never idle-stop on a failure
+        elif new:
+            idle = 0  # backing off, but work is still pending
         else:
             idle += 1
         cycles += 1
@@ -2247,6 +2264,23 @@ def upsert_rows(
     # must be unique across the source set.
     os.makedirs(patched_dir, exist_ok=True)
     basenames = [os.path.basename(f) for f in files]
+    # the returned epoch is the input of record for the NEXT upsert, so a
+    # caller naturally passes the previous epoch dir as both source and
+    # patched_dir — for an untouched file out == f and the symlink step
+    # below would first os.remove() the only copy, then symlink the file
+    # to itself (dangling). Refuse before destroying anything (ADVICE r4).
+    patched_real = os.path.realpath(patched_dir)
+    for f in files:
+        # compare both the unresolved dir (catches a symlink INSIDE the
+        # epoch dir, whose realpath points at an older epoch) and the
+        # resolved one (catches the dir itself reached via a symlink)
+        if (os.path.dirname(os.path.abspath(f)) == os.path.abspath(patched_dir)
+                or os.path.dirname(os.path.realpath(f)) == patched_real):
+            raise ValueError(
+                f"patched_dir {patched_dir!r} contains source file {f!r}: "
+                "writing the epoch over its own input would destroy it — "
+                "pass a fresh directory for every upsert epoch"
+            )
     if len(set(basenames)) != len(basenames):
         raise ValueError("source files must have unique basenames to form "
                          "a patched corpus epoch dir")

@@ -242,12 +242,19 @@ def _analyzer_name(index_dir: str) -> str:
     return name
 
 
+_MANIFEST_MISS = object()  # sentinel: a cached None must count as a hit
+
+
 def _cached_manifest(index_dir: str, part: int) -> dict:
     from .segments import read_manifest
 
     key = (index_dir, part, _manifest_epoch(index_dir, part))
-    m = _MANIFEST_CACHE.get(key)
-    if m is None:
+    # sentinel-based lookup so a cached None (missing / unreadable
+    # manifest — a vanished primary partition in replica mode) is a HIT:
+    # .get(key) alone would re-read the missing file on every query
+    # (ADVICE r4, the defeated negative cache)
+    m = _MANIFEST_CACHE.get(key, _MANIFEST_MISS)
+    if m is _MANIFEST_MISS:
         m = read_manifest(index_dir, part)
         if len(_MANIFEST_CACHE) > 4096:
             _MANIFEST_CACHE.clear()
@@ -1191,7 +1198,9 @@ class SearchEngine:
     ``last_parts_asked`` exposes how many partitions the last search hit."""
 
     def __init__(self, index_dir: str, use_actors: bool = False, n_actors: int | None = None,
-                 replicas: list[str] | None = None):
+                 replicas: list[str] | None = None, race: bool = True):
+        from collections import deque
+
         from .segments import _fire_lifecycle
 
         self.index_dir = index_dir
@@ -1207,11 +1216,27 @@ class SearchEngine:
         self.replicas = list(replicas or [])
         if self.replicas:
             # expected parts = the build's + every extend epoch's (range
-            # rollover can open partitions parts_built never saw)
+            # rollover can open partitions parts_built never saw), MINUS
+            # every partition the expire history aged out — expire leaves
+            # parts_built untouched, so without the subtraction a replica
+            # that still holds an expired partition would resurrect its
+            # aged-out docs (retention violation), and a replica that
+            # doesn't would fail the whole query (ADVICE r4)
             expected = set(self.meta.get("parts_built", []))
             for e in self.meta.get("epochs", []):
                 expected.update(e.get("parts_updated", []))
+            for x in self.meta.get("expired", []):
+                expected.difference_update(x.get("parts", []))
             self.parts = sorted(set(self.parts) | expected, reverse=True)
+        # replica RACING (MiruLowestLatencySolver.java:50-205): when the
+        # primary's ask for a partition runs past the suggested timeout —
+        # a high percentile of recently observed ask latencies — the same
+        # question is fired at a replica and the first answer wins.
+        # Failover (re-ask on failure) is always on; racing additionally
+        # bounds tail latency on a congested primary. No suggestion exists
+        # until enough samples accumulate, so cold engines never race.
+        self.race = bool(race)
+        self._lat: "deque[float]" = deque(maxlen=256)
         self.use_actors = use_actors
         self.n_actors = n_actors
         self._actors: list | None = None
@@ -1794,12 +1819,78 @@ class SearchEngine:
         raise last
 
     def _ask_serial(self, p: int, kwargs: dict) -> dict:
-        if not self.replicas:
-            return search_partition(self.index_dir, p, **kwargs)
+        import time as _time
+
+        t0 = _time.monotonic()
         try:
-            return search_partition(self.index_dir, p, **kwargs)
-        except Exception as e:  # noqa: BLE001
-            return self._replica_answer(p, kwargs, e)
+            if not self.replicas:
+                return search_partition(self.index_dir, p, **kwargs)
+            try:
+                return search_partition(self.index_dir, p, **kwargs)
+            except Exception as e:  # noqa: BLE001
+                return self._replica_answer(p, kwargs, e)
+        finally:
+            self._lat.append(_time.monotonic() - t0)
+
+    def _suggested_timeout(self) -> float | None:
+        """The racing trigger (MiruLowestLatencySolver.java:84-193): 3×
+        the p95 of recently observed per-partition ask latencies, floored
+        at 50 ms; None (no racing) until 16 samples exist — a cold engine
+        has no basis for declaring the primary slow."""
+        if not self.race or len(self._lat) < 16:
+            return None
+        arr = sorted(self._lat)
+        return max(3.0 * arr[min(len(arr) - 1, int(0.95 * len(arr)))], 0.05)
+
+    def _gather_raced(self, parts: list[int], futs: list, kwargs: dict) -> list[dict]:
+        """Collect primary partition futures; any still pending past the
+        suggested timeout is RACED against the replicas — the same
+        question fired at each replica dir, first successful answer wins,
+        losers are cancelled best-effort. A primary that fails outright
+        still takes the failover path."""
+        import time as _time
+
+        import ray
+
+        timeout = self._suggested_timeout()
+        t0 = _time.monotonic()
+        by_fut = {f: p for f, p in zip(futs, parts)}
+        results: dict[int, dict] = {}
+        pending = list(futs)
+        deadline = None if timeout is None else t0 + timeout
+        while pending:
+            remain = None if deadline is None else max(0.0, deadline - _time.monotonic())
+            done, pending = ray.wait(pending, num_returns=1, timeout=remain)
+            if not done:
+                break  # suggested timeout reached — race the laggards
+            p = by_fut[done[0]]
+            try:
+                results[p] = ray.get(done[0])
+            except Exception as e:  # noqa: BLE001
+                results[p] = self._replica_answer(p, kwargs, e)
+            self._lat.append(_time.monotonic() - t0)
+        if pending:
+            fn = _remote_search_partition()
+            for fut in pending:
+                p = by_fut[fut]
+                racing = [fut] + [fn.remote(rep, p, **kwargs) for rep in self.replicas]
+                res, last = None, None
+                while racing and res is None:
+                    done, racing = ray.wait(racing, num_returns=1)
+                    try:
+                        res = ray.get(done[0])
+                    except Exception as e:  # noqa: BLE001
+                        last = e
+                if res is None:
+                    raise last
+                for f in racing:  # best-effort: stop the losers
+                    try:
+                        ray.cancel(f, force=False)
+                    except Exception:  # noqa: BLE001
+                        pass
+                results[p] = res
+                self._lat.append(_time.monotonic() - t0)
+        return [results[p] for p in parts]
 
     def _fan_out(
         self, kwargs: dict, parallel: bool | None, parts: list[int] | None = None
@@ -1847,13 +1938,7 @@ class SearchEngine:
             futs = [fn.remote(self.index_dir, p, **kwargs) for p in parts]
             if not self.replicas:
                 return ray.get(futs)
-            out: list[dict] = []
-            for p, fut in zip(parts, futs):
-                try:
-                    out.append(ray.get(fut))
-                except Exception as e:  # noqa: BLE001
-                    out.append(self._replica_answer(p, kwargs, e))
-            return out
+            return self._gather_raced(parts, futs, kwargs)
         return [self._ask_serial(p, kwargs) for p in parts]
 
 

@@ -677,3 +677,227 @@ CTE_BUILDERS = {
     "pt": portuguese_ctes,
     "it": italian_ctes,
 }
+
+
+# -------------------------------------------------------------------- French
+
+_FR_V = "aeiouyâàëéêèïîôûù"
+
+
+def french_ctes(src: str, tag: str = "fr") -> tuple[str, str]:
+    from .stemmers import (
+        _FR_S1_ATEUR,
+        _FR_S1_DELETE_R2,
+        _FR_S2A,
+        _FR_S2B_DELETE,
+        _FR_S2B_E,
+    )
+
+    vin = _in(_FR_V)
+
+    # ---- step 1 rules (condition semantics; flags computed from w <> pw)
+    ic_or_iqU = (
+        "CASE WHEN ends_with({x}, 'ic') THEN "
+        "CASE WHEN len({x})-2 >= r2 THEN left({x}, len({x})-2) "
+        "ELSE left({x}, len({x})-2) || 'iqU' END ELSE {x} END"
+    )
+    s1_rules = []
+    for s in _FR_S1_DELETE_R2:
+        s1_rules.append((s, None, "CASE WHEN len(w)-{k} >= r2 THEN {b} ELSE w END"))
+    for s in _FR_S1_ATEUR:
+        s1_rules.append(
+            (s, None,
+             "CASE WHEN len(w)-{k} >= r2 THEN "
+             + ic_or_iqU.replace("{x}", "{b}")
+             + " ELSE w END")
+        )
+    for s, rep in (("logie", "log"), ("logies", "log"), ("usion", "u"),
+                   ("ution", "u"), ("usions", "u"), ("utions", "u"),
+                   ("ence", "ent"), ("ences", "ent")):
+        s1_rules.append(
+            (s, None,
+             "CASE WHEN len(w)-{k} >= r2 THEN {b} || '%s' ELSE w END" % rep)
+        )
+    ement_tail = (
+        "CASE WHEN ends_with({b}, 'iv') AND len({b})-2 >= r2 THEN "
+        "  CASE WHEN ends_with(left({b}, len({b})-2), 'at') AND len({b})-4 >= r2 "
+        "  THEN left({b}, len({b})-4) ELSE left({b}, len({b})-2) END "
+        "WHEN ends_with({b}, 'eus') THEN "
+        "  CASE WHEN len({b})-3 >= r2 THEN left({b}, len({b})-3) "
+        "       WHEN len({b})-3 >= r1 THEN left({b}, len({b})-3) || 'eux' "
+        "       ELSE {b} END "
+        "WHEN (ends_with({b}, 'abl') OR ends_with({b}, 'iqU')) AND len({b})-3 >= r2 "
+        "  THEN left({b}, len({b})-3) "
+        "WHEN (ends_with({b}, 'ièr') OR ends_with({b}, 'Ièr')) AND len({b})-3 >= rv "
+        "  THEN left({b}, len({b})-3) || 'i' "
+        "ELSE {b} END"
+    )
+    for s in ("ement", "ements"):
+        s1_rules.append(
+            (s, None,
+             f"CASE WHEN len(w)-{{k}} >= rv THEN {ement_tail} ELSE w END")
+        )
+    ite_tail = (
+        "CASE WHEN ends_with({b}, 'abil') THEN "
+        "  CASE WHEN len({b})-4 >= r2 THEN left({b}, len({b})-4) "
+        "  ELSE left({b}, len({b})-4) || 'abl' END "
+        "WHEN ends_with({b}, 'ic') THEN "
+        "  CASE WHEN len({b})-2 >= r2 THEN left({b}, len({b})-2) "
+        "  ELSE left({b}, len({b})-2) || 'iqU' END "
+        "WHEN ends_with({b}, 'iv') AND len({b})-2 >= r2 THEN left({b}, len({b})-2) "
+        "ELSE {b} END"
+    )
+    for s in ("ité", "ités"):
+        s1_rules.append(
+            (s, None,
+             f"CASE WHEN len(w)-{{k}} >= r2 THEN {ite_tail} ELSE w END")
+        )
+    if_tail = (
+        "CASE WHEN ends_with({b}, 'at') AND len({b})-2 >= r2 THEN "
+        + ic_or_iqU.replace("{x}", "left({b}, len({b})-2)")
+        + " ELSE {b} END"
+    )
+    for s in ("if", "ive", "ifs", "ives"):
+        s1_rules.append(
+            (s, None,
+             f"CASE WHEN len(w)-{{k}} >= r2 THEN {if_tail} ELSE w END")
+        )
+    s1_rules.append(("eaux", None, "{b} || 'eau'"))
+    s1_rules.append(
+        ("aux", None, "CASE WHEN len(w)-3 >= r1 THEN {b} || 'al' ELSE w END")
+    )
+    for s in ("euse", "euses"):
+        s1_rules.append(
+            (s, None,
+             "CASE WHEN len(w)-{k} >= r2 THEN {b} "
+             "WHEN len(w)-{k} >= r1 THEN {b} || 'eux' ELSE w END")
+        )
+    for s in ("issement", "issements"):
+        s1_rules.append(
+            (s, None,
+             f"CASE WHEN len(w)-{{k}} >= r1 AND len({{b}}) > 0 "
+             f"AND right({{b}}, 1) NOT IN ({vin}) THEN {{b}} ELSE w END")
+        )
+    s1_rules.append(
+        ("amment", None,
+         "CASE WHEN len(w)-6 >= rv THEN {b} || 'ant' ELSE w END")
+    )
+    s1_rules.append(
+        ("emment", None,
+         "CASE WHEN len(w)-6 >= rv THEN {b} || 'ent' ELSE w END")
+    )
+    for s in ("ment", "ments"):
+        s1_rules.append(
+            (s, None,
+             f"CASE WHEN len(w)-{{k}}-1 >= rv AND substr(w, len(w)-{{k}}, 1) IN ({vin}) "
+             "THEN {b} ELSE w END")
+        )
+    step1 = _case(s1_rules)
+    # the ment-family gates step 2a even when found-but-not-removed
+    fm_whens = " OR ".join(
+        f"ends_with(w, '{s}')" for s in ("amment", "emment", "ments", "ment")
+    )
+    # the longest step-1 match must BE a ment-family suffix (not merely
+    # end like one): ement(s)/issement(s) shadow ment(s)
+    fm_expr = (
+        f"(({fm_whens}) AND NOT ends_with(w, 'ement') AND NOT ends_with(w, 'ements'))"
+    )
+
+    step2a = _case(
+        [(s, "len(w)-{k} >= rv",
+          f"CASE WHEN len(w)-{{k}}-1 >= rv "
+          f"AND substr(w, len(w)-{{k}}, 1) NOT IN ({vin}) THEN {{b}} ELSE w END")
+         for s in _FR_S2A]
+    )
+    s2b_rules = [
+        ("ions", "len(w)-4 >= rv",
+         "CASE WHEN len(w)-4 >= r2 THEN {b} ELSE w END"),
+    ] + [
+        (s, "len(w)-{k} >= rv", "{b}") for s in _FR_S2B_DELETE
+    ] + [
+        (s, "len(w)-{k} >= rv",
+         "CASE WHEN ends_with({b}, 'e') AND len({b})-1 >= rv "
+         "THEN left({b}, len({b})-1) ELSE {b} END")
+        for s in _FR_S2B_E
+    ]
+    step2b = _case(s2b_rules)
+
+    s4_s = (
+        f"CASE WHEN ends_with(w, 's') AND len(w) >= 2 AND ("
+        f"substr(w, len(w)-1, 1) NOT IN ('a', 'i', 'o', 'u', 'è', 's') "
+        f"OR (substr(w, len(w)-1, 1) = 'i' AND len(w) >= 3 "
+        f"AND substr(w, len(w)-2, 1) = 'H')) "
+        f"THEN left(w, len(w)-1) ELSE w END"
+    )
+    s4_rules = [
+        ("ion", "len(w)-3 >= rv",
+         "CASE WHEN len(w)-3 >= r2 AND len(w)-4 >= rv AND len(w) >= 4 "
+         "AND substr(w, len(w)-3, 1) IN ('s', 't') THEN {b} ELSE w END"),
+        ("ière", "len(w)-4 >= rv", "{b} || 'i'"),
+        ("Ière", "len(w)-4 >= rv", "{b} || 'i'"),
+        ("ier", "len(w)-3 >= rv", "{b} || 'i'"),
+        ("Ier", "len(w)-3 >= rv", "{b} || 'i'"),
+        ("e", "len(w)-1 >= rv", "{b}"),
+        ("ë", "len(w)-1 >= rv",
+         "CASE WHEN ends_with({b}, 'gu') THEN {b} ELSE w END"),
+    ]
+    step4b = _case(s4_rules)
+
+    rv_expr = f"""CASE WHEN len(w) >= 2 AND substr(w, 1, 1) IN ({vin})
+            AND substr(w, 2, 1) IN ({vin}) THEN LEAST(3, len(w))
+       WHEN substr(w, 1, 3) IN ('par', 'col', 'tap') THEN LEAST(3, len(w))
+       WHEN regexp_matches(w, '^.[^{_FR_V}]*[{_FR_V}]')
+            THEN len(regexp_extract(w, '^.[^{_FR_V}]*[{_FR_V}]'))
+       ELSE len(w) END"""
+
+    sql = f"""{tag}mk AS (
+  -- sequential marking: u after q → U; u/i between vowels → U/I; y next
+  -- to a vowel (marked left context OR original right context) → Y
+  WITH RECURSIVE walk(t, w0, i, acc) AS (
+    SELECT t, t AS w0, 1, '' FROM {src}
+    UNION ALL
+    SELECT t, w0, i + 1,
+           acc || CASE
+             WHEN substr(w0, i, 1) = 'u' AND i > 1
+                  AND substr(w0, i - 1, 1) = 'q' THEN 'U'
+             WHEN substr(w0, i, 1) IN ('u', 'i') AND i > 1 AND i < len(w0)
+                  AND right(acc, 1) IN ({vin})
+                  AND substr(w0, i + 1, 1) IN ({vin})
+             THEN upper(substr(w0, i, 1))
+             WHEN substr(w0, i, 1) = 'y'
+                  AND ((i > 1 AND right(acc, 1) IN ({vin}))
+                       OR (i < len(w0) AND substr(w0, i + 1, 1) IN ({vin})))
+             THEN 'Y'
+             ELSE substr(w0, i, 1) END
+    FROM walk WHERE i <= len(w0)
+  )
+  SELECT t, acc AS w FROM walk WHERE i = len(w0) + 1
+     UNION ALL SELECT t, t FROM {src} WHERE len(t) = 0),
+{_regions_sql(tag, f"{tag}mk", _FR_V, rv_expr)},
+{tag}1 AS (SELECT t, rv, r1, r2, w AS pw, {fm_expr} AS fm, {step1} AS w
+  FROM {tag}rr),
+{tag}2a AS (SELECT t, rv, r1, r2, (w <> pw) AS alt1, fm, w AS pw,
+  CASE WHEN (w = pw OR fm) THEN {step2a} ELSE w END AS w FROM {tag}1),
+{tag}2b AS (SELECT t, rv, r1, r2, alt1, (w <> pw) AS alt2a, w AS pw,
+  CASE WHEN (NOT alt1 OR fm) AND w = pw THEN {step2b} ELSE w END AS w
+  FROM {tag}2a),
+{tag}3s AS (SELECT t, rv, r2, (alt1 OR alt2a OR w <> pw) AS altered,
+  CASE WHEN alt1 OR alt2a OR w <> pw THEN w ELSE {s4_s} END AS w
+  FROM {tag}2b),
+{tag}34 AS (SELECT t, rv,
+  CASE WHEN altered THEN
+    CASE WHEN ends_with(w, 'Y') THEN left(w, len(w)-1) || 'i'
+         WHEN ends_with(w, 'ç') THEN left(w, len(w)-1) || 'c'
+         ELSE w END
+  ELSE {step4b} END AS w
+  FROM {tag}3s),
+{tag}5 AS (SELECT t,
+  CASE WHEN regexp_matches(w, '(enn|onn|ett|ell|eill)$')
+       THEN left(w, len(w)-1) ELSE w END AS w FROM {tag}34),
+{tag}f AS (SELECT t, replace(replace(replace(
+  regexp_replace(w, '([éè])([^{_FR_V}]+)$', 'e\\2'),
+  'I', 'i'), 'U', 'u'), 'Y', 'y') AS stem FROM {tag}5)"""
+    return sql, f"{tag}f"
+
+
+CTE_BUILDERS["fr"] = french_ctes

@@ -793,3 +793,268 @@ STEMMERS = {
     "pt": portuguese_stem,
     "it": italian_stem,
 }
+
+
+# -------------------------------------------------------------------- French
+#
+# snowballstem.org/algorithms/french/stemmer.html — prelude marks u/i
+# between vowels, y next to a vowel, and u after q as U/I/Y (consonants);
+# RV has the two-vowel / par|col|tap exceptions; steps 2a/2b are gated on
+# step 1's outcome (and the ment-family counts as "found" even when
+# removed); steps 5 (undouble enn/onn/ett/ell/eill) and 6 (un-accent
+# é/è before a trailing consonant run) always run.
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+_FR_S1_DELETE_R2 = (
+    "ance", "iqUe", "isme", "able", "iste", "eux", "ances", "iqUes",
+    "ismes", "ables", "istes",
+)
+_FR_S1_ATEUR = ("atrice", "ateur", "ation", "atrices", "ateurs", "ations")
+_FR_S2A = (
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+    "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+    "issant", "issante", "issantes", "issants", "isse", "issent",
+    "isses", "issez", "issiez", "issions", "issons", "it",
+)
+_FR_S2B_DELETE = (
+    "é", "ée", "ées", "és", "èrent", "er", "era", "erai", "eraIent",
+    "erais", "erait", "eras", "erez", "eriez", "erions", "erons",
+    "eront", "ez", "iez",
+)
+_FR_S2B_E = (
+    "âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+    "ante", "antes", "ants", "as", "asse", "assent", "asses",
+    "assiez", "assions",
+)
+
+
+def _fr_prelude(w: str) -> str:
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif (
+            c in ("u", "i")
+            and 0 < i < n - 1
+            and chars[i - 1] in _FR_VOWELS
+            and chars[i + 1] in _FR_VOWELS
+        ):
+            chars[i] = c.upper()
+        elif c == "y" and (
+            (i > 0 and chars[i - 1] in _FR_VOWELS)
+            or (i < n - 1 and chars[i + 1] in _FR_VOWELS)
+        ):
+            chars[i] = "Y"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 2 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return min(3, n)
+    if w[:3] in ("par", "col", "tap"):
+        return min(3, n)
+    for i in range(1, n):
+        if w[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+def french_stem(word: str) -> str:
+    """Stem one lowercase token by the published Snowball French
+    algorithm."""
+    w = _fr_prelude(word)
+    rv = _fr_rv(w)
+    r1, r2 = _regions_std(w, _FR_VOWELS)
+
+    found_ment = False
+    altered = False
+
+    # ---- step 1: standard suffix removal (longest match, conditions)
+    all_s1 = (
+        _FR_S1_DELETE_R2 + _FR_S1_ATEUR + (
+            "logie", "logies", "usion", "ution", "usions", "utions",
+            "ence", "ences", "ement", "ements", "ité", "ités", "if",
+            "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+            "issement", "issements", "amment", "emment", "ment", "ments",
+        )
+    )
+    s = _lmatch(w, all_s1)
+    if s is not None:
+        k = len(s)
+        base = w[: len(w) - k]
+        if s in _FR_S1_DELETE_R2:
+            if len(w) - k >= r2:
+                w, altered = base, True
+        elif s in _FR_S1_ATEUR:
+            if len(w) - k >= r2:
+                w, altered = base, True
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif s in ("logie", "logies"):
+            if len(w) - k >= r2:
+                w, altered = base + "log", True
+        elif s in ("usion", "ution", "usions", "utions"):
+            if len(w) - k >= r2:
+                w, altered = base + "u", True
+        elif s in ("ence", "ences"):
+            if len(w) - k >= r2:
+                w, altered = base + "ent", True
+        elif s in ("ement", "ements"):
+            if len(w) - k >= rv:
+                w, altered = base, True
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if len(w) - 3 >= r2:
+                        w = w[:-3]
+                    elif len(w) - 3 >= r1:
+                        w = w[:-3] + "eux"
+                elif (w.endswith("abl") or w.endswith("iqU")) and len(w) - 3 >= r2:
+                    w = w[:-3]
+                elif (w.endswith("ièr") or w.endswith("Ièr")) and len(w) - 3 >= rv:
+                    w = w[:-3] + "i"
+        elif s in ("ité", "ités"):
+            if len(w) - k >= r2:
+                w, altered = base, True
+                if w.endswith("abil"):
+                    if len(w) - 4 >= r2:
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif s in ("if", "ive", "ifs", "ives"):
+            if len(w) - k >= r2:
+                w, altered = base, True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if len(w) - 2 >= r2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif s == "eaux":
+            w, altered = base + "eau", True
+        elif s == "aux":
+            if len(w) - k >= r1:
+                w, altered = base + "al", True
+        elif s in ("euse", "euses"):
+            if len(w) - k >= r2:
+                w, altered = base, True
+            elif len(w) - k >= r1:
+                w, altered = base + "eux", True
+        elif s in ("issement", "issements"):
+            if len(w) - k >= r1 and len(base) > 0 and base[-1] not in _FR_VOWELS:
+                w, altered = base, True
+        elif s == "amment":
+            found_ment = True
+            if len(w) - k >= rv:
+                w, altered = base + "ant", True
+        elif s == "emment":
+            found_ment = True
+            if len(w) - k >= rv:
+                w, altered = base + "ent", True
+        elif s in ("ment", "ments"):
+            found_ment = True
+            # "delete if preceded by a vowel in RV": the preceding vowel
+            # must itself lie in RV
+            p = len(w) - k - 1
+            if p >= rv and w[p] in _FR_VOWELS:
+                w, altered = base, True
+
+    # ---- steps 2a/2b: verb suffixes
+    step1_removed = altered
+    do2a = (not step1_removed) or found_ment
+    altered2 = False
+    if do2a:
+        s = _lmatch(w, [x for x in _FR_S2A if len(w) - len(x) >= rv])
+        if s is not None:
+            p = len(w) - len(s) - 1
+            if p >= rv and p >= 0 and w[p] not in _FR_VOWELS:
+                w = w[: len(w) - len(s)]
+                altered2 = True
+        if not altered2:
+            # step 2b
+            s = _lmatch(
+                w,
+                [x for x in ("ions",) + _FR_S2B_DELETE + _FR_S2B_E
+                 if len(w) - len(x) >= rv],
+            )
+            if s is not None:
+                if s == "ions":
+                    if len(w) - 4 >= r2:
+                        w = w[:-4]
+                        altered2 = True
+                elif s in _FR_S2B_DELETE:
+                    w = w[: len(w) - len(s)]
+                    altered2 = True
+                else:  # _FR_S2B_E
+                    w = w[: len(w) - len(s)]
+                    altered2 = True
+                    if w.endswith("e") and len(w) - 1 >= rv:
+                        w = w[:-1]
+
+    # ---- step 3 (last obeyed step altered) or step 4 (it did not)
+    if step1_removed or altered2:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4: final s unless preceded by a, i (not after H), o, u, è, s
+        if w.endswith("s") and len(w) >= 2:
+            p = w[-2]
+            hi_exception = p == "i" and len(w) >= 3 and w[-3] == "H"
+            if hi_exception or p not in ("a", "i", "o", "u", "è", "s"):
+                w = w[:-1]
+        # then, in RV (setlimit → pre-filter), longest of:
+        s = _lmatch(
+            w,
+            [x for x in ("ion", "ier", "ière", "Ier", "Ière", "e", "ë")
+             if len(w) - len(x) >= rv],
+        )
+        if s == "ion":
+            if len(w) - 3 >= r2 and len(w) - 4 >= rv and len(w) >= 4 \
+                    and w[-4] in ("s", "t"):
+                w = w[:-3]
+        elif s in ("ier", "ière", "Ier", "Ière"):
+            w = w[: len(w) - len(s)] + "i"
+        elif s == "e":
+            w = w[:-1]
+        elif s == "ë":
+            if w[: len(w) - 1].endswith("gu"):
+                w = w[:-1]
+
+    # ---- step 5: undouble
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+
+    # ---- step 6: un-accent é/è before a trailing non-vowel run
+    n = len(w)
+    i = n - 1
+    run = 0
+    while i >= 0 and w[i] not in _FR_VOWELS:
+        i -= 1
+        run += 1
+    if run >= 1 and i >= 0 and w[i] in ("é", "è"):
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+STEMMERS["fr"] = french_stem

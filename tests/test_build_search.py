@@ -932,3 +932,30 @@ def test_posting_cache_lru_handles_oversized_miss_set(
     src = PostingSource(index_dir, 0, [("text", w) for w in ("t1", "t2", "t3", "t7", "w00042")], 0)
     assert len(src.docs("text", "t1")) > 0
     assert len(S._POSTING_CACHE) <= 2 + 5  # bounded, no StopIteration
+
+
+def test_sip_watch_backoff_on_persistent_failure(
+    ray_session, tiny_transcripts_dir, tmp_path_factory
+):
+    """ADVICE r4: a permanently bad batch must not be re-attempted every
+    heartbeat — retries back off exponentially (attempt cycles 1, 3, 6,
+    11, … for a never-changing pending set) and the error ring is
+    bounded, so a daemon over one corrupt file neither hammers
+    extend_index nor grows memory without bound."""
+    corpus = str(tmp_path_factory.mktemp("sipb_corpus"))
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
+    )
+    pq.write_table(t, os.path.join(corpus, "a-epoch1.parquet"))
+    d = str(tmp_path_factory.mktemp("idx_sipb"))
+    build_index(corpus, d, n_parts=N_PARTS)
+    with open(os.path.join(corpus, "b-bad.parquet"), "wb") as f:
+        f.write(b"permanently corrupt")
+
+    from miru_ray.build import sip_watch
+
+    res = sip_watch(corpus, d, interval=0.0, max_cycles=12, retry_on_error=True)
+    # without backoff this would be 12 errors; the schedule allows
+    # attempts at cycles 1, 3, 6, 11 only
+    assert len(res["errors"]) == 4, res["errors"]
+    assert res["epochs"] == 0

@@ -84,3 +84,30 @@ def test_expire_cli(range_idx, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["expired"]) == 1 and out["freed_bytes"] > 0
     assert sorted(completed_parts(range_idx)) == sorted(b)  # dry run
+
+
+def test_expired_parts_not_resurrected_by_replicas(
+    range_idx, tmp_path_factory
+):
+    """ADVICE r4: expire leaves parts_built untouched, so a
+    replica-configured engine must subtract the manifest's expire history
+    from its expected part set — otherwise a replica still holding the
+    aged-out partition silently resurrects expired docs, and a replica
+    without it fails the whole query."""
+    from miru_ray.sync import sync_index
+
+    rep = str(tmp_path_factory.mktemp("retention_rep"))
+    sync_index(range_idx, rep)  # replica holds EVERY partition
+
+    b = _bounds(range_idx)
+    order = sorted(b, key=lambda p: b[p][0])
+    cutoff = b[order[2]][0]
+    res = expire_partitions(range_idx, cutoff)
+    assert res["expired"] == sorted(order[:2])
+
+    naked = SearchEngine(range_idx)
+    want = naked.count("t1")
+
+    eng = SearchEngine(range_idx, replicas=[rep])
+    assert set(eng.parts) == set(order[2:])  # expired parts subtracted
+    assert eng.count("t1") == want  # no resurrection from the replica

@@ -48,6 +48,16 @@ VECTORS = {
         ("abbandonata", "abbandon"), ("mangiarlo", "mang"),
         ("felicemente", "felic"), ("laghi", "lagh"),
     ],
+    "fr": [
+        ("jouer", "jou"), ("chanter", "chant"), ("continuité", "continu"),
+        ("majestueux", "majestu"), ("finissait", "fin"),
+        ("logiquement", "logiqu"), ("chevaux", "cheval"),
+        ("abondamment", "abond"), ("croyiez", "croi"),
+        ("conditionnelle", "conditionnel"), ("baronnes", "baron"),
+        ("jetteront", "jet"), ("succès", "succes"), ("yeux", "yeux"),
+        ("sérieusement", "sérieux"), ("aiguë", "aigu"),
+        ("punissions", "pun"),
+    ],
 }
 
 ALPHABETS = {
@@ -56,6 +66,7 @@ ALPHABETS = {
     "es": "abcdefghijklmnopqrstuvwxyzáéíóúüñ",
     "pt": "abcdefghijklmnopqrstuvwxyzáéíóúâêôãõç",
     "it": "abcdefghijklmnopqrstuvwxyzàèìòùáéíóú",
+    "fr": "abcdefghijklmnopqrstuvwxyzâàëéêèïîôûùç",
 }
 
 # endings that force each algorithm through its deep branches
@@ -71,6 +82,9 @@ SUFFIX_SEEDS = {
            "ivos", "iras", "eira", "íssemos", "ç", "é", "ões"],
     "it": ["azione", "amento", "uzione", "enza", "amente", "ità",
            "ivi", "erebbero", "iscono", "gliela", "ch", "gh", "à"],
+    "fr": ["ation", "ement", "issement", "amment", "ments", "ité", "ives",
+           "eaux", "aux", "euses", "issaIent", "eraIent", "assions",
+           "ions", "ière", "é", "s", "ë", "Y"],
 }
 
 
@@ -136,6 +150,7 @@ def test_analyzer_chain_parity():
         "es": "Él caminaba lentamente hacia las canciones",
         "pt": "As nações construíram grandes tradições",
         "it": "Le ragazze mangiavano felicemente in città",
+        "fr": "Les chanteurs jouaient sérieusement dans les châteaux",
     }
     for lang, text in samples.items():
         a = get_analyzer(lang)
@@ -169,7 +184,7 @@ def test_tokenizer_meta_stem_tags():
 
     assert tokenizer_meta("ru", False)["stem"] == "snowball-ru"
     assert tokenizer_meta("it", False)["stem"] == "snowball-it"
-    assert "stem" not in tokenizer_meta("fr", False)  # stopwords-only chain
+    assert tokenizer_meta("fr", False)["stem"] == "snowball-fr"
 
 
 def test_indexed_search_with_locale_analyzer(ray_session, tmp_path):

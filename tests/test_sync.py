@@ -244,3 +244,75 @@ def test_replica_failover_extend_opened_partition(
     eng = SearchEngine(idx, replicas=[rep])
     assert opened[-1] in eng.parts
     assert eng.count("t1") == ref_found
+
+
+def test_manifest_negative_cache(src_idx, monkeypatch):
+    """ADVICE r4: a missing partition manifest caches as None and counts
+    as a HIT — the old .get(key) retrieval re-read the missing file on
+    every _ts_bounds call in replica mode."""
+    from miru_ray import search as S
+
+    calls = {"n": 0}
+    from miru_ray import segments as seg
+
+    orig = seg.read_manifest
+
+    def counting(index_dir, part):
+        calls["n"] += 1
+        return orig(index_dir, part)
+
+    monkeypatch.setattr(seg, "read_manifest", counting)
+    S._MANIFEST_CACHE.clear()
+    # part 99 does not exist: first call reads (miss), second must hit
+    assert S._cached_manifest(src_idx, 99) is None
+    first = calls["n"]
+    assert S._cached_manifest(src_idx, 99) is None
+    assert calls["n"] == first  # cached None treated as a hit
+
+
+def test_replica_racing_slow_primary(src_idx, tmp_path_factory, monkeypatch):
+    """VERDICT r5 #5: with a warmed latency window, a primary partition
+    ask that runs past the suggested timeout is RACED against the
+    replica, and the fast replica's answer wins — rank-identical to the
+    all-primary answer and far faster than waiting out the slow
+    primary."""
+    import time
+
+    import ray
+
+    from miru_ray import search as S
+
+    rep = str(tmp_path_factory.mktemp("race_rep"))
+    sync_index(src_idx, rep)
+    want = _answers(src_idx)
+
+    primary = os.path.abspath(src_idx)
+
+    def slow_partition(index_dir, part, **kw):
+        import os as _os
+        import time as _time
+
+        from miru_ray.search import search_partition
+
+        if _os.path.abspath(index_dir) == primary and part == 0:
+            _time.sleep(2.0)  # the congested primary
+        return search_partition(index_dir, part, **kw)
+
+    monkeypatch.setattr(S, "_REMOTE", ray.remote(num_cpus=1)(slow_partition))
+
+    eng = SearchEngine(src_idx, replicas=[rep])
+    eng._lat.extend([0.005] * 32)  # warm window → suggested timeout 50 ms
+    assert eng._suggested_timeout() is not None
+    t0 = time.monotonic()
+    hits, found = eng.search("t1 t7", k=10, scoring="bm25", parallel=True)
+    dt = time.monotonic() - t0
+    assert (found, [(h.conv_id, h.turn_idx, round(h.score, 5)) for h in hits]) == want
+    assert dt < 1.8, dt  # the replica answered; we never waited out the sleep
+
+    # cold engine (no latency samples) never races: suggestion is None
+    cold = SearchEngine(src_idx, replicas=[rep])
+    assert cold._suggested_timeout() is None
+    # race=False disables racing even with a warm window
+    norace = SearchEngine(src_idx, replicas=[rep], race=False)
+    norace._lat.extend([0.005] * 32)
+    assert norace._suggested_timeout() is None

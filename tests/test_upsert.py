@@ -122,3 +122,39 @@ def test_upsert_range_mode(ray_session, tiny_transcripts_dir, tmp_path_factory):
     assert res["parts_rebuilt"][0] == ((half + 7) * N_PARTS) // t.num_rows or True
     eng = SearchEngine(idx)
     assert eng.count("zzrangewin") == 1
+
+
+def test_upsert_refuses_self_destructive_epoch(corpus, tmp_path_factory):
+    """ADVICE r4: the returned epoch is the input of record for the next
+    upsert, so passing the previous epoch dir as BOTH source and
+    patched_dir must raise before any file is removed — the symlink step
+    would otherwise replace an untouched file with a dangling
+    self-referential link."""
+    src, idx, t = corpus
+    epoch1 = str(tmp_path_factory.mktemp("ups_epoch1"))
+
+    win = _row(t, 5)
+    win["text"] = "zzfirst epoch"
+    win["ts"] = win["ts"].replace(year=win["ts"].year + 1)
+    up = pa.table(
+        {c: pa.array([win[c]], t.schema.field(c).type) for c in t.schema.names}
+    )
+    res = upsert_rows(idx, up, src, epoch1)
+    files_before = {f: os.path.realpath(f) for f in res["files"]}
+
+    win2 = dict(win)
+    win2["text"] = "zzsecond epoch"
+    win2["ts"] = win["ts"].replace(year=win["ts"].year + 1)
+    up2 = pa.table(
+        {c: pa.array([win2[c]], t.schema.field(c).type) for c in t.schema.names}
+    )
+    with pytest.raises(ValueError, match="patched_dir"):
+        upsert_rows(idx, up2, epoch1, epoch1)
+    # nothing was destroyed: every epoch file still resolves to real data
+    for f, target in files_before.items():
+        assert os.path.exists(f) and os.path.realpath(f) == target
+        assert os.path.getsize(target) > 0
+    # a fresh dir works
+    epoch2 = str(tmp_path_factory.mktemp("ups_epoch2"))
+    res2 = upsert_rows(idx, up2, epoch1, epoch2)
+    assert res2["winners"] == 1
