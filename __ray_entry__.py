@@ -497,6 +497,24 @@ LOCALE_STEM_PROBES: dict[str, tuple] = {
         "appelle", "précède", "succès", "chanté", "quand", "ennuie",
         "sérieusement", "créatrice", "aiguë", "punissions",
     ),
+    "da": (
+        "undersøgelse", "bogen", "huset", "venligst", "følelsesløst",
+        "kongelige", "bakker", "elskede", "kvinderne", "hedens",
+        "barnets", "smukkeste", "billigst", "erendes", "kærlighed",
+        "møderne", "aftaler", "løst", "husets", "mulighederne",
+    ),
+    "sv": (
+        "undersökningen", "flickorna", "husets", "vackraste",
+        "möjlighet", "klokast", "trolöst", "hemskheterna", "pojkarnas",
+        "fullt", "väsentligt", "handen", "böckerna", "skolorna",
+        "viktigaste", "arbetslöshet", "tidningarnas", "svenskarna",
+    ),
+    "nb": (
+        "undersøkelsen", "bøkene", "husets", "kjærlighetene", "vakrest",
+        "forskerne", "hemmelighetens", "merket", "bakkens", "viktigst",
+        "hetslov", "arbeidsløshet", "mulighetene", "forskjellige",
+        "spørsmålet", "nordmennene", "erte", "kastet",
+    ),
     "it": (
         "abbandonata", "nazionale", "felicemente", "importanza",
         "generosità", "comunicazione", "bellissimo", "amichevole",
@@ -544,6 +562,18 @@ def ft_stem_terms_it(sf_dir: str) -> pa.Table:
 
 def ft_stem_terms_fr(sf_dir: str) -> pa.Table:
     return _stem_terms_locale(sf_dir, "fr")
+
+
+def ft_stem_terms_da(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "da")
+
+
+def ft_stem_terms_sv(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "sv")
+
+
+def ft_stem_terms_nb(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "nb")
 
 
 K_BM25_DE = 20
@@ -2693,6 +2723,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stem_terms_pt": ft_stem_terms_pt,
         "ft_stem_terms_it": ft_stem_terms_it,
         "ft_stem_terms_fr": ft_stem_terms_fr,
+        "ft_stem_terms_da": ft_stem_terms_da,
+        "ft_stem_terms_sv": ft_stem_terms_sv,
+        "ft_stem_terms_nb": ft_stem_terms_nb,
         "ft_topk_bm25_de": ft_topk_bm25_de,
         "dd_keep_best": dd_keep_best,
         "pipe_curate": pipe_curate,
@@ -2710,6 +2743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_centroid": ann_centroid,
         "ann_ivf": ann_ivf,
         "dd_embed_cosine": dd_embed_cosine,
+        "txt_bpe_encode": txt_bpe_encode,
+        "txt_decontam": txt_decontam,
         "ev_distinct_users": ev_distinct_users,
         "ev_latest": ev_latest,
         "ev_trending": ev_trending,
@@ -3619,6 +3654,9 @@ SELECT t AS term, stem FROM {_german_ctes("tokd")[1]}"""
         "ft_stem_terms_pt": _locale_stem_oracle("pt"),
         "ft_stem_terms_it": _locale_stem_oracle("it"),
         "ft_stem_terms_fr": _locale_stem_oracle("fr"),
+        "ft_stem_terms_da": _locale_stem_oracle("da"),
+        "ft_stem_terms_sv": _locale_stem_oracle("sv"),
+        "ft_stem_terms_nb": _locale_stem_oracle("nb"),
         "ft_topk_bm25_de": (
             f"""WITH tok AS ({_TOKTAB}),
 allv AS (SELECT DISTINCT t FROM (SELECT t FROM tok

@@ -178,14 +178,31 @@ LOCALE_STOPWORDS: dict[str, frozenset] = {
         "de het een en of maar van tot is zijn was niet met voor in op als "
         "ook aan er zij hij wij die dat dit deze door naar bij om te".split()
     ),
+    "da": frozenset(
+        "og i jeg det at en den til er som på de med han af for ikke der "
+        "var mig sig men et har om vi min havde ham hun nu over".split()
+    ),
+    "sv": frozenset(
+        "och det att i en jag hon som han på den med var sig för så till "
+        "är men ett om hade de av icke mig du henne då sin nu har".split()
+    ),
+    "nb": frozenset(
+        "og i jeg det at en et den til er som på de med han av ikke der "
+        "så var meg seg men har om vi min mitt ha hadde hun nå over".split()
+    ),
 }
 
 # Snowball stemmer per locale (stemmers.py implements the published specs;
 # stem.py registers them in _STEMMERS under these language codes)
 LOCALE_STEMMER_LANG: dict[str, str] = {
     "de": "de", "ru": "ru", "es": "es", "pt": "pt", "it": "it", "nl": "nl",
-    "fr": "fr",
+    "fr": "fr", "da": "da", "sv": "sv", "nb": "nb",
 }
+
+# locale aliases resolved to a registered chain (the reference's nb/nn/no
+# all map to the Lucene NorwegianAnalyzer; en_ie/pt_br chop to en/pt via
+# get_analyzer's fallback already)
+LOCALE_ALIASES: dict[str, str] = {"no": "nb", "nn": "nb"}
 
 
 def _make_locale_analyzer(name: str, stops: frozenset, stem_lang: str | None = None) -> Analyzer:
@@ -216,6 +233,9 @@ for _loc, _stops in LOCALE_STOPWORDS.items():
     register_analyzer(
         _make_locale_analyzer(_loc, _stops, stem_lang=LOCALE_STEMMER_LANG.get(_loc))
     )
+for _alias, _target in LOCALE_ALIASES.items():
+    _t = _REGISTRY[_target]
+    register_analyzer(Analyzer(_alias, _t.flat, _t.scalar))
 
 
 def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
@@ -227,12 +247,16 @@ def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
     pattern/lowercase fields describe the resolved analyzer's actual term
     rule, not a hardcoded ASCII contract."""
     resolved = get_analyzer(analyzer)
-    if resolved.name == "unicode" or resolved.name in LOCALE_STOPWORDS:
+    if resolved.name == "unicode" or (
+        LOCALE_ALIASES.get(resolved.name, resolved.name) in LOCALE_STOPWORDS
+    ):
         contract = {"pattern": "[\\p{L}\\p{N}]+", "lowercase": "utf8"}
     else:
         contract = {"pattern": "[a-z0-9]+", "lowercase": True}
     if resolved.name == "en":
         contract["stem"] = "porter2"
-    elif LOCALE_STEMMER_LANG.get(resolved.name):
-        contract["stem"] = f"snowball-{LOCALE_STEMMER_LANG[resolved.name]}"
+    else:
+        base = LOCALE_ALIASES.get(resolved.name, resolved.name)
+        if LOCALE_STEMMER_LANG.get(base):
+            contract["stem"] = f"snowball-{LOCALE_STEMMER_LANG[base]}"
     return dict(contract, stopwords=use_stopwords, analyzer=resolved.name)

@@ -901,3 +901,110 @@ def french_ctes(src: str, tag: str = "fr") -> tuple[str, str]:
 
 
 CTE_BUILDERS["fr"] = french_ctes
+
+
+# ------------------------------------------------ Danish/Norwegian/Swedish
+
+_DA_V = "aeiouyæåø"
+_SV_V = "aeiouyäåö"
+
+
+def _scand_r1(tag: str, src: str, vowels: str) -> str:
+    """R1 with the ≥3-letters-before adjustment (no R2/RV needed)."""
+    r1pat = f"^[^{vowels}]*[{vowels}]+[^{vowels}]"
+    return f"""{tag}rr AS (SELECT t, t AS w,
+  GREATEST(CASE WHEN regexp_matches(t, '{r1pat}')
+                THEN len(regexp_extract(t, '{r1pat}')) ELSE len(t) END, 3) AS r1
+  FROM {src})"""
+
+
+def danish_ctes(src: str, tag: str = "da") -> tuple[str, str]:
+    from .stemmers import _DA_S1, _DA_S_END
+
+    step1 = _case(
+        [(s, "len(w)-{k} >= r1", "{b}") for s in _DA_S1]
+        + [("s", "len(w)-1 >= r1",
+            f"CASE WHEN len(w) >= 2 AND substr(w, len(w)-1, 1) IN ({_in(sorted(_DA_S_END))}) "
+            "THEN {b} ELSE w END")]
+    )
+    pair = (
+        "CASE WHEN len(w)-2 >= r1 AND right(w, 2) IN ('gd', 'dt', 'gt', 'kt') "
+        "THEN left(w, len(w)-1) ELSE w END"
+    )
+    pair_b = (
+        "CASE WHEN len({b})-2 >= r1 AND right({b}, 2) IN ('gd', 'dt', 'gt', 'kt') "
+        "THEN left({b}, len({b})-1) ELSE {b} END"
+    )
+    step3 = _case(
+        [(s, "len(w)-{k} >= r1", pair_b) for s in ("ig", "lig", "elig", "els")]
+        + [("løst", "len(w)-4 >= r1", "left(w, len(w)-1)")]
+    )
+    sql = f"""{_scand_r1(tag, src, _DA_V)},
+{tag}1 AS (SELECT t, r1, {step1} AS w FROM {tag}rr),
+{tag}2 AS (SELECT t, r1, {pair} AS w FROM {tag}1),
+{tag}3i AS (SELECT t, r1,
+  CASE WHEN ends_with(w, 'igst') THEN left(w, len(w)-2) ELSE w END AS w
+  FROM {tag}2),
+{tag}3 AS (SELECT t, r1, {step3} AS w FROM {tag}3i),
+{tag}f AS (SELECT t,
+  CASE WHEN len(w) >= 2 AND len(w)-1 >= r1
+            AND substr(w, len(w), 1) NOT IN ({_in(_DA_V)})
+            AND substr(w, len(w), 1) = substr(w, len(w)-1, 1)
+       THEN left(w, len(w)-1) ELSE w END AS stem FROM {tag}3)"""
+    return sql, f"{tag}f"
+
+
+def swedish_ctes(src: str, tag: str = "sv") -> tuple[str, str]:
+    from .stemmers import _SV_S1, _SV_S_END
+
+    step1 = _case(
+        [(s, "len(w)-{k} >= r1", "{b}") for s in _SV_S1]
+        + [("s", "len(w)-1 >= r1",
+            f"CASE WHEN len(w) >= 2 AND substr(w, len(w)-1, 1) IN ({_in(sorted(_SV_S_END))}) "
+            "THEN {b} ELSE w END")]
+    )
+    pair = (
+        "CASE WHEN len(w)-2 >= r1 AND right(w, 2) IN "
+        "('dd', 'gd', 'nn', 'dt', 'gt', 'kt', 'tt') "
+        "THEN left(w, len(w)-1) ELSE w END"
+    )
+    step3 = _case(
+        [(s, "len(w)-{k} >= r1", "{b}") for s in ("lig", "ig", "els")]
+        + [("löst", "len(w)-4 >= r1", "left(w, len(w)-1)"),
+           ("fullt", "len(w)-5 >= r1", "left(w, len(w)-1)")]
+    )
+    sql = f"""{_scand_r1(tag, src, _SV_V)},
+{tag}1 AS (SELECT t, r1, {step1} AS w FROM {tag}rr),
+{tag}2 AS (SELECT t, r1, {pair} AS w FROM {tag}1),
+{tag}f AS (SELECT t, {step3} AS stem FROM {tag}2)"""
+    return sql, f"{tag}f"
+
+
+def norwegian_ctes(src: str, tag: str = "nb") -> tuple[str, str]:
+    from .stemmers import _NB_S1, _NB_S3, _NB_S_END
+
+    step1 = _case(
+        [(s, "len(w)-{k} >= r1", "{b}") for s in _NB_S1]
+        + [("s", "len(w)-1 >= r1",
+            f"CASE WHEN len(w) >= 2 AND (substr(w, len(w)-1, 1) IN ({_in(sorted(_NB_S_END))}) "
+            f"OR (substr(w, len(w)-1, 1) = 'k' AND len(w) >= 3 "
+            f"AND substr(w, len(w)-2, 1) NOT IN ({_in(_DA_V)}))) "
+            "THEN {b} ELSE w END"),
+           ("erte", "len(w)-4 >= r1", "{b} || 'er'"),
+           ("ert", "len(w)-3 >= r1", "{b} || 'er'")]
+    )
+    pair = (
+        "CASE WHEN len(w)-2 >= r1 AND right(w, 2) IN ('dt', 'vt') "
+        "THEN left(w, len(w)-1) ELSE w END"
+    )
+    step3 = _case([(s, "len(w)-{k} >= r1", "{b}") for s in _NB_S3])
+    sql = f"""{_scand_r1(tag, src, _DA_V)},
+{tag}1 AS (SELECT t, r1, {step1} AS w FROM {tag}rr),
+{tag}2 AS (SELECT t, r1, {pair} AS w FROM {tag}1),
+{tag}f AS (SELECT t, {step3} AS stem FROM {tag}2)"""
+    return sql, f"{tag}f"
+
+
+CTE_BUILDERS["da"] = danish_ctes
+CTE_BUILDERS["sv"] = swedish_ctes
+CTE_BUILDERS["nb"] = norwegian_ctes

@@ -1058,3 +1058,156 @@ def french_stem(word: str) -> str:
 
 
 STEMMERS["fr"] = french_stem
+
+
+# ------------------------------------------------- Danish/Norwegian/Swedish
+#
+# The three Scandinavian Snowball algorithms share one shape: a single
+# big step-1 ending list + a valid-s-ending rule, a consonant-pair
+# trim, and a small step-3 list — all under an R1 limit whose region
+# must be preceded by at least 3 letters.
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_S1 = (
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+)
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+
+
+def danish_stem(word: str) -> str:
+    """Stem one lowercase token by the published Snowball Danish
+    algorithm."""
+    w = word
+    r1, _ = _regions_std(w, _DA_VOWELS)
+    r1 = max(r1, 3)
+
+    # step 1 (setlimit R1 → pre-filter; the s-ending test is unrestricted)
+    s = _lmatch(w, [x for x in _DA_S1 + ("s",) if len(w) - len(x) >= r1])
+    if s == "s":
+        if len(w) >= 2 and w[-2] in _DA_S_END:
+            w = w[:-1]
+    elif s is not None:
+        w = w[: len(w) - len(s)]
+
+    # step 2: consonant pair — gd dt gt kt in R1 → drop the last letter
+    if len(w) - 2 >= r1 and w[-2:] in ("gd", "dt", "gt", "kt"):
+        w = w[:-1]
+
+    # step 3: igst → drop st; then ig/lig/elig/els delete (in R1, then
+    # repeat step 2) or løst → løs
+    if w.endswith("igst"):
+        w = w[:-2]
+    s = _lmatch(
+        w, [x for x in ("ig", "lig", "elig", "els", "løst") if len(w) - len(x) >= r1]
+    )
+    if s == "løst":
+        w = w[:-1]
+    elif s is not None:
+        w = w[: len(w) - len(s)]
+        if len(w) - 2 >= r1 and w[-2:] in ("gd", "dt", "gt", "kt"):
+            w = w[:-1]
+
+    # step 4: undouble a final double consonant in R1
+    if (
+        len(w) >= 2
+        and len(w) - 1 >= r1
+        and w[-1] not in _DA_VOWELS
+        and w[-1] == w[-2]
+    ):
+        w = w[:-1]
+    return w
+
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_S1 = (
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aden", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+    "ast",
+)
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+
+
+def swedish_stem(word: str) -> str:
+    """Stem one lowercase token by the published Snowball Swedish
+    algorithm."""
+    w = word
+    r1, _ = _regions_std(w, _SV_VOWELS)
+    r1 = max(r1, 3)
+
+    # step 1
+    s = _lmatch(w, [x for x in _SV_S1 + ("s",) if len(w) - len(x) >= r1])
+    if s == "s":
+        if len(w) >= 2 and w[-2] in _SV_S_END:
+            w = w[:-1]
+    elif s is not None:
+        w = w[: len(w) - len(s)]
+
+    # step 2: dd gd nn dt gt kt tt in R1 → drop the last letter
+    if len(w) - 2 >= r1 and w[-2:] in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        w = w[:-1]
+
+    # step 3 (in R1): lig ig els delete; löst → lös; fullt → full
+    s = _lmatch(
+        w,
+        [x for x in ("lig", "ig", "els", "löst", "fullt") if len(w) - len(x) >= r1],
+    )
+    if s in ("löst", "fullt"):
+        w = w[:-1]
+    elif s is not None:
+        w = w[: len(w) - len(s)]
+    return w
+
+
+_NB_VOWELS = frozenset("aeiouyæåø")
+_NB_S1 = (
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+)
+_NB_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NB_S3 = ("leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov",
+          "elov", "slov", "hetslov")
+
+
+def norwegian_stem(word: str) -> str:
+    """Stem one lowercase token by the published Snowball Norwegian
+    (Bokmål) algorithm."""
+    w = word
+    r1, _ = _regions_std(w, _NB_VOWELS)
+    r1 = max(r1, 3)
+
+    # step 1: big list | s (valid s-ending, incl. k-after-non-vowel) |
+    # erte/ert → er
+    s = _lmatch(
+        w, [x for x in _NB_S1 + ("s", "erte", "ert") if len(w) - len(x) >= r1]
+    )
+    if s == "s":
+        p = w[-2] if len(w) >= 2 else ""
+        if p in _NB_S_END or (
+            p == "k" and len(w) >= 3 and w[-3] not in _NB_VOWELS
+        ):
+            w = w[:-1]
+    elif s in ("erte", "ert"):
+        w = w[: len(w) - len(s)] + "er"
+    elif s is not None:
+        w = w[: len(w) - len(s)]
+
+    # step 2: dt vt in R1 → drop the t
+    if len(w) - 2 >= r1 and w[-2:] in ("dt", "vt"):
+        w = w[:-1]
+
+    # step 3 (in R1): delete
+    s = _lmatch(w, [x for x in _NB_S3 if len(w) - len(x) >= r1])
+    if s is not None:
+        w = w[: len(w) - len(s)]
+    return w
+
+
+STEMMERS["da"] = danish_stem
+STEMMERS["sv"] = swedish_stem
+STEMMERS["nb"] = norwegian_stem

@@ -48,6 +48,22 @@ VECTORS = {
         ("abbandonata", "abbandon"), ("mangiarlo", "mang"),
         ("felicemente", "felic"), ("laghi", "lagh"),
     ],
+    "da": [
+        ("undersøgelse", "undersøg"), ("bogen", "bog"), ("huset", "hus"),
+        ("kongelige", "kong"), ("bakker", "bak"),
+        ("følelsesløst", "følelsesløs"),
+    ],
+    "sv": [
+        ("undersökningen", "undersökning"), ("flickorna", "flick"),
+        ("husets", "huset"), ("vackraste", "vackr"),
+        ("möjlighet", "möj"), ("beundransfullt", "beundransfull"),
+        ("fullt", "fullt"),  # the suffix itself sits outside R1
+    ],
+    "nb": [
+        ("undersøkelsen", "undersøk"), ("husets", "hus"),
+        ("kjærlighetene", "kjær"), ("bøkene", "bøk"),
+        ("forskerne", "forskern"),
+    ],
     "fr": [
         ("jouer", "jou"), ("chanter", "chant"), ("continuité", "continu"),
         ("majestueux", "majestu"), ("finissait", "fin"),
@@ -67,6 +83,9 @@ ALPHABETS = {
     "pt": "abcdefghijklmnopqrstuvwxyzáéíóúâêôãõç",
     "it": "abcdefghijklmnopqrstuvwxyzàèìòùáéíóú",
     "fr": "abcdefghijklmnopqrstuvwxyzâàëéêèïîôûùç",
+    "da": "abcdefghijklmnopqrstuvwxyzæåø",
+    "sv": "abcdefghijklmnopqrstuvwxyzäåö",
+    "nb": "abcdefghijklmnopqrstuvwxyzæåø",
 }
 
 # endings that force each algorithm through its deep branches
@@ -85,6 +104,12 @@ SUFFIX_SEEDS = {
     "fr": ["ation", "ement", "issement", "amment", "ments", "ité", "ives",
            "eaux", "aux", "euses", "issaIent", "eraIent", "assions",
            "ions", "ière", "é", "s", "ë", "Y"],
+    "da": ["erendes", "heden", "ethed", "erne", "igst", "løst", "elig",
+           "s", "gd", "dt", "kk"],
+    "sv": ["heterna", "ornas", "ande", "aste", "löst", "fullt", "lig",
+           "s", "nn", "tt", "et"],
+    "nb": ["hetenes", "ene", "erte", "ert", "ast", "hetslov", "eig",
+           "s", "ks", "dt", "vt"],
 }
 
 
@@ -151,6 +176,9 @@ def test_analyzer_chain_parity():
         "pt": "As nações construíram grandes tradições",
         "it": "Le ragazze mangiavano felicemente in città",
         "fr": "Les chanteurs jouaient sérieusement dans les châteaux",
+        "da": "Kvinderne elskede de kongelige bøger",
+        "sv": "Flickorna läste de viktigaste tidningarna",
+        "nb": "Forskerne undersøkte de største hemmelighetene",
     }
     for lang, text in samples.items():
         a = get_analyzer(lang)
@@ -177,6 +205,9 @@ def test_fallback_chop_to_locale():
     assert get_analyzer("ru_RU").name == "ru"
     assert get_analyzer("pt-BR").name == "pt"
     assert get_analyzer("xx_XX").name == "default"
+    # nb/no/nn all resolve to the Norwegian chain
+    assert get_analyzer("no").scalar("bøkene") == get_analyzer("nb").scalar("bøkene")
+    assert get_analyzer("nn").scalar("bøkene") == get_analyzer("nb").scalar("bøkene")
 
 
 def test_tokenizer_meta_stem_tags():
