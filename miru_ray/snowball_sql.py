@@ -1,4 +1,4 @@
-"""DuckDB CTE twins of the ru/nl/es/pt/it Snowball stemmers.
+"""DuckDB CTE twins of the ru/nl/es/pt/it/fr/da/sv/nb Snowball stemmers.
 
 Each ``*_ctes(src, tag)`` returns ``(sql, final_cte_name)`` where ``src``
 is a CTE with a string column ``t`` and the final CTE has columns

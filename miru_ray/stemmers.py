@@ -1,8 +1,9 @@
-"""Snowball stemmers for ru / nl / es / pt / it — the locale-analyzer
-breadth the reference carries as Lucene per-locale analyzers
-(miru-plugin .../TermAnalyzers.java:51-81 registers 31 locale chains;
-round 4 shipped en+de, this module adds the next five by corpus
-frequency, VERDICT r5 demand #3).
+"""Snowball stemmers for ru / nl / es / pt / it / fr / da / sv / nb —
+the locale-analyzer breadth the reference carries as Lucene per-locale
+analyzers (miru-plugin .../TermAnalyzers.java:51-81 registers 31 locale
+chains; round 4 shipped en+de, this module adds the next nine by corpus
+frequency, VERDICT r5 demand #3; no/nn alias onto nb like Lucene's
+NorwegianAnalyzer).
 
 Each stemmer is a from-scratch implementation of the PUBLISHED Snowball
 algorithm for its language (snowballstem.org/algorithms/<lang>/stemmer.html)
@@ -12,7 +13,7 @@ once per unique token). The suffix tables below are transcriptions of the
 spec's ending lists; the *evaluation engine* (region math, longest-match
 `among` semantics, condition gating) is implemented twice — the Python
 walk here and an independent DuckDB CASE-cascade built by
-`__ray_entry__._snowball_sql` — and the driver's correctness gate
+`miru_ray.snowball_sql` — and the driver's correctness gate
 compares the two on corpus vocabulary plus per-language probe words, the
 same two-implementation pattern as the Porter2 / German twins (stem.py).
 

@@ -1,4 +1,4 @@
-"""ru/nl/es/pt/it Snowball stemmers: spec vectors, Python-vs-SQL
+"""ru/nl/es/pt/it/fr/da/sv/nb Snowball stemmers: spec vectors, Python-vs-SQL
 differential tests (the two-implementation contract backing the
 ft_stem_terms_<lang> oracles), and analyzer-chain parity. No Ray needed
 except the indexed-search test at the end."""
