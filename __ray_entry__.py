@@ -497,6 +497,14 @@ LOCALE_STEM_PROBES: dict[str, tuple] = {
         "appelle", "précède", "succès", "chanté", "quand", "ennuie",
         "sérieusement", "créatrice", "aiguë", "punissions",
     ),
+    "ro": (
+        "creativitate", "românesc", "româneşti", "copiii", "frumoasă",
+        "lucrează", "muncitorii", "naţional", "naţiune", "abilităţi",
+        "iubire", "cartea", "oraşele", "studenţilor", "vorbesc",
+        "naționalitate", "țară", "școală", "abilitativitate",
+        "icativitate", "lucrurile", "întrebaserăţi", "copilul",
+        "frumuseţea", "muncitoare",
+    ),
     "da": (
         "undersøgelse", "bogen", "huset", "venligst", "følelsesløst",
         "kongelige", "bakker", "elskede", "kvinderne", "hedens",
@@ -574,6 +582,10 @@ def ft_stem_terms_sv(sf_dir: str) -> pa.Table:
 
 def ft_stem_terms_nb(sf_dir: str) -> pa.Table:
     return _stem_terms_locale(sf_dir, "nb")
+
+
+def ft_stem_terms_ro(sf_dir: str) -> pa.Table:
+    return _stem_terms_locale(sf_dir, "ro")
 
 
 K_BM25_DE = 20
@@ -2726,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stem_terms_da": ft_stem_terms_da,
         "ft_stem_terms_sv": ft_stem_terms_sv,
         "ft_stem_terms_nb": ft_stem_terms_nb,
+        "ft_stem_terms_ro": ft_stem_terms_ro,
         "ft_topk_bm25_de": ft_topk_bm25_de,
         "dd_keep_best": dd_keep_best,
         "pipe_curate": pipe_curate,
@@ -3657,6 +3670,7 @@ SELECT t AS term, stem FROM {_german_ctes("tokd")[1]}"""
         "ft_stem_terms_da": _locale_stem_oracle("da"),
         "ft_stem_terms_sv": _locale_stem_oracle("sv"),
         "ft_stem_terms_nb": _locale_stem_oracle("nb"),
+        "ft_stem_terms_ro": _locale_stem_oracle("ro"),
         "ft_topk_bm25_de": (
             f"""WITH tok AS ({_TOKTAB}),
 allv AS (SELECT DISTINCT t FROM (SELECT t FROM tok

@@ -21,9 +21,11 @@ Two shipped analyzers:
   (tokenize.tokenize_flat): maximal [a-z0-9]+ runs after ASCII
   lowercasing. The SQL-oracle-expressible engine contract; non-ASCII
   bytes are separators.
-* ``unicode`` — Unicode letters/digits after full utf8 lowercasing
-  (Arrow ``utf8_lower`` + re2 ``[\\p{L}\\p{N}]+`` splitting): the
-  multilingual path (accents, Cyrillic, CJK runs kept whole). Its scalar
+* ``unicode`` — Unicode letters/digits/marks after full utf8 lowercasing
+  (Arrow ``utf8_lower`` + re2 ``[\\p{L}\\p{N}\\p{M}]+`` splitting): the
+  multilingual path (accents, Cyrillic, CJK runs kept whole; combining
+  marks — Thai tone/vowel signs, Devanagari matras — stay attached to
+  their base letters). Its scalar
   twin IS the vectorized kernel on a 1-row array — parity by
   construction, not by a parallel implementation.
 
@@ -83,7 +85,8 @@ def _unicode_flat(
     texts: pa.Array | pa.ChunkedArray, use_stopwords: bool = False
 ) -> tuple[np.ndarray, pa.Array]:
     """Unicode tokenizer: utf8 lowercase, tokens = maximal runs of Unicode
-    letters/digits (re2 [\\p{L}\\p{N}]+ via split-on-complement)."""
+    letters/digits/combining-marks (re2 [\\p{L}\\p{N}\\p{M}]+ via
+    split-on-complement — marks kept so Thai/Devanagari words survive)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
@@ -91,7 +94,7 @@ def _unicode_flat(
         return np.empty(0, np.int64), pa.array([], type=pa.string())
     lower = pc.utf8_lower(pc.cast(texts, pa.string()))
     lists = pc.split_pattern_regex(
-        pc.coalesce(lower, pa.scalar("", pa.string())), pattern="[^\\p{L}\\p{N}]+"
+        pc.coalesce(lower, pa.scalar("", pa.string())), pattern="[^\\p{L}\\p{N}\\p{M}]+"
     )
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
@@ -190,13 +193,85 @@ LOCALE_STOPWORDS: dict[str, frozenset] = {
         "og i jeg det at en et den til er som på de med han av ikke der "
         "så var meg seg men har om vi min mitt ha hadde hun nå over".split()
     ),
+    "ro": frozenset(
+        "și în a la cu de pe un o este sunt era nu că se ce care mai "
+        "dar din pentru acest această el ea noi voi ei să fi avea".split()
+    ),
+    # Remaining reference locales (TermAnalyzers.java:51-81) registered
+    # as EXPLICIT unicode+stopword chains — never a silent fallback; the
+    # Snowball stemmer for each is the documented open seam (Lucene uses
+    # non-Snowball stemmers for several of these).
+    "ar": frozenset(
+        "في من على إلى عن مع هذا هذه ذلك التي الذي أن إن كان كانت لم لن "
+        "ما لا و أو ثم حتى إذا كل بعض هو هي هم نحن أنا أنت".split()
+    ),
+    "bg": frozenset(
+        "и в на с за от по но а че да не се е са бе ще го му си ми ти той "
+        "тя то те ние вие как кога къде този тази това".split()
+    ),
+    "ca": frozenset(
+        "el la els les un una uns unes i o però de del al és són era no "
+        "amb per a en sobre aquest aquesta ell ella que qui es seu".split()
+    ),
+    "cs": frozenset(
+        "a i v na s z za do od po ale že se je jsou byl byla bylo nebyl "
+        "ten ta to tento tato on ona ono my vy oni jak kdy kde co".split()
+    ),
+    "eu": frozenset(
+        "eta edo baina da dira zen ziren ez bat batzuk hau hori hura ni "
+        "zu gu zuek haiek nire zure bere gure ere badago dago".split()
+    ),
+    "fa": frozenset(
+        "در از به با که این آن را و یا اما است بود نیست هر چه برای تا "
+        "هم او ما شما آنها من تو می بی اگر پس".split()
+    ),
+    "fi": frozenset(
+        "ja tai mutta että jos on ovat oli olivat ei en et emme ette "
+        "minä sinä hän me te he se ne tämä tuo joka mikä kun missä".split()
+    ),
+    "gl": frozenset(
+        "o a os as un unha uns unhas e ou pero de do da dos das no na ao "
+        "é son era non con para en sobre por este esta el ela que quen se".split()
+    ),
+    "gr": frozenset(
+        "και ή αλλά ο η το οι τα ένας μία ένα είναι ήταν δεν να θα σε "
+        "με από για προς αυτός αυτή αυτό εγώ εσύ εμείς που ότι".split()
+    ),
+    "hi": frozenset(
+        "और या लेकिन का की के में से को पर है हैं था थी थे नहीं यह वह ये "
+        "वे मैं तुम हम आप एक कुछ क्या जो कि".split()
+    ),
+    "hy": frozenset(
+        "և կամ բայց է են էր էին չի մի այս այն նա ես դու մենք դուք նրանք "
+        "որ ինչ երբ որտեղ համար հետ մեջ վրա".split()
+    ),
+    "id": frozenset(
+        "dan atau tetapi yang di ke dari pada untuk dengan adalah ini itu "
+        "dia saya kamu kami mereka tidak bukan akan sudah ada bisa".split()
+    ),
+    "ku": frozenset(
+        "و يان بەڵام لە بۆ لەگەڵ ئەم ئەو ئەوە من تۆ ئێمە ئێوە ئەوان کە "
+        "چی کەی لەکوێ نەك هەیە نییە دە".split()
+    ),
+    "lv": frozenset(
+        "un vai bet ka ja ir bija nav es tu viņš viņa mēs jūs viņi šis "
+        "šī tas tā kas kur kad ar uz no par pēc pie".split()
+    ),
+    "th": frozenset(
+        "และ หรือ แต่ ที่ ใน จาก ไป มา กับ ของ เป็น คือ ไม่ ได้ จะ แล้ว "
+        "นี้ นั้น เขา ฉัน เรา คุณ อะไร เมื่อ ไหน ก็ ว่า".split()
+    ),
+    "tr": frozenset(
+        "ve veya ama ki bu şu o bir için ile de da mi mu mü değil var "
+        "yok ben sen biz siz onlar ne nerede nasıl çok daha en".split()
+    ),
 }
 
 # Snowball stemmer per locale (stemmers.py implements the published specs;
 # stem.py registers them in _STEMMERS under these language codes)
 LOCALE_STEMMER_LANG: dict[str, str] = {
     "de": "de", "ru": "ru", "es": "es", "pt": "pt", "it": "it", "nl": "nl",
-    "fr": "fr", "da": "da", "sv": "sv", "nb": "nb",
+    "fr": "fr", "da": "da", "sv": "sv", "nb": "nb", "ro": "ro",
 }
 
 # locale aliases resolved to a registered chain (the reference's nb/nn/no
@@ -250,7 +325,7 @@ def tokenizer_meta(analyzer: str, use_stopwords: bool) -> dict:
     if resolved.name == "unicode" or (
         LOCALE_ALIASES.get(resolved.name, resolved.name) in LOCALE_STOPWORDS
     ):
-        contract = {"pattern": "[\\p{L}\\p{N}]+", "lowercase": "utf8"}
+        contract = {"pattern": "[\\p{L}\\p{N}\\p{M}]+", "lowercase": "utf8"}
     else:
         contract = {"pattern": "[a-z0-9]+", "lowercase": True}
     if resolved.name == "en":

@@ -1008,3 +1008,119 @@ def norwegian_ctes(src: str, tag: str = "nb") -> tuple[str, str]:
 CTE_BUILDERS["da"] = danish_ctes
 CTE_BUILDERS["sv"] = swedish_ctes
 CTE_BUILDERS["nb"] = norwegian_ctes
+
+
+# ------------------------------------------------------------------ Romanian
+
+_RO_V = "aăâeiîou"
+
+
+def romanian_ctes(src: str, tag: str = "ro") -> tuple[str, str]:
+    from .stemmers import (
+        _RO_S0,
+        _RO_S1,
+        _RO_S2_DELETE,
+        _RO_S2_IST,
+        _RO_S3_G1,
+        _RO_S3_G2,
+    )
+
+    vin = _in(_RO_V)
+
+    s0_rules = []
+    for s, rep in _RO_S0.items():
+        if s == "ile":
+            s0_rules.append(
+                (s, None,
+                 "CASE WHEN len(w)-3 >= r1 AND NOT ends_with(left(w, len(w)-3), 'ab') "
+                 "THEN left(w, len(w)-3) || 'i' ELSE w END")
+            )
+        elif rep is None:
+            s0_rules.append(
+                (s, None, "CASE WHEN len(w)-{k} >= r1 THEN {b} ELSE w END")
+            )
+        else:
+            s0_rules.append(
+                (s, None,
+                 "CASE WHEN len(w)-{k} >= r1 THEN {b} || '%s' ELSE w END" % rep)
+            )
+    step0 = _case(s0_rules)
+
+    s1_rules = [
+        (s, None,
+         "CASE WHEN len(w)-{k} >= r1 THEN {b} || '%s' ELSE w END" % rep)
+        for s, rep in _RO_S1.items()
+    ]
+    step1 = _case(s1_rules)
+
+    s2_rules = [
+        (s, None, "CASE WHEN len(w)-{k} >= r2 THEN {b} ELSE w END")
+        for s in _RO_S2_DELETE
+    ] + [
+        (s, None,
+         "CASE WHEN len(w)-{k} >= r2 THEN {b} || 'ist' ELSE w END")
+        for s in _RO_S2_IST
+    ] + [
+        (s, None,
+         "CASE WHEN len(w)-{k} >= r2 AND ends_with({b}, 'ţ') "
+         "THEN left({b}, len({b})-1) || 't' ELSE w END")
+        for s in ("iune", "iuni")
+    ]
+    step2 = _case(s2_rules)
+
+    s3_rules = []
+    for s in _RO_S3_G1:
+        s3_rules.append(
+            (s, "len(w)-{k} >= rv",
+             f"CASE WHEN len(w)-{{k}}-1 >= rv AND "
+             f"(substr(w, len(w)-{{k}}, 1) NOT IN ({vin}) "
+             f"OR substr(w, len(w)-{{k}}, 1) = 'u') THEN {{b}} ELSE w END")
+        )
+    for s in _RO_S3_G2:
+        s3_rules.append((s, "len(w)-{k} >= rv", "{b}"))
+    step3 = _case(s3_rules)
+
+    step4 = _case(
+        [(s, "len(w)-{k} >= rv", "{b}") for s in ("ie", "a", "e", "i", "ă")]
+    )
+
+    sql = f"""{tag}mk AS (
+  -- prelude: ș/ț → ş/ţ, then i/u between vowels → I/U (sequential walk)
+  WITH RECURSIVE walk(t, w0, i, acc) AS (
+    SELECT t, replace(replace(t, 'ș', 'ş'), 'ț', 'ţ'), 1, '' FROM {src}
+    UNION ALL
+    SELECT t, w0, i + 1,
+           acc || CASE
+             WHEN substr(w0, i, 1) IN ('i', 'u') AND i > 1 AND i < len(w0)
+                  AND right(acc, 1) IN ({vin})
+                  AND substr(w0, i + 1, 1) IN ({vin})
+             THEN upper(substr(w0, i, 1))
+             ELSE substr(w0, i, 1) END
+    FROM walk WHERE i <= len(w0)
+  )
+  SELECT t, acc AS w FROM walk WHERE i = len(w0) + 1
+     UNION ALL SELECT t, t FROM {src} WHERE len(t) = 0),
+{_regions_sql(tag, f"{tag}mk", _RO_V, _rv_romance_sql(_RO_V))},
+{tag}0 AS (SELECT t, rv, r1, r2, {step0} AS w FROM {tag}rr),
+{tag}1 AS (
+  -- step 1 REPEATS until no combining suffix is replaced; each pass
+  -- strictly shortens the word, so the fixpoint row is the arg-min by
+  -- length per token
+  WITH RECURSIVE rep(t, rv, r1, r2, w) AS (
+    SELECT t, rv, r1, r2, w FROM {tag}0
+    UNION ALL
+    SELECT t, rv, r1, r2, {step1} FROM rep WHERE {step1} <> w
+  )
+  SELECT t, any_value(rv) AS rv, any_value(r1) AS r1, any_value(r2) AS r2,
+         arg_min(w, len(w)) AS w,
+         (min(len(w)) < max(len(w))) AS did1  -- robust to duplicate input rows
+  FROM rep GROUP BY t),
+{tag}2 AS (SELECT t, rv, did1, w AS pw, {step2} AS w FROM {tag}1),
+{tag}3 AS (SELECT t, rv,
+  CASE WHEN NOT did1 AND w = pw THEN {step3} ELSE w END AS w FROM {tag}2),
+{tag}f AS (SELECT t, replace(replace({step4}, 'I', 'i'), 'U', 'u') AS stem
+  FROM {tag}3)"""
+    return sql, f"{tag}f"
+
+
+CTE_BUILDERS["ro"] = romanian_ctes

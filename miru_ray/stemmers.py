@@ -1212,3 +1212,146 @@ def norwegian_stem(word: str) -> str:
 STEMMERS["da"] = danish_stem
 STEMMERS["sv"] = swedish_stem
 STEMMERS["nb"] = norwegian_stem
+
+
+# ------------------------------------------------------------------ Romanian
+#
+# snowballstem.org/algorithms/romanian/stemmer.html — prelude marks i/u
+# between vowels (and normalizes comma-below ș/ț to cedilla ş/ţ); step 0
+# strips plural/article endings in R1; step 1 reduces COMBINING
+# suffixes in R1 and REPEATS until no change (creativitate → creativ →
+# creat); step 2 strips standard suffixes in R2; step 3 (verb suffixes,
+# in RV) runs only when steps 1-2 removed nothing; step 4 drops a final
+# vowel in RV.
+
+_RO_VOWELS = frozenset("aăâeiîou")
+
+_RO_S0 = {
+    "ul": None, "ului": None,
+    "aua": "a",
+    "ea": "e", "ele": "e", "elor": "e",
+    "ii": "i", "iua": "i", "iei": "i", "iile": "i", "iilor": "i",
+    "ilor": "i",
+    "ile": "i",  # special: not preceded by ab
+    "atei": "at",
+    "aţie": "aţi", "aţia": "aţi",
+}
+_RO_S1 = {
+    "abilitate": "abil", "abilitati": "abil", "abilităi": "abil",
+    "abilităţi": "abil",
+    "ibilitate": "ibil",
+    "ivitate": "iv", "ivitati": "iv", "ivităi": "iv", "ivităţi": "iv",
+    "icitate": "ic", "icitati": "ic", "icităi": "ic", "icităţi": "ic",
+    "icator": "ic", "icatori": "ic", "iciv": "ic", "iciva": "ic",
+    "icive": "ic", "icivi": "ic", "icivă": "ic", "ical": "ic",
+    "icala": "ic", "icale": "ic", "icali": "ic", "icală": "ic",
+    "ativ": "at", "ativa": "at", "ative": "at", "ativi": "at",
+    "ativă": "at", "aţiune": "at", "atoare": "at", "ator": "at",
+    "atori": "at", "ătoare": "at", "ător": "at", "ători": "at",
+    "itiv": "it", "itiva": "it", "itive": "it", "itivi": "it",
+    "itivă": "it", "iţiune": "it", "itoare": "it", "itor": "it",
+    "itori": "it",
+}
+_RO_S2_DELETE = (
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă", "ibil", "ibila",
+    "ibile", "ibili", "ibilă", "oasa", "oasă", "oase", "os", "osi",
+    "oşi", "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+    "itate", "itati", "ităi", "ităţi", "iv", "iva", "ive", "ivi", "ivă",
+)
+_RO_S2_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti")
+_RO_S3_G1 = (
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc", "ăşti",
+    "ăşte", "am", "ai", "au", "eam", "eai", "ea", "eaţi", "eau", "iam",
+    "iai", "ia", "iaţi", "iau", "ui", "aşi", "arăm", "araţi", "ară",
+    "uşi", "urăm", "uraţi", "ură", "işi", "irăm", "iraţi", "iră", "âi",
+    "âşi", "ârăm", "âraţi", "âră", "asem", "aseşi", "ase", "aserăm",
+    "aserăţi", "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi",
+    "iseră", "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră",
+)
+_RO_S3_G2 = (
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi", "seşi",
+    "serăm", "serăţi", "seră", "sei", "se", "sesem", "seseşi", "sese",
+    "seserăm", "seserăţi", "seseră",
+)
+
+
+def _ro_prelude(w: str) -> str:
+    w = w.replace("ș", "ş").replace("ț", "ţ")
+    chars = list(w)
+    n = len(chars)
+    for i in range(1, n - 1):
+        if (
+            chars[i] in ("i", "u")
+            and chars[i - 1] in _RO_VOWELS
+            and chars[i + 1] in _RO_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def romanian_stem(word: str) -> str:
+    """Stem one lowercase token by the published Snowball Romanian
+    algorithm."""
+    w = _ro_prelude(word)
+    rv = _rv_romance(w, _RO_VOWELS)
+    r1, r2 = _regions_std(w, _RO_VOWELS)
+
+    # ---- step 0 (in R1)
+    s = _lmatch(w, list(_RO_S0))
+    if s is not None and len(w) - len(s) >= r1:
+        if s == "ile":
+            if not w[: len(w) - 3].endswith("ab"):
+                w = w[: len(w) - 3] + "i"
+        else:
+            rep = _RO_S0[s]
+            w = w[: len(w) - len(s)] + (rep or "")
+
+    # ---- step 1 (in R1, repeat until no replacement)
+    std_removed = False
+    while True:
+        s = _lmatch(w, list(_RO_S1))
+        if s is None or len(w) - len(s) < r1:
+            break
+        w = w[: len(w) - len(s)] + _RO_S1[s]
+        std_removed = True
+
+    # ---- step 2 (in R2)
+    s = _lmatch(w, _RO_S2_DELETE + _RO_S2_IST + ("iune", "iuni"))
+    if s is not None and len(w) - len(s) >= r2:
+        if s in ("iune", "iuni"):
+            if w[: len(w) - len(s)].endswith("ţ"):
+                w = w[: len(w) - len(s) - 1] + "t"
+                std_removed = True
+        elif s in _RO_S2_IST:
+            w = w[: len(w) - len(s)] + "ist"
+            std_removed = True
+        else:
+            w = w[: len(w) - len(s)]
+            std_removed = True
+
+    # ---- step 3 (verb suffixes, in RV; only if steps 1-2 did nothing)
+    if not std_removed:
+        s = _lmatch(
+            w, [x for x in _RO_S3_G1 + _RO_S3_G2 if len(w) - len(x) >= rv]
+        )
+        if s is not None:
+            if s in _RO_S3_G1 and s not in _RO_S3_G2:
+                p = len(w) - len(s) - 1
+                if p >= rv and (w[p] not in _RO_VOWELS or w[p] == "u"):
+                    w = w[: len(w) - len(s)]
+            else:
+                w = w[: len(w) - len(s)]
+
+    # ---- step 4: final vowel in RV
+    s = _lmatch(w, [x for x in ("ie", "a", "e", "i", "ă") if len(w) - len(x) >= rv])
+    if s is not None:
+        w = w[: len(w) - len(s)]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+STEMMERS["ro"] = romanian_stem

@@ -48,6 +48,12 @@ VECTORS = {
         ("abbandonata", "abbandon"), ("mangiarlo", "mang"),
         ("felicemente", "felic"), ("laghi", "lagh"),
     ],
+    "ro": [
+        ("creativitate", "creativ"), ("românesc", "român"),
+        ("copiii", "copii"), ("lucrează", "lucr"),
+        ("muncitorii", "muncit"), ("abilităţi", "abil"),
+        ("cartea", "cart"), ("oraşele", "oraş"),
+    ],
     "da": [
         ("undersøgelse", "undersøg"), ("bogen", "bog"), ("huset", "hus"),
         ("kongelige", "kong"), ("bakker", "bak"),
@@ -86,6 +92,7 @@ ALPHABETS = {
     "da": "abcdefghijklmnopqrstuvwxyzæåø",
     "sv": "abcdefghijklmnopqrstuvwxyzäåö",
     "nb": "abcdefghijklmnopqrstuvwxyzæåø",
+    "ro": "abcdefghijklmnopqrstuvwxyzăâîşţ",
 }
 
 # endings that force each algorithm through its deep branches
@@ -110,6 +117,9 @@ SUFFIX_SEEDS = {
            "s", "nn", "tt", "et"],
     "nb": ["hetenes", "ene", "erte", "ert", "ast", "hetslov", "eig",
            "s", "ks", "dt", "vt"],
+    "ro": ["ul", "ului", "ile", "aţia", "abilitate", "ivitate",
+           "icatori", "aţiune", "iune", "işti", "ează", "aserăţi",
+           "seserăţi", "âşi", "ă", "ie", "ească", "ităţi"],
 }
 
 
@@ -179,6 +189,7 @@ def test_analyzer_chain_parity():
         "da": "Kvinderne elskede de kongelige bøger",
         "sv": "Flickorna läste de viktigaste tidningarna",
         "nb": "Forskerne undersøkte de største hemmelighetene",
+        "ro": "Muncitorii lucrează în oraşele frumoase",
     }
     for lang, text in samples.items():
         a = get_analyzer(lang)
@@ -197,6 +208,18 @@ def test_stopwords_filtered():
 
     toks = get_analyzer("it").scalar("il libro e la guerra", use_stopwords=True)
     assert "il" not in toks and "la" not in toks
+
+
+def test_all_reference_locales_resolve():
+    """Every locale in the reference's 31-row table
+    (TermAnalyzers.java:51-81) resolves to an explicitly registered
+    chain — never the silent default fallback."""
+    from miru_ray.analyzers import get_analyzer
+
+    ref = ("ar bg ca cs en en_ie es eu da de fa fi fr gl gr hi hy id it "
+           "ku lv nl nb nn pt pt_br ro ru sv th tr").split()
+    for loc in ref:
+        assert get_analyzer(loc).name != "default", loc
 
 
 def test_fallback_chop_to_locale():
