@@ -1600,8 +1600,18 @@ def asof_join_scalable_ds(sf_dir: str, left_type: str = "purchase",
             }
         )
 
-    resolved = unmatched.join(
-        fills, "inner", num_partitions, on=("user_id", "w")
+    from .joins import bucket_join
+
+    # fill resolution via the shuffle-safe bucket join (joins.py):
+    # Dataset.join dies on empty hash partitions of a sparse unmatched
+    # stream (the dd_keep_best r4 crash class); fills are unique per
+    # (user_id, w) by construction, so lookup semantics are exact
+    resolved = bucket_join(
+        unmatched, fills, on=("user_id", "w"),
+        left_cols={"event_id": pa.int64(), "ts_us": pa.int64()},
+        right_cols={"f_eid": pa.int64(), "f_ts": pa.int64(),
+                    "f_val": pa.float64()},
+        num_buckets=num_partitions * 4,
     ).map_batches(apply_fill, batch_format="pyarrow")
     return matched.union(resolved)
 

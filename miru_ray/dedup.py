@@ -541,8 +541,9 @@ def ngram_jaccard_pairs_ds(
 
 
 def _jaccard_finish(inter, ndist, threshold: float):
-    """Shared tail of the exact-Jaccard pipelines: |A∩B| counts → two hash
-    joins against the per-doc distinct-gram counts → score+threshold."""
+    """Shared tail of the exact-Jaccard pipelines: |A∩B| counts → two
+    shuffle-safe bucket joins (joins.py) against the per-doc
+    distinct-gram counts → score+threshold."""
     inter = inter.materialize()
     if inter.count() == 0:
         import ray.data as rd
@@ -558,7 +559,18 @@ def _jaccard_finish(inter, ndist, threshold: float):
     nb = ndist.map_batches(
         lambda b: b.rename_columns(["b", "nb"]), batch_format="pyarrow"
     )
-    joined = inter.join(na, "inner", 8, on=("a",)).join(nb, "inner", 8, on=("b",))
+    from .joins import bucket_join
+
+    joined = bucket_join(
+        bucket_join(
+            inter, na, on=("a",),
+            left_cols={"b": pa.int64(), "inter": pa.int64()},
+            right_cols={"na": pa.int64()},
+        ),
+        nb, on=("b",),
+        left_cols={"a": pa.int64(), "inter": pa.int64(), "na": pa.int64()},
+        right_cols={"nb": pa.int64()},
+    )
 
     def _score(b: pa.Table) -> pa.Table:
         i = b["inter"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -144,8 +144,20 @@ def export_corpus(
         key_dir = _os.path.join(out_dir + ".keys")
         engine.export_match(query, key_dir, time_range=time_range, authz=authz)
         keys_ds = rd.read_parquet(key_dir, columns=["conv_id", "turn_idx"])
-        ds = ds.join(
-            keys_ds, "inner", join_partitions, on=("conv_id", "turn_idx")
+        from .joins import bucket_join
+
+        sch = ds.schema()
+        payload = {
+            name: typ
+            for name, typ in zip(sch.names, sch.types)
+            if name not in ("conv_id", "turn_idx")
+        }
+        ds = bucket_join(
+            ds, keys_ds, on=("conv_id", "turn_idx"),
+            key_types={"conv_id": pa.string(),
+                       "turn_idx": dict(zip(sch.names, sch.types))["turn_idx"]},
+            left_cols=payload, right_cols={},
+            num_buckets=join_partitions,
         )
         if columns is not None:
             ds = ds.select_columns(columns)

@@ -350,6 +350,8 @@ def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    from .joins import bucket_join
+
     path = os.path.join(sf_dir, "events.parquet")
     ev = rd.read_parquet(path, columns=["user_id", "event_type", "props"])
     edges = (
@@ -371,7 +373,14 @@ def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
             batch_format="pyarrow",
         )
     )
-    edges_deg = edges.join(deg, "inner", num_partitions, on=("src",)).materialize()
+    # degree attachment via the shuffle-safe bucket join (joins.py) —
+    # Dataset.join crashes on the empty hash partitions a sparse edge
+    # stream produces (the dd_keep_best r4 crash class)
+    edges_deg = bucket_join(
+        edges, deg, on=("src",),
+        left_cols={"dst": pa.int64()}, right_cols={"d": pa.int64()},
+        num_buckets=num_partitions * 4,
+    ).materialize()
     n_edges = edges_deg.count()
     if n_edges == 0:
         return pa.table({"item": pa.array([], pa.int64()),
@@ -439,7 +448,12 @@ def reco_ppr_ds(sf_dir: str, user_id: int, k: int = 10, iters: int = 5,
 
     for _ in range(iters):
         ranks = (
-            edges_deg.join(ranks, "inner", num_partitions, on=("src",))
+            bucket_join(
+                edges_deg, ranks, on=("src",),
+                left_cols={"dst": pa.int64(), "d": pa.int64()},
+                right_cols={"r": pa.int64()},
+                num_buckets=num_partitions * 4,
+            )
             .map_batches(contrib_partial, batch_format="pyarrow")
             .groupby("dst")
             .aggregate(Sum("s"))

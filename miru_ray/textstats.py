@@ -2079,7 +2079,13 @@ def textrank_ds(sf_dir: str, k: int = 50, iters: int = 5,
             batch_format="pyarrow",
         )
     )
-    edges_deg = edges.join(deg, "inner", num_partitions, on=("src",)).materialize()
+    from .joins import bucket_join
+
+    edges_deg = bucket_join(
+        edges, deg, on=("src",), key_types={"src": pa.string()},
+        left_cols={"dst": pa.string()}, right_cols={"d": pa.int64()},
+        num_buckets=num_partitions * 4,
+    ).materialize()
     n_edges = edges_deg.count()
     if n_edges == 0:
         return pa.table({"term": pa.array([], pa.string()),
@@ -2115,7 +2121,12 @@ def textrank_ds(sf_dir: str, k: int = 50, iters: int = 5,
     base = (15 * TEXTRANK_UNIT) // 100
     for _ in range(iters):
         ranks = (
-            edges_deg.join(ranks, "inner", num_partitions, on=("src",))
+            bucket_join(
+                edges_deg, ranks, on=("src",), key_types={"src": pa.string()},
+                left_cols={"dst": pa.string(), "d": pa.int64()},
+                right_cols={"r": pa.int64()},
+                num_buckets=num_partitions * 4,
+            )
             .map_batches(_textrank_contrib_partial, batch_format="pyarrow")
             .groupby("dst")
             .aggregate(Sum("s"))
@@ -2343,9 +2354,22 @@ def triangle_counts_ds(sf_dir: str, num_partitions: int = 8,
                          "d": pc.cast(b[b.schema.names[-1]], pa.int64())})
 
     deg = deg.map_batches(_norm_deg, batch_format="pyarrow")
-    e1 = lex.join(deg, "inner", num_partitions, on=("u",), right_on=("t",))
-    e2 = e1.join(deg, "inner", num_partitions, on=("v",), right_on=("t",),
-                 left_suffix="", right_suffix="_v")
+    from .joins import bucket_join
+
+    deg_v = deg.map_batches(
+        lambda b: pa.table({"t": b["t"], "d_v": b["d"]}), batch_format="pyarrow"
+    )
+    e1 = bucket_join(
+        lex, deg, on=("u",), right_on=("t",), key_types={"u": pa.string()},
+        left_cols={"v": pa.string()}, right_cols={"d": pa.int64()},
+        num_buckets=num_partitions * 4,
+    )
+    e2 = bucket_join(
+        e1, deg_v, on=("v",), right_on=("t",), key_types={"v": pa.string()},
+        left_cols={"u": pa.string(), "d": pa.int64()},
+        right_cols={"d_v": pa.int64()},
+        num_buckets=num_partitions * 4,
+    )
 
     def orient_deg(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "u" not in b.schema.names:
@@ -2386,11 +2410,19 @@ def triangle_counts_ds(sf_dir: str, num_partitions: int = 8,
              "w": pa.array(s[keep], pa.string())}
         )
 
-    wedges = oriented.join(right, "inner", num_partitions, on=("s",)).map_batches(
-        canon_wedge, batch_format="pyarrow",
+    # many-to-many wedge enumeration: bucket_join emits every matching
+    # pair (repeat/arange expansion), exactly like the hash join did
+    wedges = bucket_join(
+        oriented, right, on=("s",), key_types={"s": pa.string()},
+        left_cols={"t": pa.string()}, right_cols={"t2": pa.string()},
+        num_buckets=num_partitions * 4,
+    ).map_batches(canon_wedge, batch_format="pyarrow")
+    closed = bucket_join(
+        wedges, lex, on=("x", "y"), right_on=("u", "v"),
+        key_types={"x": pa.string(), "y": pa.string()},
+        left_cols={"w": pa.string()}, right_cols={},
+        num_buckets=num_partitions * 4,
     )
-    closed = wedges.join(lex, "inner", num_partitions, on=("x", "y"),
-                         right_on=("u", "v"))
     def _verts(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "w" not in b.schema.names:
             return pa.table({"term": pa.array([], pa.string())})
