@@ -2835,8 +2835,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_dsir": txt_dsir,
         "txt_top_ngrams": txt_top_ngrams,
         "txt_bpe": txt_bpe,
-        "txt_bpe_encode": txt_bpe_encode,
-        "txt_decontam": txt_decontam,
         "ft_match_fuzzy": ft_match_fuzzy,
         "ft_match_regexp": ft_match_regexp,
         "ft_suggest": ft_suggest,

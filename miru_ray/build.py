@@ -1711,7 +1711,12 @@ def extend_index(
     n_parts = gmeta["n_parts"]
     if use_stopwords is None:
         use_stopwords = bool(gmeta.get("tokenizer", {}).get("stopwords"))
-    # an index is only ever extended with the analyzer it was built with
+    # an index is only ever extended with the analyzer it was built with —
+    # and only while that analyzer still produces the recorded token
+    # pattern (a drifted tokenizer would mix two vocabularies in one index)
+    from .search import _check_tokenizer_compat
+
+    _check_tokenizer_compat(gmeta, index_dir)
     analyzer = gmeta.get("tokenizer", {}).get("analyzer", "default")
 
     part_mode = gmeta.get("partitioning", {}).get("mode", "hash")
@@ -1936,7 +1941,7 @@ def sip_watch(
                 del errors[:-256]
                 fail_batch = tuple(new)
                 fail_count += 1
-                next_retry = cycles + 1 + min(2 ** (fail_count - 1), 64)
+                next_retry = cycles + min(2 ** (fail_count - 1), 64)
                 idle = 0  # work is pending; never idle-stop on a failure
         elif new:
             idle = 0  # backing off, but work is still pending
@@ -2397,6 +2402,10 @@ def expire_partitions(
 
         meta = read_global_manifest(index_dir)
         hist = list(meta.get("expired", []))
-        hist.append({"older_than_ts": int(older_than_ts), "parts": expired})
+        # after_epoch: how many extend epochs existed when this expiry
+        # ran — a replica-mode engine uses it to NOT subtract a partition
+        # that a LATER epoch re-opened (search.py expected-part set)
+        hist.append({"older_than_ts": int(older_than_ts), "parts": expired,
+                     "after_epoch": len(meta.get("epochs", []))})
         write_global_manifest(index_dir, dict(meta, expired=hist))
     return {"expired": expired, "kept": kept, "freed_bytes": freed}

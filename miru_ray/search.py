@@ -245,6 +245,29 @@ def _analyzer_name(index_dir: str) -> str:
 _MANIFEST_MISS = object()  # sentinel: a cached None must count as a hit
 
 
+def _check_tokenizer_compat(meta: dict, index_dir: str) -> None:
+    """Raise loudly when the index's RECORDED tokenizer contract no longer
+    matches what the resolved analyzer produces today — querying (or
+    extending) such an index would silently mismatch terms (zero hits /
+    split vocabularies), e.g. after the round-5 \\p{M} token-class
+    change for mark scripts. Pre-pattern manifests skip the check."""
+    tok = (meta or {}).get("tokenizer") or {}
+    recorded = tok.get("pattern")
+    if not recorded:
+        return
+    from .analyzers import tokenizer_meta
+
+    current = tokenizer_meta(tok.get("analyzer"), bool(tok.get("stopwords")))
+    if current["pattern"] != recorded:
+        raise ValueError(
+            f"{index_dir}: index was built with token pattern {recorded!r} "
+            f"but analyzer {tok.get('analyzer')!r} now tokenizes with "
+            f"{current['pattern']!r} — rebuild the index (or pin the "
+            "library version it was built with); querying across the "
+            "mismatch would silently return wrong answers"
+        )
+
+
 def _cached_manifest(index_dir: str, part: int) -> dict:
     from .segments import read_manifest
 
@@ -1205,6 +1228,7 @@ class SearchEngine:
 
         self.index_dir = index_dir
         self.meta = read_global_manifest(index_dir)
+        _check_tokenizer_compat(self.meta, index_dir)
         self.parts = sorted(completed_parts(index_dir), reverse=True)  # newest→oldest
         # replica failover (the MiruLowestLatencySolver.java:50-205 analogue,
         # failure-triggered instead of latency-raced): byte-verified replica
@@ -1223,10 +1247,19 @@ class SearchEngine:
             # aged-out docs (retention violation), and a replica that
             # doesn't would fail the whole query (ADVICE r4)
             expected = set(self.meta.get("parts_built", []))
-            for e in self.meta.get("epochs", []):
+            epochs = self.meta.get("epochs", [])
+            for e in epochs:
                 expected.update(e.get("parts_updated", []))
             for x in self.meta.get("expired", []):
-                expected.difference_update(x.get("parts", []))
+                dead = set(x.get("parts", []))
+                # a partition an epoch re-opened AFTER this expiry ran is
+                # live again — only subtract parts not touched since
+                # (after_epoch = the epoch count at expiry time)
+                cut = x.get("after_epoch")
+                if cut is not None:
+                    for e in epochs[cut:]:
+                        dead.difference_update(e.get("parts_updated", []))
+                expected.difference_update(dead)
             self.parts = sorted(set(self.parts) | expected, reverse=True)
         # replica RACING (MiruLowestLatencySolver.java:50-205): when the
         # primary's ask for a partition runs past the suggested timeout —
@@ -1836,18 +1869,25 @@ class SearchEngine:
         """The racing trigger (MiruLowestLatencySolver.java:84-193): 3×
         the p95 of recently observed per-partition ask latencies, floored
         at 50 ms; None (no racing) until 16 samples exist — a cold engine
-        has no basis for declaring the primary slow."""
+        has no basis for declaring the primary slow. Samples are serial
+        asks and each gather's FIRST completion (the closest observable
+        to one ask's true latency — later completions include queue wait
+        behind the worker pool and would inflate the trigger until it
+        never fired)."""
         if not self.race or len(self._lat) < 16:
             return None
         arr = sorted(self._lat)
         return max(3.0 * arr[min(len(arr) - 1, int(0.95 * len(arr)))], 0.05)
 
     def _gather_raced(self, parts: list[int], futs: list, kwargs: dict) -> list[dict]:
-        """Collect primary partition futures; any still pending past the
-        suggested timeout is RACED against the replicas — the same
+        """Collect primary partition futures; racing triggers as a STALL
+        detector — when no completion arrives for a suggested-timeout
+        interval, the stragglers are RACED against the replicas (same
         question fired at each replica dir, first successful answer wins,
-        losers are cancelled best-effort. A primary that fails outright
-        still takes the failover path."""
+        losers cancelled best-effort). The stall form keeps a fan-out
+        wider than the worker pool from racing merely-queued partitions:
+        while completions keep flowing the clock resets. A primary that
+        fails outright still takes the failover path."""
         import time as _time
 
         import ray
@@ -1857,18 +1897,24 @@ class SearchEngine:
         by_fut = {f: p for f, p in zip(futs, parts)}
         results: dict[int, dict] = {}
         pending = list(futs)
+        first_done = False
         deadline = None if timeout is None else t0 + timeout
         while pending:
             remain = None if deadline is None else max(0.0, deadline - _time.monotonic())
             done, pending = ray.wait(pending, num_returns=1, timeout=remain)
             if not done:
-                break  # suggested timeout reached — race the laggards
+                break  # stalled for a full suggested timeout — race
+            now = _time.monotonic()
+            if not first_done:
+                first_done = True
+                self._lat.append(now - t0)
+            if deadline is not None:
+                deadline = now + timeout  # completion arrived: reset the stall clock
             p = by_fut[done[0]]
             try:
                 results[p] = ray.get(done[0])
             except Exception as e:  # noqa: BLE001
                 results[p] = self._replica_answer(p, kwargs, e)
-            self._lat.append(_time.monotonic() - t0)
         if pending:
             fn = _remote_search_partition()
             for fut in pending:
@@ -1889,7 +1935,6 @@ class SearchEngine:
                     except Exception:  # noqa: BLE001
                         pass
                 results[p] = res
-                self._lat.append(_time.monotonic() - t0)
         return [results[p] for p in parts]
 
     def _fan_out(

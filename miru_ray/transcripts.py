@@ -99,7 +99,10 @@ def ensure_index(
     # "pos" tag: this cache dir carries the positional streams — older
     # same-version cache dirs without them are simply not reused
     atag = "" if analyzer == "default" else f"_{analyzer}"
-    index_dir = os.path.join(base, f"{tag}_p{n_parts}_v{INDEX_VERSION}pos{atag}")
+    # "pos2": cache generation 2 — the round-5 unicode token-class change
+    # (\p{M} marks) drifts analyzer output for mark scripts, so older
+    # cached dirs must regenerate rather than fail the compat check
+    index_dir = os.path.join(base, f"{tag}_p{n_parts}_v{INDEX_VERSION}pos2{atag}")
     done = frozenset(completed_parts(index_dir))
     ds = transcripts_dataset(sf_dir)
     ds = ds.map_batches(

@@ -938,10 +938,11 @@ def test_sip_watch_backoff_on_persistent_failure(
     ray_session, tiny_transcripts_dir, tmp_path_factory
 ):
     """ADVICE r4: a permanently bad batch must not be re-attempted every
-    heartbeat — retries back off exponentially (attempt cycles 1, 3, 6,
-    11, … for a never-changing pending set) and the error ring is
-    bounded, so a daemon over one corrupt file neither hammers
-    extend_index nor grows memory without bound."""
+    heartbeat — retries back off exponentially (gaps of 1, 2, 4, 8, …
+    heartbeats for a never-changing pending set: attempts at cycles 1,
+    2, 4, 8 of 12 here) and the error ring is bounded, so a daemon over
+    one corrupt file neither hammers extend_index nor grows memory
+    without bound."""
     corpus = str(tmp_path_factory.mktemp("sipb_corpus"))
     t = pa.concat_tables(
         [pq.read_table(f) for f in sorted(glob.glob(tiny_transcripts_dir + "/*.parquet"))]
@@ -955,7 +956,30 @@ def test_sip_watch_backoff_on_persistent_failure(
     from miru_ray.build import sip_watch
 
     res = sip_watch(corpus, d, interval=0.0, max_cycles=12, retry_on_error=True)
-    # without backoff this would be 12 errors; the schedule allows
-    # attempts at cycles 1, 3, 6, 11 only
+    # without backoff this would be 12 errors; the 1, 2, 4, 8 gaps allow
+    # attempts at cycles 1, 2, 4, 8 only
     assert len(res["errors"]) == 4, res["errors"]
     assert res["epochs"] == 0
+
+
+def test_tokenizer_drift_raises(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    """Review r5: an index whose RECORDED token pattern no longer matches
+    what its analyzer produces today must refuse to open (and to extend)
+    — querying across the drift silently returns wrong answers."""
+    import json
+
+    from miru_ray.build import extend_index
+    from miru_ray.segments import read_global_manifest, write_global_manifest
+
+    d = str(tmp_path_factory.mktemp("idx_tokdrift"))
+    build_index(tiny_transcripts_dir, d, n_parts=2)
+    meta = read_global_manifest(d)
+    tok = dict(meta["tokenizer"], pattern="[a-z]+")  # a pattern no analyzer produces
+    write_global_manifest(d, dict(meta, tokenizer=tok))
+    with pytest.raises(ValueError, match="token pattern"):
+        SearchEngine(d)
+    with pytest.raises(ValueError, match="token pattern"):
+        extend_index([], d)
+    # restoring the true pattern reopens cleanly
+    write_global_manifest(d, meta)
+    assert SearchEngine(d).count("t1") > 0

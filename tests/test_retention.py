@@ -111,3 +111,33 @@ def test_expired_parts_not_resurrected_by_replicas(
     eng = SearchEngine(range_idx, replicas=[rep])
     assert set(eng.parts) == set(order[2:])  # expired parts subtracted
     assert eng.count("t1") == want  # no resurrection from the replica
+
+
+def test_reopened_partition_not_subtracted(range_idx, tmp_path_factory):
+    """Review r5: a partition expired and then RE-OPENED by a later
+    extend epoch must stay in the replica-mode expected set — the expire
+    record's after_epoch cursor orders the two events."""
+    import json
+
+    from miru_ray.segments import read_global_manifest, write_global_manifest
+    from miru_ray.sync import sync_index
+
+    rep = str(tmp_path_factory.mktemp("retention_rep2"))
+    sync_index(range_idx, rep)
+    b = _bounds(range_idx)
+    order = sorted(b, key=lambda p: b[p][0])
+    cutoff = b[order[1]][0]
+    res = expire_partitions(range_idx, cutoff)
+    victim = res["expired"][0]
+
+    # simulate a later epoch re-opening the expired partition
+    meta = read_global_manifest(range_idx)
+    epochs = list(meta.get("epochs", []))
+    epochs.append({"parts_updated": [victim]})
+    write_global_manifest(range_idx, dict(meta, epochs=epochs))
+
+    eng = SearchEngine(range_idx, replicas=[rep])
+    assert victim in eng.parts  # re-opened: not subtracted
+    # a partition expired and never re-opened stays subtracted
+    for p in res["expired"][1:]:
+        assert p not in eng.parts
