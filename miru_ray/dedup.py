@@ -924,75 +924,23 @@ def minhash_clusters(
     return out.sort_by([("doc_id", "ascending"), ("cluster_id", "ascending")])
 
 
-_EMPTY_LOOKUP = pa.schema(
-    [("ret", pa.int64()), ("key", pa.int64()), ("val", pa.int64())]
-)
-
-
 def _bucket_lookup(providers, requests, num_buckets: int = 32):
-    """Distributed inner hash-join of a request stream against a
-    unique-key lookup table WITHOUT ``Dataset.join`` — the join operator
-    cannot resolve key columns on the empty hash partitions a sparse
-    stream produces (the r4 ``dd_keep_best`` crash class), so both sides
-    are tagged, re-keyed by a splitmix64 hash bucket of the key, and
-    co-located by ONE groupby; a vectorized numpy sorted-lookup inside
-    each bucket does the actual match. ``providers`` rows are
-    (key:int64, val:int64) with unique keys; ``requests`` rows are
-    (key:int64, ret:int64). Emits (ret, key, val) for every request row
-    whose key exists in providers. Buckets are hash-spread (sequential
-    doc_ids don't skew), each bucket is a single vectorized group, and
-    every batch function normalizes empty/short-schema blocks to a fixed
-    int64 schema, so no empty-block schema ambiguity can reach a shuffle."""
+    """Distributed inner hash-join of a request stream (key, ret) against
+    the unique-key lookup table ``providers`` (key, val) WITHOUT
+    ``Dataset.join`` — the join operator cannot resolve key columns on
+    the empty hash partitions a sparse stream produces (the r4
+    ``dd_keep_best`` crash class). Emits (key, ret, val) per match.
+    Since round 5 this delegates to ``joins.bucket_join``, the
+    generalized form of the same tagged-union + bucket-groupby +
+    vectorized-local-match shape (with unique provider keys the full
+    inner join IS the lookup)."""
+    from .joins import bucket_join
 
-    def _tag(b: pa.Table, is_prov: bool) -> pa.Table:
-        need = ("key", "val") if is_prov else ("key", "ret")
-        if b.num_rows == 0 or any(c not in b.schema.names for c in need):
-            e = pa.array([], pa.int64())
-            return pa.table(
-                {"bucket": e, "key": e, "ret": e, "val": e, "is_prov": e}
-            )
-        key = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = (splitmix64(key.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-        n = len(key)
-        z = np.zeros(n, np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(bucket),
-                "key": pa.array(key),
-                "ret": pc.cast(b["ret"], pa.int64()) if not is_prov else pa.array(z),
-                "val": pc.cast(b["val"], pa.int64()) if is_prov else pa.array(z),
-                "is_prov": pa.array(np.full(n, 1 if is_prov else 0, np.int64)),
-            }
-        )
-
-    def _match(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or "is_prov" not in g.schema.names:
-            return _EMPTY_LOOKUP.empty_table()
-        is_p = g["is_prov"].to_numpy(zero_copy_only=False).astype(bool)
-        keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = keys[is_p]
-        pv = g["val"].to_numpy(zero_copy_only=False).astype(np.int64)[is_p]
-        rk = keys[~is_p]
-        rr = g["ret"].to_numpy(zero_copy_only=False).astype(np.int64)[~is_p]
-        if len(pk) == 0 or len(rk) == 0:
-            return _EMPTY_LOOKUP.empty_table()
-        o = np.argsort(pk, kind="stable")
-        pk, pv = pk[o], pv[o]
-        pos = np.searchsorted(pk, rk)
-        pos = np.minimum(pos, len(pk) - 1)
-        hit = pk[pos] == rk
-        return pa.table(
-            {
-                "ret": pa.array(rr[hit]),
-                "key": pa.array(rk[hit]),
-                "val": pa.array(pv[pos[hit]]),
-            }
-        )
-
-    tagged = providers.map_batches(
-        lambda b: _tag(b, True), batch_format="pyarrow"
-    ).union(requests.map_batches(lambda b: _tag(b, False), batch_format="pyarrow"))
-    return tagged.groupby("bucket").map_groups(_match, batch_format="pyarrow")
+    return bucket_join(
+        requests, providers, on=("key",),
+        left_cols={"ret": pa.int64()}, right_cols={"val": pa.int64()},
+        num_buckets=num_buckets,
+    )
 
 
 def _propagate_min_labels(edges, max_iter: int = 50, num_buckets: int = 32):
